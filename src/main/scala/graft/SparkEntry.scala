@@ -1,13 +1,433 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{SparkSession, DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.io.Tables
+import graft.core.VectorOps._
+import graft.functions.VectorFunctions._
+import graft.search.{BruteForceKNN, TopK, CoarseFineRetriever}
+import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
+import graft.eval.Metrics
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is an operator from SURVEY.md §2 (id in the name),
+  * runs on the driver fixtures (TESTDATA.md), and — where SQL-expressible —
+  * has a DuckDB oracle in `oracleSql` with identical column names/ordering.
+  * Non-SQL-expressible entries (MLlib KMeans-derived) get rows-only checks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Query-side of the embeddings table: first 20 vectors play "queries"
+    * (the fixtures carry no separate query table; deterministic + SQL-
+    * expressible so oracles can reproduce it).
+    */
+  private def queryVecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label"))
+
+  private def docVecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"),
+        col("label"))
+
+  // ---------------------------------------------------------------------
+  // Flagship: full MEVI shape on sf0.001 — RQ train → assign → cluster
+  // index → coarse beam search → fine re-rank → retrieval metrics.
+  // ---------------------------------------------------------------------
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = docVecs(spark, dir).cache()
+    val queries = queryVecs(spark, dir)
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val assignments = CodeAssigner.assign(docs, cb)
+    val index = ClusterIndexBuilder.build(assignments)
+    val retrieved = CoarseFineRetriever.retrieve(
+      queries.select("query_id", "qvec"), index, docs, cb, beams = 4, k = 10)
+    val preds = retrieved.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("doc_id")))).as("r"))
+      .select(col("query_id"), col("r.doc_id").as("preds"))
+    val gt = docs.as("d").join(queries.as("q"), col("d.label") === col("q.label"))
+      .where(col("d.doc_id") =!= col("q.query_id"))
+      .groupBy(col("q.query_id"))
+      .agg(sort_array(collect_list(col("d.doc_id"))).as("gt"))
+    Metrics.ranking(preds, gt, ks = Seq(1, 5, 10))
+  }
+
+  // ---------------------------------------------------------------------
+  // Query catalog
+  // ---------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A5-family: grouped aggregation with map-side combine (TPC-H Q1 shape)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // J1-family: 3-way join + group + top-10 (TPC-H Q3 shape)
+    "q3_top_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // J-family + broadcast dims: 5-way star join (TPC-H Q5 shape)
+    "q5_region_revenue" -> ((s, dir) => {
+      val r = broadcast(t(s, dir, "region"))
+      val n = broadcast(t(s, dir, "nation"))
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      r.join(n, col("r_regionkey") === col("n_regionkey"))
+        .join(c, col("n_nationkey") === col("c_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // P-family: selective filter → scan-level pushdown (TPC-H Q6 shape)
+    "q6_filter_sum" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // T1/W1: per-group ranking window, top-3 per order
+    "w1_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("l_orderkey"), col("rnk"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy("l_orderkey", "rnk")
+    }),
+
+    // P9: semi join (EXISTS)
+    "p9_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    // Anti join (negative-sampling `notclus` shape, main_models.py:1841-1852)
+    "a7_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.6 set ops: UNION / INTERSECT / EXCEPT between derived sets
+    "set_ops" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val small = p.where(col("p_size") < 10).select("p_brand").distinct()
+      val typed = p.where(col("p_type").contains("a")).select("p_brand").distinct()
+      val stats = Seq(
+        ("union", small.union(typed).distinct().count()),
+        ("intersect", small.intersect(typed).count()),
+        ("except", small.except(typed).count()))
+      s.createDataFrame(stats).toDF("op", "n").orderBy("op")
+    }),
+
+    // J2: invert pairs → group + collect_set (main_utils.py:128-131)
+    "j2_group_collect" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("event_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // S3: multi-label csv parse → ARRAY<LONG> (main_utils.py:271-278)
+    "s3_multilabel_parse" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("doc_id"), lit(","), col("doc_id") + 1, lit(","), col("doc_id") + 2).as("raw"))
+        .select(col("doc_id"), split(col("raw"), ",").cast("array<long>").as("doc_ids"))
+        .orderBy("doc_id")
+    }),
+
+    // P1: doc text formatting (main_utils.py:199-211)
+    "p1_doc_format" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("Title: "), col("source"), lit(" Text: "),
+            substring(col("text"), 1, 40)).as("formatted"))
+        .orderBy("doc_id")
+    }),
+
+    // V2+T2: brute-force exact KNN by inner product (the oracle scorer)
+    "knn_ip" -> ((s, dir) => {
+      BruteForceKNN.topK(
+        queryVecs(s, dir).select("query_id", "qvec"),
+        docVecs(s, dir).select("doc_id", "vec"),
+        k = 10, metric = "ip", excludeSelf = true)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // V2 cosine variant
+    "knn_cos" -> ((s, dir) => {
+      BruteForceKNN.topK(
+        queryVecs(s, dir).select("query_id", "qvec"),
+        docVecs(s, dir).select("doc_id", "vec"),
+        k = 10, metric = "cos", excludeSelf = true)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // A5/W1/W2: retrieval metrics of KNN preds vs label ground truth
+    "metrics_ranking" -> ((s, dir) => {
+      val preds = BruteForceKNN.topKLists(
+        queryVecs(s, dir).select("query_id", "qvec"),
+        docVecs(s, dir).select("doc_id", "vec"),
+        k = 10, metric = "ip", excludeSelf = true)
+      val docs = docVecs(s, dir)
+      val gt = docs.as("d")
+        .join(queryVecs(s, dir).as("q"), col("d.label") === col("q.label"))
+        .where(col("d.doc_id") =!= col("q.query_id"))
+        .groupBy(col("q.query_id"))
+        .agg(sort_array(collect_list(col("d.doc_id"))).as("gt"))
+      Metrics.ranking(preds, gt, ks = Seq(1, 5, 10))
+        .select(col("k"), round(col("recall"), 6).as("recall"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("hitrate"), 6).as("hitrate"), col("n_queries"))
+        .orderBy("k")
+    }),
+
+    // Dedup #1: exact duplicate groups by content hash
+    "dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("canonical_id"),
+          sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+        .orderBy("text_hash")
+    }),
+
+    // Text analysis #1: token counting (whitespace tokenizer)
+    "text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Streaming-analog batch: tumbling-window event aggregation
+    "events_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // rows-only (KMeans, not SQL-expressible): RQ assignments partition the corpus
+    "rq_assign" -> ((s, dir) => {
+      val docs = docVecs(s, dir).cache()
+      val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+      CodeAssigner.assign(docs, cb).orderBy("doc_id")
+    }),
+
+    // rows-only: cluster inverted index over RQ codes
+    "rq_cluster_index" -> ((s, dir) => {
+      val docs = docVecs(s, dir).cache()
+      val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+      ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
+        .orderBy("codes")
+    }),
+
+    // rows-only: full coarse→fine retrieval
+    "coarse_fine" -> ((s, dir) => {
+      val docs = docVecs(s, dir).select("doc_id", "vec").cache()
+      val queries = queryVecs(s, dir).select("query_id", "qvec")
+      val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+      val index = ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
+      CoarseFineRetriever.retrieve(queries, index, docs, cb, beams = 4, k = 10)
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles (column names/order must match the Spark results)
+  // ---------------------------------------------------------------------
+
+  private val dotSql =
+    "list_sum(list_transform(list_zip(q.qvec, d.vec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private val knnBase =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+       |d AS (SELECT vec_id AS doc_id, embedding AS vec FROM embeddings),
+       |s AS (SELECT q.query_id, d.doc_id, $dotSql AS score
+       |      FROM q CROSS JOIN d WHERE d.doc_id <> q.query_id),
+       |r AS (SELECT query_id, doc_id, score,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM s)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q6_filter_sum" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "w1_window_rank" ->
+      """SELECT l_orderkey, rnk, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_orderkey
+        |                           ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rnk
+        |      FROM lineitem)
+        |WHERE rnk <= 3 ORDER BY l_orderkey, rnk""".stripMargin,
+
+    "p9_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "a7_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_ops" ->
+      """WITH small AS (SELECT DISTINCT p_brand FROM part WHERE p_size < 10),
+        |typed AS (SELECT DISTINCT p_brand FROM part WHERE p_type LIKE '%a%')
+        |SELECT op, n FROM (
+        |  SELECT 'union' AS op, (SELECT count(*) FROM (SELECT p_brand FROM small UNION SELECT p_brand FROM typed)) AS n
+        |  UNION ALL
+        |  SELECT 'intersect', (SELECT count(*) FROM (SELECT p_brand FROM small INTERSECT SELECT p_brand FROM typed))
+        |  UNION ALL
+        |  SELECT 'except', (SELECT count(*) FROM (SELECT p_brand FROM small EXCEPT SELECT p_brand FROM typed))
+        |) ORDER BY op""".stripMargin,
+
+    "j2_group_collect" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "s3_multilabel_parse" ->
+      """SELECT doc_id,
+        |  CAST(string_split(concat(doc_id, ',', doc_id + 1, ',', doc_id + 2), ',') AS BIGINT[]) AS doc_ids
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p1_doc_format" ->
+      """SELECT doc_id,
+        |  concat('Title: ', source, ' Text: ', substr(text, 1, 40)) AS formatted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "knn_ip" ->
+      s"""$knnBase
+         |SELECT query_id, rank, doc_id, round(score, 6) AS score
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "knn_cos" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         |d AS (SELECT vec_id AS doc_id, embedding AS vec FROM embeddings),
+         |s AS (SELECT q.query_id, d.doc_id,
+         |        $dotSql
+         |        / (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(d.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS score
+         |      FROM q CROSS JOIN d WHERE d.doc_id <> q.query_id),
+         |r AS (SELECT query_id, doc_id, score,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         |      FROM s)
+         |SELECT query_id, rank, doc_id, round(score, 6) AS score
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "metrics_ranking" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label FROM embeddings WHERE vec_id < 20),
+         |d AS (SELECT vec_id AS doc_id, embedding AS vec, label FROM embeddings),
+         |s AS (SELECT q.query_id, d.doc_id, q.label AS qlabel, d.label AS dlabel, $dotSql AS score
+         |      FROM q CROSS JOIN d WHERE d.doc_id <> q.query_id),
+         |r AS (SELECT query_id, doc_id, qlabel, dlabel, score,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         |      FROM s),
+         |hits AS (SELECT query_id, rank FROM r WHERE dlabel = qlabel AND rank <= 10),
+         |gtn AS (SELECT q.query_id, count(*) AS gt_n FROM q JOIN d ON d.label = q.label AND d.doc_id <> q.query_id GROUP BY q.query_id),
+         |ks AS (SELECT unnest([1, 5, 10]) AS k),
+         |perq AS (
+         |  SELECT ks.k, gtn.query_id,
+         |    COALESCE((SELECT count(*) FROM hits h WHERE h.query_id = gtn.query_id AND h.rank <= ks.k), 0) / gtn.gt_n AS recall,
+         |    COALESCE((SELECT 1.0 / min(h.rank) FROM hits h WHERE h.query_id = gtn.query_id AND h.rank <= ks.k), 0) AS rr,
+         |    CASE WHEN EXISTS (SELECT 1 FROM hits h WHERE h.query_id = gtn.query_id AND h.rank <= ks.k) THEN 1.0 ELSE 0.0 END AS hit
+         |  FROM ks CROSS JOIN gtn)
+         |SELECT k, round(avg(recall), 6) AS recall, round(avg(rr), 6) AS mrr,
+         |  round(avg(hit), 6) AS hitrate, count(*) AS n_queries
+         |FROM perq GROUP BY k ORDER BY k""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_docs,
+        |  min(doc_id) AS canonical_id, list_sort(list(doc_id)) AS doc_ids
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS n_tokens,
+        |  length(text) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+  )
 }

@@ -1,0 +1,71 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval metrics: Recall@k, MRR@k, HitRate@k, ndoc.
+  *
+  * Spark-first port of MEVI/evaluate.py:7-47 and
+  * MEVI/main_models.py:4144-4193: per-query ranks become array expressions,
+  * the corpus-wide average is one `agg` — no per-query driver loop.
+  *
+  * Inputs:
+  *   preds: (queryCol, preds ARRAY<LONG> rank-ordered best-first)
+  *   truth: (queryCol, gt ARRAY<LONG>)
+  */
+object Metrics {
+
+  val DefaultKs: Seq[Int] = Seq(1, 5, 10, 20, 50, 100, 1000)
+
+  /** One row per k: (k, recall, mrr, hitrate, n_queries).
+    * recall@k = |preds[:k] ∩ gt| / |gt|  (evaluate.py:17-26 semantics)
+    * mrr@k    = 1 / (1 + min rank of any gt in preds[:k]), 0 if none
+    * hit@k    = 1 if any gt in preds[:k]                 (evaluate.py:7-16)
+    */
+  def ranking(
+      preds: DataFrame,
+      truth: DataFrame,
+      queryCol: String = "query_id",
+      predsCol: String = "preds",
+      gtCol: String = "gt",
+      ks: Seq[Int] = DefaultKs): DataFrame = {
+
+    // Queries with no prediction row still count in the denominator
+    // (reference merges per-shard result lists over ALL eval queries).
+    val joined = truth.join(preds, Seq(queryCol), "left")
+      .select(
+        col(queryCol),
+        col(gtCol),
+        coalesce(col(predsCol), array().cast("array<long>")).as("p"))
+
+    val perK = ks.map { k =>
+      val topk = slice(col("p"), 1, k)
+      val inter = array_intersect(topk, col(gtCol))
+      // best (1-based) rank of any gt id within preds[:k]; 0 if absent
+      val bestRank = array_min(filter(
+        transform(col(gtCol), g => array_position(topk, g)),
+        r => r > 0))
+      struct(
+        lit(k).as("k"),
+        (size(inter).cast("double") / size(col(gtCol))).as("recall"),
+        when(bestRank.isNull, 0.0).otherwise(lit(1.0) / bestRank).as("rr"),
+        when(size(inter) > 0, 1.0).otherwise(0.0).as("hit"))
+    }
+
+    joined
+      .select(col(queryCol), explode(array(perK: _*)).as("m"))
+      .groupBy(col("m.k").as("k"))
+      .agg(
+        avg("m.recall").as("recall"),
+        avg("m.rr").as("mrr"),
+        avg("m.hit").as("hitrate"),
+        count(lit(1)).as("n_queries"))
+      .orderBy("k")
+  }
+
+  /** Avg candidate-pool size per query — ndoc@cluster-k,
+    * MEVI/main_models.py:3775-3777,4182. */
+  def ndoc(candidates: DataFrame, queryCol: String = "query_id"): DataFrame =
+    candidates.groupBy(queryCol).count()
+      .agg(avg("count").as("ndoc_per_query"), count(lit(1)).as("n_queries"))
+}

@@ -1,0 +1,196 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+
+/** Trained residual-quantizer codebook: `levels(m)(code)` is a centroid.
+  * Geometry mirrors the reference's shipped config (RQ M×B,
+  * MEVI/marco_generate_embedding_n_rq.sh: `--pq_type rq --subvector_num 4
+  * --subvector_bits 5` → M=4, K=32): M levels × K centroids × dim floats.
+  * At M=4, K=32, dim=768 the whole codebook is ~400 KB — the only
+  * driver/broadcast-resident state in the entire engine.
+  */
+case class Codebook(levels: Array[Array[Array[Float]]]) extends Serializable {
+  def numLevels: Int = levels.length
+  def k: Int = levels.headOption.map(_.length).getOrElse(0)
+  def dim: Int = levels.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+
+  /** Greedy residual assignment of one vector: per level, argmin-L2 centroid,
+    * subtract, recurse (MEVI/pq.py:281-305). Ties → lowest code id. */
+  def assign(vec: Array[Float]): Array[Int] = {
+    val resid = new Array[Double](vec.length)
+    var i = 0
+    while (i < vec.length) { resid(i) = vec(i).toDouble; i += 1 }
+    val codes = new Array[Int](numLevels)
+    var m = 0
+    while (m < numLevels) {
+      val cents = levels(m)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var j = 0
+        while (j < resid.length) {
+          val diff = resid(j) - cent(j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(m) = best
+      val cent = cents(best)
+      var j = 0
+      while (j < resid.length) { resid(j) -= cent(j).toDouble; j += 1 }
+      m += 1
+    }
+    codes
+  }
+
+  /** RQ reconstruction = sum of per-level centroids (MEVI/pq.py:743-799). */
+  def reconstruct(codes: Array[Int]): Array[Float] = {
+    val out = new Array[Float](dim)
+    var m = 0
+    while (m < codes.length) {
+      val cent = levels(m)(codes(m))
+      var j = 0
+      while (j < dim) { out(j) = out(j) + cent(j); j += 1 }
+      m += 1
+    }
+    out
+  }
+
+  /** As a small DataFrame (level, code, centroid) — joinable/broadcastable. */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    levels.zipWithIndex.flatMap { case (cents, m) =>
+      cents.zipWithIndex.map { case (cent, c) => (m, c, cent.toSeq) }
+    }.toSeq.toDF("level", "code", "centroid")
+  }
+}
+
+/** Residual-quantizer trainer: M sequential MLlib KMeans fits, each on the
+  * residual of the previous level — the Spark-native re-expression of the
+  * reference's per-level (MiniBatch)KMeans loop (MEVI/pq.py:550-598) and its
+  * `initialize` dispatch (pq.py:440-486). Level-to-level sequencing is
+  * inherent (level i+1 consumes level-i residuals, SURVEY §7.4.1); each fit
+  * itself is a fully distributed MLlib job.
+  */
+object RQTrainer {
+
+  /** Fits the codebook. Input: (idCol LONG, vecCol ARRAY<FLOAT>).
+    * Residual DataFrames are persisted per level to cut lineage (the loop
+    * would otherwise recompute level-0 residuals M times).
+    */
+  def fit(
+      df: DataFrame,
+      vecCol: String,
+      numLevels: Int,
+      k: Int,
+      seed: Long = 42L,
+      maxIter: Int = 20): Codebook = {
+
+    var resid = df
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .persist()
+    resid.count() // materialize before iterating
+
+    val levels = new Array[Array[Array[Float]]](numLevels)
+    for (m <- 0 until numLevels) {
+      val km = new KMeans()
+        .setK(k).setSeed(seed + m).setMaxIter(maxIter)
+        .setFeaturesCol("features").setPredictionCol("cluster")
+      val model = km.fit(resid)
+      levels(m) = model.clusterCenters.map(_.toArray.map(_.toFloat))
+
+      if (m < numLevels - 1) {
+        // residual = features − centroid(cluster); centers ship in the
+        // closure (≤ K×dim floats), no join needed.
+        val centers = model.clusterCenters.map(_.toArray)
+        val subtract = udf { (v: org.apache.spark.ml.linalg.Vector, c: Int) =>
+          val cent = centers(c)
+          org.apache.spark.ml.linalg.Vectors.dense(
+            Array.tabulate(cent.length)(j => v(j) - cent(j)))
+        }
+        val next = model.transform(resid)
+          .select(subtract(col("features"), col("cluster")).as("features"))
+          .persist()
+        next.count()
+        resid.unpersist()
+        resid = next
+      } else {
+        resid.unpersist()
+      }
+    }
+    Codebook(levels)
+  }
+}
+
+/** Distributed code assignment with a broadcast codebook: the serving-path
+  * equivalent of MEVI/pq.py:216-247 (`get_document_cluster`) and the
+  * incremental replay in gen_sampled_to_full.py:61-88. mapPartitions over
+  * primitive arrays — M×K×dim flops per row, zero shuffle.
+  */
+object CodeAssigner {
+
+  /** (idCol, vecCol) → (idCol, codes ARRAY<INT>). */
+  def assign(
+      df: DataFrame,
+      codebook: Codebook,
+      idCol: String = "doc_id",
+      vecCol: String = "vec"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(codebook)
+    val assignUdf = udf { (vec: Array[Float]) => bc.value.assign(vec) }
+    df.select(col(idCol), assignUdf(col(vecCol)).as("codes"))
+  }
+
+  /** Reconstruction error ‖x − reconstruct(assign(x))‖ per row —
+    * the quantization-quality diagnostic (MEVI/pq.py:304-305 residual). */
+  def reconstructionError(
+      df: DataFrame,
+      codebook: Codebook,
+      idCol: String = "doc_id",
+      vecCol: String = "vec"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(codebook)
+    val errUdf = udf { (vec: Array[Float]) =>
+      val cb = bc.value
+      val rec = cb.reconstruct(cb.assign(vec))
+      var s = 0.0
+      var j = 0
+      while (j < vec.length) {
+        val d = vec(j).toDouble - rec(j).toDouble
+        s += d * d
+        j += 1
+      }
+      math.sqrt(s)
+    }
+    df.select(col(idCol), errUdf(col(vecCol)).as("recon_error"))
+  }
+}
+
+/** Cluster inverted index: code-tuple → member docs.
+  * ≡ `pq_doc_cluster` (MEVI/pq.py:236-247, pickle dict code-tuple→[docid])
+  * as a DataFrame. Partitioned by the first code (`c0`) so a join on
+  * predicted codes prunes partitions — the engine's analog of the
+  * reference's coarse-to-fine candidate pruning (SURVEY §4 row 1).
+  */
+object ClusterIndexBuilder {
+
+  /** assignments (doc_id, codes) → (codes, c0, doc_ids sorted, csize). */
+  def build(assignments: DataFrame): DataFrame =
+    assignments
+      .groupBy(col("codes"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .select(
+        col("codes"),
+        col("codes").getItem(0).as("c0"),
+        col("doc_ids"),
+        size(col("doc_ids")).as("csize"))
+      .repartition(col("c0"))
+}

@@ -1,0 +1,81 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{float_dot, float_neg_l2sq}
+import graft.core.VectorOps
+
+/** Exact brute-force k-NN: the Spark-native form of the reference's
+  * exhaustive oracle scorer (`save_hard_neg <corpus size>`,
+  * MEVI/marco_eval_nci_rq.sh:26; eval-all path MEVI/main_models.py:3979-3989)
+  * and the baseline the ANN paths are judged against.
+  *
+  * Plan shape: broadcast the (small) query side, crossJoin against the doc
+  * side — docs stream through whole-stage codegen scoring, and the grouped
+  * bounded top-k aggregator prunes map-side, so the shuffle carries at most
+  * k rows per (query, map task), never the full score matrix. This is the
+  * 100 TB-safe layout: the corpus is never collected, re-partitioned, or
+  * fully materialized with scores.
+  */
+object BruteForceKNN {
+
+  /** metric ∈ {"ip", "l2", "cos"} (document_encoder.py:128-132). */
+  def score(metric: String)(q: org.apache.spark.sql.Column,
+                            d: org.apache.spark.sql.Column) = metric match {
+    case "ip"  => float_dot(q, d)
+    case "l2"  => float_neg_l2sq(q, d)
+    case "cos" => VectorOps.vecCosine(q, d)
+    case other => throw new IllegalArgumentException(s"metric $other")
+  }
+
+  /** Returns (query_id, rank, doc_id, score), rank 1-based best-first.
+    * `queries`: (query_id LONG, qvec ARRAY<FLOAT>) — assumed broadcastable.
+    * `docs`:    (doc_id LONG, vec ARRAY<FLOAT>) — arbitrarily large.
+    */
+  def topK(
+      queries: DataFrame,
+      docs: DataFrame,
+      k: Int,
+      metric: String = "ip",
+      excludeSelf: Boolean = false): DataFrame = {
+
+    val scored = docs
+      .crossJoin(broadcast(queries))
+      .where(if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true))
+      .select(
+        col("query_id"), col("doc_id"),
+        score(metric)(col("qvec"), col("vec")).as("score"))
+
+    scored
+      .groupBy("query_id")
+      .agg(TopK.topk(k)(col("doc_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sd")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).as("rank"),
+        col("sd.id").as("doc_id"),
+        col("sd.score").as("score"))
+  }
+
+  /** Ranked-list form: (query_id, preds ARRAY<LONG>, scores ARRAY<DOUBLE>). */
+  def topKLists(
+      queries: DataFrame,
+      docs: DataFrame,
+      k: Int,
+      metric: String = "ip",
+      excludeSelf: Boolean = false): DataFrame = {
+    val scored = docs
+      .crossJoin(broadcast(queries))
+      .where(if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true))
+      .select(
+        col("query_id"), col("doc_id"),
+        score(metric)(col("qvec"), col("vec")).as("score"))
+    scored
+      .groupBy("query_id")
+      .agg(TopK.topk(k)(col("doc_id"), col("score")).as("top"))
+      .select(
+        col("query_id"),
+        col("top.id").as("preds"),
+        col("top.score").as("scores"))
+  }
+}

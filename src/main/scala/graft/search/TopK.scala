@@ -1,0 +1,67 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import scala.collection.mutable.ArrayBuffer
+
+/** One scored candidate. Ties broken by ascending id for determinism. */
+case class ScoredDoc(id: Long, score: Double)
+
+/** Bounded buffer: worst-of-top-k pruning happens on overflow, so partial
+  * (map-side) aggregation never holds more than 4k candidates per group.
+  */
+case class TopKBuffer(k: Int, items: ArrayBuffer[ScoredDoc])
+
+/** Grouped bounded top-k as a partial-aggregatable `Aggregator`.
+  *
+  * Re-expresses the reference's streaming bounded top-k — running
+  * `torch.topk` over scanned doc batches (MEVI/main_models.py:3819-3876,
+  * 3979-3989) — as Spark's partial+final aggregation: each map task keeps a
+  * bounded buffer (combiner-side pruning), merge is concat+prune. At 100 TB
+  * this is the difference between shuffling every scored (query, doc) pair
+  * and shuffling ≤ k rows per (group, map task).
+  *
+  * Output is sorted by (score desc, id asc) — canonical for oracle hashing.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[ScoredDoc, TopKBuffer, Seq[ScoredDoc]] {
+
+  private val overflow = math.max(4 * k, 64)
+
+  override def zero: TopKBuffer = TopKBuffer(k, ArrayBuffer.empty)
+
+  private def prune(buf: TopKBuffer, to: Int): TopKBuffer = {
+    if (buf.items.length > to) {
+      val kept = buf.items.sortBy(d => (-d.score, d.id)).take(k)
+      TopKBuffer(k, ArrayBuffer.from(kept))
+    } else buf
+  }
+
+  override def reduce(b: TopKBuffer, a: ScoredDoc): TopKBuffer = {
+    b.items += a
+    prune(b, overflow)
+  }
+
+  override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer = {
+    b1.items ++= b2.items
+    prune(b1, k)
+  }
+
+  override def finish(r: TopKBuffer): Seq[ScoredDoc] =
+    r.items.sortBy(d => (-d.score, d.id)).take(k).toSeq
+
+  override def bufferEncoder: Encoder[TopKBuffer] = Encoders.kryo[TopKBuffer]
+  override def outputEncoder: Encoder[Seq[ScoredDoc]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredDoc]]()
+}
+
+object TopK {
+  /** Untyped column form: `df.groupBy("qid").agg(TopK.topk(10)($"doc_id", $"score"))`
+    * → `ARRAY<STRUCT<id BIGINT, score DOUBLE>>` ranked best-first.
+    */
+  def topk(k: Int): (Column, Column) => Column = { (id, score) =>
+    udaf(new TopKAggregator(k), Encoders.product[ScoredDoc])
+      .apply(id, score)
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+class EntrySpec extends SparkSpec {
+
+  test("entry returns non-empty metrics") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // metrics are averages in [0, 1]
+    rows.foreach { r =>
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("all queries run at sf0.001 and return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf("0.001")).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+}

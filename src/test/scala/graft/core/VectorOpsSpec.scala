@@ -1,0 +1,46 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.core.VectorOps._
+import graft.functions.VectorFunctions._
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, -5.0f, 6.0f)),
+    (2L, Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f))
+  ).toDF("id", "a", "b")
+
+  test("vecDot HOF and native expression agree") {
+    val rows = df.select(
+      vecDot($"a", $"b").as("hof"),
+      float_dot($"a", $"b").as("native")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(0).getDouble(0) == 1.0 * 4 - 2 * 5 + 3 * 6)
+  }
+
+  test("negL2Sq HOF and native expression agree") {
+    val rows = df.select(
+      vecNegL2Sq($"a", $"b").as("hof"),
+      float_neg_l2sq($"a", $"b").as("native")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    assert(rows(0).getDouble(0) == -(9.0 + 49.0 + 9.0))
+  }
+
+  test("cosine is 0 on zero vector, 1 on self") {
+    val r = df.select(vecCosine($"a", $"b")).collect()
+    assert(r(1).getDouble(0) == 0.0)
+    val self = df.where($"id" === 1).select(vecCosine($"a", $"a")).head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-9)
+  }
+
+  test("vecSub/vecAdd/normalize roundtrip") {
+    val r = df.where($"id" === 1)
+      .select(vecAdd(vecSub($"a", $"b"), $"b").as("rt"),
+        vecNorm2(vecL2Normalize($"a")).as("n")).head
+    assert(r.getSeq[Float](0) == Seq(1.0f, 2.0f, 3.0f))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-6)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.index
+
+import graft.SparkSpec
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+/** Quantization invariants from SURVEY §5 (property-based over the real
+  * fixture embeddings): assignment is argmin, the cluster index partitions
+  * the corpus, reconstruction error is bounded by the input norm.
+  */
+class RQSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf("0.001"), "embeddings")
+    .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    .cache()
+
+  private lazy val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+  private lazy val assignments = CodeAssigner.assign(docs, cb).cache()
+
+  test("codebook geometry") {
+    assert(cb.numLevels == 2)
+    assert(cb.k == 8)
+    assert(cb.dim == 64)
+  }
+
+  test("assignment emits one M-length code tuple per doc") {
+    val n = docs.count()
+    assert(assignments.count() == n)
+    assert(assignments.where(size(col("codes")) =!= 2).count() == 0)
+    assert(assignments.where(col("codes").getItem(0) < 0 ||
+      col("codes").getItem(0) >= 8).count() == 0)
+  }
+
+  test("assignment is argmin at level 0 (spot check against brute force)") {
+    val rows = docs.limit(10).collect()
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](1).toArray
+      val codes = cb.assign(vec)
+      val dists = cb.levels(0).map { cent =>
+        vec.zip(cent).map { case (x, c) => (x - c) * (x - c) }.sum
+      }
+      assert(codes(0) == dists.indexOf(dists.min))
+    }
+  }
+
+  test("cluster index is an exact partition of the corpus") {
+    val idx = ClusterIndexBuilder.build(assignments)
+    val total = idx.agg(sum("csize")).head.getLong(0)
+    assert(total == docs.count())
+    // no doc in two clusters
+    val distinctDocs = idx.select(explode(col("doc_ids"))).distinct().count()
+    assert(distinctDocs == docs.count())
+  }
+
+  test("reconstruction error is below input norm (quantizer does something)") {
+    val err = CodeAssigner.reconstructionError(docs, cb)
+      .agg(avg("recon_error")).head.getDouble(0)
+    // embeddings are L2-normalized → ‖x‖ = 1; a trained 2-level RQ must do
+    // substantially better than the zero-codebook baseline of 1.0
+    assert(err > 0.0 && err < 1.0)
+  }
+
+  test("deterministic across re-fits with same seed") {
+    val cb2 = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    assert(cb.levels.flatten.flatten.toSeq == cb2.levels.flatten.flatten.toSeq)
+  }
+}

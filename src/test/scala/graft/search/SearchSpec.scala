@@ -1,0 +1,62 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.io.Tables
+import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf("0.001"), "embeddings")
+    .select(col("vec_id").as("doc_id"), col("embedding").as("vec")).cache()
+  private lazy val queries = Tables.load(spark, sf("0.001"), "embeddings")
+    .where(col("vec_id") < 5)
+    .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  test("TopK aggregator returns k best, sorted, deterministic on ties") {
+    val df = Seq(
+      (1L, 10L, 1.0), (1L, 11L, 3.0), (1L, 12L, 2.0), (1L, 13L, 3.0),
+      (2L, 20L, 5.0)
+    ).toDF("q", "id", "score")
+    val top = df.groupBy("q").agg(TopK.topk(2)($"id", $"score").as("top"))
+      .orderBy("q").collect()
+    val r1 = top(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(r1.map(r => (r.getLong(0), r.getDouble(1))) ==
+      Seq((11L, 3.0), (13L, 3.0))) // tie → ascending id
+    assert(top(1).getSeq[org.apache.spark.sql.Row](1).size == 1)
+  }
+
+  test("self is nearest neighbor under IP on normalized vectors") {
+    val top1 = BruteForceKNN.topK(queries, docs, k = 1, metric = "ip")
+    val rows = top1.collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getAs[Long]("doc_id") == r.getAs[Long]("query_id")))
+  }
+
+  test("beam search with full width finds the greedy assignment path") {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val qs = docs.limit(5).collect()
+    qs.foreach { r =>
+      val vec = r.getSeq[Float](1).toArray
+      val greedy = cb.assign(vec).toSeq
+      // beams = K^M ⇒ exhaustive ⇒ the true max-score tuple; greedy path
+      // must appear among top tuples (and for L2 metric the exhaustive best
+      // is at least as good as greedy)
+      val beam = CodebookBeamSearch.searchOne(cb, vec, beams = 64)
+      assert(beam.map(_._1.toSeq).contains(greedy))
+    }
+  }
+
+  test("coarse→fine with exhaustive beams ≈ brute force top-1") {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val index = ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
+    val got = CoarseFineRetriever.retrieve(queries, index, docs, cb,
+      beams = 64, k = 1, metric = "ip")
+    // with all 64 cluster paths probed every doc is a candidate → top-1 is
+    // the query itself (normalized vectors, self included)
+    got.collect().foreach { r =>
+      assert(r.getAs[Long]("doc_id") == r.getAs[Long]("query_id"))
+    }
+  }
+}
