@@ -7,9 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
 import graft.core.VectorOps._
 import graft.functions.VectorFunctions._
-import graft.search.{BruteForceKNN, TopK, CoarseFineRetriever}
-import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
-import graft.eval.Metrics
+import graft.search.{BruteForceKNN, TopK, CoarseFineRetriever, CodebookBeamSearch}
+import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder, ArtifactCache, Codebook}
+import graft.eval.{Metrics, Ensemble}
+import graft.pipeline.{Dedup, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +37,20 @@ object SparkEntry {
     t(s, dir, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding").as("vec"),
         col("label"))
+
+  /** Session-memoized RQ artifacts per fixture dir (path-keyed caching,
+    * mirroring MEVI/main_models.py:2944-2978). */
+  private def rqCodebook(s: SparkSession, dir: String): Codebook =
+    ArtifactCache.codebook(s"$dir/rq2x3") {
+      RQTrainer.fit(docVecs(s, dir).select("doc_id", "vec"),
+        "vec", numLevels = 2, k = 8, seed = 42L)
+    }
+
+  private def rqAssignments(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.frame(s"$dir/rq2x3/assign") {
+      CodeAssigner.assign(docVecs(s, dir).select("doc_id", "vec"),
+        rqCodebook(s, dir))
+    }
 
   // ---------------------------------------------------------------------
   // Flagship: full MEVI shape on sf0.001 — RQ train → assign → cluster
@@ -254,27 +269,112 @@ object SparkEntry {
     }),
 
     // rows-only (KMeans, not SQL-expressible): RQ assignments partition the corpus
-    "rq_assign" -> ((s, dir) => {
-      val docs = docVecs(s, dir).cache()
-      val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
-      CodeAssigner.assign(docs, cb).orderBy("doc_id")
-    }),
+    "rq_assign" -> ((s, dir) => rqAssignments(s, dir).orderBy("doc_id")),
 
     // rows-only: cluster inverted index over RQ codes
-    "rq_cluster_index" -> ((s, dir) => {
-      val docs = docVecs(s, dir).cache()
-      val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
-      ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
-        .orderBy("codes")
-    }),
+    "rq_cluster_index" -> ((s, dir) =>
+      ClusterIndexBuilder.build(rqAssignments(s, dir)).orderBy("codes")),
 
     // rows-only: full coarse→fine retrieval
     "coarse_fine" -> ((s, dir) => {
-      val docs = docVecs(s, dir).select("doc_id", "vec").cache()
+      val docs = docVecs(s, dir).select("doc_id", "vec")
       val queries = queryVecs(s, dir).select("query_id", "qvec")
-      val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
-      val index = ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
-      CoarseFineRetriever.retrieve(queries, index, docs, cb, beams = 4, k = 10)
+      val index = ClusterIndexBuilder.build(rqAssignments(s, dir))
+      CoarseFineRetriever.retrieve(queries, index, docs, rqCodebook(s, dir),
+        beams = 4, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // rows-only: ndoc@cluster-R candidate-pool diagnostic (A6)
+    "rq_ndoc" -> ((s, dir) => {
+      val queries = queryVecs(s, dir).select("query_id", "qvec")
+      val index = ClusterIndexBuilder.build(rqAssignments(s, dir))
+      val coarse = CodebookBeamSearch.search(queries, rqCodebook(s, dir), beams = 4)
+      val candidates = coarse
+        .join(index.select("codes", "doc_ids"), Seq("codes"))
+        .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
+        .distinct()
+      Metrics.ndoc(candidates)
+    }),
+
+    // Dedup #2: per-doc MinHash signatures (portable md5 permutation family)
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), numPerms = 4)
+        .orderBy("doc_id")),
+
+    // Dedup #2b: LSH banding candidates + exact Jaccard confirm ≥ 0.5
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, numPerms = 4)
+      val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 2)
+      Dedup.jaccardPairs(docs, pairs = Some(cands))
+        .where(col("jaccard") >= 0.5)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    // Dedup #3: exhaustive n-gram Jaccard, top-20 most similar pairs
+    // (bounded scan: the exhaustive form is the small-scale oracle; the
+    // scale path is the LSH variant above)
+    "dedup_jaccard_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      Dedup.jaccardPairs(docs)
+        .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+        .limit(20)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // Dedup #4: 32-bit SimHash signatures
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Dedup #5: embedding-cosine near-dup pairs (label-blocked)
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), tau = 0.35)
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("a", "b")),
+
+    // Text analysis #2: language ID (stopword-ratio heuristic)
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // Text analysis #3: quality scoring
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("quality_score"), 6).as("quality_score"))
+        .orderBy("doc_id")),
+
+    // Text analysis #4: rolling-hash document fingerprint
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // S5-analog: JSON-ish field extraction from event props
+    "events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // J6+V13: ensemble fusion of IP-ANN list with a coarse ranked list
+    "ensemble_fuse" -> ((s, dir) => {
+      val queries = queryVecs(s, dir).select("query_id", "qvec")
+      val docs = docVecs(s, dir).select("doc_id", "vec")
+      val ann = BruteForceKNN.topK(queries, docs, k = 10, metric = "ip",
+        excludeSelf = true).select("query_id", "doc_id", "score")
+      val coarse = BruteForceKNN.topK(queries, docs, k = 5, metric = "cos",
+        excludeSelf = true)
+        .select(col("query_id"), col("doc_id"), col("rank").as("crank"))
+      Ensemble.fuse(ann, coarse, alpha = 0.6, beta = 0.03, gamma = 0.02, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("fused_score"), 6).as("fused_score"))
         .orderBy("query_id", "rank")
     })
   )
@@ -428,6 +528,135 @@ object SparkEntry {
     "events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
+         |h AS (SELECT doc_id, len(shingles) AS n_shingles,
+         |        list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS hs
+         |      FROM sh)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  [$minhashSigSql] AS sig
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
+         |h AS (SELECT doc_id, list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS hs FROM sh),
+         |sig AS (SELECT doc_id, [$minhashSigSql] AS sig FROM h),
+         |banded AS (SELECT doc_id, unnest([concat('0:', sig[1], ',', sig[2]), concat('1:', sig[3], ',', sig[4])]) AS band_key FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded x JOIN banded y
+         |         ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |jac AS (SELECT cand.a, cand.b,
+         |          len(list_intersect(sa.shingles, sb.shingles))
+         |            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         |        FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b)
+         |SELECT a, b, round(jaccard, 6) AS jaccard FROM jac
+         |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "dedup_jaccard_topk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents WHERE doc_id < 200),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t)
+        |SELECT sa.doc_id AS a, sb.doc_id AS b,
+        |  round(len(list_intersect(sa.shingles, sb.shingles))
+        |    / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+        |FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+        |ORDER BY len(list_intersect(sa.shingles, sb.shingles))
+        |  / len(list_distinct(list_concat(sa.shingles, sb.shingles))) DESC, a, b
+        |LIMIT 20""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, list_transform(string_split_regex(lower(text), '\s+'),
+        |  tok -> CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)) AS hs FROM documents)
+        |SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
+        |  CASE WHEN list_sum(list_transform(hs, h -> CAST(floor(h / pow(2.0, b)) AS BIGINT) % 2 * 2 - 1)) > 0
+        |       THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT x.vec_id AS a, y.vec_id AS b,
+        |  round(list_sum(list_transform(list_zip(x.embedding, y.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cosine
+        |FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE list_sum(list_transform(list_zip(x.embedding, y.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) >= 0.35
+        |ORDER BY a, b""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
+         |SELECT doc_id,
+         |  round(len(list_filter(toks, x -> x IN ($stopwordListSql))) / greatest(len(toks), 1), 6) AS stopword_ratio,
+         |  CASE WHEN len(list_filter(toks, x -> x IN ($stopwordListSql))) / greatest(len(toks), 1) >= 0.03
+         |       THEN 'en' ELSE 'unknown' END AS pred_lang
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(toks) AS DOUBLE) AS nt,
+         |        CAST(length(text) AS DOUBLE) AS nc,
+         |        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS np,
+         |        len(list_filter(toks, x -> x IN ($stopwordListSql))) / greatest(len(toks), 1) AS swr
+         |      FROM t)
+         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, CAST(nc AS BIGINT) AS n_chars,
+         |  round((nc - (nt - 1)) / greatest(nt, 1.0), 6) AS avg_token_len,
+         |  round(np / greatest(nc, 1.0), 6) AS punct_ratio,
+         |  round(swr, 6) AS stopword_ratio,
+         |  round(least(nt / 64.0, 1.0) * 0.4
+         |    + greatest(1.0 - np / greatest(nc, 1.0) * 10, 0.0) * 0.3
+         |    + least(swr * 10, 1.0) * 0.3, 6) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, list_transform(string_split_regex(lower(text), '\s+'),
+        |  tok -> CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)) AS hs FROM documents)
+        |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+        |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "ensemble_fuse" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         |d AS (SELECT vec_id AS doc_id, embedding AS vec FROM embeddings),
+         |s AS (SELECT q.query_id, d.doc_id, $dotSql AS ip,
+         |        $dotSql
+         |        / (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(d.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+         |      FROM q CROSS JOIN d WHERE d.doc_id <> q.query_id),
+         |ann AS (SELECT query_id, doc_id, ip AS score,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, doc_id ASC) AS arank FROM s),
+         |coarse AS (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS crank FROM s),
+         |fused AS (
+         |  SELECT a.query_id, a.doc_id,
+         |    CASE WHEN c.crank IS NOT NULL THEN a.score + 0.6 / (0.03 * c.crank + 1)
+         |         ELSE a.score * (1 - 0.02 * 0.6) END AS fused_score
+         |  FROM (SELECT * FROM ann WHERE arank <= 10) a
+         |  LEFT JOIN (SELECT * FROM coarse WHERE crank <= 5) c
+         |    ON a.query_id = c.query_id AND a.doc_id = c.doc_id),
+         |ranked AS (SELECT query_id, doc_id, fused_score,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY fused_score DESC, doc_id ASC) AS rank
+         |           FROM fused)
+         |SELECT query_id, rank, doc_id, round(fused_score, 6) AS fused_score
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
+
+  /** Shared oracle fragments (constants must match graft.pipeline.Dedup /
+    * TextAnalysis exactly). */
+  private def minhashSigSql: String =
+    Dedup.PermA.zip(Dedup.PermB).take(4).map { case (a, b) =>
+      s"CAST(list_min(list_transform(hs, x -> ($a * x + $b) % ${Dedup.P})) AS BIGINT)"
+    }.mkString(",\n    ")
+
+  private def stopwordListSql: String =
+    TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")
 }

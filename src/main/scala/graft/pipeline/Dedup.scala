@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators.
+  *
+  * All hashing is md5-derived (`conv(substr(md5(x),1,15),16,10)`) so every
+  * stage is reproducible in the DuckDB oracle
+  * (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`) — no engine-private hash
+  * functions in the contract surface.
+  *
+  * Scale posture: signatures/simhash are per-row (zero shuffle); exact-dup
+  * grouping is one hash-partitioned groupBy; MinHash-LSH candidate
+  * generation shuffles only (band, doc) pairs — never the O(n²) pair space.
+  */
+object Dedup {
+
+  /** 2^31 − 1: Mersenne prime modulus for the permutation family. */
+  val P: Long = 2147483647L
+
+  /** Fixed deterministic permutation family (a·h + b mod P). */
+  val PermA: Seq[Long] = Seq(1103515245L, 69069L, 1664525L, 22695477L,
+    1103515249L, 69067L, 1664527L, 22695479L)
+  val PermB: Seq[Long] = Seq(12345L, 362437L, 1013904223L % P, 1L,
+    54321L, 362439L, 1013904221L % P, 7L)
+
+  /** Whitespace word tokenizer (lowercased). */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** n-word shingles as strings: tokens[i..i+n-1] joined by one space. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+
+  /** 60-bit hash from the md5 hex prefix — portable to the oracle. */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit hash from the md5 hex prefix. */
+  def md5Hash32(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  // -------------------------------------------------------------------
+  // Exact dedup: hash-groupBy (one shuffle on the content hash)
+  // -------------------------------------------------------------------
+
+  /** (text_hash, n_docs, canonical_id = min doc_id, doc_ids sorted). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("canonical_id"),
+        sort_array(collect_list(col(idCol))).as("doc_ids"))
+
+  /** Keep one representative per distinct content (the min-id row). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------
+
+  /** Per-doc MinHash signature: sig_i = min over shingles of
+    * (a_i·(h mod P) + b_i) mod P. Per-row, shuffle-free.
+    * Output: (idCol, n_shingles, sig ARRAY<LONG> length numPerms).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numPerms: Int = 4, shingleN: Int = 3): DataFrame = {
+    require(numPerms <= PermA.length)
+    val sh = array_distinct(shingles(tokens(col(textCol)), shingleN))
+    val hashes = transform(sh, s =>
+      pmod(conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"), lit(P)))
+    val sigs = (0 until numPerms).map { i =>
+      array_min(transform(hashes, h =>
+        pmod(lit(PermA(i)) * h + lit(PermB(i)), lit(P))))
+    }
+    docs.select(col(idCol), size(sh).cast("long").as("n_shingles"),
+      array(sigs: _*).as("sig"))
+  }
+
+  /** LSH banding: the signature splits into `size(sig)/rowsPerBand` bands of
+    * `rowsPerBand` values; docs sharing any full band become candidate pairs
+    * (a < b). Shuffles (band_key, doc) — O(n·bands), never the O(n²) pair
+    * space.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String = "doc_id",
+      rowsPerBand: Int = 2): DataFrame = {
+    val banded = sigs.select(col(idCol).as("id"),
+      explode(transform(
+        sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
+        b => concat(b.cast("string"), lit(":"),
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as("band_key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  // -------------------------------------------------------------------
+  // Exact n-gram Jaccard
+  // -------------------------------------------------------------------
+
+  /** Pairwise Jaccard over distinct shingle sets for the given pairs
+    * (or all a<b pairs of `docs` when `pairs` is None — small inputs only).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+    val pairDf = pairs.getOrElse(
+      sets.select(col("id").as("a")).crossJoin(sets.select(col("id").as("b")))
+        .where(col("a") < col("b")))
+    pairDf
+      .join(sets.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** 32-bit SimHash over token hashes: bit b is set iff
+    * Σ_tokens (2·bit_b(h(token)) − 1) > 0. Per-row, shuffle-free.
+    * Integer arithmetic throughout → oracle-exact.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val htoks = transform(tokens(col(textCol)), t => md5Hash32(t))
+    val bitSums = transform(sequence(lit(0), lit(31)), b =>
+      aggregate(htoks, lit(0L), (acc, h) =>
+        acc + (floor(h / pow(lit(2.0), b)).cast("long") % 2) * 2 - 1))
+    val value = aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(31)),
+        (s, b) => when(s > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    docs.select(col(idCol), value.as("simhash"))
+  }
+
+  // -------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // -------------------------------------------------------------------
+
+  /** Pairs (a < b) within the same block whose cosine ≥ tau. Blocking keeps
+    * the join linear-ish; at scale the block key is a coarse cluster code
+    * (IVF cell) rather than a label.
+    */
+  def embeddingNearDup(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", blockCol: String = "label",
+      tau: Double = 0.35): DataFrame = {
+    import graft.functions.VectorFunctions.float_dot
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk"))
+    e.as("x").join(e.as("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        (float_dot(col("x.v"), col("y.v")) /
+          (sqrt(float_dot(col("x.v"), col("x.v"))) *
+            sqrt(float_dot(col("y.v"), col("y.v"))))).as("cosine"))
+      .where(col("cosine") >= tau)
+  }
+}

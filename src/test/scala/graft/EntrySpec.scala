@@ -19,10 +19,14 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  // pair-mining queries are legitimately empty when the fixture has no
+  // near-duplicates at this sf (sf0.1 plants 8 exact dups)
+  private val mayBeEmpty = Set("dedup_minhash_pairs")
+
   test("all queries run at sf0.001 and return rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf("0.001")).count()
-      assert(n > 0, s"query $name returned 0 rows")
+      if (!mayBeEmpty(name)) assert(n > 0, s"query $name returned 0 rows")
     }
   }
 }
