@@ -10,7 +10,8 @@ import graft.functions.VectorFunctions._
 import graft.search.{BruteForceKNN, TopK, CoarseFineRetriever, CodebookBeamSearch}
 import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder, ArtifactCache, Codebook}
 import graft.eval.{Metrics, Ensemble}
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{Dedup, TextAnalysis, AnswerIndex, Augment, Multimodal, NegativeSampling}
+import graft.io.MeviIO
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -302,11 +303,15 @@ object SparkEntry {
       Dedup.minhashSignatures(t(s, dir, "documents"), numPerms = 4)
         .orderBy("doc_id")),
 
-    // Dedup #2b: LSH banding candidates + exact Jaccard confirm ≥ 0.5
+    // Dedup #2b: LSH banding candidates + exact Jaccard confirm ≥ 0.5.
+    // 8 perms × 4-row bands: band-collision probability is j⁴ per band, so
+    // low-similarity noise pairs (the word-soup fixture has pairwise j≈0.1)
+    // never reach the exact-Jaccard confirm join — the candidate set stays
+    // O(near-dups), not O(n²·j²).
     "dedup_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val sigs = Dedup.minhashSignatures(docs, numPerms = 4)
-      val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 2)
+      val sigs = Dedup.minhashSignatures(docs, numPerms = 8)
+      val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
       Dedup.jaccardPairs(docs, pairs = Some(cands))
         .where(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
@@ -362,6 +367,94 @@ object SparkEntry {
         .select(col("event_id"),
           regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
         .orderBy("event_id")),
+
+    // J5: answer-containment theta join (broadcast nested-loop + contains)
+    "j5_answer_contain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val answers = t(s, dir, "documents").where(col("doc_id") < 10)
+        .select(col("doc_id").as("query_idx"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 5, 2)).as("answer"))
+      AnswerIndex.containmentJoin(docs, answers).orderBy("query_idx", "doc_id")
+    }),
+
+    // A9: inverse answer index (doc → sorted query list)
+    "a9_inverse_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val answers = t(s, dir, "documents").where(col("doc_id") < 10)
+        .select(col("doc_id").as("query_idx"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 5, 2)).as("answer"))
+      AnswerIndex.inverse(AnswerIndex.containmentJoin(docs, answers))
+        .orderBy("doc_id")
+    }),
+
+    // P6: deterministic doc-window augmentation
+    "p6_doc_windows" -> ((s, dir) =>
+      Augment.docWindows(t(s, dir, "documents"), windowSize = 16, maxW = 3)
+        .orderBy("doc_id", "window_idx")),
+
+    // P10: corpus subsample + contiguous re-id
+    "p10_subsample_reid" -> ((s, dir) =>
+      Augment.subsampleMapping(t(s, dir, "documents"), dropPct = 10)
+        .orderBy("old_id")),
+
+    // P8/J8: propagate the re-id mapping through an artifact table
+    "p8_id_remap" -> ((s, dir) => {
+      val mapping = Augment.subsampleMapping(t(s, dir, "documents"), dropPct = 10)
+      Augment.remapIds(
+        t(s, dir, "documents").select("doc_id", "n_chars"), mapping, "doc_id")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // A7 `clus`: cluster-restricted negative sampling (label as the cluster
+    // key so the oracle can replay it; the RQ-code variant is the rows-only
+    // neg_sample query in the scalatest suite)
+    "a7_neg_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = emb.where(col("vec_id") < 20)
+        .select(concat(lit("q"), col("vec_id")).as("query"),
+          col("vec_id").as("doc_id"))
+      val assignments = emb.select(col("vec_id").as("doc_id"),
+        array(col("label")).as("codes"))
+      val clusterIndex = assignments
+        .groupBy("codes").agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      NegativeSampling.clusterNegatives(pairs, assignments, clusterIndex, n = 4)
+        .select(col("query"), col("doc_id"), col("neg_ids"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: binary payload metadata (no decode needed)
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.metadata(Multimodal.asMedia(t(s, dir, "documents")))
+        .orderBy("doc_id")),
+
+    // Multimodal: frame-sampling explode shape over binary payloads
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.asMedia(t(s, dir, "documents")),
+        stride = 64)
+        .orderBy("doc_id", "frame_idx")),
+
+    // S1: corpus TSV write→read roundtrip through the MEVI readers
+    "s1_corpus_roundtrip" -> ((s, dir) => {
+      val path = s"target/tmp/corpus_tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val corpus = t(s, dir, "documents")
+        .select(col("doc_id"), col("source").as("title"), col("text").as("content"))
+      MeviIO.writeCorpusTsv(corpus, path)
+      MeviIO.readCorpusTsv(s, path).orderBy("doc_id")
+    }),
+
+    // S10/S11: ranked-result TSV write→read roundtrip
+    "s10_ranked_roundtrip" -> ((s, dir) => {
+      val path = s"target/tmp/ranked_tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val lists = BruteForceKNN.topKLists(
+        queryVecs(s, dir).select("query_id", "qvec"),
+        docVecs(s, dir).select("doc_id", "vec"),
+        k = 10, metric = "ip", excludeSelf = true)
+        .select(col("query_id").cast("string").as("query"),
+          col("preds"), col("scores").cast("array<float>").as("scores"))
+      MeviIO.writeRankedTsv(lists, path)
+      MeviIO.readRankedTsv(s, path).orderBy("query")
+    }),
 
     // J6+V13: ensemble fusion of IP-ANN list with a coarse ranked list
     "ensemble_fuse" -> ((s, dir) => {
@@ -530,6 +623,94 @@ object SparkEntry {
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    "j5_answer_contain" ->
+      """WITH answers AS (
+        |  SELECT doc_id AS query_idx,
+        |    array_to_string(string_split_regex(text, '\s+')[5:6], ' ') AS answer
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT DISTINCT a.query_idx, d.doc_id
+        |FROM documents d JOIN answers a ON contains(d.text, a.answer)
+        |ORDER BY query_idx, doc_id""".stripMargin,
+
+    "a9_inverse_index" ->
+      """WITH answers AS (
+        |  SELECT doc_id AS query_idx,
+        |    array_to_string(string_split_regex(text, '\s+')[5:6], ' ') AS answer
+        |  FROM documents WHERE doc_id < 10),
+        |matches AS (
+        |  SELECT DISTINCT a.query_idx, d.doc_id
+        |  FROM documents d JOIN answers a ON contains(d.text, a.answer))
+        |SELECT doc_id, list_sort(list(DISTINCT query_idx)) AS query_idx,
+        |  count(DISTINCT query_idx) AS n_queries
+        |FROM matches GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p6_doc_windows" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |        CAST(least(greatest(ceil(len(toks) / 16.0), 1), 3) AS INT) AS nw FROM t),
+        |w AS (SELECT doc_id, toks, unnest(range(0, nw)) AS window_idx FROM n),
+        |st AS (SELECT doc_id, toks, CAST(window_idx AS INT) AS window_idx,
+        |         CAST(CAST('0x' || substr(md5(doc_id || '|' || window_idx), 1, 15) AS BIGINT)
+        |           % (greatest(len(toks) - 16, 0) + 1) AS INT) AS start
+        |       FROM w)
+        |SELECT doc_id, window_idx,
+        |  array_to_string(toks[start + 1 : start + 16], ' ') AS window_text
+        |FROM st ORDER BY doc_id, window_idx""".stripMargin,
+
+    "p10_subsample_reid" ->
+      """WITH kept AS (
+        |  SELECT doc_id AS old_id FROM documents
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 >= 10)
+        |SELECT old_id,
+        |  row_number() OVER (ORDER BY old_id) - 1 AS new_id
+        |FROM kept ORDER BY old_id""".stripMargin,
+
+    "p8_id_remap" ->
+      """WITH kept AS (
+        |  SELECT doc_id AS old_id FROM documents
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 >= 10),
+        |mapping AS (SELECT old_id, row_number() OVER (ORDER BY old_id) - 1 AS new_id FROM kept)
+        |SELECT m.new_id AS doc_id, d.n_chars
+        |FROM documents d JOIN mapping m ON d.doc_id = m.old_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "a7_neg_sample" ->
+      """WITH pairs AS (SELECT 'q' || vec_id AS query, vec_id AS doc_id, label
+        |               FROM embeddings WHERE vec_id < 20),
+        |members AS (SELECT p.query, p.doc_id, e.vec_id AS cand
+        |            FROM pairs p JOIN embeddings e
+        |            ON e.label = p.label AND e.vec_id <> p.doc_id),
+        |ranked AS (SELECT query, doc_id, cand,
+        |             CAST('0x' || substr(md5(query || ':' || cand), 1, 15) AS BIGINT) AS h,
+        |             row_number() OVER (PARTITION BY query, doc_id ORDER BY
+        |               CAST('0x' || substr(md5(query || ':' || cand), 1, 15) AS BIGINT), cand) AS rn
+        |           FROM members)
+        |SELECT query, doc_id, list(cand ORDER BY h, cand) AS neg_ids
+        |FROM ranked WHERE rn <= 4 GROUP BY query, doc_id ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  sha256(text) AS sha256, 'fake/' || source AS media_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH t AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len FROM documents
+        |           WHERE octet_length(CAST(text AS BLOB)) >= 64)
+        |SELECT doc_id, CAST(unnest(range(0, CAST(floor(len / 64.0) AS INT))) AS INT) AS frame_idx,
+        |  CAST(64 AS BIGINT) AS frame_len
+        |FROM t ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "s1_corpus_roundtrip" ->
+      """SELECT doc_id, source AS title, text AS content
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s10_ranked_roundtrip" ->
+      s"""$knnBase
+         |SELECT CAST(query_id AS VARCHAR) AS query,
+         |  list(doc_id ORDER BY rank) AS preds,
+         |  list(CAST(score AS REAL) ORDER BY rank) AS scores
+         |FROM r WHERE rank <= 10 GROUP BY query_id ORDER BY query""".stripMargin,
+
     "dedup_minhash" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
          |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -546,8 +727,10 @@ object SparkEntry {
          |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
          |h AS (SELECT doc_id, list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS hs FROM sh),
-         |sig AS (SELECT doc_id, [$minhashSigSql] AS sig FROM h),
-         |banded AS (SELECT doc_id, unnest([concat('0:', sig[1], ',', sig[2]), concat('1:', sig[3], ',', sig[4])]) AS band_key FROM sig),
+         |sig AS (SELECT doc_id, [$minhashSigSql8] AS sig FROM h),
+         |banded AS (SELECT doc_id, unnest([
+         |  concat('0:', sig[1], ',', sig[2], ',', sig[3], ',', sig[4]),
+         |  concat('1:', sig[5], ',', sig[6], ',', sig[7], ',', sig[8])]) AS band_key FROM sig),
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded x JOIN banded y
          |         ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
          |jac AS (SELECT cand.a, cand.b,
@@ -652,10 +835,13 @@ object SparkEntry {
 
   /** Shared oracle fragments (constants must match graft.pipeline.Dedup /
     * TextAnalysis exactly). */
-  private def minhashSigSql: String =
-    Dedup.PermA.zip(Dedup.PermB).take(4).map { case (a, b) =>
+  private def minhashSigN(n: Int): String =
+    Dedup.PermA.zip(Dedup.PermB).take(n).map { case (a, b) =>
       s"CAST(list_min(list_transform(hs, x -> ($a * x + $b) % ${Dedup.P})) AS BIGINT)"
     }.mkString(",\n    ")
+
+  private def minhashSigSql: String = minhashSigN(4)
+  private def minhashSigSql8: String = minhashSigN(8)
 
   private def stopwordListSql: String =
     TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")

@@ -1,0 +1,108 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Readers/writers for every external format the reference consumes or
+  * emits (SURVEY §2.1). TSV artifacts become schema-explicit csv reads;
+  * sharded write + rank-0 merge (MEVI/main_models.py:190-329 `LogFile`
+  * family) is native `df.write` (Spark shards) — no merge step exists here
+  * by construction.
+  */
+object MeviIO {
+
+  /** S1: corpus TSV `(oldid, title, content)` — MEVI/main_utils.py:190-198;
+    * missing title/content → '' (fillna semantics). */
+  val corpusSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("title", StringType, nullable = true),
+    StructField("content", StringType, nullable = true)))
+
+  def readCorpusTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").schema(corpusSchema).csv(path)
+      .na.fill("", Seq("title", "content"))
+
+  def writeCorpusTsv(df: DataFrame, path: String): Unit =
+    df.select(col("doc_id"), col("title"), col("content"))
+      .write.option("sep", "\t").mode("overwrite").csv(path)
+
+  /** S2: query–doc pair TSV `(query, oldid)` — MEVI/main_utils.py:119-126. */
+  val pairSchema: StructType = StructType(Seq(
+    StructField("query", StringType, nullable = false),
+    StructField("doc_id", LongType, nullable = false)))
+
+  def readPairsTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").schema(pairSchema).csv(path).na.drop()
+
+  /** S3: multi-label dev TSV `(query, "id1,id2,...")` with the comma-split
+    * converter — MEVI/main_utils.py:237,271-278. */
+  def readDevTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t")
+      .schema(StructType(Seq(
+        StructField("query", StringType, nullable = false),
+        StructField("raw_ids", StringType, nullable = false))))
+      .csv(path)
+      .select(col("query"), split(col("raw_ids"), ",").cast("array<long>").as("doc_ids"))
+
+  /** S10/S11: ranked-result TSV `query \t \t preds_csv \t scores_csv` —
+    * writer MEVI/main_models.py:4227-4235, parser template
+    * MEVI/ensemble_marco.py:85-111 `{query:0, pred:2, score:3}`. */
+  def readRankedTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t")
+      .schema(StructType(Seq(
+        StructField("query", StringType, nullable = false),
+        StructField("_unused", StringType, nullable = true),
+        StructField("preds_csv", StringType, nullable = false),
+        StructField("scores_csv", StringType, nullable = false))))
+      .csv(path)
+      .select(col("query"),
+        split(col("preds_csv"), ",").cast("array<long>").as("preds"),
+        split(col("scores_csv"), ",").cast("array<float>").as("scores"))
+
+  def writeRankedTsv(df: DataFrame, path: String): Unit =
+    df.select(col("query"), lit("").as("_pad"),
+        concat_ws(",", col("preds")).as("preds_csv"),
+        concat_ws(",", col("scores")).as("scores_csv"))
+      .write.option("sep", "\t").option("emptyValue", "").mode("overwrite").csv(path)
+
+  /** S6: fixed-record binary float32 matrix (docemb.bin / query_emb.bin,
+    * row-major little-endian — MEVI/generate.py:87-88, np.memmap layout).
+    * Row ids are the file-order positions, matching the reference's
+    * implicit row-index = doc-id contract. `binaryRecords` keeps records
+    * aligned to `4*dim` bytes; zipWithIndex is deterministic per file order.
+    */
+  def readFloatMatrix(spark: SparkSession, path: String, dim: Int): DataFrame = {
+    val rdd = spark.sparkContext.binaryRecords(path, 4 * dim)
+      .zipWithIndex()
+      .map { case (bytes, idx) =>
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val arr = new Array[Float](dim)
+        var i = 0
+        while (i < dim) { arr(i) = buf.getFloat(i * 4); i += 1 }
+        org.apache.spark.sql.Row(idx, arr.toSeq)
+      }
+    spark.createDataFrame(rdd,
+      StructType(Seq(
+        StructField("row_id", LongType, nullable = false),
+        StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))))
+  }
+
+  /** Int64 variant (token matrices — prepare_passage_tokenized.py:83-86). */
+  def readLongMatrix(spark: SparkSession, path: String, width: Int): DataFrame = {
+    val rdd = spark.sparkContext.binaryRecords(path, 8 * width)
+      .zipWithIndex()
+      .map { case (bytes, idx) =>
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val arr = new Array[Long](width)
+        var i = 0
+        while (i < width) { arr(i) = buf.getLong(i * 8); i += 1 }
+        org.apache.spark.sql.Row(idx, arr.toSeq)
+      }
+    spark.createDataFrame(rdd,
+      StructType(Seq(
+        StructField("row_id", LongType, nullable = false),
+        StructField("tokens", ArrayType(LongType, containsNull = false), nullable = false))))
+  }
+}

@@ -28,6 +28,17 @@ object Dedup {
   /** Whitespace word tokenizer (lowercased). */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Explode-heavy stages amplify row counts ~100×, so a small input file
+    * that parquet maps to 1-2 splits would run the whole pipeline on 1-2
+    * cores. Repartition ONLY when the input has fewer partitions than the
+    * cluster has slots — a trivial shuffle for small inputs, a no-op at
+    * scale (large inputs already split).
+    */
+  private[pipeline] def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** n-word shingles as strings: tokens[i..i+n-1] joined by one space. */
   def shingles(toks: Column, n: Int = 3): Column =
     transform(
@@ -69,21 +80,36 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** Per-doc MinHash signature: sig_i = min over shingles of
-    * (a_i·(h mod P) + b_i) mod P. Per-row, shuffle-free.
+    * (a_i·(h mod P) + b_i) mod P.
     * Output: (idCol, n_shingles, sig ARRAY<LONG> length numPerms).
+    *
+    * Shape: explode distinct shingles → hash each ONCE → groupBy(doc) with
+    * one `min` aggregate per permutation. The tempting all-in-one-Project
+    * form (numPerms × `array_min(transform(hashes, …))`) inlines the whole
+    * shingle+md5 pipeline once per permutation and its nesting depth kicks
+    * the row out of whole-stage codegen — measured 400× slower. Here every
+    * md5 is computed once and the mins partial-aggregate map-side, so the
+    * shuffle carries one row per (doc, shingle) hash — linear, skew-free.
+    *
+    * Docs with fewer than shingleN tokens have no shingles and are dropped
+    * (a degenerate corpus row, not a document).
     */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numPerms: Int = 4, shingleN: Int = 3): DataFrame = {
     require(numPerms <= PermA.length)
-    val sh = array_distinct(shingles(tokens(col(textCol)), shingleN))
-    val hashes = transform(sh, s =>
-      pmod(conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"), lit(P)))
-    val sigs = (0 until numPerms).map { i =>
-      array_min(transform(hashes, h =>
-        pmod(lit(PermA(i)) * h + lit(PermB(i)), lit(P))))
+    val exploded = ensureParallelism(docs).select(col(idCol),
+      explode(array_distinct(shingles(tokens(col(textCol)), shingleN))).as("__sh"))
+    val hashed = exploded.select(col(idCol),
+      pmod(conv(substring(md5(col("__sh").cast("binary")), 1, 15), 16, 10)
+        .cast("long"), lit(P)).as("__h"))
+    val mins = (0 until numPerms).map { i =>
+      min(pmod(lit(PermA(i)) * col("__h") + lit(PermB(i)), lit(P))).as(s"__m$i")
     }
-    docs.select(col(idCol), size(sh).cast("long").as("n_shingles"),
-      array(sigs: _*).as("sig"))
+    val aggs = count(lit(1)).as("n_shingles") +: mins
+    hashed.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), col("n_shingles"),
+        array((0 until numPerms).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** LSH banding: the signature splits into `size(sig)/rowsPerBand` bands of
@@ -115,7 +141,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3,
       pairs: Option[DataFrame] = None): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
+    val sets = ensureParallelism(docs).select(col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleN)).as("sh"))
     val pairDf = pairs.getOrElse(
       sets.select(col("id").as("a")).crossJoin(sets.select(col("id").as("b")))
@@ -133,20 +159,30 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** 32-bit SimHash over token hashes: bit b is set iff
-    * Σ_tokens (2·bit_b(h(token)) − 1) > 0. Per-row, shuffle-free.
-    * Integer arithmetic throughout → oracle-exact.
+    * Σ_tokens (2·bit_b(h(token)) − 1) > 0. Integer arithmetic throughout →
+    * oracle-exact (sums are order-independent).
+    *
+    * Shape: explode tokens → md5 ONCE per token → one groupBy(doc) with 32
+    * flat `sum` aggregates (codegen'd hash agg, map-side partials), then the
+    * signature assembles from the 32 sums in a final projection. The nested
+    * per-row form (32 × `aggregate(htoks, …)` folds) recomputes the md5
+    * array per bit and drops out of codegen — same pathology as MinHash.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val htoks = transform(tokens(col(textCol)), t => md5Hash32(t))
-    val bitSums = transform(sequence(lit(0), lit(31)), b =>
-      aggregate(htoks, lit(0L), (acc, h) =>
-        acc + (floor(h / pow(lit(2.0), b)).cast("long") % 2) * 2 - 1))
-    val value = aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(31)),
-        (s, b) => when(s > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
-    docs.select(col(idCol), value.as("simhash"))
+    val hashed = ensureParallelism(docs).select(col(idCol),
+      explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), md5Hash32(col("__t")).as("__h"))
+    val bitSums = (0 until 32).map { b =>
+      sum((floor(col("__h") / math.pow(2.0, b)).cast("long") % 2) * 2 - 1)
+        .as(s"__b$b")
+    }
+    val value = (0 until 32).map { b =>
+      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    hashed.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), value.as("simhash"))
   }
 
   // -------------------------------------------------------------------

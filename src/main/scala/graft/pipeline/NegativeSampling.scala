@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Negative sampling for contrastive training pairs — the Spark form of the
+  * reference's variant zoo (`clus/file/inter/union/notclus/simans`,
+  * MEVI/main_models.py:1813-1950).
+  *
+  * Determinism: the reference seeds RNGs; here "random" choice is a rank by
+  * md5(query ⊕ candidate) — stable across runs, partitionings, and engines
+  * (the oracle can reproduce it), which is the stronger property the
+  * fixtures need. All variants are per-row array expressions after the
+  * cluster-membership join; nothing iterates on the driver.
+  */
+object NegativeSampling {
+
+  /** Deterministic pseudo-random rank hash for (query, candidate). */
+  private def rankHash(query: Column, cand: Column): Column =
+    Dedup.md5Hash60(concat(query, lit(":"), cand.cast("string")))
+
+  /** Deterministically "shuffle" an array by the md5 rank and keep n. */
+  def sampleArray(query: Column, cands: Column, n: Int): Column =
+    slice(
+      transform(
+        array_sort(transform(cands, c =>
+          struct(rankHash(query, c).as("h"), c.as("v")))),
+        s => s.getField("v")),
+      1, n)
+
+  /** `clus`: negatives from the positive doc's cluster, minus every
+    * positive of the same query (main_models.py:1841-1852 rejection).
+    *
+    * @param pairs        (query, doc_id) positives
+    * @param assignments  (doc_id, codes)
+    * @param clusterIndex (codes, doc_ids)
+    * @return (query, doc_id, neg_ids ARRAY<LONG> size ≤ n)
+    */
+  def clusterNegatives(pairs: DataFrame, assignments: DataFrame,
+      clusterIndex: DataFrame, n: Int): DataFrame = {
+    val posPerQuery = pairs.groupBy("query")
+      .agg(collect_set(col("doc_id")).as("pos_ids"))
+    pairs
+      .join(assignments, Seq("doc_id"))
+      .join(clusterIndex.select("codes", "doc_ids"), Seq("codes"))
+      .join(posPerQuery, Seq("query"))
+      .select(col("query"), col("doc_id"),
+        sampleArray(col("query"),
+          array_except(col("doc_ids"), col("pos_ids")), n).as("neg_ids"))
+  }
+
+  /** `file`/`inter`/`union` combinators over a co-negative list table
+    * (query, neg_ids) — main_models.py:1879-1908. */
+  def combineNegatives(clusNegs: DataFrame, fileNegs: DataFrame,
+      mode: String, n: Int): DataFrame = {
+    val combined = mode match {
+      case "file"  => col("file_negs")
+      case "inter" => array_intersect(col("neg_ids"), col("file_negs"))
+      case "union" => array_union(col("neg_ids"), col("file_negs"))
+      case other   => throw new IllegalArgumentException(s"mode $other")
+    }
+    clusNegs
+      .join(fileNegs.withColumnRenamed("neg_ids", "file_negs"), Seq("query"), "left")
+      .select(col("query"), col("doc_id"),
+        sampleArray(col("query"),
+          coalesce(combined, col("neg_ids")), n).as("neg_ids"))
+  }
+
+  /** `notclus`: corpus-wide negatives excluding the positive's cluster —
+    * anti-join + deterministic per-query rank. The window runs over
+    * (query × corpus) restricted upstream; at 100 TB the corpus side is
+    * pre-sampled by hash bucket (`md5 % buckets`) before the window, so the
+    * shuffle stays bounded. */
+  def notClusterNegatives(pairs: DataFrame, assignments: DataFrame,
+      corpus: DataFrame, n: Int, preSampleBuckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand0 = corpus.select(col("doc_id").as("cand_id"))
+    val cand = if (preSampleBuckets > 0)
+      cand0.where(pmod(Dedup.md5Hash60(col("cand_id").cast("string")),
+        lit(preSampleBuckets.toLong)) === 0)
+    else cand0
+    val posCodes = pairs.join(assignments, Seq("doc_id"))
+    val w = Window.partitionBy("query", "doc_id")
+      .orderBy(rankHash(col("query"), col("cand_id")))
+    posCodes
+      .crossJoin(cand)
+      .join(assignments.select(col("doc_id").as("cand_id"),
+        col("codes").as("cand_codes")), Seq("cand_id"))
+      .where(col("cand_codes") =!= col("codes"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .groupBy("query", "doc_id")
+      .agg(sort_array(collect_list(col("cand_id"))).as("neg_ids"))
+  }
+
+  /** SimANS-style score-aware sampling (main_models.py:1607-1616): weight
+    * w = exp(−a·(s − s_pos)²), deterministic weighted-without-replacement
+    * via the exponential-race key ln(u)/w with u from the rank hash. */
+  def simansNegatives(scored: DataFrame, n: Int, a: Double = 0.5): DataFrame = {
+    // scored: (query, doc_id pos, cand_id, cand_score, pos_score)
+    import org.apache.spark.sql.expressions.Window
+    val u = (rankHash(col("query"), col("cand_id")).cast("double") + 1.0) /
+      (Dedup.P.toDouble + 1.0)
+    val wgt = exp(lit(-a) * pow(col("cand_score") - col("pos_score"), 2))
+    val key = log(u) / wgt // less negative = better
+    val w = Window.partitionBy("query", "doc_id").orderBy(key.desc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .groupBy("query", "doc_id")
+      .agg(sort_array(collect_list(col("cand_id"))).as("neg_ids"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.index.{Codebook, RQTrainer, CodeAssigner}
+
+/** IVF-style approximate nearest neighbor: one KMeans level partitions the
+  * corpus into cells; a query probes its `nprobe` closest cells and
+  * re-ranks exactly inside them. This is the reference's own coarse→fine
+  * shape (and its faiss `IVF100,Flat` baseline, MEVI/faiss_search.py:88)
+  * rebuilt from the RQ machinery with M=1.
+  *
+  * Scale: the cell assignment table is partitioned by cell id, so a probe
+  * join prunes to nprobe/K of the corpus; candidate scoring reuses the
+  * bounded top-k aggregator (map-side pruned shuffle).
+  */
+object IVFIndex {
+
+  case class IVF(codebook: Codebook, cells: DataFrame)
+
+  /** Train the cell structure: (doc_id, cell INT) partitioned by cell. */
+  def build(docs: DataFrame, k: Int, seed: Long = 42L): IVF = {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 1, k = k, seed = seed)
+    val cells = CodeAssigner.assign(docs, cb)
+      .select(col("doc_id"), col("codes").getItem(0).as("cell"))
+      .repartition(col("cell"))
+    IVF(cb, cells)
+  }
+
+  /** Probe top-`nprobe` cells per query, exact re-rank inside them.
+    * Returns (query_id, rank, doc_id, score).
+    */
+  def search(queries: DataFrame, ivf: IVF, docs: DataFrame,
+      nprobe: Int, k: Int, metric: String = "ip"): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(ivf.codebook)
+    val probeUdf = udf { (qvec: Array[Float]) =>
+      val cents = bc.value.levels(0)
+      cents.indices
+        .map { c =>
+          val cent = cents(c)
+          var d = 0.0
+          var j = 0
+          while (j < qvec.length) {
+            val diff = qvec(j).toDouble - cent(j).toDouble
+            d += diff * diff
+            j += 1
+          }
+          (c, d)
+        }
+        .sortBy { case (c, d) => (d, c) }
+        .take(nprobe).map(_._1)
+    }
+    val probed = queries
+      .select(col("query_id"), col("qvec"), explode(probeUdf(col("qvec"))).as("cell"))
+
+    val scored = probed
+      .join(ivf.cells, Seq("cell"))
+      .join(docs, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        BruteForceKNN.score(metric)(col("qvec"), col("vec")).as("score"))
+
+    scored
+      .groupBy("query_id")
+      .agg(TopK.topk(k)(col("doc_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sd")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("sd.id").as("doc_id"), col("sd.score").as("score"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.index.Codebook
+
+/** Structured-Streaming incremental index maintenance (SURVEY §2.10): the
+  * reference's drop-rate replay — assign held-out docs to a *frozen*
+  * codebook without re-clustering (gen_sampled_to_full.py:61-88) — becomes
+  * a micro-batch stream: new (doc_id, vec) rows → broadcast-codebook
+  * assignment → foreachBatch append to the cluster-index store. Assignment
+  * is stateless given the frozen codebook, so the stream needs no
+  * aggregation state; codebook *refresh* stays a batch job with
+  * [[graft.index.CodebookAligner]] keeping ids stable.
+  */
+object IncrementalIndexer {
+
+  /** Attach code assignment to a streaming (doc_id, vec) DataFrame. */
+  def assignStream(stream: DataFrame, codebook: Codebook): DataFrame = {
+    val bc = stream.sparkSession.sparkContext.broadcast(codebook)
+    val assignUdf = udf { (vec: Array[Float]) => bc.value.assign(vec) }
+    stream.withColumn("codes", assignUdf(col("vec")))
+  }
+
+  /** Run the stream, appending per-batch assignments to a parquet dir
+    * (the incremental side of the cluster index; readers union it with the
+    * base index — `MemmapList`-style concat, SURVEY §2.1 S6).
+    */
+  def start(spark: SparkSession, inputDir: String, outputDir: String,
+      checkpointDir: String, codebook: Codebook,
+      schema: org.apache.spark.sql.types.StructType): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    assignStream(stream, codebook)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outputDir)
+      .start()
+  }
+
+  /** Event-time windowed aggregation with watermark over the events stream
+    * (the streaming analog of the `events_window` batch query).
+    */
+  def windowedEventCounts(stream: DataFrame,
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+}

@@ -1,0 +1,56 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+class MeviIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binary float32 matrix reader matches written rows (S6)") {
+    val dim = 8
+    val rows = Array.tabulate(10, dim)((i, j) => (i * dim + j) * 0.5f)
+    val buf = ByteBuffer.allocate(10 * dim * 4).order(ByteOrder.LITTLE_ENDIAN)
+    rows.foreach(_.foreach(buf.putFloat))
+    val path = "target/tmp/test_floatmatrix.bin"
+    Files.createDirectories(Paths.get("target/tmp"))
+    Files.write(Paths.get(path), buf.array())
+
+    val df = MeviIO.readFloatMatrix(spark, path, dim)
+    assert(df.count() == 10)
+    val got = df.orderBy("row_id").collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i)
+      assert(r.getSeq[Float](1) == rows(i).toSeq)
+    }
+  }
+
+  test("binary int64 matrix reader (token matrix, S6)") {
+    val width = 4
+    val rows = Array.tabulate(5, width)((i, j) => (i * 100 + j).toLong)
+    val buf = ByteBuffer.allocate(5 * width * 8).order(ByteOrder.LITTLE_ENDIAN)
+    rows.foreach(_.foreach(buf.putLong))
+    val path = "target/tmp/test_longmatrix.bin"
+    Files.write(Paths.get(path), buf.array())
+    val got = MeviIO.readLongMatrix(spark, path, width).orderBy("row_id").collect()
+    assert(got.length == 5)
+    assert(got(3).getSeq[Long](1) == rows(3).toSeq)
+  }
+
+  test("pairs + dev TSV readers parse the reference formats (S2/S3)") {
+    val dir = "target/tmp/test_pairs_tsv"
+    Seq(("what is spark", 7L), ("what is duck", 9L)).toDF("query", "doc_id")
+      .write.option("sep", "\t").mode("overwrite").csv(dir)
+    val pairs = MeviIO.readPairsTsv(spark, dir)
+    assert(pairs.count() == 2)
+    assert(pairs.where($"doc_id" === 7L).head.getString(0) == "what is spark")
+
+    val devDir = "target/tmp/test_dev_tsv"
+    Seq(("q1", "1,2,3"), ("q2", "42")).toDF("query", "raw")
+      .write.option("sep", "\t").mode("overwrite").csv(devDir)
+    val dev = MeviIO.readDevTsv(spark, devDir).orderBy("query").collect()
+    assert(dev(0).getSeq[Long](1) == Seq(1L, 2L, 3L))
+    assert(dev(1).getSeq[Long](1) == Seq(42L))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.io.Tables
+import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf("0.001"), "documents").cache()
+
+  test("exactDedup keeps one row per distinct text, min id wins") {
+    val withDups = docs.select("doc_id", "text")
+      .union(docs.select(col("doc_id") + 10000, col("text")))
+    val deduped = Dedup.exactDedup(withDups)
+    assert(deduped.count() == docs.count())
+    assert(deduped.where(col("doc_id") >= 10000).count() == 0)
+  }
+
+  test("minhash signature containment: identical docs share signatures") {
+    val two = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here now ok")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(two).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("LSH candidates contain exact duplicates") {
+    val two = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words here now ok")).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(two))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("RQ-cluster negative sampling: negatives share the positive's cluster, exclude it") {
+    val emb = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val cb = RQTrainer.fit(emb, "vec", numLevels = 2, k = 8, seed = 42L)
+    val assignments = CodeAssigner.assign(emb, cb).cache()
+    val index = ClusterIndexBuilder.build(assignments)
+    val pairs = emb.where(col("doc_id") < 10)
+      .select(concat(lit("q"), col("doc_id")).as("query"), col("doc_id"))
+    val negs = NegativeSampling.clusterNegatives(pairs, assignments, index, n = 3)
+    val joined = negs
+      .join(assignments.withColumnRenamed("codes", "pos_codes"), Seq("doc_id"))
+      .select(col("doc_id"), col("pos_codes"), explode(col("neg_ids")).as("neg_id"))
+      .join(assignments.select(col("doc_id").as("neg_id"),
+        col("codes").as("neg_codes")), Seq("neg_id"))
+    assert(joined.where(col("neg_id") === col("doc_id")).count() == 0)
+    assert(joined.where(col("pos_codes") =!= col("neg_codes")).count() == 0)
+    // deterministic
+    val n2 = NegativeSampling.clusterNegatives(pairs, assignments, index, n = 3)
+    assert(negs.orderBy("doc_id").collect().toSeq ==
+      n2.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("simans sampling is deterministic and bounded") {
+    val scored = Seq(
+      ("q1", 1L, 10L, 0.9, 1.0), ("q1", 1L, 11L, 0.5, 1.0),
+      ("q1", 1L, 12L, 0.95, 1.0), ("q1", 1L, 13L, 0.1, 1.0))
+      .toDF("query", "doc_id", "cand_id", "cand_score", "pos_score")
+    val a = NegativeSampling.simansNegatives(scored, n = 2).collect()
+    val b = NegativeSampling.simansNegatives(scored, n = 2).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.head.getSeq[Long](2).size == 2)
+  }
+
+  test("query spans are deterministic substrings of the query (P5)") {
+    val qs = Seq("what is the capital of assyria", "spark structured streaming")
+      .toDF("query")
+    val spans = Augment.querySpans(qs, k = 3).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      assert(r.getString(0).contains(r.getString(1)))
+    }
+    val again = Augment.querySpans(qs, k = 3).collect()
+    assert(spans.toSeq == again.toSeq)
+  }
+
+  test("doc windows cover windowSize tokens (P6)") {
+    val w = Augment.docWindows(docs, windowSize = 16, maxW = 3)
+    val sizes = w.select(size(split(col("window_text"), " ")).as("n"))
+      .agg(min("n"), max("n")).head
+    assert(sizes.getInt(1) <= 16)
+    assert(sizes.getInt(0) >= 1)
+  }
+
+  test("subsample keeps ~90% and re-ids contiguously (P10)") {
+    val m = Augment.subsampleMapping(docs, dropPct = 10)
+    val n = m.count()
+    assert(n > docs.count() * 0.8 && n < docs.count())
+    val ids = m.select("new_id").orderBy("new_id").collect().map(_.getLong(0))
+    assert(ids.toSeq == (0L until n).toSeq)
+  }
+
+  test("multimodal decode stub produces fixed-dim features per doc") {
+    val feats = Multimodal.decodeStub(Multimodal.asMedia(docs.limit(20)))
+    val rows = feats.collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getSeq[Float](3).length == 16)
+      assert(r.getInt(1) > 0 && r.getInt(2) > 0)
+    }
+    // deterministic
+    val again = Multimodal.decodeStub(Multimodal.asMedia(docs.limit(20))).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.io.Tables
+import graft.index.{RQTrainer, CodebookAligner, Codebook}
+import org.apache.spark.sql.functions._
+
+class IVFSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf("0.001"), "embeddings")
+    .select(col("vec_id").as("doc_id"), col("embedding").as("vec")).cache()
+  private lazy val queries = Tables.load(spark, sf("0.001"), "embeddings")
+    .where(col("vec_id") < 20)
+    .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  test("IVF with all cells probed equals brute force") {
+    val ivf = IVFIndex.build(docs, k = 8)
+    val approx = IVFIndex.search(queries, ivf, docs, nprobe = 8, k = 5)
+    val exact = BruteForceKNN.topK(queries, docs, k = 5)
+    val a = approx.orderBy("query_id", "rank").collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val e = exact.orderBy("query_id", "rank").collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq == e.toSeq)
+  }
+
+  test("IVF nprobe=2 finds self (recall of the trivial neighbor)") {
+    val ivf = IVFIndex.build(docs, k = 8)
+    val got = IVFIndex.search(queries, ivf, docs, nprobe = 2, k = 1)
+    got.collect().foreach { r =>
+      assert(r.getAs[Long]("doc_id") == r.getAs[Long]("query_id"))
+    }
+  }
+
+  test("codebook aligner recovers a permutation (V11)") {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 1, k = 8, seed = 42L)
+    val perm = Array(3, 1, 4, 0, 2, 7, 5, 6)
+    val shuffled = Codebook(Array(perm.map(cb.levels(0))))
+    val aligned = CodebookAligner.alignCodebook(cb, shuffled)
+    // aligning the shuffled codebook back must reproduce the original
+    cb.levels(0).indices.foreach { c =>
+      assert(aligned.levels(0)(c).toSeq == cb.levels(0)(c).toSeq)
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.io.Tables
+import graft.index.{RQTrainer, CodeAssigner}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+import org.apache.commons.io.FileUtils
+
+class StreamingSpec extends SparkSpec {
+
+  test("incremental assignment stream matches batch assignment (§2.10)") {
+    val docs = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec")).cache()
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+
+    val base = "target/tmp/stream_test"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    Files.createDirectories(Paths.get(inDir))
+    // two micro-batches of "newly arriving" docs
+    docs.where(col("doc_id") < 100).write.parquet(s"$inDir/batch0")
+    docs.where(col("doc_id") >= 100 && col("doc_id") < 200).write.parquet(s"$inDir/batch1")
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    val q = IncrementalIndexer.start(
+      spark, s"$inDir/*", outDir, ckDir, cb, schema)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("codes"))
+    val batch = CodeAssigner.assign(docs.where(col("doc_id") < 200), cb)
+    assert(streamed.count() == 200)
+    val diff = streamed.as("s").join(batch.as("b"), Seq("doc_id"))
+      .where(col("s.codes") =!= col("b.codes")).count()
+    assert(diff == 0)
+  }
+
+  test("watermarked windowed aggregation over the events stream") {
+    val base = "target/tmp/stream_events"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    Files.createDirectories(Paths.get(base))
+    val events = Tables.load(spark, sf("0.001"), "events")
+    events.write.mode("overwrite").parquet(s"$base/in")
+
+    val schema = events.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$base/in")
+    val agg = IncrementalIndexer.windowedEventCounts(stream)
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ck")
+      .format("memory").queryName("ev_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // append mode emits only watermark-closed windows; with a 2h watermark
+    // over a ~7-day fixture all but the tail are closed
+    val streamedTotal = spark.sql("SELECT sum(n) FROM ev_out").head.getLong(0)
+    val batchTotal = events.count()
+    assert(streamedTotal > 0)
+    assert(streamedTotal <= batchTotal)
+    // per-window counts must match the batch grouping where emitted
+    val batchWin = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val mismatches = spark.table("ev_out").as("s")
+      .join(batchWin.as("b"),
+        col("s.window") === col("b.window") &&
+          col("s.event_type") === col("b.event_type"))
+      .where(col("s.n") =!= col("b.n")).count()
+    assert(mismatches == 0)
+  }
+}
