@@ -456,6 +456,70 @@ object SparkEntry {
       MeviIO.readRankedTsv(s, path).orderBy("query")
     }),
 
+    // V1 stand-in: deterministic hashing bag-of-words document encoder
+    "v1_hash_embed" -> ((s, dir) =>
+      graft.functions.TextEmbedder.hashEmbed(
+        t(s, dir, "documents").where(col("doc_id") < 100), dim = 16)
+        .select(col("doc_id"),
+          transform(col("vec"), x => round(x.cast("double"), 6)).as("vec"))
+        .orderBy("doc_id")),
+
+    // A3: per-cluster centroid average (codebook `avg` init, pq.py:488-524;
+    // label plays the cluster so the oracle can replay it)
+    "a3_centroid_avg" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("label")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s_ => round(s_.getField("m"), 6)).as("centroid"))
+        .orderBy("label")),
+
+    // P3: text cleaning via regexp_replace (main_models.py:437-443)
+    "p3_text_clean" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[{}\"]", "").as("cleaned"))
+        .orderBy("event_id")),
+
+    // P4: regex word tokenization, lowercased (DPR SimpleTokenizer shape)
+    "p4_regex_tokenize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)), 1, 5).as("first_tokens"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_words"))
+        .orderBy("doc_id")),
+
+    // P7: deterministic per-digit id shuffle (hard-negative id corruption)
+    "p7_digit_shuffle" -> ((s, dir) =>
+      Augment.digitShuffle(t(s, dir, "documents").where(col("doc_id") >= 100))
+        .orderBy("doc_id")),
+
+    // S4: python-literal list parse (NQ qa.csv answers, get_answers.py:15-29)
+    "s4_pylist_parse" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("['"), col("source"), lit("', '"), col("lang"), lit("']")).as("raw"))
+        .select(col("doc_id"),
+          regexp_extract_all(col("raw"), lit("'([^']*)'"), lit(1)).as("answers"))
+        .orderBy("doc_id")),
+
+    // rows-only: RQ reconstruction error (V10 diagnostic)
+    "rq_reconstruct" -> ((s, dir) =>
+      CodeAssigner.reconstructionError(
+        docVecs(s, dir).select("doc_id", "vec"), rqCodebook(s, dir))
+        .select(col("doc_id"), round(col("recon_error"), 6).as("recon_error"))
+        .orderBy("doc_id")),
+
+    // rows-only (MLlib LSH): random-hyperplane near-dup candidates
+    "lsh_neardup" -> ((s, dir) =>
+      graft.search.LSHSearch.nearDupPairs(
+        t(s, dir, "embeddings"), threshold = 1.2)
+        .select(col("a"), col("b"), round(col("dist"), 6).as("dist"))
+        .orderBy("a", "b")),
+
     // J6+V13: ensemble fusion of IP-ANN list with a coarse ranked list
     "ensemble_fuse" -> ((s, dir) => {
       val queries = queryVecs(s, dir).select("query_id", "qvec")
@@ -622,6 +686,54 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "v1_hash_embed" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |           FROM documents WHERE doc_id < 100),
+        |b AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(toks)), 1, 8) AS BIGINT) % 16 AS bucket FROM t),
+        |c AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY doc_id, bucket),
+        |mp AS (SELECT doc_id, map_from_entries(list(struct_pack(k := bucket, v := n))) AS m
+        |       FROM c GROUP BY doc_id),
+        |dense AS (SELECT doc_id,
+        |            list_transform(range(0, 16),
+        |              i -> CAST(coalesce(map_extract(m, i)[1], 0) AS DOUBLE)) AS raw
+        |          FROM mp)
+        |SELECT doc_id,
+        |  list_transform(raw, x -> round(CAST(CAST(
+        |    x / sqrt(list_sum(list_transform(raw, v -> v * v))) AS REAL) AS DOUBLE), 6)) AS vec
+        |FROM dense ORDER BY doc_id""".stripMargin,
+
+    "a3_centroid_avg" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS pos
+        |           FROM embeddings),
+        |m AS (SELECT label, pos, avg(CAST(x AS DOUBLE)) AS m FROM e GROUP BY label, pos)
+        |SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    "p3_text_clean" ->
+      """SELECT event_id, regexp_replace(props, '[{}"]', '', 'g') AS cleaned
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "p4_regex_tokenize" ->
+      """SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+')[1:5] AS first_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p7_digit_shuffle" ->
+      """WITH t AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids FROM documents WHERE doc_id >= 100)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(range(1, len(ids) + 1), i ->
+        |    CAST((CAST(ids[i] AS INT) + 1 +
+        |          CAST(CAST('0x' || substr(md5(ids || '|#|' || i), 1, 15) AS BIGINT) % 9 AS INT)) % 10
+        |         AS VARCHAR)), '') AS shuffled_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "s4_pylist_parse" ->
+      """SELECT doc_id,
+        |  regexp_extract_all('[''' || source || ''', ''' || lang || ''']', '''([^'']*)''', 1) AS answers
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "j5_answer_contain" ->
       """WITH answers AS (

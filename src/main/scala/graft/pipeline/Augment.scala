@@ -66,6 +66,20 @@ object Augment {
         row_number().over(Window.orderBy(col("old_id"))).cast("long") - 1)
   }
 
+  /** P7: per-digit deterministic shuffle of a numeric id, every output
+    * digit guaranteed ≠ its input digit (main_utils.py:78-86 — used for
+    * NCI hard-negative id corruption). new_d = (d + 1 + h % 9) mod 10.
+    */
+  def digitShuffle(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val idStr = col(idCol).cast("string")
+    val digits = transform(sequence(lit(1), length(idStr)), i => {
+      val d = idStr.substr(i, lit(1)).cast("int")
+      pmod(d + 1 + pmod(h(idStr, lit("#"), i), lit(9L)).cast("int"), lit(10))
+        .cast("string")
+    })
+    df.select(col(idCol), concat_ws("", digits).as("shuffled_id"))
+  }
+
   /** P8/J8: propagate a re-id mapping through an artifact table. */
   def remapIds(table: DataFrame, mapping: DataFrame, idCol: String): DataFrame =
     table.join(mapping, table(idCol) === mapping("old_id"))

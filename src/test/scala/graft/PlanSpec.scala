@@ -1,0 +1,89 @@
+package graft
+
+import graft.io.Tables
+import graft.search.BruteForceKNN
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan shape assertions: scale behavior is part of correctness.
+  * These pin the properties the 100 TB posture depends on — filters reach
+  * the parquet scan, small dims broadcast, aggregates partial-aggregate
+  * map-side, and the KNN scorer stays inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6 filter is pushed down to the parquet scan") {
+    val df = SparkEntry.queries("q6_filter_sum")(spark, sf("0.01"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") &&
+      (scan.contains("GreaterThanOrEqual(l_discount") ||
+        scan.contains("LessThan(l_quantity")),
+      s"no pushed filters in scan: $scan")
+  }
+
+  test("scan prunes columns: q6 reads only the 3 needed lineitem columns") {
+    val df = SparkEntry.queries("q6_filter_sum")(spark, sf("0.01"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("l_shipdate"), "unused column not pruned from scan")
+    assert(!scan.contains("l_returnflag"), "unused column not pruned from scan")
+  }
+
+  test("q5 star join broadcasts the small dimension tables") {
+    val df = SparkEntry.queries("q5_region_revenue")(spark, sf("0.01"))
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("grouped top-k aggregates partially (map-side) before the shuffle") {
+    val queries = Tables.load(spark, sf("0.01"), "embeddings")
+      .where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val docs = Tables.load(spark, sf("0.01"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val df = BruteForceKNN.topK(queries, docs, k = 10)
+    val p = planString(df)
+    // ObjectHashAggregate with Partial + Final around one shuffle
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("partial_topkaggregator|Partial".r.findFirstIn(p.toLowerCase.replace("\n", " ")).isDefined ||
+      p.contains("partial"), s"no partial aggregation phase:\n$p")
+  }
+
+  test("KNN scoring runs inside whole-stage codegen") {
+    val queries = Tables.load(spark, sf("0.01"), "embeddings")
+      .where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val docs = Tables.load(spark, sf("0.01"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val scored = docs.crossJoin(broadcast(queries))
+      .select(graft.functions.VectorFunctions.float_dot(col("qvec"), col("vec")).as("s"))
+    scored.collect() // finalize this DataFrame's own AQE stages
+    val p = planString(scored)
+    // `*(n)` prefixes mark WholeStageCodegen spans; the scoring Project
+    // must carry one
+    assert(p.contains("*(") && p.contains("Project [float_vector_dot"),
+      s"scorer fell out of codegen:\n$p")
+    assert("\\*\\(\\d+\\) Project \\[float_vector_dot".r.findFirstIn(p).isDefined,
+      s"scoring Project not inside a codegen span:\n$p")
+  }
+
+  test("q1 aggregation is partial before the exchange") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf("0.01"))
+    val p = planString(df)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.toLowerCase.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
+  test("SQL registration: float_dot usable from SQL") {
+    GraftExtensions.register(spark)
+    Tables.load(spark, sf("0.001"), "embeddings").limit(3)
+      .createOrReplaceTempView("emb_sql_test")
+    val r = spark.sql(
+      "SELECT float_dot(embedding, embedding) AS d FROM emb_sql_test").collect()
+    assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-3))
+  }
+}
