@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: times every `SparkEntry.queries` entry (noop sink
+  * = true materialization), then reports the engine metrics BASELINE.md
+  * asks for — index-build time, brute-force-KNN and coarse→fine throughput,
+  * Recall/MRR vs the label ground truth, and ndoc@cluster-R.
+  * Output: ONE JSON line on stdout.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,20 +21,88 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
-      // noop sink: materializes every output column (count() would let
-      // Catalyst prune the projection and understate the real work)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val (_, sec) = timed {
+        // noop sink: materializes every output column (count() would let
+        // Catalyst prune the projection and understate the real work)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+      }
+      name -> sec
+    }
+
+    // ---- engine metrics (BASELINE.md protocol) ----
+    val engine = try {
+      import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
+      import graft.search.{BruteForceKNN, CoarseFineRetriever}
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+      val nVec = emb.count()
+      val docs = emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("vec"), col("label")).cache()
+      val queries = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"), col("vec").as("qvec"), col("label"))
+      val nQ = queries.count().toDouble
+
+      val (artifacts, buildSec) = timed {
+        val cb = RQTrainer.fit(docs.select("doc_id", "vec"), "vec",
+          numLevels = 2, k = 8, seed = 42L)
+        val assignments = CodeAssigner.assign(docs, cb).cache()
+        val index = ClusterIndexBuilder.build(assignments).cache()
+        index.count()
+        (cb, index)
+      }
+      val (cb, index) = artifacts
+
+      val k = math.min(1000, nVec.toInt)
+      val (_, knnSec) = timed {
+        BruteForceKNN.topK(queries.select("query_id", "qvec"),
+          docs.select("doc_id", "vec"), k = k)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val (cf, cfSec) = timed {
+        val r = CoarseFineRetriever.retrieve(
+          queries.select("query_id", "qvec"), index,
+          docs.select("doc_id", "vec"), cb, beams = 4, k = k).cache()
+        r.count()
+        r
+      }
+      // quality of the coarse→fine path vs label ground truth
+      val preds = cf.groupBy("query_id")
+        .agg(sort_array(collect_list(struct(col("rank"), col("doc_id")))).as("r"))
+        .select(col("query_id"), col("r.doc_id").as("preds"))
+      val gt = docs.as("d").join(queries.as("q"), col("d.label") === col("q.label"))
+        .where(col("d.doc_id") =!= col("q.query_id"))
+        .groupBy(col("q.query_id"))
+        .agg(sort_array(collect_list(col("d.doc_id"))).as("gt"))
+      val m = graft.eval.Metrics.ranking(preds, gt, ks = Seq(10, 100))
+        .collect().map(r => r.getAs[Int]("k") ->
+          (r.getAs[Double]("recall"), r.getAs[Double]("mrr"))).toMap
+      val ndoc = graft.eval.Metrics.ndoc(
+        cf.select("query_id", "doc_id")).head.getAs[Double]("ndoc_per_query")
+
+      f"""{"index_build_sec":$buildSec%.3f,"knn_qps":${nQ / knnSec}%.2f,""" +
+        f""""coarse_fine_qps":${nQ / cfSec}%.2f,"recall_at_10":${m(10)._1}%.4f,""" +
+        f""""mrr_at_10":${m(10)._2}%.4f,"recall_at_100":${m(100)._1}%.4f,""" +
+        f""""ndoc_per_query":$ndoc%.1f,"n_docs":$nVec,"topk":$k}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] engine metrics failed: ${e.getMessage}")
+        "{}"
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"engine":$engine,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -807,10 +807,11 @@ object SparkEntry {
 
     "multimodal_frames" ->
       """WITH t AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len FROM documents
-        |           WHERE octet_length(CAST(text AS BLOB)) >= 64)
-        |SELECT doc_id, CAST(unnest(range(0, CAST(floor(len / 64.0) AS INT))) AS INT) AS frame_idx,
-        |  CAST(64 AS BIGINT) AS frame_len
-        |FROM t ORDER BY doc_id, frame_idx""".stripMargin,
+        |           WHERE octet_length(CAST(text AS BLOB)) >= 64),
+        |f AS (SELECT doc_id, len, CAST(unnest(range(0, CAST(floor(len / 64.0) AS INT))) AS INT) AS frame_idx FROM t)
+        |SELECT doc_id, frame_idx,
+        |  least(CAST(64 AS BIGINT), CAST(len AS BIGINT) - frame_idx * 64) AS frame_len
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "s1_corpus_roundtrip" ->
       """SELECT doc_id, source AS title, text AS content

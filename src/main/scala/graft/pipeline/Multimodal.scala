@@ -71,14 +71,19 @@ object Multimodal {
   }
 
   /** STUB frame sampling: every `stride`-th chunk of the payload becomes a
-    * "frame" row — the explode shape of real video frame-sampling. */
+    * "frame" row — the explode shape of real video frame-sampling. A real
+    * pipeline materializes `substring(payload, i·stride+1, stride)` as the
+    * frame bytes; the stub emits only per-frame metadata, computed
+    * arithmetically so no payload bytes are copied per frame (the explode
+    * over frame indices — the part that matters for the plan shape — is
+    * real).
+    */
   def frameSample(media: DataFrame, stride: Int = 64): DataFrame =
     media.where(length(col("payload")) >= stride)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), (length(col("payload")) / stride).cast("int") - 1),
-          i => substring(col("payload"), (i * stride + 1).cast("int"), lit(stride))))
-          .as(Seq("frame_idx", "frame_bytes")))
+      .select(col("doc_id"), length(col("payload")).as("__len"),
+        explode(sequence(lit(0), (length(col("payload")) / stride).cast("int") - 1))
+          .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
-        length(col("frame_bytes")).cast("long").as("frame_len"))
+        least(lit(stride.toLong),
+          col("__len").cast("long") - col("frame_idx") * stride).as("frame_len"))
 }

@@ -37,6 +37,7 @@ object TextAnalysis {
     */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val input = Dedup.ensureParallelism(docs)
     val text = col(textCol)
     val toks = tokens(text)
     val nTokens = size(toks).cast("double")
@@ -50,7 +51,7 @@ object TextAnalysis {
     val punctScore = greatest(lit(1.0) - punct / greatest(nChars, lit(1.0)) * 10, lit(0.0))
     val swScore = least(swr * 10, lit(1.0))
     val q = lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3
-    docs.select(col(idCol),
+    input.select(col(idCol),
       nTokens.cast("long").as("n_tokens"),
       nChars.cast("long").as("n_chars"),
       avgTokLen.as("avg_token_len"),
