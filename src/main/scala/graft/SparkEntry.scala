@@ -274,7 +274,7 @@ object SparkEntry {
 
     // rows-only: cluster inverted index over RQ codes
     "rq_cluster_index" -> ((s, dir) =>
-      ClusterIndexBuilder.build(rqAssignments(s, dir)).orderBy("codes")),
+      ClusterIndexBuilder.build(rqAssignments(s, dir)).orderBy("codes", "chunk")),
 
     // rows-only: full coarse→fine retrieval
     "coarse_fine" -> ((s, dir) => {

@@ -179,18 +179,41 @@ object CodeAssigner {
   * as a DataFrame. Partitioned by the first code (`c0`) so a join on
   * predicted codes prunes partitions — the engine's analog of the
   * reference's coarse-to-fine candidate pruning (SURVEY §4 row 1).
+  *
+  * Cluster sizes are power-law (the reference tracks ndoc@cluster for
+  * exactly this reason, main_models.py:4182): a hot cluster as ONE giant
+  * `doc_ids` row is a skew bomb — one task explodes millions of members.
+  * `build` therefore chunks each cluster into rows of ≤ `maxChunk` members
+  * (codes, chunk, doc_ids, csize): the probe join stays an equi-join on
+  * `codes`, but a hot cluster fans out over many tasks (built-in salting).
   */
 object ClusterIndexBuilder {
 
-  /** assignments (doc_id, codes) → (codes, c0, doc_ids sorted, csize). */
-  def build(assignments: DataFrame): DataFrame =
+  val DefaultMaxChunk = 4096
+
+  /** assignments (doc_id, codes) → (codes, c0, chunk, doc_ids sorted ≤
+    * maxChunk, csize = full cluster size). */
+  def build(assignments: DataFrame, maxChunk: Int = DefaultMaxChunk): DataFrame =
     assignments
       .groupBy(col("codes"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
       .select(
         col("codes"),
         col("codes").getItem(0).as("c0"),
-        col("doc_ids"),
-        size(col("doc_ids")).as("csize"))
+        size(col("all_ids")).as("csize"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("all_ids")) - 1) / maxChunk).cast("int")),
+          i => slice(col("all_ids"), i * maxChunk + 1, lit(maxChunk)))))
+      .select(col("codes"), col("c0"), col("pos").as("chunk"),
+        col("col").as("doc_ids"), col("csize"))
       .repartition(col("c0"))
+
+  /** Persist partitioned by `c0`: a probe that filters on c0 (or joins on
+    * codes with a derivable c0) reads only matching partition directories.
+    */
+  def save(index: DataFrame, path: String): Unit =
+    index.write.partitionBy("c0").mode("overwrite").parquet(path)
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -78,6 +78,26 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial_"), s"no map-side combine:\n$p")
   }
 
+  test("c0-partitioned cluster index prunes partitions on probe") {
+    import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
+    val docs = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val idx = ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
+    val path = "target/tmp/cluster_index_part"
+    ClusterIndexBuilder.save(idx, path)
+    val probe = ClusterIndexBuilder.load(spark, path).where(col("c0") === 3)
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scan.contains("PartitionFilters") && scan.contains("c0"),
+      s"no partition filter in probe scan:\n$scan")
+    // pruned scan must not read all 8 partition dirs
+    val filesRead = probe.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(filesRead.exists(_ <= 1), s"read $filesRead partitions, expected 1")
+  }
+
   test("SQL registration: float_dot usable from SQL") {
     GraftExtensions.register(spark)
     Tables.load(spark, sf("0.001"), "embeddings").limit(3)

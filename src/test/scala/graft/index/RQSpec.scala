@@ -45,7 +45,8 @@ class RQSpec extends SparkSpec {
 
   test("cluster index is an exact partition of the corpus") {
     val idx = ClusterIndexBuilder.build(assignments)
-    val total = idx.agg(sum("csize")).head.getLong(0)
+    // chunk rows repeat csize, so count members via the chunk arrays
+    val total = idx.agg(sum(size(col("doc_ids")))).head.getLong(0)
     assert(total == docs.count())
     // no doc in two clusters
     val distinctDocs = idx.select(explode(col("doc_ids"))).distinct().count()
@@ -58,6 +59,19 @@ class RQSpec extends SparkSpec {
     // embeddings are L2-normalized → ‖x‖ = 1; a trained 2-level RQ must do
     // substantially better than the zero-codebook baseline of 1.0
     assert(err > 0.0 && err < 1.0)
+  }
+
+  test("hot clusters chunk into bounded rows (skew guard)") {
+    val idx = ClusterIndexBuilder.build(assignments, maxChunk = 50)
+    val maxRow = idx.agg(max(size(col("doc_ids")))).head.getInt(0)
+    assert(maxRow <= 50)
+    val total = idx.agg(sum(size(col("doc_ids")))).head.getLong(0)
+    assert(total == docs.count())
+    // chunks of one cluster are disjoint and cover the cluster
+    val rebuilt = idx.groupBy("codes")
+      .agg(sort_array(flatten(collect_list(col("doc_ids")))).as("all"),
+        first(col("csize")).as("csize"))
+    assert(rebuilt.where(size(col("all")) =!= col("csize")).count() == 0)
   }
 
   test("deterministic across re-fits with same seed") {

@@ -1,0 +1,93 @@
+package graft.props
+
+import org.scalacheck.{Gen, Properties, Prop}
+import org.scalacheck.Prop.forAll
+import graft.index.{Codebook, CodebookAligner}
+import graft.search.CodebookBeamSearch
+
+/** Property-based invariants (SURVEY §5): quantizer assignment is argmin
+  * with residual subtraction, reconstruction is the centroid sum, alignment
+  * recovers permutations, beam scores are sorted. Pure-JVM properties —
+  * the Spark-side counterparts are pinned in the ScalaTest suites.
+  */
+object InvariantProps extends Properties("graft.invariants") {
+
+  private val dim = 8
+
+  private val genVec: Gen[Array[Float]] =
+    Gen.containerOfN[Array, Float](dim, Gen.choose(-4.0f, 4.0f))
+
+  private val genCodebook: Gen[Codebook] = for {
+    levels <- Gen.choose(1, 3)
+    k <- Gen.choose(2, 6)
+    cents <- Gen.containerOfN[Array, Array[Array[Float]]](levels,
+      Gen.containerOfN[Array, Array[Float]](k, genVec))
+  } yield Codebook(cents)
+
+  private def l2sq(a: Array[Double], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  property("assign is per-level argmin with residual subtraction") =
+    forAll(genCodebook, genVec) { (cb, v) =>
+      val codes = cb.assign(v)
+      val resid = v.map(_.toDouble)
+      codes.indices.forall { m =>
+        val dists = cb.levels(m).map(c => l2sq(resid, c))
+        val ok = dists(codes(m)) == dists.min
+        val cent = cb.levels(m)(codes(m))
+        resid.indices.foreach(j => resid(j) -= cent(j))
+        ok
+      }
+    }
+
+  property("reconstruct(codes) = Σ centroids") =
+    forAll(genCodebook, genVec) { (cb, v) =>
+      val codes = cb.assign(v)
+      val rec = cb.reconstruct(codes)
+      val expect = new Array[Float](cb.dim)
+      codes.indices.foreach { m =>
+        val c = cb.levels(m)(codes(m))
+        expect.indices.foreach(j => expect(j) += c(j))
+      }
+      rec.toSeq == expect.toSeq
+    }
+
+  property("aligner recovers any permutation exactly") =
+    forAll(genCodebook) { cb =>
+      val k = cb.k
+      val perm = scala.util.Random.shuffle((0 until k).toList).toArray
+      val shuffled = Codebook(cb.levels.map(level => perm.map(level)))
+      val aligned = CodebookAligner.alignCodebook(cb, shuffled)
+      // distinct centroids realign exactly; degenerate duplicates may swap,
+      // which is still cost-optimal — compare cost, not identity
+      val costAligned = cb.levels.zip(aligned.levels).map { case (o, a) =>
+        o.zip(a).map { case (x, y) =>
+          x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum }.sum
+      }.sum
+      costAligned <= 1e-6
+    }
+
+  property("beam search scores are non-increasing and codes in range") =
+    forAll(genCodebook, genVec, Gen.choose(1, 8)) { (cb, v, beams) =>
+      val out = CodebookBeamSearch.searchOne(cb, v, beams)
+      val scoresSorted = out.map(_._2).sliding(2).forall {
+        case Array(a, b) => a >= b
+        case _ => true
+      }
+      val codesValid = out.forall(_._1.forall(c => c >= 0 && c < cb.k))
+      val lengths = out.forall(_._1.length == cb.numLevels)
+      Prop(scoresSorted && codesValid && lengths &&
+        out.length == math.min(beams, math.pow(cb.k, cb.numLevels).toInt))
+    }
+
+  property("exhaustive beam (K^M) includes the greedy assignment path") =
+    forAll(genCodebook, genVec) { (cb, v) =>
+      val all = math.pow(cb.k, cb.numLevels).toInt
+      val out = CodebookBeamSearch.searchOne(cb, v, all)
+      out.exists(_._1.toSeq == cb.assign(v).toSeq)
+    }
+}

@@ -27,6 +27,22 @@ class SearchSpec extends SparkSpec {
     assert(top(1).getSeq[org.apache.spark.sql.Row](1).size == 1)
   }
 
+  test("TopK aggregator equals global sort-take under any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val data = Seq.tabulate(500)(i => (i % 7L, i.toLong, rnd.nextDouble()))
+    for (parts <- Seq(1, 3, 16)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, parts)).toDF("q", "id", "score")
+      val got = df.groupBy("q").agg(TopK.topk(5)($"id", $"score").as("top"))
+        .select($"q", $"top.id".as("ids")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val expect = data.groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(r => (-r._3, r._2)).take(5).map(_._2).toSeq
+      }
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
   test("self is nearest neighbor under IP on normalized vectors") {
     val top1 = BruteForceKNN.topK(queries, docs, k = 1, metric = "ip")
     val rows = top1.collect()
