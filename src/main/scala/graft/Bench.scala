@@ -89,8 +89,18 @@ object Bench {
       val ndoc = graft.eval.Metrics.ndoc(
         cf.select("query_id", "doc_id")).head.getAs[Double]("ndoc_per_query")
 
+      val (_, cfbSec) = timed {
+        CoarseFineRetriever.retrieveBudgeted(
+          queries.select("query_id", "qvec"), index,
+          docs.select("doc_id", "vec"), cb, beams = 4, k = k,
+          budget = math.max(k, 100))
+          .write.format("noop").mode("overwrite").save()
+      }
+
       f"""{"index_build_sec":$buildSec%.3f,"knn_qps":${nQ / knnSec}%.2f,""" +
-        f""""coarse_fine_qps":${nQ / cfSec}%.2f,"recall_at_10":${m(10)._1}%.4f,""" +
+        f""""coarse_fine_qps":${nQ / cfSec}%.2f,""" +
+        f""""coarse_fine_budgeted_qps":${nQ / cfbSec}%.2f,""" +
+        f""""recall_at_10":${m(10)._1}%.4f,""" +
         f""""mrr_at_10":${m(10)._2}%.4f,"recall_at_100":${m(100)._1}%.4f,""" +
         f""""ndoc_per_query":$ndoc%.1f,"n_docs":$nVec,"topk":$k}"""
     } catch {

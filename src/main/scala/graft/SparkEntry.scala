@@ -286,6 +286,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // rows-only: budgeted coarse→fine (reconstruction-prescored candidate
+    // cut BEFORE the embedding-fetch join — the 100 TB shuffle saver)
+    "coarse_fine_budgeted" -> ((s, dir) => {
+      val docs = docVecs(s, dir).select("doc_id", "vec")
+      val queries = queryVecs(s, dir).select("query_id", "qvec")
+      val index = ClusterIndexBuilder.build(rqAssignments(s, dir))
+      CoarseFineRetriever.retrieveBudgeted(queries, index, docs,
+        rqCodebook(s, dir), beams = 4, k = 10, budget = 100)
+        .orderBy("query_id", "rank")
+    }),
+
     // rows-only: ndoc@cluster-R candidate-pool diagnostic (A6)
     "rq_ndoc" -> ((s, dir) => {
       val queries = queryVecs(s, dir).select("query_id", "qvec")

@@ -71,4 +71,75 @@ object CoarseFineRetriever {
         col("sd.id").as("doc_id"),
         col("sd.score").as("score"))
   }
+
+  /** Budgeted variant: before fetching ANY embeddings, re-score candidate
+    * clusters exactly against their RQ-reconstructed vectors (all members
+    * of a cluster share one reconstruction) and keep only the best clusters
+    * up to ~`budget` candidate docs per query. Then run the exact J4+V2
+    * re-rank on the survivors alone.
+    *
+    * This is the reference's `infer_reconstruct_vector` pruning
+    * (MEVI/main_models.py:3938-3942) pushed below the join: at 100 TB the
+    * embedding-fetch join is the dominant shuffle, and its input volume
+    * drops from ndoc@cluster-R to `budget` per query. The cluster re-score
+    * itself is tiny — ≤ beams rows per query against a broadcast codebook.
+    */
+  def retrieveBudgeted(
+      queries: DataFrame,
+      clusterIndex: DataFrame,
+      docs: DataFrame,
+      codebook: Codebook,
+      beams: Int = 10,
+      k: Int = 100,
+      budget: Int = 1000,
+      metric: String = "ip"): DataFrame = {
+
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(codebook)
+    val reconScore = udf { (qvec: Array[Float], codes: Seq[Int]) =>
+      val rec = bc.value.reconstruct(codes.toArray)
+      var s = 0.0
+      var j = 0
+      while (j < qvec.length) { s += qvec(j).toDouble * rec(j).toDouble; j += 1 }
+      s
+    }
+
+    val coarse = CodebookBeamSearch.search(queries, codebook, beams)
+
+    // one row per (query, cluster): exact query·reconstruction + size
+    val clusterMeta = clusterIndex.select("codes", "csize").distinct()
+    val rescored = coarse
+      .join(clusterMeta, Seq("codes"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("codes"), col("csize"),
+        reconScore(col("qvec"), col("codes")).as("rscore"))
+
+    // keep best clusters until the cumulative member count reaches budget
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rscore").desc, col("codes").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = rescored
+      .withColumn("prior", coalesce(sum(col("csize")).over(w), lit(0L)))
+      .where(col("prior") < budget)
+      .select("query_id", "codes")
+
+    val candidates = kept
+      .join(clusterIndex.select("codes", "doc_ids"), Seq("codes"))
+      .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
+
+    val scored = candidates
+      .join(docs, Seq("doc_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        BruteForceKNN.score(metric)(col("qvec"), col("vec")).as("score"))
+
+    scored
+      .groupBy("query_id", "doc_id").agg(max(col("score")).as("score"))
+      .groupBy("query_id")
+      .agg(TopK.topk(k)(col("doc_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sd")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("sd.id").as("doc_id"), col("sd.score").as("score"))
+  }
 }

@@ -64,6 +64,32 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("budgeted retrieval: unlimited budget equals plain coarse→fine") {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val index = ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
+    val plain = CoarseFineRetriever.retrieve(queries, index, docs, cb,
+      beams = 8, k = 5, metric = "ip")
+    val budgeted = CoarseFineRetriever.retrieveBudgeted(queries, index, docs, cb,
+      beams = 8, k = 5, budget = 1000000, metric = "ip")
+    val a = plain.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val b = budgeted.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a == b)
+  }
+
+  test("budgeted retrieval: tight budget still finds self, probes fewer docs") {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val index = ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
+    val tight = CoarseFineRetriever.retrieveBudgeted(queries, index, docs, cb,
+      beams = 8, k = 1, budget = 60, metric = "ip")
+    // self's own cluster is the best-reconstructing cluster → survives any
+    // budget ≥ its size; top-1 must still be the query itself
+    tight.collect().foreach { r =>
+      assert(r.getAs[Long]("doc_id") == r.getAs[Long]("query_id"))
+    }
+  }
+
   test("coarse→fine with exhaustive beams ≈ brute force top-1") {
     val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
     val index = ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
