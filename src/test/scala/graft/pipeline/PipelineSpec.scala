@@ -59,6 +59,40 @@ class PipelineSpec extends SparkSpec {
       n2.orderBy("doc_id").collect().toSeq)
   }
 
+  test("combineNegatives file/inter/union modes (A7 combinators)") {
+    val clus = Seq(("q1", 1L, Seq(10L, 11L, 12L))).toDF("query", "doc_id", "neg_ids")
+    val file = Seq(("q1", Seq(11L, 12L, 13L))).toDF("query", "neg_ids")
+    def ids(mode: String): Set[Long] =
+      NegativeSampling.combineNegatives(clus, file, mode, n = 10)
+        .head.getSeq[Long](2).toSet
+    assert(ids("file") == Set(11L, 12L, 13L))
+    assert(ids("inter") == Set(11L, 12L))
+    assert(ids("union") == Set(10L, 11L, 12L, 13L))
+    // missing file row falls back to cluster negatives
+    val noFile = Seq(("q2", Seq(99L))).toDF("query", "neg_ids")
+    assert(NegativeSampling.combineNegatives(clus, noFile, "inter", n = 10)
+      .head.getSeq[Long](2).toSet == Set(10L, 11L, 12L))
+  }
+
+  test("notClusterNegatives excludes the positive's cluster (A7 notclus)") {
+    val emb = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val cb = RQTrainer.fit(emb, "vec", numLevels = 2, k = 8, seed = 42L)
+    val assignments = CodeAssigner.assign(emb, cb).cache()
+    val pairs = emb.where(col("doc_id") < 3)
+      .select(concat(lit("q"), col("doc_id")).as("query"), col("doc_id"))
+    val negs = NegativeSampling.notClusterNegatives(pairs, assignments,
+      emb.select("doc_id"), n = 5)
+    assert(negs.count() == 3)
+    val joined = negs
+      .join(assignments.withColumnRenamed("codes", "pos_codes"), Seq("doc_id"))
+      .select(col("pos_codes"), explode(col("neg_ids")).as("neg_id"))
+      .join(assignments.select(col("doc_id").as("neg_id"),
+        col("codes").as("neg_codes")), Seq("neg_id"))
+    assert(joined.where(col("pos_codes") === col("neg_codes")).count() == 0)
+    assert(negs.where(size(col("neg_ids")) =!= 5).count() == 0)
+  }
+
   test("simans sampling is deterministic and bounded") {
     val scored = Seq(
       ("q1", 1L, 10L, 0.9, 1.0), ("q1", 1L, 11L, 0.5, 1.0),
