@@ -61,9 +61,8 @@ object SparkEntry {
     val dir = "/root/testdata/sf0.001"
     val docs = docVecs(spark, dir).cache()
     val queries = queryVecs(spark, dir)
-    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
-    val assignments = CodeAssigner.assign(docs, cb)
-    val index = ClusterIndexBuilder.build(assignments)
+    val cb = rqCodebook(spark, dir)
+    val index = ClusterIndexBuilder.build(rqAssignments(spark, dir))
     val retrieved = CoarseFineRetriever.retrieve(
       queries.select("query_id", "qvec"), index, docs, cb, beams = 4, k = 10)
     val preds = retrieved.groupBy("query_id")
@@ -259,6 +258,16 @@ object SparkEntry {
           length(col("text")).cast("long").as("len_chars"))
         .orderBy("doc_id")
     }),
+
+    // Sessionization (batch form; stateful-streaming twin in
+    // streaming.Sessionize + StreamingSpec)
+    "events_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.batch(t(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("session_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("user_id", "session_id")),
 
     // Streaming-analog batch: tumbling-window event aggregation
     "events_window" -> ((s, dir) => {
@@ -692,6 +701,25 @@ object SparkEntry {
         |  len(string_split_regex(text, '\s+')) AS n_tokens,
         |  length(text) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+        |         WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+        |         ELSE 0 END AS newf
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+        |                    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A8 — query-generation pool backfill (complement_qg10.py:86-120): keep
+  * invoking the (opaque) query generator for docs that still have fewer
+  * than `minPerDoc` distinct non-empty queries, until every doc is covered
+  * or `maxRounds` is exhausted. The loop is driver-side control flow over
+  * fully distributed rounds — the reference's own structure, with the
+  * per-round dedup expressed as one groupBy.
+  */
+object QueryGenPool {
+
+  /** @param initial  (doc_id, query) existing pool
+    * @param generate (docsNeedingMore(doc_id, have), round) → (doc_id, query)
+    * @return (doc_id, queries ARRAY<STRING> distinct sorted, n_queries)
+    */
+  def backfill(
+      initial: DataFrame,
+      minPerDoc: Int,
+      maxRounds: Int = 5)(
+      generate: (DataFrame, Int) => DataFrame): DataFrame = {
+
+    var pool = initial
+      .where(col("query").isNotNull && length(trim(col("query"))) > 0)
+      .select("doc_id", "query").distinct().persist()
+    pool.count()
+
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val counts = pool.groupBy("doc_id")
+        .agg(countDistinct(col("query")).as("have"))
+      val need = counts.where(col("have") < minPerDoc)
+      if (need.isEmpty) {
+        done = true
+      } else {
+        val fresh = generate(need, round)
+          .where(col("query").isNotNull && length(trim(col("query"))) > 0)
+          .select("doc_id", "query")
+        val next = pool.union(fresh).distinct().persist()
+        next.count()
+        pool.unpersist()
+        pool = next
+        round += 1
+      }
+    }
+
+    pool.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("query"))).as("queries"))
+      .select(col("doc_id"), col("queries"), size(col("queries")).as("n_queries"))
+  }
+}

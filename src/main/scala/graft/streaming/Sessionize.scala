@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event sessionization with an inactivity gap — batch and stateful-stream
+  * forms of the same semantics.
+  *
+  * Batch: pure window expressions (lag → gap flag → cumulative session id →
+  * one groupBy). Streaming: `flatMapGroupsWithState` keeps one open session
+  * per user as state, emits a session whenever the gap closes it — the
+  * KeyValueGroupedDataset custom-state path for data that outlives a
+  * micro-batch.
+  */
+object Sessionize {
+
+  /** (user_id, session_id, session_start, session_end, n_events, sum_value)
+    * — session_id is the 0-based per-user session ordinal. */
+  def batch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new",
+        // fractional-seconds diff (cast keeps microseconds; unix_timestamp
+        // would truncate and disagree with the oracle's epoch() on
+        // borderline gaps)
+        when(col("__prev").isNull, 0)
+          .when(col("ts").cast("double") - col("__prev").cast("double") >
+            gapMinutes * 60.0, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+  }
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class OpenSession(start: java.sql.Timestamp, last: java.sql.Timestamp,
+      n: Long, sum: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Microsecond-precision epoch (Timestamp.getTime alone truncates the
+    * sub-millisecond part that the fixtures carry). */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+
+  /** Streaming form: emits each session once its gap closes (the session
+    * still open when the stream ends stays in state — the next batch or a
+    * timeout flushes it). Events inside one micro-batch are sorted by event
+    * time before folding; state carries the open session across batches.
+    */
+  def streaming(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val sorted = it.toSeq.sortBy(e => micros(e.ts))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if micros(e.ts) - micros(s.last) <= gapUs =>
+                open = Some(OpenSession(s.start, e.ts, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                closed += Session(user, s.start, s.last, s.n, s.sum)
+                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+              case None =>
+                open = Some(OpenSession(e.ts, e.ts, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

@@ -132,6 +132,21 @@ class PipelineSpec extends SparkSpec {
     assert(ids.toSeq == (0L until n).toSeq)
   }
 
+  test("query-gen pool backfill reaches minPerDoc within rounds (A8)") {
+    val initial = Seq((1L, "q1a"), (2L, "q2a"), (2L, "q2b"), (3L, "q3a"))
+      .toDF("doc_id", "query")
+    // deterministic generator: one new query per needing doc per round
+    def gen(need: org.apache.spark.sql.DataFrame, round: Int) =
+      need.select(col("doc_id"),
+        concat(lit("gen"), col("doc_id"), lit("_r"), lit(round)).as("query"))
+    val pool = QueryGenPool.backfill(initial, minPerDoc = 3, maxRounds = 5)(gen)
+    val rows = pool.orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getInt(2) >= 3, r.toString))
+    // existing queries retained
+    assert(rows(1).getSeq[String](1).contains("q2a"))
+  }
+
   test("multimodal decode stub produces fixed-dim features per doc") {
     val feats = Multimodal.decodeStub(Multimodal.asMedia(docs.limit(20)))
     val rows = feats.collect()

@@ -39,6 +39,49 @@ class StreamingSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("stateful streaming sessionization matches batch sessions") {
+    import spark.implicits._
+    val base = "target/tmp/stream_sessions"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val events = Tables.load(spark, sf("0.001"), "events")
+      .select(col("user_id"), col("ts"), col("value")).cache()
+    // two chronological files → two micro-batches → state crosses batches
+    val mid = events.selectExpr("percentile_approx(unix_timestamp(ts), 0.5) p")
+      .head.getLong(0)
+    events.where(unix_timestamp(col("ts")) <= mid)
+      .coalesce(1).write.parquet(s"$base/in/b0")
+    events.where(unix_timestamp(col("ts")) > mid)
+      .coalesce(1).write.parquet(s"$base/in/b1")
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch →
+      .parquet(s"$base/in/*")            // state must survive batch 0→1
+      .as[Sessionize.Ev]
+    val q = Sessionize.streaming(stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ck")
+      .format("memory").queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sess_out")
+    assert(streamed.count() > 0)
+    // every emitted (closed) session must exactly match a batch session
+    val batchSessions = Sessionize.batch(events, gapMinutes = 30)
+    val unmatched = streamed.as("s").join(batchSessions.as("b"),
+      col("s.user_id") === col("b.user_id") &&
+        col("s.session_start") === col("b.session_start") &&
+        col("s.session_end") === col("b.session_end") &&
+        col("s.n_events") === col("b.n_events"), "left_anti").count()
+    assert(unmatched == 0, s"$unmatched streamed sessions not found in batch result")
+    // only the still-open tail session per user may be missing
+    val missing = batchSessions.count() - streamed.count()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(missing >= 0 && missing <= nUsers)
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     val base = "target/tmp/stream_events"
     FileUtils.deleteDirectory(new java.io.File(base))
