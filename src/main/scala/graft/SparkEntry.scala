@@ -48,7 +48,9 @@ object SparkEntry {
     }
 
   private def rqAssignments(s: SparkSession, dir: String): DataFrame =
-    ArtifactCache.frame(s"$dir/rq2x3/assign") {
+    // frame cache is session-scoped (a cached DataFrame dies with its
+    // session); the codebook is a plain object and stays dir-keyed
+    ArtifactCache.frame(s"$dir/rq2x3/assign/${System.identityHashCode(s)}") {
       CodeAssigner.assign(docVecs(s, dir).select("doc_id", "vec"),
         rqCodebook(s, dir))
     }
@@ -129,6 +131,16 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("cnt"))
     }),
+
+    // Distinct aggregates (A-family: exact count-distinct with map-side
+    // partial dedup)
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"))
+        .orderBy("l_returnflag")),
 
     // T1/W1: per-group ranking window, top-3 per order
     "w1_window_rank" -> ((s, dir) => {
@@ -603,6 +615,12 @@ object SparkEntry {
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS cnt
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "w1_window_rank" ->
       """SELECT l_orderkey, rnk, l_linenumber, round(l_extendedprice, 2) AS price

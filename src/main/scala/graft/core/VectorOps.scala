@@ -64,4 +64,15 @@ object VectorOps {
     val n = vecNorm2(v)
     when(n === 0.0, v).otherwise(transform(v, x => (x.cast("double") / n).cast("float")))
   }
+
+  /** IP→L2 metric reduction (MEVI/pq.py:82-119): append `sqrt(φ − ‖p‖²)`
+    * to every doc vector and `0` to every query vector; then L2 distance on
+    * the augmented vectors ranks identically to inner product on the
+    * originals. φ must be ≥ max‖p‖² over the corpus.
+    */
+  def ipToL2AugmentDoc(v: Column, phi: Column): Column =
+    concat(v, array(sqrt(greatest(phi - vecNorm2Sq(v), lit(0.0))).cast("float")))
+
+  def ipToL2AugmentQuery(v: Column): Column =
+    concat(v, array(lit(0.0f)))
 }

@@ -31,22 +31,38 @@ object NegativeSampling {
   /** `clus`: negatives from the positive doc's cluster, minus every
     * positive of the same query (main_models.py:1841-1852 rejection).
     *
+    * Relational shape: explode cluster members (the chunked index's rows
+    * union back together naturally), rank candidates by the md5 hash per
+    * (query, positive), keep n, regroup. No per-row giant arrays — a hot
+    * cluster's members spread across tasks, and the window input is already
+    * cut to the probed clusters.
+    *
     * @param pairs        (query, doc_id) positives
     * @param assignments  (doc_id, codes)
-    * @param clusterIndex (codes, doc_ids)
-    * @return (query, doc_id, neg_ids ARRAY<LONG> size ≤ n)
+    * @param clusterIndex (codes, doc_ids) — chunked rows supported
+    * @return (query, doc_id, neg_ids ARRAY<LONG> size ≤ n, hash order)
     */
   def clusterNegatives(pairs: DataFrame, assignments: DataFrame,
       clusterIndex: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val posPerQuery = pairs.groupBy("query")
       .agg(collect_set(col("doc_id")).as("pos_ids"))
-    pairs
+    val cands = pairs
       .join(assignments, Seq("doc_id"))
       .join(clusterIndex.select("codes", "doc_ids"), Seq("codes"))
+      .select(col("query"), col("doc_id"), explode(col("doc_ids")).as("cand"))
       .join(posPerQuery, Seq("query"))
-      .select(col("query"), col("doc_id"),
-        sampleArray(col("query"),
-          array_except(col("doc_ids"), col("pos_ids")), n).as("neg_ids"))
+      .where(!array_contains(col("pos_ids"), col("cand")))
+      .withColumn("__h", rankHash(col("query"), col("cand")))
+    val w = Window.partitionBy("query", "doc_id")
+      .orderBy(col("__h").asc, col("cand").asc)
+    cands
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .groupBy("query", "doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__h"), col("cand")))),
+        s => s.getField("cand")).as("neg_ids"))
   }
 
   /** `file`/`inter`/`union` combinators over a co-negative list table

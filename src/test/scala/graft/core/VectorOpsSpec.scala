@@ -36,6 +36,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(self - 1.0) < 1e-9)
   }
 
+  test("ipToL2 reduction: L2 on augmented vectors ranks like IP on originals") {
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.tabulate(30)(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+    val phi = df.select(max(vecNorm2Sq($"v"))).head.getDouble(0) + 1e-6
+    val q = vecs.head._2
+    val qAug = q :+ 0.0f
+    val scored = df.select($"id",
+      vecDot(lit(q.toArray), $"v").as("ip"),
+      vecNegL2Sq(lit(qAug.toArray), ipToL2AugmentDoc($"v", lit(phi))).as("negl2"))
+      .collect()
+    val byIp = scored.sortBy(r => (-r.getDouble(1), r.getLong(0))).map(_.getLong(0)).toSeq
+    val byL2 = scored.sortBy(r => (-r.getDouble(2), r.getLong(0))).map(_.getLong(0)).toSeq
+    assert(byIp == byL2)
+  }
+
   test("vecSub/vecAdd/normalize roundtrip") {
     val r = df.where($"id" === 1)
       .select(vecAdd(vecSub($"a", $"b"), $"b").as("rt"),

@@ -59,6 +59,23 @@ class PipelineSpec extends SparkSpec {
       n2.orderBy("doc_id").collect().toSeq)
   }
 
+  test("clusterNegatives is chunk-invariant (one row per pair, any maxChunk)") {
+    val emb = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val cb = RQTrainer.fit(emb, "vec", numLevels = 2, k = 8, seed = 42L)
+    val assignments = CodeAssigner.assign(emb, cb).cache()
+    val pairs = emb.where(col("doc_id") < 10)
+      .select(concat(lit("q"), col("doc_id")).as("query"), col("doc_id"))
+    val big = ClusterIndexBuilder.build(assignments, maxChunk = 100000)
+    val tiny = ClusterIndexBuilder.build(assignments, maxChunk = 3)
+    val a = NegativeSampling.clusterNegatives(pairs, assignments, big, n = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getSeq[Long](2))).toSeq
+    val b = NegativeSampling.clusterNegatives(pairs, assignments, tiny, n = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getSeq[Long](2))).toSeq
+    assert(a == b)
+    assert(a.length == 10) // exactly one row per (query, positive)
+  }
+
   test("combineNegatives file/inter/union modes (A7 combinators)") {
     val clus = Seq(("q1", 1L, Seq(10L, 11L, 12L))).toDF("query", "doc_id", "neg_ids")
     val file = Seq(("q1", Seq(11L, 12L, 13L))).toDF("query", "neg_ids")
