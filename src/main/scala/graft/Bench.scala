@@ -33,16 +33,19 @@ object Bench {
     spark.range(1000).select(avg(col("id"))).write
       .format("noop").mode("overwrite").save()
 
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (_, sec) = timed {
         // noop sink: materializes every output column (count() would let
         // Catalyst prune the projection and understate the real work)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
-      name -> sec
+      // a crashed query must not masquerade as a fast one
+      name -> (if (failed.contains(name)) -1.0 else sec)
     }
 
     // ---- engine metrics (BASELINE.md protocol) ----
@@ -81,14 +84,10 @@ object Bench {
         r
       }
       // quality of the coarse→fine path vs label ground truth
-      val preds = cf.groupBy("query_id")
-        .agg(sort_array(collect_list(struct(col("rank"), col("doc_id")))).as("r"))
-        .select(col("query_id"), col("r.doc_id").as("preds"))
-      val gt = docs.as("d").join(queries.as("q"), col("d.label") === col("q.label"))
-        .where(col("d.doc_id") =!= col("q.query_id"))
-        .groupBy(col("q.query_id"))
-        .agg(sort_array(collect_list(col("d.doc_id"))).as("gt"))
-      val m = graft.eval.Metrics.ranking(preds, gt, ks = Seq(10, 100))
+      val m = graft.eval.Metrics.ranking(
+        graft.eval.Metrics.rankedToPreds(cf),
+        graft.eval.Metrics.labelGroundTruth(docs, queries),
+        ks = Seq(10, 100))
         .collect().map(r => r.getAs[Int]("k") ->
           (r.getAs[Double]("recall"), r.getAs[Double]("mrr"))).toMap
       val ndoc = graft.eval.Metrics.ndoc(
@@ -116,8 +115,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"engine":$engine,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"engine":$engine,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,7 +50,7 @@ object SparkEntry {
   private def rqAssignments(s: SparkSession, dir: String): DataFrame =
     // frame cache is session-scoped (a cached DataFrame dies with its
     // session); the codebook is a plain object and stays dir-keyed
-    ArtifactCache.frame(s"$dir/rq2x3/assign/${System.identityHashCode(s)}") {
+    ArtifactCache.frame(s, s"$dir/rq2x3/assign") {
       CodeAssigner.assign(docVecs(s, dir).select("doc_id", "vec"),
         rqCodebook(s, dir))
     }
@@ -67,14 +67,10 @@ object SparkEntry {
     val index = ClusterIndexBuilder.build(rqAssignments(spark, dir))
     val retrieved = CoarseFineRetriever.retrieve(
       queries.select("query_id", "qvec"), index, docs, cb, beams = 4, k = 10)
-    val preds = retrieved.groupBy("query_id")
-      .agg(sort_array(collect_list(struct(col("rank"), col("doc_id")))).as("r"))
-      .select(col("query_id"), col("r.doc_id").as("preds"))
-    val gt = docs.as("d").join(queries.as("q"), col("d.label") === col("q.label"))
-      .where(col("d.doc_id") =!= col("q.query_id"))
-      .groupBy(col("q.query_id"))
-      .agg(sort_array(collect_list(col("d.doc_id"))).as("gt"))
-    Metrics.ranking(preds, gt, ks = Seq(1, 5, 10))
+    Metrics.ranking(
+      Metrics.rankedToPreds(retrieved),
+      Metrics.labelGroundTruth(docs, queries),
+      ks = Seq(1, 5, 10))
   }
 
   // ---------------------------------------------------------------------

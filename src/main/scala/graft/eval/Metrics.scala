@@ -68,4 +68,20 @@ object Metrics {
   def ndoc(candidates: DataFrame, queryCol: String = "query_id"): DataFrame =
     candidates.groupBy(queryCol).count()
       .agg(avg("count").as("ndoc_per_query"), count(lit(1)).as("n_queries"))
+
+  /** (query_id, rank, doc_id, …) ranked rows → (query_id, preds) lists. */
+  def rankedToPreds(ranked: DataFrame): DataFrame =
+    ranked.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rank"), col("doc_id")))).as("r"))
+      .select(col("query_id"), col("r.doc_id").as("preds"))
+
+  /** Label-match ground truth: gt(query) = every doc sharing the query's
+    * label, excluding the query row itself (the fixtures' cluster labels
+    * play the relevance judgments).
+    */
+  def labelGroundTruth(docs: DataFrame, queries: DataFrame): DataFrame =
+    docs.as("d").join(queries.as("q"), col("d.label") === col("q.label"))
+      .where(col("d.doc_id") =!= col("q.query_id"))
+      .groupBy(col("q.query_id"))
+      .agg(sort_array(collect_list(col("d.doc_id"))).as("gt"))
 }

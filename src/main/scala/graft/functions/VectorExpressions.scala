@@ -22,16 +22,19 @@ case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // null on length mismatch (matching the HOF form, where zip_with pads
+  // with null and the fold propagates it) — a truncated dot product would
+  // be silently wrong, not conservatively absent
+  override def nullable: Boolean = true
   override def prettyName: String = "float_vector_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
     s
   }
 
@@ -39,18 +42,20 @@ case class FloatVectorDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
          |float[] $x = $a.toFloatArray();
          |float[] $y = $b.toFloatArray();
-         |int $n = Math.min($x.length, $y.length);
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x[$i] * (double) $y[$i];
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    $s += (double) $x[$i] * (double) $y[$i];
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -64,16 +69,16 @@ case class FloatVectorNegL2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true // null on length mismatch, as above
   override def prettyName: String = "float_vector_neg_l2sq"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) return null
     var s = 0.0
     var i = 0
-    while (i < n) {
+    while (i < x.length) {
       val d = x(i).toDouble - y(i).toDouble
       s += d * d
       i += 1
@@ -85,20 +90,22 @@ case class FloatVectorNegL2Sq(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
          |float[] $x = $a.toFloatArray();
          |float[] $y = $b.toFloatArray();
-         |int $n = Math.min($x.length, $y.length);
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $x[$i] - (double) $y[$i];
-         |  $s += $d * $d;
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    double $d = (double) $x[$i] - (double) $y[$i];
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = -$s;
          |}
-         |${ev.value} = -$s;
        """.stripMargin
     })
 

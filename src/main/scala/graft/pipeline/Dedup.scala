@@ -36,14 +36,23 @@ object Dedup {
     */
   private[pipeline] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // file count approximates source parallelism without forcing a full
+    // physical-planning pass (df.rdd would plan the query once just to
+    // read a partition count, then the real query plans again)
+    val approxSplits = math.max(df.inputFiles.length, 1)
+    if (approxSplits < target) df.repartition(target) else df
   }
 
-  /** n-word shingles as strings: tokens[i..i+n-1] joined by one space. */
+  /** n-word shingles as strings: tokens[i..i+n-1] joined by one space.
+    * Docs with fewer than n tokens yield an EMPTY array — without the
+    * guard, `sequence(0, size-n)` with size<n produces a descending range
+    * and element_at throws (ANSI) on the whole job.
+    */
   def shingles(toks: Column, n: Int = 3): Column =
-    transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
 
   /** 60-bit hash from the md5 hex prefix — portable to the oracle. */
   def md5Hash60(s: Column): Column =
@@ -150,8 +159,12 @@ object Dedup {
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb")))).as("jaccard"))
+        // two empty shingle sets (both docs shorter than the shingle
+        // width) define jaccard = 0, not a division by zero
+        when(size(array_union(col("sha"), col("shb"))) === 0, lit(0.0))
+          .otherwise(
+            size(array_intersect(col("sha"), col("shb"))).cast("double") /
+              size(array_union(col("sha"), col("shb")))).as("jaccard"))
   }
 
   // -------------------------------------------------------------------

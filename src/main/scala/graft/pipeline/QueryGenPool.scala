@@ -22,6 +22,12 @@ object QueryGenPool {
       maxRounds: Int = 5)(
       generate: (DataFrame, Int) => DataFrame): DataFrame = {
 
+    // the doc universe comes from `initial` BEFORE the validity filter:
+    // docs whose existing queries are all null/empty need backfill the
+    // most and must not vanish from the loop
+    val universe = initial.select("doc_id").distinct().persist()
+    universe.count()
+
     var pool = initial
       .where(col("query").isNotNull && length(trim(col("query"))) > 0)
       .select("doc_id", "query").distinct().persist()
@@ -30,8 +36,10 @@ object QueryGenPool {
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
-      val counts = pool.groupBy("doc_id")
-        .agg(countDistinct(col("query")).as("have"))
+      val counts = universe.join(
+        pool.groupBy("doc_id").agg(countDistinct(col("query")).as("have")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("have"), lit(0L)).as("have"))
       val need = counts.where(col("have") < minPerDoc)
       if (need.isEmpty) {
         done = true
@@ -47,8 +55,14 @@ object QueryGenPool {
       }
     }
 
-    pool.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("query"))).as("queries"))
+    // left-join back to the universe: a doc still uncovered after
+    // maxRounds appears with an empty list, not silently dropped
+    universe.join(
+      pool.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("query"))).as("queries")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("queries"), array().cast("array<string>")).as("queries"))
       .select(col("doc_id"), col("queries"), size(col("queries")).as("n_queries"))
   }
 }

@@ -69,9 +69,13 @@ object CodebookBeamSearch {
           (codes :+ cc, resid, score, cc)
         }
       }
-      // keep top-B; recompute residuals only for survivors
+      // keep top-B; recompute residuals only for survivors.
+      // tie-break on the NUMERIC code sequence (string join would sort
+      // code 10 before code 2 and disagree with CodeAssigner's
+      // lowest-code-wins rule)
+      import scala.math.Ordering.Implicits.seqOrdering
       frontier = expanded
-        .sortBy { case (codes, _, score, _) => (-score, codes.toSeq.mkString(",")) }
+        .sortBy { case (codes, _, score, _) => (-score, codes.toSeq) }
         .take(beams)
         .map { case (codes, resid, score, cc) =>
           val cent = cents(cc)

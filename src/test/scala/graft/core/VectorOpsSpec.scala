@@ -29,6 +29,13 @@ class VectorOpsSpec extends SparkSpec {
     assert(rows(0).getDouble(0) == -(9.0 + 49.0 + 9.0))
   }
 
+  test("dimension mismatch yields null in both native and HOF forms") {
+    val bad = Seq((1L, Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("id", "a", "b")
+    val r = bad.select(float_dot($"a", $"b").as("n"),
+      float_neg_l2sq($"a", $"b").as("l"), vecDot($"a", $"b").as("h")).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("cosine is 0 on zero vector, 1 on self") {
     val r = df.select(vecCosine($"a", $"b")).collect()
     assert(r(1).getDouble(0) == 0.0)

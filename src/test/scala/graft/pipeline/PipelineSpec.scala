@@ -18,6 +18,15 @@ class PipelineSpec extends SparkSpec {
     assert(deduped.where(col("doc_id") >= 10000).count() == 0)
   }
 
+  test("short docs (< shingleN tokens) are dropped, not crashed") {
+    val mixed = Seq((1L, "one two"), (2L, "a"), (3L, ""),
+      (4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(mixed).collect()
+    assert(sigs.map(_.getLong(0)).toSet == Set(4L))
+    val jac = Dedup.jaccardPairs(mixed).collect()
+    assert(jac.nonEmpty) // pairs exist (empty-set pairs have 0/union)
+  }
+
   test("minhash signature containment: identical docs share signatures") {
     val two = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
