@@ -71,10 +71,11 @@ object Bench {
       val (cb, index) = artifacts
 
       val k = math.min(1000, nVec.toInt)
-      val (_, knnSec) = timed {
-        BruteForceKNN.topK(queries.select("query_id", "qvec"),
-          docs.select("doc_id", "vec"), k = k)
-          .write.format("noop").mode("overwrite").save()
+      val (knnRanked, knnSec) = timed {
+        val r = BruteForceKNN.topK(queries.select("query_id", "qvec"),
+          docs.select("doc_id", "vec"), k = k).cache()
+        r.count()
+        r
       }
       val (cf, cfSec) = timed {
         val r = CoarseFineRetriever.retrieve(
@@ -84,12 +85,17 @@ object Bench {
         r
       }
       // quality of the coarse→fine path vs label ground truth
-      val m = graft.eval.Metrics.ranking(
-        graft.eval.Metrics.rankedToPreds(cf),
-        graft.eval.Metrics.labelGroundTruth(docs, queries),
-        ks = Seq(10, 100))
-        .collect().map(r => r.getAs[Int]("k") ->
-          (r.getAs[Double]("recall"), r.getAs[Double]("mrr"))).toMap
+      // quality vs label ground truth — exact KNN is the upper bound the
+      // labels admit (label clusters ≠ embedding geometry), coarse→fine is
+      // judged against it
+      val gt = graft.eval.Metrics.labelGroundTruth(docs, queries).cache()
+      def qual(ranked: org.apache.spark.sql.DataFrame) =
+        graft.eval.Metrics.ranking(
+          graft.eval.Metrics.rankedToPreds(ranked), gt, ks = Seq(10, 100))
+          .collect().map(r => r.getAs[Int]("k") ->
+            (r.getAs[Double]("recall"), r.getAs[Double]("mrr"))).toMap
+      val m = qual(cf)
+      val mKnn = qual(knnRanked)
       val ndoc = graft.eval.Metrics.ndoc(
         cf.select("query_id", "doc_id")).head.getAs[Double]("ndoc_per_query")
 
@@ -106,6 +112,9 @@ object Bench {
         f""""coarse_fine_budgeted_qps":${nQ / cfbSec}%.2f,""" +
         f""""recall_at_10":${m(10)._1}%.4f,""" +
         f""""mrr_at_10":${m(10)._2}%.4f,"recall_at_100":${m(100)._1}%.4f,""" +
+        f""""knn_recall_at_10":${mKnn(10)._1}%.4f,""" +
+        f""""knn_mrr_at_10":${mKnn(10)._2}%.4f,""" +
+        f""""knn_recall_at_100":${mKnn(100)._1}%.4f,""" +
         f""""ndoc_per_query":$ndoc%.1f,"n_docs":$nVec,"topk":$k}"""
     } catch {
       case e: Throwable =>
