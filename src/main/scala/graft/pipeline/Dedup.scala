@@ -219,4 +219,20 @@ object Dedup {
             sqrt(float_dot(col("y.v"), col("y.v"))))).as("cosine"))
       .where(col("cosine") >= tau)
   }
+
+  /** Scale path for embedding near-dup: no label column needed — the block
+    * key is a trained IVF cell (KMeans over the embeddings themselves), so
+    * the pairwise join runs within cells, O(Σ cell²) ≪ O(n²). Near-dups
+    * land in the same cell by construction (they quantize to the same
+    * centroid); multi-probe raises recall if τ is loose.
+    */
+  def embeddingNearDupIVF(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", tau: Double = 0.35,
+      cells: Int = 64, seed: Long = 42L): DataFrame = {
+    val docs = emb.select(col(idCol).as("doc_id"), col(vecCol).as("vec"))
+    val ivf = graft.search.IVFIndex.build(docs, k = cells, seed = seed)
+    val blocked = emb.join(
+      ivf.cells.withColumnRenamed("doc_id", idCol), Seq(idCol))
+    embeddingNearDup(blocked, idCol, vecCol, blockCol = "cell", tau = tau)
+  }
 }

@@ -130,6 +130,17 @@ class PipelineSpec extends SparkSpec {
     assert(a.head.getSeq[Long](2).size == 2)
   }
 
+  test("IVF-blocked near-dup finds planted duplicates without labels") {
+    val emb = Tables.load(spark, sf("0.001"), "embeddings")
+    // plant an exact duplicate of vec 0 under a new id
+    val dup = emb.where(col("vec_id") === 0)
+      .select(lit(99999L).as("vec_id"), col("embedding"), col("label"))
+    val withDup = emb.unionByName(dup)
+    val pairs = Dedup.embeddingNearDupIVF(withDup, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 99999L)), s"planted dup not found: ${pairs.toSeq}")
+  }
+
   test("query spans are deterministic substrings of the query (P5)") {
     val qs = Seq("what is the capital of assyria", "spark structured streaming")
       .toDF("query")
