@@ -534,6 +534,14 @@ object SparkEntry {
           regexp_extract_all(col("raw"), lit("'([^']*)'"), lit(1)).as("answers"))
         .orderBy("doc_id")),
 
+    // rows-only: the precomputed K^M reconstruct-all table (V10,
+    // gen_all_reconstruct — joined at scale, never broadcast)
+    "rq_reconstruct_all" -> ((s, dir) =>
+      graft.index.Reconstructor.reconstructAll(s, rqCodebook(s, dir))
+        .select(col("codes"),
+          transform(col("vec"), x => round(x.cast("double"), 5)).as("vec"))
+        .orderBy("codes")),
+
     // rows-only: RQ reconstruction error (V10 diagnostic)
     "rq_reconstruct" -> ((s, dir) =>
       CodeAssigner.reconstructionError(

@@ -106,4 +106,24 @@ class PlanSpec extends SparkSpec {
       "SELECT float_dot(embedding, embedding) AS d FROM emb_sql_test").collect()
     assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-3))
   }
+
+  test("GraftExtensions injects functions via withExtensions builder") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      // newSession shares the context but gets its own state; the
+      // extensions-applied session must resolve the injected function
+      Tables.load(s2, sf("0.001"), "embeddings").limit(2)
+        .createOrReplaceTempView("emb_ext_test")
+      val r = s2.sql(
+        "SELECT float_neg_l2sq(embedding, embedding) AS d FROM emb_ext_test")
+        .collect()
+      assert(r.forall(row => row.getDouble(0) == 0.0))
+    } finally {
+      // do not stop s2 — it shares the SparkContext with the suite session
+    }
+  }
 }

@@ -32,6 +32,41 @@ class IVFSpec extends SparkSpec {
     }
   }
 
+  test("reconstructAll enumerates K^M tuples matching Codebook.reconstruct (V10)") {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 4, seed = 42L)
+    val all = graft.index.Reconstructor.reconstructAll(spark, cb)
+    val rows = all.collect()
+    assert(rows.length == 16) // 4^2
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0).toArray
+      val vec = r.getSeq[Float](1)
+      val expect = cb.reconstruct(codes).toSeq
+      assert(vec.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-5 },
+        s"mismatch at ${codes.toSeq}")
+    }
+  }
+
+  test("beam search 'last' score mode ranks by final-level log-prob") {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 4, seed = 42L)
+    val vec = docs.head.getSeq[Float](1).toArray
+    val out = CodebookBeamSearch.searchOne(cb, vec, beams = 16, scoreMode = "last")
+    assert(out.length == 16)
+    // scores are per-level log-probs → all ≤ 0, sorted desc
+    assert(out.forall(_._2 <= 1e-12))
+    assert(out.map(_._2).sliding(2).forall {
+      case Array(a, b) => a >= b
+      case _ => true
+    })
+  }
+
+  test("beam search with ip metric still contains the ip-greedy path") {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 4, seed = 42L)
+    val vec = docs.head.getSeq[Float](1).toArray
+    val out = CodebookBeamSearch.searchOne(cb, vec, beams = 16, metric = "ip")
+    assert(out.length == 16)
+    assert(out.forall(_._1.length == 2))
+  }
+
   test("codebook aligner recovers a permutation (V11)") {
     val cb = RQTrainer.fit(docs, "vec", numLevels = 1, k = 8, seed = 42L)
     val perm = Array(3, 1, 4, 0, 2, 7, 5, 6)
