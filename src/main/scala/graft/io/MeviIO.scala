@@ -46,6 +46,18 @@ object MeviIO {
       .csv(path)
       .select(col("query"), split(col("raw_ids"), ",").cast("array<long>").as("doc_ids"))
 
+  /** S5: NQ biencoder JSON — list of `{question, positive_ctxs:
+    * [{passage_id, …}]}` (dataprocess/NQ_dpr/preprocess.py:38-48). One
+    * (query, doc_id) row per positive context, with the reference's
+    * `passage_id − 1` re-base (J9, preprocess.py:42-48).
+    */
+  def readBiencoderJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(col("question").as("query"),
+        explode(col("positive_ctxs")).as("ctx"))
+      .select(col("query"),
+        (col("ctx.passage_id").cast("long") - 1).as("doc_id"))
+
   /** S10/S11: ranked-result TSV `query \t \t preds_csv \t scores_csv` —
     * writer MEVI/main_models.py:4227-4235, parser template
     * MEVI/ensemble_marco.py:85-111 `{query:0, pred:2, score:3}`. */

@@ -1,0 +1,64 @@
+package graft
+
+import graft.io.Tables
+import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
+import graft.search.{BruteForceKNN, CoarseFineRetriever}
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: replicate the fixture embeddings 16× (32k vectors) and run
+  * the full index→retrieve spine plus the MinHash pipeline on 8× documents.
+  * Guards against super-linear regressions (quadratic candidate blowups,
+  * unbounded collects) that sf0.001 unit tests can't see. Wall-clock
+  * bounded loosely — the point is completion and sane output, not timing
+  * precision.
+  */
+class StressSpec extends SparkSpec {
+
+  private def replicatedVecs(times: Int) = {
+    val base = Tables.load(spark, sf("0.01"), "embeddings")
+    (0 until times).map { i =>
+      base.select((col("vec_id") + i * 1000000L).as("doc_id"),
+        col("embedding").as("vec"))
+    }.reduce(_ unionByName _)
+  }
+
+  test("index build + coarse-fine retrieval on 16x replicated corpus (8k vecs)") {
+    val docs = replicatedVecs(16).repartition(16).cache()
+    val n = docs.count()
+    assert(n == 16 * 500)
+    val t0 = System.nanoTime()
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val index = ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
+    val queries = docs.where(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+    val out = CoarseFineRetriever.retrieveBudgeted(
+      queries, index, docs, cb, beams = 4, k = 10, budget = 500)
+    val rows = out.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(rows == 20 * 10)
+    assert(sec < 120, s"spine took ${sec}s on 8k vectors — super-linear?")
+    // replicas of the same vector share a cluster → each query's replica
+    // set scores identically; top hit must be an exact replica (score 1.0-ish)
+    val top1 = out.where(col("rank") === 1)
+    assert(top1.where(col("score") < 0.999).count() == 0)
+  }
+
+  test("minhash LSH pipeline on 8x replicated documents (4k docs)") {
+    val base = Tables.load(spark, sf("0.01"), "documents")
+    val docs = (0 until 8).map { i =>
+      base.select((col("doc_id") + i * 1000000L).as("doc_id"), col("text"))
+    }.reduce(_ unionByName _).repartition(16).cache()
+    assert(docs.count() == 4000)
+    val t0 = System.nanoTime()
+    val sigs = Dedup.minhashSignatures(docs, numPerms = 8)
+    val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
+    val pairs = Dedup.jaccardPairs(docs, pairs = Some(cands))
+      .where(col("jaccard") >= 0.99)
+    val nPairs = pairs.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // every doc now has 7 exact replicas → 8*7/2 pairs per base doc
+    assert(nPairs == 500L * 8 * 7 / 2, s"expected full replica pairing, got $nPairs")
+    assert(sec < 120, s"minhash took ${sec}s on 4k docs — candidate blowup?")
+  }
+}

@@ -38,6 +38,19 @@ class MeviIOSpec extends SparkSpec {
     assert(got(3).getSeq[Long](1) == rows(3).toSeq)
   }
 
+  test("biencoder JSON reader explodes positive contexts with id re-base (S5/J9)") {
+    val path = "target/tmp/test_biencoder.json"
+    Files.createDirectories(Paths.get("target/tmp"))
+    Files.writeString(Paths.get(path),
+      """[{"question": "who wrote spark", "positive_ctxs": [{"passage_id": "5", "title": "t"}, {"passage_id": "9", "title": "u"}]},
+        | {"question": "what is rdd", "positive_ctxs": [{"passage_id": "1", "title": "v"}]}]""".stripMargin)
+    val got = MeviIO.readBiencoderJson(spark, path)
+      .orderBy("query", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("what is rdd", 0L), ("who wrote spark", 4L), ("who wrote spark", 8L)))
+  }
+
   test("pairs + dev TSV readers parse the reference formats (S2/S3)") {
     val dir = "target/tmp/test_pairs_tsv"
     Seq(("what is spark", 7L), ("what is duck", 9L)).toDF("query", "doc_id")
