@@ -13,6 +13,17 @@ class VectorOpsSpec extends SparkSpec {
     (2L, Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f))
   ).toDF("id", "a", "b")
 
+  test("typed Dataset façade round-trips core tables") {
+    import graft.core.model._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val emb = graft.io.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("vec_id AS doc_id", "embedding AS vec")
+    val ds = emb.asEmbeddings
+    assert(ds.head.vec.length == 64)
+    val assigned = ds.limit(5).map(e => CodeAssignment(e.doc_id, Seq(0, 1)))
+    assert(assigned.collect().forall(_.codes == Seq(0, 1)))
+  }
+
   test("vecDot HOF and native expression agree") {
     val rows = df.select(
       vecDot($"a", $"b").as("hof"),
