@@ -198,6 +198,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // P2: explicit null handling — drop/fill/coalesce semantics
+    "p2_null_handling" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pri_null"))
+        .select(col("o_orderkey"),
+          coalesce(col("pri_null"), lit("(default)")).as("priority"),
+          when(col("pri_null").isNull, 1L).otherwise(0L).as("was_null"))
+        .orderBy("o_orderkey")),
+
     // P1: doc text formatting (main_utils.py:199-211)
     "p1_doc_format" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -667,6 +677,12 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(string_split(concat(doc_id, ',', doc_id + 1, ',', doc_id + 2), ',') AS BIGINT[]) AS doc_ids
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p2_null_handling" ->
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderpriority, '3-MEDIUM'), '(default)') AS priority,
+        |  CAST(CASE WHEN nullif(o_orderpriority, '3-MEDIUM') IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_null
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "p1_doc_format" ->
       """SELECT doc_id,

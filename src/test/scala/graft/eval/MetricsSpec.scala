@@ -1,0 +1,59 @@
+package graft.eval
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ranking metrics match hand-computed values") {
+    // q1: gt {10,20}, preds [10, 99, 20] → r@1=.5 r@5=1; rr@1=1; hit=1
+    // q2: gt {30},    preds [99, 98]     → all zero
+    // q3: gt {40},    no preds row       → counted, all zero
+    val preds = Seq(
+      (1L, Seq(10L, 99L, 20L)),
+      (2L, Seq(99L, 98L))).toDF("query_id", "preds")
+    val truth = Seq(
+      (1L, Seq(10L, 20L)),
+      (2L, Seq(30L)),
+      (3L, Seq(40L))).toDF("query_id", "gt")
+    val m = Metrics.ranking(preds, truth, ks = Seq(1, 5)).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(m(1).getAs[Long]("n_queries") == 3)
+    assert(math.abs(m(1).getAs[Double]("recall") - 0.5 / 3) < 1e-9)
+    assert(math.abs(m(1).getAs[Double]("mrr") - 1.0 / 3) < 1e-9)
+    assert(math.abs(m(1).getAs[Double]("hitrate") - 1.0 / 3) < 1e-9)
+    assert(math.abs(m(5).getAs[Double]("recall") - 1.0 / 3) < 1e-9)
+    assert(math.abs(m(5).getAs[Double]("mrr") - 1.0 / 3) < 1e-9)
+  }
+
+  test("ensemble fusion matches the reference formula by hand") {
+    // s + α/(β·crank+1) when cluster ranked; s·(1−γα) otherwise
+    val ann = Seq((1L, 10L, 1.0), (1L, 11L, 0.9)).toDF("query_id", "doc_id", "score")
+    val coarse = Seq((1L, 10L, 2)).toDF("query_id", "doc_id", "crank")
+    val fused = Ensemble.fuse(ann, coarse, alpha = 0.6, beta = 0.03,
+      gamma = 0.02, k = 10)
+      .orderBy("rank").collect()
+    val expected10 = 1.0 + 0.6 / (0.03 * 2 + 1)     // ranked branch
+    val expected11 = 0.9 * (1 - 0.02 * 0.6)         // punish branch
+    assert(fused(0).getAs[Long]("doc_id") == 10L)
+    assert(math.abs(fused(0).getAs[Double]("fused_score") - expected10) < 1e-12)
+    assert(math.abs(fused(1).getAs[Double]("fused_score") - expected11) < 1e-12)
+  }
+
+  test("batch sessionize splits exactly at the gap by hand") {
+    val ts = (m: Int) => new java.sql.Timestamp(m * 60000L)
+    val events = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0),  // session 0
+      (1L, ts(50), 3.0),                    // 40 min gap → session 1
+      (2L, ts(5), 4.0)                      // other user
+    ).toDF("user_id", "ts", "value")
+    val sessions = graft.streaming.Sessionize.batch(events, gapMinutes = 30)
+      .orderBy("user_id", "session_id").collect()
+    assert(sessions.length == 3)
+    assert(sessions(0).getAs[Long]("n_events") == 2)
+    assert(sessions(0).getAs[Double]("sum_value") == 3.0)
+    assert(sessions(1).getAs[Long]("n_events") == 1)
+    assert(sessions(2).getAs[Long]("user_id") == 2L)
+  }
+}

@@ -38,6 +38,22 @@ class MeviIOSpec extends SparkSpec {
     assert(got(3).getSeq[Long](1) == rows(3).toSeq)
   }
 
+  test("corpus TSV roundtrip survives quotes and embedded separators") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain", "simple content"),
+      (2L, "has \"quotes\"", "content with\ttab inside"),
+      (3L, "", "comma, separated, values")
+    ).toDF("doc_id", "title", "content")
+    val dir = "target/tmp/test_nasty_tsv"
+    MeviIO.writeCorpusTsv(nasty, dir)
+    val back = MeviIO.readCorpusTsv(spark, dir).orderBy("doc_id").collect()
+    assert(back.length == 3)
+    assert(back(1).getString(1) == "has \"quotes\"")
+    assert(back(1).getString(2) == "content with\ttab inside")
+    assert(back(2).getString(1) == "") // fillna('') on the empty title
+  }
+
   test("biencoder JSON reader explodes positive contexts with id re-base (S5/J9)") {
     val path = "target/tmp/test_biencoder.json"
     Files.createDirectories(Paths.get("target/tmp"))
