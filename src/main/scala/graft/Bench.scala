@@ -97,7 +97,9 @@ object Bench {
       val m = qual(cf)
       val mKnn = qual(knnRanked)
       val ndoc = graft.eval.Metrics.ndoc(
-        cf.select("query_id", "doc_id")).head.getAs[Double]("ndoc_per_query")
+        cf.select("query_id", "doc_id"),
+        queries = Some(queries.select("query_id")))
+        .head.getAs[Double]("ndoc_per_query")
 
       val (_, cfbSec) = timed {
         CoarseFineRetriever.retrieveBudgeted(

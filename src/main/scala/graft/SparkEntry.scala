@@ -333,7 +333,7 @@ object SparkEntry {
         .join(index.select("codes", "doc_ids"), Seq("codes"))
         .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
         .distinct()
-      Metrics.ndoc(candidates)
+      Metrics.ndoc(candidates, queries = Some(queries))
     }),
 
     // Dedup #2: per-doc MinHash signatures (portable md5 permutation family)

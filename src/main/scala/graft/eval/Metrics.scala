@@ -45,9 +45,13 @@ object Metrics {
       val bestRank = array_min(filter(
         transform(col(gtCol), g => array_position(topk, g)),
         r => r > 0))
+      // empty gt → recall 0, not x/0 = null (a null would silently drop
+      // the query from avg(recall) while it still counts in mrr/hitrate)
+      val recall = when(size(col(gtCol)) === 0, 0.0)
+        .otherwise(size(inter).cast("double") / size(col(gtCol)))
       struct(
         lit(k).as("k"),
-        (size(inter).cast("double") / size(col(gtCol))).as("recall"),
+        recall.as("recall"),
         when(bestRank.isNull, 0.0).otherwise(lit(1.0) / bestRank).as("rr"),
         when(size(inter) > 0, 1.0).otherwise(0.0).as("hit"))
     }
@@ -64,10 +68,22 @@ object Metrics {
   }
 
   /** Avg candidate-pool size per query — ndoc@cluster-k,
-    * MEVI/main_models.py:3775-3777,4182. */
-  def ndoc(candidates: DataFrame, queryCol: String = "query_id"): DataFrame =
-    candidates.groupBy(queryCol).count()
-      .agg(avg("count").as("ndoc_per_query"), count(lit(1)).as("n_queries"))
+    * MEVI/main_models.py:3775-3777,4182. When `queries` is given, queries
+    * whose predicted clusters yielded NO candidates count as 0 (the
+    * reference divides by ALL eval queries); without it the average is
+    * over candidate-producing queries only.
+    */
+  def ndoc(candidates: DataFrame, queryCol: String = "query_id",
+      queries: Option[DataFrame] = None): DataFrame = {
+    val counts = candidates.groupBy(queryCol).count()
+    val full = queries match {
+      case Some(q) => q.select(queryCol).distinct()
+        .join(counts, Seq(queryCol), "left")
+        .select(col(queryCol), coalesce(col("count"), lit(0L)).as("count"))
+      case None => counts
+    }
+    full.agg(avg("count").as("ndoc_per_query"), count(lit(1)).as("n_queries"))
+  }
 
   /** (query_id, rank, doc_id, …) ranked rows → (query_id, preds) lists. */
   def rankedToPreds(ranked: DataFrame): DataFrame =

@@ -10,40 +10,38 @@ import scala.collection.concurrent.TrieMap
   * assignment DataFrame are reused instead of re-fit per query.
   *
   * Codebooks are plain serializable objects → safe to share across
-  * sessions (keyed by path alone). DataFrames are bound to the session
-  * that persisted them → cached per live session in a WeakHashMap, so a
-  * dead session's frames are GC-evicted and an identity-hash reuse can
-  * never resurrect a frame of a stopped SparkContext.
+  * sessions. Cached DataFrames are validated on every hit: a frame whose
+  * SparkContext has stopped is rebuilt and replaced (weak-reference
+  * schemes don't work here — a Dataset strongly references its session, so
+  * a session-keyed weak map would never evict). Builds are serialized per
+  * cache so concurrent callers can't double-persist a discarded frame.
   */
 object ArtifactCache {
 
   private val codebooks = TrieMap.empty[String, Codebook]
-  private val frames =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      TrieMap[String, DataFrame]]()
+  private val frames = TrieMap.empty[String, DataFrame]
 
   def codebook(key: String)(train: => Codebook): Codebook =
     codebooks.getOrElseUpdate(key, train)
 
-  /** Cached + persisted DataFrame (materialized once), scoped to the
-    * session that builds it. */
+  /** Cached + persisted DataFrame (materialized once per live context). */
   def frame(session: org.apache.spark.sql.SparkSession, key: String)(
-      build: => DataFrame): DataFrame = {
-    val perSession = frames.synchronized {
-      var m = frames.get(session)
-      if (m == null) { m = TrieMap.empty[String, DataFrame]; frames.put(session, m) }
-      m
+      build: => DataFrame): DataFrame = frames.synchronized {
+    frames.get(key) match {
+      case Some(df) if !df.sparkSession.sparkContext.isStopped => df
+      case _ =>
+        val df = build.persist()
+        df.count()
+        frames.put(key, df)
+        df
     }
-    perSession.getOrElseUpdate(key, {
-      val df = build.persist()
-      df.count()
-      df
-    })
   }
 
   def clear(): Unit = {
     frames.synchronized {
-      frames.values.forEach(m => m.values.foreach(_.unpersist(false)))
+      frames.values.foreach { df =>
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+      }
       frames.clear()
     }
     codebooks.clear()

