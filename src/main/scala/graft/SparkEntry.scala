@@ -48,11 +48,16 @@ object SparkEntry {
     }
 
   private def rqAssignments(s: SparkSession, dir: String): DataFrame =
-    // frame cache is session-scoped (a cached DataFrame dies with its
-    // session); the codebook is a plain object and stays dir-keyed
+    // frame cache is validity-checked per live context; the codebook is a
+    // plain object and stays dir-keyed
     ArtifactCache.frame(s, s"$dir/rq2x3/assign") {
       CodeAssigner.assign(docVecs(s, dir).select("doc_id", "vec"),
         rqCodebook(s, dir))
+    }
+
+  private def rqIndex(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.frame(s, s"$dir/rq2x3/index") {
+      ClusterIndexBuilder.build(rqAssignments(s, dir))
     }
 
   // ---------------------------------------------------------------------
@@ -64,7 +69,7 @@ object SparkEntry {
     val docs = docVecs(spark, dir).cache()
     val queries = queryVecs(spark, dir)
     val cb = rqCodebook(spark, dir)
-    val index = ClusterIndexBuilder.build(rqAssignments(spark, dir))
+    val index = rqIndex(spark, dir)
     val retrieved = CoarseFineRetriever.retrieve(
       queries.select("query_id", "qvec"), index, docs, cb, beams = 4, k = 10)
     Metrics.ranking(
@@ -301,13 +306,13 @@ object SparkEntry {
 
     // rows-only: cluster inverted index over RQ codes
     "rq_cluster_index" -> ((s, dir) =>
-      ClusterIndexBuilder.build(rqAssignments(s, dir)).orderBy("codes", "chunk")),
+      rqIndex(s, dir).orderBy("codes", "chunk")),
 
     // rows-only: full coarse→fine retrieval
     "coarse_fine" -> ((s, dir) => {
       val docs = docVecs(s, dir).select("doc_id", "vec")
       val queries = queryVecs(s, dir).select("query_id", "qvec")
-      val index = ClusterIndexBuilder.build(rqAssignments(s, dir))
+      val index = rqIndex(s, dir)
       CoarseFineRetriever.retrieve(queries, index, docs, rqCodebook(s, dir),
         beams = 4, k = 10)
         .orderBy("query_id", "rank")
@@ -318,7 +323,7 @@ object SparkEntry {
     "coarse_fine_budgeted" -> ((s, dir) => {
       val docs = docVecs(s, dir).select("doc_id", "vec")
       val queries = queryVecs(s, dir).select("query_id", "qvec")
-      val index = ClusterIndexBuilder.build(rqAssignments(s, dir))
+      val index = rqIndex(s, dir)
       CoarseFineRetriever.retrieveBudgeted(queries, index, docs,
         rqCodebook(s, dir), beams = 4, k = 10, budget = 100)
         .orderBy("query_id", "rank")
@@ -327,7 +332,7 @@ object SparkEntry {
     // rows-only: ndoc@cluster-R candidate-pool diagnostic (A6)
     "rq_ndoc" -> ((s, dir) => {
       val queries = queryVecs(s, dir).select("query_id", "qvec")
-      val index = ClusterIndexBuilder.build(rqAssignments(s, dir))
+      val index = rqIndex(s, dir)
       val coarse = CodebookBeamSearch.search(queries, rqCodebook(s, dir), beams = 4)
       val candidates = coarse
         .join(index.select("codes", "doc_ids"), Seq("codes"))
