@@ -580,7 +580,8 @@ object SparkEntry {
       val coarse = BruteForceKNN.topK(queries, docs, k = 5, metric = "cos",
         excludeSelf = true)
         .select(col("query_id"), col("doc_id"), col("rank").as("crank"))
-      Ensemble.fuse(ann, coarse, alpha = 0.6, beta = 0.03, gamma = 0.02, k = 10)
+      Ensemble.fuse(ann, coarse, numClusters = 5,
+        alpha = 0.6, beta = 0.03, gamma = 0.02, k = 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("doc_id"), round(col("fused_score"), 6).as("fused_score"))
         .orderBy("query_id", "rank")
@@ -1016,8 +1017,9 @@ object SparkEntry {
          |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS crank FROM s),
          |fused AS (
          |  SELECT a.query_id, a.doc_id,
-         |    CASE WHEN c.crank IS NOT NULL THEN a.score + 0.6 / (0.03 * c.crank + 1)
-         |         ELSE a.score * (1 - 0.02 * 0.6) END AS fused_score
+         |    CASE WHEN c.crank IS NOT NULL
+         |         THEN a.score + 0.6 / (0.03 * (c.crank - 1) + 1)
+         |         ELSE (a.score + 0.6 / (0.03 * 5 + 1)) * (1 - 0.02 * 0.6) END AS fused_score
          |  FROM (SELECT * FROM ann WHERE arank <= 10) a
          |  LEFT JOIN (SELECT * FROM coarse WHERE crank <= 5) c
          |    ON a.query_id = c.query_id AND a.doc_id = c.doc_id),

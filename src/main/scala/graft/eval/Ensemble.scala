@@ -4,38 +4,46 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Ensemble score fusion of an ANN ranked list with a coarse (cluster-rank)
-  * list — MEVI/ensemble_marco.py:221-240:
+  * list — exactly MEVI/ensemble_marco.py:235-238 (verified against source):
   *
-  *   fused(p) = s_ann(p) + α / (β · crank(p) + 1)        if p's cluster ranked
-  *   fused(p) = s_ann(p) · (1 − γ·α)                      otherwise (punish)
+  *   crank(p) = 0-based rank of p's cluster in the coarse list,
+  *              or C (= numClusters, the sentinel) when absent
+  *   fused(p) = s_ann(p) + α / (β · crank(p) + 1)
+  *   fused(p) *= (1 − γ·α)            iff crank(p) == C   (punish)
   *
-  * Defaults α=0.6, β=0.03, γ=0.02 (ensemble_marco.py:251-253; NQ α=0.4,
-  * ensemble_nqdpr.py:261). Pure column arithmetic after the alignment join
-  * (J6) — no UDF, fully codegen'd.
+  * Note the punish multiplier applies ON TOP of the additive term computed
+  * with the sentinel crank — not on the raw score. Defaults α=0.6, β=0.03,
+  * γ=0.02 (ensemble_marco.py:251-253; NQ α=0.4, ensemble_nqdpr.py:261).
+  * Pure column arithmetic after the alignment join (J6) — no UDF.
   */
 object Ensemble {
 
-  /** @param ann    (query_id, doc_id, score) — ANN ranked candidates
-    * @param coarse (query_id, doc_id, crank) — 1-based cluster rank of the
-    *               doc's cluster within the query's coarse list (absent rows
-    *               = cluster not predicted → punished)
+  /** @param ann         (query_id, doc_id, score) — ANN ranked candidates
+    * @param coarse      (query_id, doc_id, crank) — 1-BASED cluster rank
+    *                    (row_number convention; converted to the
+    *                    reference's 0-based internally); absent rows =
+    *                    cluster not predicted → sentinel + punish
+    * @param numClusters C: the coarse list length (num_return_sequences)
     * @return (query_id, rank, doc_id, fused_score)
     */
   def fuse(
       ann: DataFrame,
       coarse: DataFrame,
+      numClusters: Int,
       alpha: Double = 0.6,
       beta: Double = 0.03,
       gamma: Double = 0.02,
       k: Int = 100): DataFrame = {
 
+    val crank0 = coalesce(col("crank") - 1, lit(numClusters))
+    val additive = col("score") + lit(alpha) / (lit(beta) * crank0 + 1)
     val fused = ann
       .join(coarse, Seq("query_id", "doc_id"), "left")
       .select(
         col("query_id"), col("doc_id"),
-        when(col("crank").isNotNull,
-          col("score") + lit(alpha) / (lit(beta) * col("crank") + 1))
-          .otherwise(col("score") * (lit(1.0) - lit(gamma) * lit(alpha)))
+        when(crank0 === numClusters,
+          additive * (lit(1.0) - lit(gamma) * lit(alpha)))
+          .otherwise(additive)
           .as("fused_score"))
 
     import org.apache.spark.sql.expressions.Window

@@ -28,14 +28,15 @@ class MetricsSpec extends SparkSpec {
   }
 
   test("ensemble fusion matches the reference formula by hand") {
-    // s + α/(β·crank+1) when cluster ranked; s·(1−γα) otherwise
+    // ensemble_marco.py:235-238: s + α/(β·crank0+1) with 0-based crank;
+    // unknown cluster → crank0 = C sentinel AND the whole value ×(1−γα)
     val ann = Seq((1L, 10L, 1.0), (1L, 11L, 0.9)).toDF("query_id", "doc_id", "score")
-    val coarse = Seq((1L, 10L, 2)).toDF("query_id", "doc_id", "crank")
-    val fused = Ensemble.fuse(ann, coarse, alpha = 0.6, beta = 0.03,
-      gamma = 0.02, k = 10)
+    val coarse = Seq((1L, 10L, 2)).toDF("query_id", "doc_id", "crank") // 1-based
+    val fused = Ensemble.fuse(ann, coarse, numClusters = 5,
+      alpha = 0.6, beta = 0.03, gamma = 0.02, k = 10)
       .orderBy("rank").collect()
-    val expected10 = 1.0 + 0.6 / (0.03 * 2 + 1)     // ranked branch
-    val expected11 = 0.9 * (1 - 0.02 * 0.6)         // punish branch
+    val expected10 = 1.0 + 0.6 / (0.03 * 1 + 1)                       // crank0 = 1
+    val expected11 = (0.9 + 0.6 / (0.03 * 5 + 1)) * (1 - 0.02 * 0.6) // sentinel + punish
     assert(fused(0).getAs[Long]("doc_id") == 10L)
     assert(math.abs(fused(0).getAs[Double]("fused_score") - expected10) < 1e-12)
     assert(math.abs(fused(1).getAs[Double]("fused_score") - expected11) < 1e-12)
