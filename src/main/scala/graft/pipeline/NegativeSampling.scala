@@ -28,8 +28,10 @@ object NegativeSampling {
         s => s.getField("v")),
       1, n)
 
-  /** `clus`: negatives from the positive doc's cluster, minus every
-    * positive of the same query (main_models.py:1841-1852 rejection).
+  /** `clus`: negatives from the positive doc's cluster, excluding the
+    * paired positive itself — exactly main_models.py:1854-1856
+    * (`pq_doc_cluster.get(newid).copy(); remove_ele(…, oldid)`; other
+    * positives of the same query are NOT excluded in the reference).
     *
     * Relational shape: explode cluster members (the chunked index's rows
     * union back together naturally), rank candidates by the md5 hash per
@@ -45,14 +47,11 @@ object NegativeSampling {
   def clusterNegatives(pairs: DataFrame, assignments: DataFrame,
       clusterIndex: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val posPerQuery = pairs.groupBy("query")
-      .agg(collect_set(col("doc_id")).as("pos_ids"))
     val cands = pairs
       .join(assignments, Seq("doc_id"))
       .join(clusterIndex.select("codes", "doc_ids"), Seq("codes"))
       .select(col("query"), col("doc_id"), explode(col("doc_ids")).as("cand"))
-      .join(posPerQuery, Seq("query"))
-      .where(!array_contains(col("pos_ids"), col("cand")))
+      .where(col("cand") =!= col("doc_id"))
       .withColumn("__h", rankHash(col("query"), col("cand")))
     val w = Window.partitionBy("query", "doc_id")
       .orderBy(col("__h").asc, col("cand").asc)
@@ -82,11 +81,15 @@ object NegativeSampling {
           coalesce(combined, col("neg_ids")), n).as("neg_ids"))
   }
 
-  /** `notclus`: corpus-wide negatives excluding the positive's cluster —
-    * anti-join + deterministic per-query rank. The window runs over
-    * (query × corpus) restricted upstream; at 100 TB the corpus side is
-    * pre-sampled by hash bucket (`md5 % buckets`) before the window, so the
-    * shuffle stays bounded. */
+  /** `notclus`: corpus-wide negatives rejecting any candidate that shares
+    * ANY code level with the positive — exactly the reference's
+    * `if_in_clus` predicate (main_models.py:1841-1843:
+    * `any(i == j for i, j in zip(pq_mapping[c], newid))`), which is
+    * stricter than full-tuple inequality. Anti-predicate + deterministic
+    * per-query rank; at 100 TB the corpus side is pre-sampled by hash
+    * bucket (`md5 % buckets`) before the window, so the shuffle stays
+    * bounded (the reference samples 2n candidates per round the same way).
+    */
   def notClusterNegatives(pairs: DataFrame, assignments: DataFrame,
       corpus: DataFrame, n: Int, preSampleBuckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -98,26 +101,33 @@ object NegativeSampling {
     val posCodes = pairs.join(assignments, Seq("doc_id"))
     val w = Window.partitionBy("query", "doc_id")
       .orderBy(rankHash(col("query"), col("cand_id")))
+    val sharesAnyLevel = array_contains(
+      zip_with(col("cand_codes"), col("codes"), (a, b) => a === b), true)
     posCodes
       .crossJoin(cand)
       .join(assignments.select(col("doc_id").as("cand_id"),
         col("codes").as("cand_codes")), Seq("cand_id"))
-      .where(col("cand_codes") =!= col("codes"))
+      .where(!sharesAnyLevel)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
       .groupBy("query", "doc_id")
       .agg(sort_array(collect_list(col("cand_id"))).as("neg_ids"))
   }
 
-  /** SimANS-style score-aware sampling (main_models.py:1607-1616): weight
-    * w = exp(−a·(s − s_pos)²), deterministic weighted-without-replacement
-    * via the exponential-race key ln(u)/w with u from the rank hash. */
-  def simansNegatives(scored: DataFrame, n: Int, a: Double = 0.5): DataFrame = {
+  /** SimANS score-aware sampling (main_models.py:1613-1616): sampling
+    * probability ∝ softmax(−a·(s − mean_gt_score − b)²). The softmax's
+    * normalizing constant cancels in weighted-without-replacement sampling,
+    * so the race uses w = exp(−a·(s − s_pos − b)²) directly; `pos_score`
+    * plays mean-of-gt-scores (identical for single-positive rows), and b
+    * is the reference's `simans_hyper_b` offset. Deterministic via the
+    * exponential-race key ln(u)/w with u from the rank hash. */
+  def simansNegatives(scored: DataFrame, n: Int, a: Double = 0.5,
+      b: Double = 0.0): DataFrame = {
     // scored: (query, doc_id pos, cand_id, cand_score, pos_score)
     import org.apache.spark.sql.expressions.Window
     val u = (rankHash(col("query"), col("cand_id")).cast("double") + 1.0) /
       (Dedup.P.toDouble + 1.0)
-    val wgt = exp(lit(-a) * pow(col("cand_score") - col("pos_score"), 2))
+    val wgt = exp(lit(-a) * pow(col("cand_score") - col("pos_score") - lit(b), 2))
     val key = log(u) / wgt // less negative = better
     val w = Window.partitionBy("query", "doc_id").orderBy(key.desc)
     scored

@@ -115,7 +115,11 @@ class PipelineSpec extends SparkSpec {
       .select(col("pos_codes"), explode(col("neg_ids")).as("neg_id"))
       .join(assignments.select(col("doc_id").as("neg_id"),
         col("codes").as("neg_codes")), Seq("neg_id"))
-    assert(joined.where(col("pos_codes") === col("neg_codes")).count() == 0)
+    // reference's if_in_clus: reject on ANY shared code level, not just
+    // full-tuple equality (main_models.py:1841-1843)
+    val sharesLevel = array_contains(
+      zip_with(col("pos_codes"), col("neg_codes"), (a, b) => a === b), true)
+    assert(joined.where(sharesLevel).count() == 0)
     assert(negs.where(size(col("neg_ids")) =!= 5).count() == 0)
   }
 
