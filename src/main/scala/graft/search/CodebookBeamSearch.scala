@@ -9,9 +9,14 @@ import graft.index.Codebook
   * Re-expresses the reference's twin-tower VQ topk (MEVI/pq.py:613-713,
   * batch driver 715-741): per level, softmax over centroid scores, expand
   * beams, keep top-B by cumulative log-prob ("prod" mode) or by the last
-  * level's log-prob ("last" mode). The trie constraint of the seq2seq path
-  * (generation_utils.py:801-819) degenerates to "any code in [0,K)" because
-  * the RQ code space is a complete K-ary tree (SURVEY §1.1 decode-trie row).
+  * level's log-prob ("last" mode). Scores are kept in LOG space (the
+  * reference multiplies raw softmax probabilities, pq.py:664-666); log is
+  * monotonic so beam selection and final ranking are identical, without
+  * the underflow of multiplying M small probabilities. "last" mode is
+  * myopic per level in both (reference: `proba = proba`, no multiply).
+  * The trie constraint of the seq2seq path (generation_utils.py:801-819)
+  * degenerates to "any code in [0,K)" because the RQ code space is a
+  * complete K-ary tree (SURVEY §1.1 decode-trie row).
   *
   * Executed as one broadcast-closure UDF per query row: the whole search is
   * M×B×K×dim flops on driver-broadcast state (~400 KB), so it is
