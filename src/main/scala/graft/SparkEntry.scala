@@ -468,13 +468,14 @@ object SparkEntry {
 
     // Multimodal: binary payload metadata (no decode needed)
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.metadata(Multimodal.asMedia(t(s, dir, "documents")))
+      Multimodal.metadata(Multimodal.asMedia(t(s, dir, "documents"),
+        mediaType = concat(lit("fake/"), col("source"))))
         .orderBy("doc_id")),
 
     // Multimodal: frame-sampling explode shape over binary payloads
     "multimodal_frames" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.asMedia(t(s, dir, "documents")),
-        stride = 64)
+      Multimodal.frameSample(Multimodal.asMedia(t(s, dir, "documents"),
+        mediaType = concat(lit("fake/"), col("source"))), stride = 64)
         .orderBy("doc_id", "frame_idx")),
 
     // S1: corpus TSV write→read roundtrip through the MEVI readers

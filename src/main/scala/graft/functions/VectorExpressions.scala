@@ -29,32 +29,38 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def prettyName: String = "float_vector_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
-    if (x.length != y.length) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    while (i < n) {
+      // null elements propagate to a null result, matching the HOF fold
+      // (toFloatArray would silently read them as 0.0)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
+      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |float[] $x = $a.toFloatArray();
-         |float[] $y = $b.toFloatArray();
-         |if ($x.length != $y.length) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $s = 0.0;
-         |  for (int $i = 0; $i < $x.length; $i++) {
-         |    $s += (double) $x[$i] * (double) $y[$i];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })
@@ -73,13 +79,15 @@ case class FloatVectorNegL2Sq(left: Expression, right: Expression)
   override def prettyName: String = "float_vector_neg_l2sq"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
-    if (x.length != y.length) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < x.length) {
-      val d = x(i).toDouble - y(i).toDouble
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
       s += d * d
       i += 1
     }
@@ -88,23 +96,22 @@ case class FloatVectorNegL2Sq(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val x = ctx.freshName("x")
-      val y = ctx.freshName("y")
+      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |float[] $x = $a.toFloatArray();
-         |float[] $y = $b.toFloatArray();
-         |if ($x.length != $y.length) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $s = 0.0;
-         |  for (int $i = 0; $i < $x.length; $i++) {
-         |    double $d = (double) $x[$i] - (double) $y[$i];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
          |    $s += $d * $d;
          |  }
-         |  ${ev.value} = -$s;
+         |  if (!${ev.isNull}) { ${ev.value} = -$s; }
          |}
        """.stripMargin
     })

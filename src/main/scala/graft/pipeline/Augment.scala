@@ -56,14 +56,27 @@ object Augment {
   }
 
   /** P10: deterministic subsample (keep md5(doc_id) mod 100 ≥ dropPct),
-    * re-id contiguously by old order, return (old_id → new_id) mapping. */
+    * re-id contiguously by old order, return (old_id → new_id) mapping.
+    *
+    * Distributed re-id: range-partition + sort by old_id, then
+    * zipWithIndex (per-partition counts + offsets under the hood) — a
+    * global `row_number() OVER (ORDER BY …)` window would pull the whole
+    * kept corpus into ONE task at 100 TB.
+    */
   def subsampleMapping(docs: DataFrame, idCol: String = "doc_id",
       dropPct: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs.select(col(idCol).as("old_id"))
+    val spark = docs.sparkSession
+    val kept = docs.select(col(idCol).as("old_id"))
       .where(pmod(Dedup.md5Hash60(col("old_id").cast("string")), lit(100L)) >= dropPct)
-      .withColumn("new_id",
-        row_number().over(Window.orderBy(col("old_id"))).cast("long") - 1)
+      .repartitionByRange(col("old_id"))
+      .sortWithinPartitions("old_id")
+    val rdd = kept.rdd.map(_.getLong(0)).zipWithIndex()
+      .map { case (oldId, idx) => org.apache.spark.sql.Row(oldId, idx) }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("old_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("new_id",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** P7: per-digit deterministic shuffle of a numeric id, every output

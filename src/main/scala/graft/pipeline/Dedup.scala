@@ -38,9 +38,11 @@ object Dedup {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // file count approximates source parallelism without forcing a full
     // physical-planning pass (df.rdd would plan the query once just to
-    // read a partition count, then the real query plans again)
-    val approxSplits = math.max(df.inputFiles.length, 1)
-    if (approxSplits < target) df.repartition(target) else df
+    // read a partition count, then the real query plans again). A
+    // non-file-backed input (inputFiles empty: in-memory, post-shuffle)
+    // already has real parallelism — never force a shuffle onto it.
+    val files = df.inputFiles.length
+    if (files > 0 && files < target) df.repartition(target) else df
   }
 
   /** n-word shingles as strings: tokens[i..i+n-1] joined by one space.

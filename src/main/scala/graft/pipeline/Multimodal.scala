@@ -21,12 +21,16 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = false),
     StructField("media_type", StringType, nullable = false)))
 
-  /** Wrap a text corpus into fake media rows (payload = utf-8 bytes). */
+  /** Wrap a text corpus into fake media rows (payload = utf-8 bytes).
+    * `mediaType` is any Column expression over the input (defaults to a
+    * constant, so any (idCol, textCol) frame works — no hidden column
+    * dependencies). */
   def asMedia(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text",
+      mediaType: org.apache.spark.sql.Column = lit("raw/text")): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       col(textCol).cast("binary").as("payload"),
-      concat(lit("fake/"), col("source")).as("media_type"))
+      mediaType.as("media_type"))
 
   /** Metadata extraction — pure column expressions (no decode needed):
     * payload size + content hash. */

@@ -125,10 +125,13 @@ object NegativeSampling {
       b: Double = 0.0): DataFrame = {
     // scored: (query, doc_id pos, cand_id, cand_score, pos_score)
     import org.apache.spark.sql.expressions.Window
-    val u = (rankHash(col("query"), col("cand_id")).cast("double") + 1.0) /
-      (Dedup.P.toDouble + 1.0)
+    // u must land in (0,1): rankHash is 60-bit, so reduce mod P first
+    // (raw hash/(P+1) would exceed 1, flipping ln(u)'s sign and inverting
+    // the race toward the LOWEST weights)
+    val u = (pmod(rankHash(col("query"), col("cand_id")), lit(Dedup.P))
+      .cast("double") + 1.0) / (Dedup.P.toDouble + 2.0)
     val wgt = exp(lit(-a) * pow(col("cand_score") - col("pos_score") - lit(b), 2))
-    val key = log(u) / wgt // less negative = better
+    val key = log(u) / wgt // ln(u) < 0; larger weight → key nearer 0 → wins
     val w = Window.partitionBy("query", "doc_id").orderBy(key.desc)
     scored
       .withColumn("__rn", row_number().over(w))

@@ -57,12 +57,17 @@ object QueryGenPool {
 
     // left-join back to the universe: a doc still uncovered after
     // maxRounds appears with an empty list, not silently dropped
-    universe.join(
+    val out = universe.join(
       pool.groupBy("doc_id")
         .agg(sort_array(collect_set(col("query"))).as("queries")),
       Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("queries"), array().cast("array<string>")).as("queries"))
       .select(col("doc_id"), col("queries"), size(col("queries")).as("n_queries"))
+      .persist()
+    out.count() // materialize before releasing the inputs it derives from
+    pool.unpersist()
+    universe.unpersist()
+    out // caller owns the returned frame's persistence
   }
 }

@@ -46,15 +46,7 @@ object BruteForceKNN {
         col("query_id"), col("doc_id"),
         score(metric)(col("qvec"), col("vec")).as("score"))
 
-    scored
-      .groupBy("query_id")
-      .agg(TopK.topk(k)(col("doc_id"), col("score")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sd")))
-      .select(
-        col("query_id"),
-        (col("pos") + 1).as("rank"),
-        col("sd.id").as("doc_id"),
-        col("sd.score").as("score"))
+    TopK.ranked(scored, k)
   }
 
   /** Ranked-list form: (query_id, preds ARRAY<LONG>, scores ARRAY<DOUBLE>). */

@@ -22,6 +22,16 @@ import graft.index.Codebook
   */
 object CoarseFineRetriever {
 
+  /** Index-side scoring (code assignment AND beam probe) is always L2:
+    * the codebook is L2-trained (MLlib KMeans), so probing in any other
+    * geometry can miss the cluster a doc was assigned to — including the
+    * query's own. The reference keeps assign/probe consistent the same way
+    * (one dist_mode through compute_scores for both, pq.py:124-131 +
+    * get_rq_document_cluster); an ip-geometry index needs an ip-trained
+    * quantizer (the iptol2 reduction in VectorOps is the bridge). The
+    * `metric` parameter governs the EXACT re-rank (and the budget prune,
+    * which approximates that re-rank on reconstructions). */
+
   /** @param queries       (query_id, qvec ARRAY<FLOAT>)
     * @param clusterIndex  (codes ARRAY<INT>, doc_ids ARRAY<LONG>) from
     *                      [[graft.index.ClusterIndexBuilder]]
@@ -61,15 +71,7 @@ object CoarseFineRetriever {
       .agg(agg.as("score"))
 
     // T2: grouped bounded top-k.
-    deduped
-      .groupBy("query_id")
-      .agg(TopK.topk(k)(col("doc_id"), col("score")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sd")))
-      .select(
-        col("query_id"),
-        (col("pos") + 1).as("rank"),
-        col("sd.id").as("doc_id"),
-        col("sd.score").as("score"))
+    TopK.ranked(deduped, k)
   }
 
   /** Budgeted variant: before fetching ANY embeddings, re-score candidate
@@ -97,12 +99,23 @@ object CoarseFineRetriever {
     import org.apache.spark.sql.expressions.Window
     val spark = queries.sparkSession
     val bc = spark.sparkContext.broadcast(codebook)
+    // cluster pruning scores with the SAME metric as the final re-rank —
+    // pruning by ip while re-ranking by l2 would cut the l2-best clusters
     val reconScore = udf { (qvec: Array[Float], codes: Seq[Int]) =>
       val rec = bc.value.reconstruct(codes.toArray)
-      var s = 0.0
       var j = 0
-      while (j < qvec.length) { s += qvec(j).toDouble * rec(j).toDouble; j += 1 }
-      s
+      metric match {
+        case "l2" =>
+          var s = 0.0
+          while (j < qvec.length) {
+            val d = qvec(j).toDouble - rec(j).toDouble; s += d * d; j += 1
+          }
+          -s
+        case _ => // ip & cos prune by dot product (recs aren't normalized)
+          var s = 0.0
+          while (j < qvec.length) { s += qvec(j).toDouble * rec(j).toDouble; j += 1 }
+          s
+      }
     }
 
     val coarse = CodebookBeamSearch.search(queries, codebook, beams)
@@ -134,12 +147,8 @@ object CoarseFineRetriever {
       .select(col("query_id"), col("doc_id"),
         BruteForceKNN.score(metric)(col("qvec"), col("vec")).as("score"))
 
-    scored
-      .groupBy("query_id", "doc_id").agg(max(col("score")).as("score"))
-      .groupBy("query_id")
-      .agg(TopK.topk(k)(col("doc_id"), col("score")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sd")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("sd.id").as("doc_id"), col("sd.score").as("score"))
+    TopK.ranked(
+      scored.groupBy("query_id", "doc_id").agg(max(col("score")).as("score")),
+      k)
   }
 }

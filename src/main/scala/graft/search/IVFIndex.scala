@@ -50,20 +50,20 @@ object IVFIndex {
         .sortBy { case (c, d) => (d, c) }
         .take(nprobe).map(_._1)
     }
-    val probed = queries
-      .select(col("query_id"), col("qvec"), explode(probeUdf(col("qvec"))).as("cell"))
-
-    val scored = probed
+    // candidates carry only (query_id, doc_id); qvec re-attaches via the
+    // broadcast join below, so the shuffle never duplicates query vectors
+    // per candidate row
+    val candidates = queries
+      .select(col("query_id"), explode(probeUdf(col("qvec"))).as("cell"))
       .join(ivf.cells, Seq("cell"))
+      .select("query_id", "doc_id")
+
+    val scored = candidates
       .join(docs, Seq("doc_id"))
+      .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("doc_id"),
         BruteForceKNN.score(metric)(col("qvec"), col("vec")).as("score"))
 
-    scored
-      .groupBy("query_id")
-      .agg(TopK.topk(k)(col("doc_id"), col("score")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sd")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("sd.id").as("doc_id"), col("sd.score").as("score"))
+    TopK.ranked(scored, k)
   }
 }

@@ -64,4 +64,20 @@ object TopK {
     udaf(new TopKAggregator(k), Encoders.product[ScoredDoc])
       .apply(id, score)
   }
+
+  /** The canonical ranked-hit output: scored (query_id, doc_id, score) rows
+    * → (query_id, rank 1-based, doc_id, score), grouped bounded top-k.
+    * Single definition of the engine's ranked-list contract (tie-break,
+    * rank base, column names) shared by every retrieval path.
+    */
+  def ranked(scored: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    scored
+      .groupBy("query_id")
+      .agg(topk(k)(col("doc_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "sd")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("sd.id").as("doc_id"), col("sd.score").as("score"))
+  }
 }

@@ -78,6 +78,25 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial_"), s"no map-side combine:\n$p")
   }
 
+  test("budgeted retrieval plan: no cartesian product, queries broadcast") {
+    import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
+    import graft.search.CoarseFineRetriever
+    val docs = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val queries = Tables.load(spark, sf("0.001"), "embeddings")
+      .where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val idx = ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
+    val out = CoarseFineRetriever.retrieveBudgeted(queries, idx, docs, cb,
+      beams = 4, k = 5, budget = 100)
+    out.collect() // finalize AQE
+    val p = planString(out)
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "queries side not broadcast")
+  }
+
   test("c0-partitioned cluster index prunes partitions on probe") {
     import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
     val docs = Tables.load(spark, sf("0.001"), "embeddings")

@@ -47,6 +47,14 @@ class VectorOpsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("null array elements propagate to null, matching the HOF fold") {
+    val withNull = Seq((1L, Seq[java.lang.Float](1.0f, null, 3.0f),
+      Seq[java.lang.Float](1.0f, 2.0f, 3.0f))).toDF("id", "a", "b")
+    val r = withNull.select(float_dot($"a", $"b").as("n"),
+      float_neg_l2sq($"a", $"b").as("l"), vecDot($"a", $"b").as("h")).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("cosine is 0 on zero vector, 1 on self") {
     val r = df.select(vecCosine($"a", $"b")).collect()
     assert(r(1).getDouble(0) == 0.0)
