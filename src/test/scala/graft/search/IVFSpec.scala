@@ -67,6 +67,35 @@ class IVFSpec extends SparkSpec {
     assert(out.forall(_._1.length == 2))
   }
 
+  test("iptol2-trained index retrieves by inner product consistently") {
+    import graft.index.{IpToL2, ClusterIndexBuilder, CodeAssigner}
+    // un-normalize the fixture vectors so ip and l2 genuinely disagree
+    val scaled = docs.select(col("doc_id"),
+      graft.core.VectorOps.vecAxpy(
+        (col("doc_id") % 5).cast("double") * 0.3 + lit(0.5),
+        transform(col("vec"), _ => lit(0.0f)), col("vec")).as("vec")).cache()
+    val phi = IpToL2.phiFor(scaled)
+    val cb = IpToL2.fit(scaled, phi, "vec", numLevels = 2, k = 8)
+    val augDocs = IpToL2.augmentDocs(scaled, phi).cache()
+    val index = ClusterIndexBuilder.build(CodeAssigner.assign(augDocs, cb))
+    val queries = IpToL2.augmentQueries(
+      scaled.where(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("vec").as("qvec")))
+    // exhaustive beams: candidate set = full corpus; ip ranking on
+    // augmented vectors must equal brute-force ip on the originals
+    val got = CoarseFineRetriever.retrieve(queries, index, augDocs, cb,
+      beams = 64, k = 3, metric = "ip")
+    val exact = BruteForceKNN.topK(
+      scaled.where(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"), col("vec").as("qvec")),
+      scaled, k = 3, metric = "ip")
+    val a = got.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val e = exact.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a == e)
+  }
+
   test("codebook aligner recovers a permutation (V11)") {
     val cb = RQTrainer.fit(docs, "vec", numLevels = 1, k = 8, seed = 42L)
     val perm = Array(3, 1, 4, 0, 2, 7, 5, 6)
