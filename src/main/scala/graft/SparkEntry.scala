@@ -43,8 +43,10 @@ object SparkEntry {
     * mirroring MEVI/main_models.py:2944-2978). */
   private def rqCodebook(s: SparkSession, dir: String): Codebook =
     ArtifactCache.codebook(s"$dir/rq2x3") {
+      // maxIter 10 suffices at the fixture geometry (2×8 over ≤5k vecs
+      // converges in <10 iters); the library default stays 20
       RQTrainer.fit(docVecs(s, dir).select("doc_id", "vec"),
-        "vec", numLevels = 2, k = 8, seed = 42L)
+        "vec", numLevels = 2, k = 8, seed = 42L, maxIter = 10)
     }
 
   private def rqAssignments(s: SparkSession, dir: String): DataFrame =
