@@ -187,11 +187,14 @@ object SparkEntry {
       s.createDataFrame(stats).toDF("op", "n").orderBy("op")
     }),
 
-    // J2: invert pairs → group + collect_set (main_utils.py:128-131)
+    // J2: invert pairs → group + collect_set (main_utils.py:128-131).
+    // Array outputs are stringified in the final projection (driver's
+    // pandas-sort compare can't hash ndarray cells) — same convention for
+    // every query below.
     "j2_group_collect" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("user_id")
-        .agg(sort_array(collect_set(col("event_type"))).as("event_types"),
+        .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("event_types"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }),
@@ -201,7 +204,8 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           concat(col("doc_id"), lit(","), col("doc_id") + 1, lit(","), col("doc_id") + 2).as("raw"))
-        .select(col("doc_id"), split(col("raw"), ",").cast("array<long>").as("doc_ids"))
+        .select(col("doc_id"), split(col("raw"), ",").cast("array<long>").as("parsed"))
+        .select(col("doc_id"), concat_ws(",", col("parsed").cast("array<string>")).as("doc_ids"))
         .orderBy("doc_id")
     }),
 
@@ -271,7 +275,7 @@ object SparkEntry {
         .groupBy(md5(col("text").cast("binary")).as("text_hash"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("canonical_id"),
-          sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+          concat_ws(",", sort_array(collect_list(col("doc_id"))).cast("array<string>")).as("doc_ids"))
         .orderBy("text_hash")
     }),
 
@@ -303,12 +307,21 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
-    // rows-only (KMeans, not SQL-expressible): RQ assignments partition the corpus
-    "rq_assign" -> ((s, dir) => rqAssignments(s, dir).orderBy("doc_id")),
+    // V5: RQ assignments partition the corpus (oracle replays the greedy
+    // argmin with trained centroid literals inlined — see rqOracles)
+    "rq_assign" -> ((s, dir) =>
+      rqAssignments(s, dir)
+        .select(col("doc_id"), concat_ws(",", col("codes").cast("array<string>")).as("codes"))
+        .orderBy("doc_id")),
 
-    // rows-only: cluster inverted index over RQ codes
+    // A1: cluster inverted index over RQ codes
     "rq_cluster_index" -> ((s, dir) =>
-      rqIndex(s, dir).orderBy("codes", "chunk")),
+      rqIndex(s, dir)
+        .select(concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          col("c0"), col("chunk"),
+          concat_ws(",", col("doc_ids").cast("array<string>")).as("doc_ids"),
+          col("csize"))
+        .orderBy("codes", "chunk")),
 
     // rows-only: full coarse→fine retrieval
     "coarse_fine" -> ((s, dir) => {
@@ -346,6 +359,8 @@ object SparkEntry {
     // Dedup #2: per-doc MinHash signatures (portable md5 permutation family)
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashSignatures(t(s, dir, "documents"), numPerms = 4)
+        .select(col("doc_id"), col("n_shingles"),
+          concat_ws(",", col("sig").cast("array<string>")).as("sig"))
         .orderBy("doc_id")),
 
     // Dedup #2b: LSH banding candidates + exact Jaccard confirm ≥ 0.5.
@@ -429,6 +444,9 @@ object SparkEntry {
         .select(col("doc_id").as("query_idx"),
           concat_ws(" ", slice(split(col("text"), "\\s+"), 5, 2)).as("answer"))
       AnswerIndex.inverse(AnswerIndex.containmentJoin(docs, answers))
+        .select(col("doc_id"),
+          concat_ws(",", col("query_idx").cast("array<string>")).as("query_idx"),
+          col("n_queries"))
         .orderBy("doc_id")
     }),
 
@@ -464,7 +482,8 @@ object SparkEntry {
       val clusterIndex = assignments
         .groupBy("codes").agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       NegativeSampling.clusterNegatives(pairs, assignments, clusterIndex, n = 4)
-        .select(col("query"), col("doc_id"), col("neg_ids"))
+        .select(col("query"), col("doc_id"),
+          concat_ws(",", col("neg_ids").cast("array<string>")).as("neg_ids"))
         .orderBy("doc_id")
     }),
 
@@ -499,7 +518,12 @@ object SparkEntry {
         .select(col("query_id").cast("string").as("query"),
           col("preds"), col("scores").cast("array<float>").as("scores"))
       MeviIO.writeRankedTsv(lists, path)
-      MeviIO.readRankedTsv(s, path).orderBy("query")
+      MeviIO.readRankedTsv(s, path)
+        .select(col("query"),
+          concat_ws(",", col("preds").cast("array<string>")).as("preds"),
+          concat_ws(",", transform(col("scores"),
+            x => format_string("%.6f", x.cast("double")))).as("scores"))
+        .orderBy("query")
     }),
 
     // V1 stand-in: deterministic hashing bag-of-words document encoder
@@ -507,7 +531,8 @@ object SparkEntry {
       graft.functions.TextEmbedder.hashEmbed(
         t(s, dir, "documents").where(col("doc_id") < 100), dim = 16)
         .select(col("doc_id"),
-          transform(col("vec"), x => round(x.cast("double"), 6)).as("vec"))
+          concat_ws(",", transform(col("vec"),
+            x => format_string("%.6f", x.cast("double")))).as("vec"))
         .orderBy("doc_id")),
 
     // A3: per-cluster centroid average (codebook `avg` init, pq.py:488-524;
@@ -518,9 +543,9 @@ object SparkEntry {
         .groupBy("label", "pos")
         .agg(avg(col("x").cast("double")).as("m"))
         .groupBy("label")
-        .agg(transform(
+        .agg(concat_ws(",", transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          s_ => round(s_.getField("m"), 6)).as("centroid"))
+          s_ => format_string("%.6f", s_.getField("m")))).as("centroid"))
         .orderBy("label")),
 
     // P3: text cleaning via regexp_replace (main_models.py:437-443)
@@ -534,7 +559,7 @@ object SparkEntry {
     "p4_regex_tokenize" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)), 1, 5).as("first_tokens"),
+          concat_ws(",", slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)), 1, 5)).as("first_tokens"),
           size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_words"))
         .orderBy("doc_id")),
 
@@ -549,15 +574,16 @@ object SparkEntry {
         .select(col("doc_id"),
           concat(lit("['"), col("source"), lit("', '"), col("lang"), lit("']")).as("raw"))
         .select(col("doc_id"),
-          regexp_extract_all(col("raw"), lit("'([^']*)'"), lit(1)).as("answers"))
+          concat_ws(",", regexp_extract_all(col("raw"), lit("'([^']*)'"), lit(1))).as("answers"))
         .orderBy("doc_id")),
 
-    // rows-only: the precomputed K^M reconstruct-all table (V10,
-    // gen_all_reconstruct — joined at scale, never broadcast)
+    // V10: the precomputed K^M reconstruct-all table (gen_all_reconstruct —
+    // joined at scale, never broadcast)
     "rq_reconstruct_all" -> ((s, dir) =>
       graft.index.Reconstructor.reconstructAll(s, rqCodebook(s, dir))
-        .select(col("codes"),
-          transform(col("vec"), x => round(x.cast("double"), 5)).as("vec"))
+        .select(concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          concat_ws(",", transform(col("vec"),
+            x => format_string("%.5f", x.cast("double")))).as("vec"))
         .orderBy("codes")),
 
     // rows-only: RQ reconstruction error (V10 diagnostic)
@@ -678,13 +704,13 @@ object SparkEntry {
         |) ORDER BY op""".stripMargin,
 
     "j2_group_collect" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+      """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
         |  count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "s3_multilabel_parse" ->
       """SELECT doc_id,
-        |  CAST(string_split(concat(doc_id, ',', doc_id + 1, ',', doc_id + 2), ',') AS BIGINT[]) AS doc_ids
+        |  array_to_string(CAST(string_split(concat(doc_id, ',', doc_id + 1, ',', doc_id + 2), ',') AS BIGINT[]), ',') AS doc_ids
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p2_null_handling" ->
@@ -740,7 +766,7 @@ object SparkEntry {
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_docs,
-        |  min(doc_id) AS canonical_id, list_sort(list(doc_id)) AS doc_ids
+        |  min(doc_id) AS canonical_id, array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
 
     "text_tokens" ->
@@ -785,8 +811,8 @@ object SparkEntry {
         |              i -> CAST(coalesce(map_extract(m, i)[1], 0) AS DOUBLE)) AS raw
         |          FROM mp)
         |SELECT doc_id,
-        |  list_transform(raw, x -> round(CAST(CAST(
-        |    x / sqrt(list_sum(list_transform(raw, v -> v * v))) AS REAL) AS DOUBLE), 6)) AS vec
+        |  array_to_string(list_transform(raw, x -> printf('%.6f', CAST(CAST(
+        |    x / sqrt(list_sum(list_transform(raw, v -> v * v))) AS REAL) AS DOUBLE))), ',') AS vec
         |FROM dense ORDER BY doc_id""".stripMargin,
 
     "a3_centroid_avg" ->
@@ -794,7 +820,7 @@ object SparkEntry {
         |             generate_subscripts(embedding, 1) - 1 AS pos
         |           FROM embeddings),
         |m AS (SELECT label, pos, avg(CAST(x AS DOUBLE)) AS m FROM e GROUP BY label, pos)
-        |SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+        |SELECT label, array_to_string(list(printf('%.6f', m) ORDER BY pos), ',') AS centroid
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "p3_text_clean" ->
@@ -803,7 +829,7 @@ object SparkEntry {
 
     "p4_regex_tokenize" ->
       """SELECT doc_id,
-        |  regexp_extract_all(lower(text), '[a-z0-9]+')[1:5] AS first_tokens,
+        |  array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[1:5], ',') AS first_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -818,7 +844,7 @@ object SparkEntry {
 
     "s4_pylist_parse" ->
       """SELECT doc_id,
-        |  regexp_extract_all('[''' || source || ''', ''' || lang || ''']', '''([^'']*)''', 1) AS answers
+        |  array_to_string(regexp_extract_all('[''' || source || ''', ''' || lang || ''']', '''([^'']*)''', 1), ',') AS answers
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "j5_answer_contain" ->
@@ -838,7 +864,7 @@ object SparkEntry {
         |matches AS (
         |  SELECT DISTINCT a.query_idx, d.doc_id
         |  FROM documents d JOIN answers a ON contains(d.text, a.answer))
-        |SELECT doc_id, list_sort(list(DISTINCT query_idx)) AS query_idx,
+        |SELECT doc_id, array_to_string(list_sort(list(DISTINCT query_idx)), ',') AS query_idx,
         |  count(DISTINCT query_idx) AS n_queries
         |FROM matches GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -883,7 +909,7 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY query, doc_id ORDER BY
         |               CAST('0x' || substr(md5(query || ':' || cand), 1, 15) AS BIGINT), cand) AS rn
         |           FROM members)
-        |SELECT query, doc_id, list(cand ORDER BY h, cand) AS neg_ids
+        |SELECT query, doc_id, array_to_string(list(cand ORDER BY h, cand), ',') AS neg_ids
         |FROM ranked WHERE rn <= 4 GROUP BY query, doc_id ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
@@ -906,8 +932,8 @@ object SparkEntry {
     "s10_ranked_roundtrip" ->
       s"""$knnBase
          |SELECT CAST(query_id AS VARCHAR) AS query,
-         |  list(doc_id ORDER BY rank) AS preds,
-         |  list(CAST(score AS REAL) ORDER BY rank) AS scores
+         |  array_to_string(list(doc_id ORDER BY rank), ',') AS preds,
+         |  array_to_string(list(printf('%.6f', CAST(CAST(score AS REAL) AS DOUBLE)) ORDER BY rank), ',') AS scores
          |FROM r WHERE rank <= 10 GROUP BY query_id ORDER BY query""".stripMargin,
 
     "dedup_minhash" ->
@@ -918,7 +944,7 @@ object SparkEntry {
          |        list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS hs
          |      FROM sh)
          |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
-         |  [$minhashSigSql] AS sig
+         |  array_to_string([$minhashSigSql], ',') AS sig
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" ->

@@ -21,10 +21,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             if math.isnan(v):
                 return "nan"
             return f"{v:.9g}"
-        if hasattr(v, "tolist"):  # numpy arrays from parquet lists
-            return tuple(norm(x) for x in v.tolist())
-        if isinstance(v, (list, tuple)):
-            return tuple(norm(x) for x in v)
+        if hasattr(v, "tolist") or isinstance(v, (list, tuple)):
+            # The driver's harness sorts with pandas and dies on array cells
+            # (unhashable numpy.ndarray) — replicate that as a hard failure so
+            # any array-typed output column is caught locally.
+            raise TypeError(
+                "array-valued cell (driver's pandas sort would crash) — "
+                "stringify with concat_ws/array_to_string in the query")
         return v
 
     out = df.map(norm)
@@ -47,7 +50,7 @@ def main(sf_dir, out_dir):
         try:
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
         except Exception as e:
-            print(f"FAIL {name}: spark result unreadable: {e}")
+            print(f"FAIL {name}: spark result unreadable/uncanonical: {e}")
             n_fail += 1
             continue
         if list(got.columns) != list(want.columns):
