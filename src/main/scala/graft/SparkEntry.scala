@@ -39,15 +39,23 @@ object SparkEntry {
       .select(col("vec_id").as("doc_id"), col("embedding").as("vec"),
         col("label"))
 
+  /** Last codebook trained in this JVM — the generated RQ oracles inline
+    * its centroids (Verify dumps oracleSql AFTER running the queries, so
+    * this is always populated by then). */
+  @volatile private var lastCodebook: Option[Codebook] = None
+
   /** Session-memoized RQ artifacts per fixture dir (path-keyed caching,
     * mirroring MEVI/main_models.py:2944-2978). */
-  private def rqCodebook(s: SparkSession, dir: String): Codebook =
-    ArtifactCache.codebook(s"$dir/rq2x3") {
+  private def rqCodebook(s: SparkSession, dir: String): Codebook = {
+    val cb = ArtifactCache.codebook(s"$dir/rq2x3") {
       // maxIter 10 suffices at the fixture geometry (2×8 over ≤5k vecs
       // converges in <10 iters); the library default stays 20
       RQTrainer.fit(docVecs(s, dir).select("doc_id", "vec"),
         "vec", numLevels = 2, k = 8, seed = 42L, maxIter = 10)
     }
+    lastCodebook = Some(cb)
+    cb
+  }
 
   private def rqAssignments(s: SparkSession, dir: String): DataFrame =
     // frame cache is validity-checked per live context; the codebook is a
@@ -323,17 +331,20 @@ object SparkEntry {
           col("csize"))
         .orderBy("codes", "chunk")),
 
-    // rows-only: full coarse→fine retrieval
+    // V12/J3/J4: full coarse→fine retrieval (oracle replays beam search +
+    // candidate join + exact re-rank with inlined centroids)
     "coarse_fine" -> ((s, dir) => {
       val docs = docVecs(s, dir).select("doc_id", "vec")
       val queries = queryVecs(s, dir).select("query_id", "qvec")
       val index = rqIndex(s, dir)
       CoarseFineRetriever.retrieve(queries, index, docs, rqCodebook(s, dir),
         beams = 4, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
     }),
 
-    // rows-only: budgeted coarse→fine (reconstruction-prescored candidate
+    // V12b: budgeted coarse→fine (reconstruction-prescored candidate
     // cut BEFORE the embedding-fetch join — the 100 TB shuffle saver)
     "coarse_fine_budgeted" -> ((s, dir) => {
       val docs = docVecs(s, dir).select("doc_id", "vec")
@@ -341,10 +352,12 @@ object SparkEntry {
       val index = rqIndex(s, dir)
       CoarseFineRetriever.retrieveBudgeted(queries, index, docs,
         rqCodebook(s, dir), beams = 4, k = 10, budget = 100)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
     }),
 
-    // rows-only: ndoc@cluster-R candidate-pool diagnostic (A6)
+    // A6: ndoc@cluster-R candidate-pool diagnostic
     "rq_ndoc" -> ((s, dir) => {
       val queries = queryVecs(s, dir).select("query_id", "qvec")
       val index = rqIndex(s, dir)
@@ -354,6 +367,8 @@ object SparkEntry {
         .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
         .distinct()
       Metrics.ndoc(candidates, queries = Some(queries))
+        .select(round(col("ndoc_per_query"), 6).as("ndoc_per_query"),
+          col("n_queries"))
     }),
 
     // Dedup #2: per-doc MinHash signatures (portable md5 permutation family)
@@ -593,10 +608,13 @@ object SparkEntry {
         .select(col("doc_id"), round(col("recon_error"), 6).as("recon_error"))
         .orderBy("doc_id")),
 
-    // rows-only (MLlib LSH): random-hyperplane near-dup candidates
+    // V9: seeded random-hyperplane near-dup candidates + exact confirm
+    // (md5-derived plane literals — same constants in the oracle SQL; the
+    // MLlib BRP variant stays in LSHSearch.nearDupPairs as library API)
     "lsh_neardup" -> ((s, dir) =>
-      graft.search.LSHSearch.nearDupPairs(
-        t(s, dir, "embeddings"), threshold = 1.2)
+      graft.search.LSHSearch.seededNearDupPairs(
+        t(s, dir, "embeddings"), dim = 64, threshold = 1.2,
+        tables = 4, bits = 8, seed = 42L)
         .select(col("a"), col("b"), round(col("dist"), 6).as("dist"))
         .orderBy("a", "b")),
 
@@ -633,7 +651,20 @@ object SparkEntry {
        |             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
        |      FROM s)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** Static + generated oracles. The RQ entries need the trained codebook
+    * (Verify evaluates this AFTER running the queries); without one (e.g. a
+    * dry oracle dump) they are simply omitted. */
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++
+      lastCodebook.map(cb => graft.oracle.GeneratedOracles.rqOracles(
+        cb, beams = 4, topK = 10, budget = 100,
+        maxChunk = graft.index.ClusterIndexBuilder.DefaultMaxChunk,
+        maxQueryId = 20)).getOrElse(Map.empty)
+
+  private def staticOracleSql: Map[String, String] = Map(
+
+    "lsh_neardup" -> graft.oracle.GeneratedOracles.lshNearDupSql(
+      dim = 64, threshold = 1.2, tables = 4, bits = 8, seed = 42L),
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

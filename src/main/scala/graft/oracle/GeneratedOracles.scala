@@ -1,0 +1,258 @@
+package graft.oracle
+
+import graft.index.Codebook
+import graft.search.LSHSearch
+
+/** DuckDB oracle SQL generated from TRAINED artifacts.
+  *
+  * The RQ serving core (assign / cluster index / reconstruct / beam search /
+  * coarse→fine) is a deterministic function of the corpus AND the trained
+  * codebook. Training (MLlib KMeans) is not SQL-expressible, but the trained
+  * centroids are tiny (M×K×dim floats) — so the oracle inlines them as SQL
+  * literals and replays the serving math exactly. `SparkEntry.oracleSql` is
+  * a `def` evaluated AFTER the queries run (Verify dumps oracle_sql.json
+  * last), so the centroids here are the exact floats the Spark queries used.
+  *
+  * Float-parity contract (mirrors Codebook.assign / VectorOps):
+  *  - centroid literals are float values widened to double, printed with
+  *    Java's shortest round-trip repr — DuckDB parses back the same double;
+  *  - distances/dots fold sequentially in double; DuckDB's
+  *    `list_sum(list_transform(...))` matches bit-exactly;
+  *  - float additions (RQ reconstruction sums centroids in FLOAT,
+  *    RQ.scala reconstruct) are `CAST(p[1] + p[2] AS REAL)`: the double add
+  *    of two float-valued doubles is exact, and the single rounding to REAL
+  *    equals IEEE float addition;
+  *  - beam-search softmax (CodebookBeamSearch.searchOne) keeps per-level
+  *    raw scores in an ORDERED LIST so max / Σexp fold in code order,
+  *    matching the Scala loop's accumulation order.
+  */
+object GeneratedOracles {
+
+  /** Shortest round-trip double literal (Java Double.toString is
+    * guaranteed to parse back to the same double; DuckDB accepts
+    * E-notation). */
+  private def dLit(d: Double): String = {
+    if (d.isNaN || d.isInfinite)
+      throw new IllegalArgumentException(s"non-finite literal $d")
+    d.toString
+  }
+
+  private def centList(cent: Array[Float]): String =
+    cent.map(f => dLit(f.toDouble)).mkString("[", ", ", "]")
+
+  /** Level m's centroids as a VALUES CTE `cm(code, cent DOUBLE[])`. */
+  private def valuesCte(cb: Codebook, m: Int): String = {
+    val rows = cb.levels(m).zipWithIndex
+      .map { case (c, code) => s"($code, ${centList(c)})" }
+      .mkString(", ")
+    s"c$m(code, cent) AS (VALUES $rows)"
+  }
+
+  /** Level m's centroids as one literal list-of-lists (code order). */
+  private def centsLit(cb: Codebook, m: Int): String =
+    cb.levels(m).map(centList).mkString("[", ", ", "]")
+
+  private def ks(cb: Codebook): Seq[String] =
+    (0 until cb.numLevels).map(i => s"k$i")
+
+  private def joinCond(cb: Codebook, a: String, b: String): String =
+    ks(cb).map(k => s"$a.$k = $b.$k").mkString(" AND ")
+
+  /** Sequential FLOAT-accumulating centroid sum over aliased VALUES tables
+    * t0..t(M-1) — replays Codebook.reconstruct / VectorOps.vecAdd. */
+  private def recExpr(cb: Codebook): String =
+    (1 until cb.numLevels).foldLeft("t0.cent") { (acc, m) =>
+      s"list_transform(list_zip($acc, t$m.cent), p -> CAST(p[1] + p[2] AS REAL))"
+    }
+
+  /** CTEs: corpus as doubles + centroid VALUES + the greedy residual
+    * argmin chain → `assign(doc_id, k0..kM-1)` (Codebook.assign,
+    * ref MEVI/pq.py:281-305). */
+  private def assignCtes(cb: Codebook): String = {
+    val m0 = cb.numLevels
+    val values = (0 until m0).map(m => valuesCte(cb, m)).mkString(",\n")
+    val chain = (0 until m0).map { m =>
+      val keep = (0 until m).map(i => s"k$i, ").mkString
+      val src = if (m == 0) "d" else s"r${m - 1}"
+      val base =
+        s"""s$m AS (SELECT doc_id, ${keep}v$m, code, cent,
+           |  list_sum(list_transform(list_zip(v$m, cent), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |  FROM $src CROSS JOIN c$m),
+           |a$m AS (SELECT doc_id, ${keep}v$m, code AS k$m, cent AS cent$m
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist, code) AS rn FROM s$m)
+           |  WHERE rn = 1)""".stripMargin
+      if (m < m0 - 1)
+        base + s""",
+           |r$m AS (SELECT doc_id, ${keep}k$m, list_transform(list_zip(v$m, cent$m), p -> p[1] - p[2]) AS v${m + 1} FROM a$m)""".stripMargin
+      else base
+    }.mkString(",\n")
+    s"""d AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),
+       |$values,
+       |$chain,
+       |assign AS (SELECT doc_id, ${ks(cb).mkString(", ")} FROM a${m0 - 1})""".stripMargin
+  }
+
+  /** CTEs: query side + beam search (CodebookBeamSearch.searchOne, l2 +
+    * "prod" log-softmax scoring, ref MEVI/pq.py:613-713) →
+    * `beams(query_id, k0..kM-1, cum)`, top-`beams` tuples per query. */
+  private def beamCtes(cb: Codebook, beams: Int, maxQueryId: Int): String = {
+    val m0 = cb.numLevels
+    val k = cb.k
+    val levels = (0 until m0).map { m =>
+      val keep = (0 until m).map(i => s"k$i, ").mkString
+      val src = if (m == 0) "q" else s"y${m - 1}"
+      val carry = if (m == 0) "" else "cum, "
+      val cumExpr = if (m == 0) "raws[CAST(code AS INT) + 1] - logz"
+        else "cum + raws[CAST(code AS INT) + 1] - logz"
+      val tieOrder = ((0 until m).map(i => s"k$i") :+ "code").mkString(", ")
+      val base =
+        s"""e$m AS (SELECT query_id, ${keep}${carry}u$m,
+           |  list_transform(${centsLit(cb, m)},
+           |    cent -> -list_sum(list_transform(list_zip(u$m, cent), p -> (p[1] - p[2]) * (p[1] - p[2])))) AS raws
+           |  FROM $src),
+           |g$m AS (SELECT *, list_max(raws) AS mx FROM e$m),
+           |h$m AS (SELECT *, mx + ln(list_sum(list_transform(raws, x -> exp(x - mx)))) AS logz FROM g$m),
+           |x$m AS (SELECT query_id, ${keep}u$m, code, $cumExpr AS cum FROM h$m CROSS JOIN krange),
+           |b$m AS (SELECT query_id, ${keep}u$m, code AS k$m, cum
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cum DESC, $tieOrder) AS rn FROM x$m)
+           |  WHERE rn <= $beams)""".stripMargin
+      if (m < m0 - 1)
+        base + s""",
+           |y$m AS (SELECT b.query_id, ${(0 to m).map(i => s"b.k$i, ").mkString}b.cum,
+           |  list_transform(list_zip(b.u$m, c$m.cent), p -> p[1] - p[2]) AS u${m + 1}
+           |  FROM b$m b JOIN c$m ON c$m.code = b.k$m)""".stripMargin
+      else base
+    }.mkString(",\n")
+    s"""q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u0 FROM embeddings WHERE vec_id < $maxQueryId),
+       |krange AS (SELECT unnest(range(0, $k)) AS code),
+       |$levels,
+       |beams AS (SELECT query_id, ${ks(cb).mkString(", ")}, cum FROM b${m0 - 1})""".stripMargin
+  }
+
+  private def codesStr(prefix: String, cb: Codebook): String =
+    s"array_to_string([${ks(cb).map(k => s"$prefix$k").mkString(", ")}], ',')"
+
+  // -------------------------------------------------------------------
+  // Per-query oracles
+  // -------------------------------------------------------------------
+
+  def rqAssignSql(cb: Codebook): String =
+    s"""WITH ${assignCtes(cb)}
+       |SELECT doc_id, ${codesStr("", cb)} AS codes FROM assign ORDER BY doc_id""".stripMargin
+
+  def rqClusterIndexSql(cb: Codebook, maxChunk: Int): String =
+    s"""WITH ${assignCtes(cb)},
+       |idx0 AS (SELECT doc_id, ${codesStr("", cb)} AS codes, k0 AS c0 FROM assign),
+       |csz AS (SELECT codes, count(*) AS csize FROM idx0 GROUP BY codes),
+       |ch AS (SELECT i.doc_id, i.codes, i.c0, c.csize,
+       |  CAST(CAST('0x' || substr(md5(CAST(i.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |    % greatest(CAST(ceil(c.csize / $maxChunk.0) AS BIGINT), 1) AS INT) AS chunk
+       |  FROM idx0 i JOIN csz c USING (codes))
+       |SELECT codes, c0, chunk, array_to_string(list_sort(list(doc_id)), ',') AS doc_ids, csize
+       |FROM ch GROUP BY codes, c0, chunk, csize ORDER BY codes, chunk""".stripMargin
+
+  def rqReconstructSql(cb: Codebook): String = {
+    val joins = (0 until cb.numLevels)
+      .map(m => s"JOIN c$m t$m ON t$m.code = a.k$m").mkString(" ")
+    s"""WITH ${assignCtes(cb)},
+       |rc AS (SELECT a.doc_id, ${recExpr(cb)} AS recv FROM assign a $joins)
+       |SELECT r.doc_id,
+       |  round(sqrt(list_sum(list_transform(list_zip(d.v0, r.recv),
+       |    p -> (p[1] - CAST(p[2] AS DOUBLE)) * (p[1] - CAST(p[2] AS DOUBLE))))), 6) AS recon_error
+       |FROM rc r JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  def rqNdocSql(cb: Codebook, beams: Int, maxQueryId: Int): String =
+    s"""WITH ${assignCtes(cb)},
+       |${beamCtes(cb, beams, maxQueryId)},
+       |cand AS (SELECT DISTINCT b.query_id, a.doc_id FROM beams b JOIN assign a ON ${joinCond(cb, "a", "b")}),
+       |cnts AS (SELECT qq.query_id, count(c.doc_id) AS cnt
+       |  FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN cand c ON c.query_id = qq.query_id
+       |  GROUP BY qq.query_id)
+       |SELECT round(avg(cnt), 6) AS ndoc_per_query, count(*) AS n_queries FROM cnts""".stripMargin
+
+  def coarseFineSql(cb: Codebook, beams: Int, k: Int, maxQueryId: Int): String =
+    s"""WITH ${assignCtes(cb)},
+       |${beamCtes(cb, beams, maxQueryId)},
+       |cand AS (SELECT DISTINCT b.query_id, a.doc_id FROM beams b JOIN assign a ON ${joinCond(cb, "a", "b")}),
+       |sc AS (SELECT c.query_id, c.doc_id,
+       |  list_sum(list_transform(list_zip(qq.u0, dd.v0), p -> p[1] * p[2])) AS score
+       |  FROM cand c JOIN q qq USING (query_id) JOIN d dd USING (doc_id)),
+       |rk AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, rank, doc_id, round(score, 6) AS score
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def coarseFineBudgetedSql(cb: Codebook, beams: Int, k: Int, budget: Int,
+      maxQueryId: Int): String = {
+    val kList = ks(cb).mkString(", ")
+    val rallFrom = (0 until cb.numLevels).map(m => s"c$m t$m").mkString(" CROSS JOIN ")
+    val rallCodes = (0 until cb.numLevels).map(m => s"t$m.code AS k$m").mkString(", ")
+    s"""WITH ${assignCtes(cb)},
+       |${beamCtes(cb, beams, maxQueryId)},
+       |csz2 AS (SELECT $kList, count(*) AS csize FROM assign GROUP BY $kList),
+       |rall AS (SELECT $rallCodes, ${recExpr(cb)} AS recv FROM $rallFrom),
+       |resc AS (SELECT b.query_id, ${ks(cb).map(x => s"b.$x").mkString(", ")}, cs.csize,
+       |  list_sum(list_transform(list_zip(qq.u0, r.recv), p -> p[1] * CAST(p[2] AS DOUBLE))) AS rscore
+       |  FROM beams b JOIN csz2 cs ON ${joinCond(cb, "cs", "b")}
+       |  JOIN rall r ON ${joinCond(cb, "r", "b")}
+       |  JOIN q qq ON qq.query_id = b.query_id),
+       |kept AS (SELECT query_id, $kList FROM (
+       |  SELECT *, coalesce(sum(csize) OVER (PARTITION BY query_id ORDER BY rscore DESC, $kList
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior FROM resc)
+       |  WHERE prior < $budget),
+       |cand AS (SELECT DISTINCT b.query_id, a.doc_id FROM kept b JOIN assign a ON ${joinCond(cb, "a", "b")}),
+       |sc AS (SELECT c.query_id, c.doc_id,
+       |  list_sum(list_transform(list_zip(qq.u0, dd.v0), p -> p[1] * p[2])) AS score
+       |  FROM cand c JOIN q qq USING (query_id) JOIN d dd USING (doc_id)),
+       |rk AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, rank, doc_id, round(score, 6) AS score
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** All codebook-derived oracles keyed by SparkEntry query name. */
+  def rqOracles(cb: Codebook, beams: Int, topK: Int, budget: Int,
+      maxChunk: Int, maxQueryId: Int): Map[String, String] = Map(
+    "rq_assign" -> rqAssignSql(cb),
+    "rq_cluster_index" -> rqClusterIndexSql(cb, maxChunk),
+    "rq_reconstruct" -> rqReconstructSql(cb),
+    "rq_reconstruct_all" -> reconstructAllSql(cb),
+    "rq_ndoc" -> rqNdocSql(cb, beams, maxQueryId),
+    "coarse_fine" -> coarseFineSql(cb, beams, topK, maxQueryId),
+    "coarse_fine_budgeted" -> coarseFineBudgetedSql(cb, beams, topK, budget, maxQueryId))
+
+  def reconstructAllSql(cb: Codebook): String = {
+    val values = (0 until cb.numLevels).map(m => valuesCte(cb, m)).mkString(",\n")
+    val from = (0 until cb.numLevels).map(m => s"c$m t$m").mkString(" CROSS JOIN ")
+    val codes = (0 until cb.numLevels).map(m => s"t$m.code").mkString(", ")
+    s"""WITH $values
+       |SELECT array_to_string([$codes], ',') AS codes,
+       |  array_to_string(list_transform(${recExpr(cb)},
+       |    x -> printf('%.5f', CAST(x AS DOUBLE))), ',') AS vec
+       |FROM $from ORDER BY codes""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Seeded-LSH near-dup oracle (static — planes derive from the seed)
+  // -------------------------------------------------------------------
+
+  def lshNearDupSql(dim: Int, threshold: Double, tables: Int, bits: Int,
+      seed: Long): String = {
+    val planes = LSHSearch.seededPlanes(tables, bits, dim, seed)
+    def bucketSql(t: Int): String =
+      (0 until bits).map { b =>
+        val plane = planes(t)(b).map(dLit).mkString("[", ", ", "]")
+        s"""CASE WHEN list_sum(list_transform(list_zip(v, $plane), p -> p[1] * p[2])) >= 0 THEN '1' ELSE '0' END"""
+      }.mkString("concat('" + t + ":', ", ", ", ")")
+    val buckets = (0 until tables).map(bucketSql).mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (SELECT id, v, unnest([
+       |    $buckets]) AS bkey FROM e),
+       |p AS (SELECT DISTINCT x.id AS a, y.id AS b FROM b x JOIN b y ON x.bkey = y.bkey AND x.id < y.id),
+       |sc AS (SELECT p.a, p.b,
+       |  sqrt(list_sum(list_transform(list_zip(ea.v, eb.v), q -> (q[1] - q[2]) * (q[1] - q[2])))) AS dist
+       |  FROM p JOIN e ea ON ea.id = p.a JOIN e eb ON eb.id = p.b)
+       |SELECT a, b, round(dist, 6) AS dist FROM sc WHERE dist <= ${dLit(threshold)} ORDER BY a, b""".stripMargin
+  }
+}

@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
@@ -30,6 +30,64 @@ object LSHSearch {
       .select(col("datasetA.id").as("a"), col("datasetB.id").as("b"),
         col("dist"))
       .where(col("a") < col("b"))
+  }
+
+  /** Deterministic random hyperplanes derived from md5 of
+    * (seed, table, bit, dim) — a pure function of the seed, so the SAME
+    * plane weights can be inlined as literals into both the Spark plan and
+    * the DuckDB oracle SQL (no engine-private RNG in the contract surface).
+    * Each weight is uniform on [-1, 1] at 1e-6 resolution.
+    */
+  def seededPlanes(tables: Int, bits: Int, dim: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, bits, dim) { (t, b, d) =>
+      val hex = mdig.digest(s"lshplane:$seed:$t:$b:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      (h % 2000001L - 1000000L) / 1000000.0
+    }
+  }
+
+  /** Sign-pattern bucket key of `vec` under one table's hyperplanes. */
+  private def bucketKey(vec: Column, planes: Array[Array[Double]]): Column =
+    concat(planes.map { plane =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(plane.toSeq), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }.toIndexedSeq: _*)
+
+  /** Seeded random-hyperplane near-dup pairs (a < b): bucket by sign
+    * patterns over `tables` × `bits` hyperplanes, candidate pairs within any
+    * shared bucket, exact L2 confirm ≤ `threshold`. Same banding shape as
+    * the MLlib path above but fully oracle-replayable. Shuffles
+    * (bucket, doc) rows — tables·n, never O(n²).
+    */
+  def seededNearDupPairs(emb: DataFrame, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 1.2, tables: Int = 4, bits: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val planes = seededPlanes(tables, bits, dim, seed)
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = e.select(col("id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        concat(lit(s"$t:"), bucketKey(col("v"), planes(t)))): _*)).as("bkey"))
+    val pairs = bucketed.select("id", "bkey").as("x")
+      .join(bucketed.select(col("id").as("id2"), col("bkey")).as("y"), Seq("bkey"))
+      .where(col("id") < col("id2"))
+      .select(col("id").as("a"), col("id2").as("b"))
+      .distinct()
+    pairs
+      .join(e.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(e.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"),
+        sqrt(aggregate(
+          zip_with(col("va"), col("vb"), (x, y) => {
+            val d = x.cast("double") - y.cast("double"); d * d
+          }),
+          lit(0.0), (acc, v) => acc + v)).as("dist"))
+      .where(col("dist") <= threshold)
   }
 
   /** Top-k nearest neighbors for one query vector via LSH candidates. */
