@@ -41,14 +41,16 @@ object Metrics {
     val perK = ks.map { k =>
       val topk = slice(col("p"), 1, k)
       val inter = array_intersect(topk, col(gtCol))
-      // best (1-based) rank of any gt id within preds[:k]; 0 if absent
-      val bestRank = array_min(filter(
-        transform(col(gtCol), g => array_position(topk, g)),
-        r => r > 0))
+      // per-gt-element (1-based) ranks within preds[:k]; 0 when absent
+      val gtRanks = transform(col(gtCol), g => array_position(topk, g))
+      val bestRank = array_min(filter(gtRanks, r => r > 0))
+      // recall counts EVERY gt element found (evaluate.py:39 iterates gt,
+      // so duplicated gt ids weigh multiply — array_intersect would dedupe)
+      val gtHits = size(filter(gtRanks, r => r > 0))
       // empty gt → recall 0, not x/0 = null (a null would silently drop
       // the query from avg(recall) while it still counts in mrr/hitrate)
       val recall = when(size(col(gtCol)) === 0, 0.0)
-        .otherwise(size(inter).cast("double") / size(col(gtCol)))
+        .otherwise(gtHits.cast("double") / size(col(gtCol)))
       struct(
         lit(k).as("k"),
         recall.as("recall"),

@@ -19,8 +19,12 @@ import graft.core.VectorOps
 object IpToL2 {
 
   /** φ must dominate every doc norm; returns max ‖p‖² (+ ε headroom). */
-  def phiFor(docs: DataFrame, vecCol: String = "vec"): Double =
-    docs.agg(max(VectorOps.vecNorm2Sq(col(vecCol)))).head.getDouble(0) + 1e-6
+  def phiFor(docs: DataFrame, vecCol: String = "vec"): Double = {
+    val row = docs.agg(max(VectorOps.vecNorm2Sq(col(vecCol)))).head
+    require(!row.isNullAt(0),
+      s"phiFor: corpus is empty or '$vecCol' is all-null — cannot derive φ")
+    row.getDouble(0) + 1e-6
+  }
 
   /** Docs with the augmented coordinate appended (dim + 1). */
   def augmentDocs(docs: DataFrame, phi: Double,

@@ -21,12 +21,16 @@ object NegativeSampling {
 
   /** Deterministically "shuffle" an array by the md5 rank and keep n. */
   def sampleArray(query: Column, cands: Column, n: Int): Column =
+    sampleArrayN(query, cands, lit(n))
+
+  /** As sampleArray but with a dynamic (per-row) sample size. */
+  def sampleArrayN(query: Column, cands: Column, n: Column): Column =
     slice(
       transform(
         array_sort(transform(cands, c =>
           struct(rankHash(query, c).as("h"), c.as("v")))),
         s => s.getField("v")),
-      1, n)
+      lit(1), greatest(n, lit(0)))
 
   /** `clus`: negatives from the positive doc's cluster, excluding the
     * paired positive itself — exactly main_models.py:1854-1856
@@ -70,7 +74,22 @@ object NegativeSampling {
       mode: String, n: Int): DataFrame = {
     val combined = mode match {
       case "file"  => col("file_negs")
-      case "inter" => array_intersect(col("neg_ids"), col("file_negs"))
+      case "inter" =>
+        // Reference (main_models.py:1880-1892): inter_part = clus ∩ file;
+        // if short of n, back-fill from rest_part = clus ∖ file
+        // (md5-rank stand-in for random.sample); if rest_part can't cover
+        // the deficit, fall back to the FULL cluster list. Null file rows
+        // (missed join) fall through every `when` into the same fallback.
+        // NOTE: the reference intersects against the full per-cluster
+        // candidate list — pass clusNegs un-capped (clusterNegatives with
+        // large n) when exact parity matters.
+        val inter = array_intersect(col("neg_ids"), col("file_negs"))
+        val rest = array_except(col("neg_ids"), col("file_negs"))
+        val needMore = lit(n) - size(inter)
+        when(size(inter) >= n, inter)
+          .when(size(rest) >= needMore,
+            concat(inter, sampleArrayN(col("query"), rest, needMore)))
+          .otherwise(col("neg_ids"))
       case "union" => array_union(col("neg_ids"), col("file_negs"))
       case other   => throw new IllegalArgumentException(s"mode $other")
     }
@@ -91,22 +110,34 @@ object NegativeSampling {
     * bounded (the reference samples 2n candidates per round the same way).
     */
   def notClusterNegatives(pairs: DataFrame, assignments: DataFrame,
-      corpus: DataFrame, n: Int, preSampleBuckets: Int = 0): DataFrame = {
+      corpus: DataFrame, n: Int, preSampleBuckets: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cand0 = corpus.select(col("doc_id").as("cand_id"))
-    val cand = if (preSampleBuckets > 0)
+    // Default (-1): auto-size the pre-sample to ~max(64n, 1024) expected
+    // candidates. The reference draws 2n and LOOPS until co_neg_num survive
+    // rejection (main_models.py:1846-1851); this is a single draw, so the
+    // headroom covers high rejection rates (with coarse clustering most of
+    // the corpus can share a code level with a positive). Small corpora
+    // degrade to buckets=1 — everything kept, still broadcast. 0 opts into
+    // the full-corpus join explicitly; never the default.
+    val buckets = if (preSampleBuckets >= 0) preSampleBuckets
+      else math.max(1L, cand0.count() / math.max(64L * n, 1024L)).toInt
+    val cand = if (buckets > 0)
       cand0.where(pmod(Dedup.md5Hash60(col("cand_id").cast("string")),
-        lit(preSampleBuckets.toLong)) === 0)
+        lit(buckets.toLong)) === 0)
     else cand0
     val posCodes = pairs.join(assignments, Seq("doc_id"))
     val w = Window.partitionBy("query", "doc_id")
       .orderBy(rankHash(col("query"), col("cand_id")))
     val sharesAnyLevel = array_contains(
       zip_with(col("cand_codes"), col("codes"), (a, b) => a === b), true)
+    // attach codes to the (small) candidate set BEFORE the pair fan-out,
+    // then broadcast it — the alternative shuffles |pairs|·|cand| rows
+    // into the assignments join
+    val candCodes = cand.join(assignments.select(col("doc_id").as("cand_id"),
+      col("codes").as("cand_codes")), Seq("cand_id"))
     posCodes
-      .crossJoin(cand)
-      .join(assignments.select(col("doc_id").as("cand_id"),
-        col("codes").as("cand_codes")), Seq("cand_id"))
+      .crossJoin(if (buckets > 0) broadcast(candCodes) else candCodes)
       .where(!sharesAnyLevel)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)

@@ -71,9 +71,13 @@ object Sessionize {
               case Some(s) if micros(e.ts) - micros(s.last) <= gapUs =>
                 // a late event (earlier than state's last, e.g. cross-batch
                 // disorder) must not move `last` backward — keep the max so
-                // subsequent gap checks stay monotonic
+                // subsequent gap checks stay monotonic; symmetrically it may
+                // precede the open session's start, so keep the min there or
+                // the emitted session_start could postdate its earliest event
+                // (disagreeing with the batch form on the same data)
                 val last = if (micros(e.ts) > micros(s.last)) e.ts else s.last
-                open = Some(OpenSession(s.start, last, s.n + 1, s.sum + e.value))
+                val start = if (micros(e.ts) < micros(s.start)) e.ts else s.start
+                open = Some(OpenSession(start, last, s.n + 1, s.sum + e.value))
               case Some(s) =>
                 closed += Session(user, s.start, s.last, s.n, s.sum)
                 open = Some(OpenSession(e.ts, e.ts, 1, e.value))

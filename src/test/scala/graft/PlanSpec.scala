@@ -97,6 +97,23 @@ class PlanSpec extends SparkSpec {
       "queries side not broadcast")
   }
 
+  test("default notClusterNegatives plan has no cartesian product") {
+    import graft.index.{RQTrainer, CodeAssigner}
+    import graft.pipeline.NegativeSampling
+    val emb = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val cb = RQTrainer.fit(emb, "vec", numLevels = 2, k = 8, seed = 42L)
+    val assignments = CodeAssigner.assign(emb, cb)
+    val pairs = emb.where(col("doc_id") < 3)
+      .select(concat(lit("q"), col("doc_id")).as("query"), col("doc_id"))
+    val negs = NegativeSampling.notClusterNegatives(pairs, assignments,
+      emb.select("doc_id"), n = 5) // default pre-sampling
+    negs.collect() // finalize AQE
+    val p = planString(negs)
+    assert(!p.contains("CartesianProduct"),
+      s"default notclus plan contains a cartesian product:\n$p")
+  }
+
   test("c0-partitioned cluster index prunes partitions on probe") {
     import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
     val docs = Tables.load(spark, sf("0.001"), "embeddings")

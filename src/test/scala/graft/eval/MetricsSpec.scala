@@ -27,6 +27,14 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(m(5).getAs[Double]("mrr") - 1.0 / 3) < 1e-9)
   }
 
+  test("recall weighs duplicated gt ids multiply (evaluate.py:39 iterates gt)") {
+    // gt [10,10,20], preds[:1]=[10] → 2 of 3 gt elements found → recall 2/3
+    val preds = Seq((1L, Seq(10L, 99L))).toDF("query_id", "preds")
+    val truth = Seq((1L, Seq(10L, 10L, 20L))).toDF("query_id", "gt")
+    val m = Metrics.ranking(preds, truth, ks = Seq(1)).collect()
+    assert(math.abs(m(0).getAs[Double]("recall") - 2.0 / 3) < 1e-9)
+  }
+
   test("ensemble fusion matches the reference formula by hand") {
     // ensemble_marco.py:235-238: s + α/(β·crank0+1) with 0-based crank;
     // unknown cluster → crank0 = C sentinel AND the whole value ×(1−γα)

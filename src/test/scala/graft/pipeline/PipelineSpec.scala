@@ -88,12 +88,21 @@ class PipelineSpec extends SparkSpec {
   test("combineNegatives file/inter/union modes (A7 combinators)") {
     val clus = Seq(("q1", 1L, Seq(10L, 11L, 12L))).toDF("query", "doc_id", "neg_ids")
     val file = Seq(("q1", Seq(11L, 12L, 13L))).toDF("query", "neg_ids")
-    def ids(mode: String): Set[Long] =
-      NegativeSampling.combineNegatives(clus, file, mode, n = 10)
+    def ids(mode: String, n: Int = 10): Set[Long] =
+      NegativeSampling.combineNegatives(clus, file, mode, n)
         .head.getSeq[Long](2).toSet
     assert(ids("file") == Set(11L, 12L, 13L))
-    assert(ids("inter") == Set(11L, 12L))
     assert(ids("union") == Set(10L, 11L, 12L, 13L))
+    // inter (main_models.py:1880-1892): intersection satisfied → done
+    assert(ids("inter", n = 2) == Set(11L, 12L))
+    // deficit covered by rest_part (clus ∖ file) → back-fill
+    assert(ids("inter", n = 3) == Set(10L, 11L, 12L))
+    // rest_part can't cover the deficit → the FULL cluster list
+    assert(ids("inter", n = 10) == Set(10L, 11L, 12L))
+    // empty intersection still back-fills from the cluster side
+    val disjoint = Seq(("q1", Seq(98L, 99L))).toDF("query", "neg_ids")
+    assert(NegativeSampling.combineNegatives(clus, disjoint, "inter", n = 2)
+      .head.getSeq[Long](2).size == 2)
     // missing file row falls back to cluster negatives
     val noFile = Seq(("q2", Seq(99L))).toDF("query", "neg_ids")
     assert(NegativeSampling.combineNegatives(clus, noFile, "inter", n = 10)

@@ -82,6 +82,35 @@ class StreamingSpec extends SparkSpec {
     assert(missing >= 0 && missing <= nUsers)
   }
 
+  test("cross-batch late event moves session_start back (not just last forward)") {
+    import spark.implicits._
+    val base = "target/tmp/stream_late"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    Files.createDirectories(Paths.get(s"$base/in"))
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // batch0 opens a session at [1000, 1100]; batch1 delivers a LATE event
+    // at 900 (inside the gap), then 10000 closes the session
+    Seq(Sessionize.Ev(1L, ts(1000), 1.0), Sessionize.Ev(1L, ts(1100), 1.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/b0")
+    Seq(Sessionize.Ev(1L, ts(900), 1.0), Sessionize.Ev(1L, ts(10000), 1.0))
+      .toDS().coalesce(1).write.parquet(s"$base/in/b1")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Sessionize.Ev]].schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+      .as[Sessionize.Ev]
+    val q = Sessionize.streaming(stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ck")
+      .format("memory").queryName("late_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val s = spark.table("late_out").orderBy("session_start").head()
+    assert(s.getAs[java.sql.Timestamp]("session_start") == ts(900))
+    assert(s.getAs[java.sql.Timestamp]("session_end") == ts(1100))
+    assert(s.getAs[Long]("n_events") == 3L)
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     val base = "target/tmp/stream_events"
     FileUtils.deleteDirectory(new java.io.File(base))
