@@ -393,7 +393,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val sigs = Dedup.minhashSignatures(docs, numPerms = 8)
       val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
-      Dedup.jaccardPairs(docs, pairs = Some(cands))
+      Dedup.jaccardPairsByHash(docs, cands)
         .where(col("jaccard") >= 0.5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")

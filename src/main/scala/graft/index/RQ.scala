@@ -214,8 +214,8 @@ object ClusterIndexBuilder {
       .join(counts, Seq("codes"))
       .withColumn("chunk",
         pmod(
-          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-            .cast("long"),
+          graft.functions.HashFunctions.md5_prefix(
+            col("doc_id").cast("string"), 15),
           greatest(ceil(col("csize") / maxChunk), lit(1)).cast("long"))
           .cast("int"))
       .groupBy(col("codes"), col("chunk"))

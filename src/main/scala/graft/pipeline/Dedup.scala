@@ -56,13 +56,16 @@ object Dedup {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
 
-  /** 60-bit hash from the md5 hex prefix — portable to the oracle. */
+  /** 60-bit hash from the md5 hex prefix — portable to the oracle.
+    * Codegen'd (no intermediate hex/decimal strings); bit-identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)`.
+    */
   def md5Hash60(s: Column): Column =
-    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.HashFunctions.md5_prefix(s, 15)
 
   /** 32-bit hash from the md5 hex prefix. */
   def md5Hash32(s: Column): Column =
-    conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+    graft.functions.HashFunctions.md5_prefix(s, 8)
 
   // -------------------------------------------------------------------
   // Exact dedup: hash-groupBy (one shuffle on the content hash)
@@ -111,8 +114,7 @@ object Dedup {
     val exploded = ensureParallelism(docs).select(col(idCol),
       explode(array_distinct(shingles(tokens(col(textCol)), shingleN))).as("__sh"))
     val hashed = exploded.select(col(idCol),
-      pmod(conv(substring(md5(col("__sh").cast("binary")), 1, 15), 16, 10)
-        .cast("long"), lit(P)).as("__h"))
+      pmod(md5Hash60(col("__sh")), lit(P)).as("__h"))
     val mins = (0 until numPerms).map { i =>
       min(pmod(lit(PermA(i)) * col("__h") + lit(PermB(i)), lit(P))).as(s"__m$i")
     }
@@ -127,16 +129,28 @@ object Dedup {
     * `rowsPerBand` values; docs sharing any full band become candidate pairs
     * (a < b). Shuffles (band_key, doc) — O(n·bands), never the O(n²) pair
     * space.
+    *
+    * `maxBucket` caps the self-join's per-key fan-out: a band key shared by
+    * B docs yields B²/2 candidates inside ONE join task, so a degenerate
+    * bucket (e.g. boilerplate text dominating the band's min-hashes) turns
+    * the linear shape quadratic. Buckets above the cap are dropped — at
+    * those sizes pairwise confirmation is never the right tool (a
+    * 1k-doc bucket is 500k candidate pairs; exact-hash grouping or a
+    * re-banding with more rows per band handles it instead). The count
+    * aggregates map-side, so the hot key never lands in a single task.
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String = "doc_id",
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame = {
     val banded = sigs.select(col(idCol).as("id"),
       explode(transform(
         sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
         b => concat(b.cast("string"), lit(":"),
           concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
         .as("band_key"))
-    banded.as("x").join(banded.as("y"),
+    val okKeys = banded.groupBy("band_key").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket).select("band_key")
+    val capped = banded.join(okKeys, Seq("band_key"))
+    capped.as("x").join(capped.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
@@ -167,6 +181,39 @@ object Dedup {
           .otherwise(
             size(array_intersect(col("sha"), col("shb"))).cast("double") /
               size(array_union(col("sha"), col("shb")))).as("jaccard"))
+  }
+
+  /** Jaccard for given candidate pairs via exploded shingle-hash
+    * intersection counting — the scale path for LSH confirm joins. The
+    * array-carrying form above ships BOTH docs' full shingle arrays through
+    * the join (kilobytes per candidate row); here the join currency is
+    * (id, shingle_hash60) rows of two longs. The a-side join fans a pair
+    * out by its shingle count, the b-side join keeps only matching hashes,
+    * and groupBy(a,b) counts intersections with map-side partials. Sizes
+    * come from one per-doc count aggregate; |union| = n_a + n_b − n_inter.
+    */
+  def jaccardPairsByHash(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    val sh = ensureParallelism(docs).select(col(idCol).as("id"),
+      explode(array_distinct(shingles(tokens(col(textCol)), shingleN))).as("__sh"))
+      .select(col("id"), md5Hash60(col("__sh")).as("h"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("id").as("a"), col("h")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("__ni"))
+    val na = coalesce(col("na"), lit(0L))
+    val nb = coalesce(col("nb"), lit(0L))
+    val ni = coalesce(col("__ni"), lit(0L))
+    val union = na + nb - ni
+    pairs
+      .join(counts.select(col("id").as("a"), col("n").as("na")), Seq("a"), "left")
+      .join(counts.select(col("id").as("b"), col("n").as("nb")), Seq("b"), "left")
+      .join(inter, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        when(union === 0, lit(0.0)).otherwise(ni.cast("double") / union)
+          .as("jaccard"))
   }
 
   // -------------------------------------------------------------------

@@ -46,6 +46,40 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("LSH band-bucket cap drops degenerate buckets, keeps normal ones") {
+    // 6 identical docs → every band bucket holds all 6; cap 5 drops them.
+    // Two near-identical docs elsewhere still pair under the same cap.
+    val clones = (1L to 6L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val pairDocs = Seq((10L, "red orange yellow green blue indigo"),
+      (11L, "red orange yellow green blue indigo"))
+    val docs = (clones ++ pairDocs).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs)
+    val capped = Dedup.lshCandidatePairs(sigs, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)))
+    // with the default cap all 6·5/2 clone pairs come back too
+    val full = Dedup.lshCandidatePairs(sigs).count()
+    assert(full == 15 + 1)
+  }
+
+  test("hash-based Jaccard confirm matches the array form on candidate pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six"),
+      (4L, "ab")).toDF("doc_id", "text") // doc 4: no shingles
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val byArray = Dedup.jaccardPairs(docs, pairs = Some(pairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val byHash = Dedup.jaccardPairsByHash(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(byHash.keySet == byArray.keySet)
+    byArray.foreach { case (k, v) =>
+      assert(math.abs(byHash(k) - v) < 1e-12, s"pair $k: ${byHash(k)} vs $v")
+    }
+    assert(byHash((1L, 4L)) == 0.0)
+  }
+
   test("RQ-cluster negative sampling: negatives share the positive's cluster, exclude it") {
     val emb = Tables.load(spark, sf("0.001"), "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
