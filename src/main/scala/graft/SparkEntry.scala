@@ -547,6 +547,67 @@ object SparkEntry {
         .orderBy("query")
     }),
 
+    // S2: query-doc pair TSV write→read roundtrip
+    "s2_pair_roundtrip" -> ((s, dir) => {
+      val path = s"target/tmp/pairs_tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val pairs = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(concat(lit("what is "), col("source"), lit(" "),
+          col("doc_id")).as("query"), col("doc_id"))
+      MeviIO.writePairsTsv(pairs, path)
+      MeviIO.readPairsTsv(s, path).orderBy("doc_id")
+    }),
+
+    // S6: np.memmap-layout float32 matrix write→read roundtrip (row index
+    // is the id — the reference's implicit contract)
+    "s6_tensor_roundtrip" -> ((s, dir) => {
+      val path = s"target/tmp/docemb_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.bin"
+      MeviIO.writeFloatMatrix(
+        t(s, dir, "embeddings").where(col("vec_id") < 500).orderBy("vec_id")
+          .select(col("embedding").as("vec")), path, dim = 64)
+      MeviIO.readFloatMatrix(s, path, dim = 64)
+        .select(col("row_id"),
+          concat_ws(",", transform(col("vec"),
+            x => format_string("%.5f", x.cast("double")))).as("vec"))
+        .orderBy("row_id")
+    }),
+
+    // P5: deterministic query char-span augmentation (main_utils.py:89-101)
+    "p5_query_spans" -> ((s, dir) =>
+      Augment.querySpans(
+        t(s, dir, "documents").where(col("doc_id") < 100)
+          .select(substring(col("text"), 1, 80).as("query")))
+        .orderBy("query", "span")),
+
+    // A8: query-gen pool backfill loop (complement_qg10.py:86-120) with a
+    // deterministic SQL-expressible stand-in generator: even docs start
+    // with one seed query, odd with none; the generator fills each doc's
+    // deficit in round 0
+    "a8_backfill" -> ((s, dir) => {
+      val universe = t(s, dir, "documents").where(col("doc_id") < 60)
+      val initial = universe.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("seed:"), col("doc_id"))).as("query"))
+      val out = graft.pipeline.QueryGenPool.backfill(
+        initial, minPerDoc = 2, maxRounds = 3) { (need, round) =>
+        need.select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), (lit(2) - col("have")).cast("int") - 1),
+            i => concat(lit(s"gen:$round:"), col("doc_id"), lit(":"), i)))
+            .as("query"))
+      }
+      out.select(col("doc_id"), concat_ws(",", col("queries")).as("queries"),
+        col("n_queries").cast("long").as("n_queries")).orderBy("doc_id")
+    }),
+
+    // V6: the coarse beam tuples themselves (pq.py:613-713, l2 + "prod")
+    "v6_beam" -> ((s, dir) =>
+      CodebookBeamSearch.search(queryVecs(s, dir).select("query_id", "qvec"),
+        rqCodebook(s, dir), beams = 4)
+        .select(col("query_id"), col("crank").cast("long").as("crank"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          round(col("logprob"), 6).as("logprob"))
+        .orderBy("query_id", "crank")),
+
     // V1 stand-in: deterministic hashing bag-of-words document encoder
     "v1_hash_embed" -> ((s, dir) =>
       graft.functions.TextEmbedder.hashEmbed(
@@ -972,6 +1033,40 @@ object SparkEntry {
          |  array_to_string(list(doc_id ORDER BY rank), ',') AS preds,
          |  array_to_string(list(printf('%.6f', CAST(CAST(score AS REAL) AS DOUBLE)) ORDER BY rank), ',') AS scores
          |FROM r WHERE rank <= 10 GROUP BY query_id ORDER BY query""".stripMargin,
+
+    "s2_pair_roundtrip" ->
+      """SELECT 'what is ' || source || ' ' || doc_id AS query, doc_id
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "s6_tensor_roundtrip" ->
+      """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS row_id,
+        |  array_to_string(list_transform(embedding,
+        |    x -> printf('%.5f', CAST(x AS DOUBLE))), ',') AS vec
+        |FROM embeddings WHERE vec_id < 500 ORDER BY row_id""".stripMargin,
+
+    "p5_query_spans" ->
+      """WITH q AS (SELECT substr(text, 1, 80) AS query FROM documents WHERE doc_id < 100),
+        |e AS (SELECT query, unnest(range(0, 2)) AS i FROM q),
+        |l AS (SELECT query, i,
+        |  least(length(query),
+        |    8 + CAST('0x' || substr(md5(query || '|' || i || '|len'), 1, 15) AS BIGINT) % 17) AS len
+        |  FROM e),
+        |st AS (SELECT query, len,
+        |  CAST('0x' || substr(md5(query || '|' || i || '|start'), 1, 15) AS BIGINT)
+        |    % (greatest(length(query) - len, 0) + 1) AS start FROM l),
+        |sp AS (SELECT query, substr(query, CAST(start + 1 AS INT), CAST(len AS INT)) AS span FROM st)
+        |SELECT query, span FROM sp WHERE length(span) > 0 ORDER BY query, span""".stripMargin,
+
+    "a8_backfill" ->
+      """WITH u AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |init AS (SELECT doc_id, 'seed:' || doc_id AS query FROM u WHERE doc_id % 2 = 0),
+        |gen0 AS (SELECT doc_id,
+        |  unnest(range(0, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END)) AS i FROM u),
+        |gen AS (SELECT doc_id, 'gen:0:' || doc_id || ':' || i AS query FROM gen0),
+        |pool AS (SELECT doc_id, query FROM init UNION SELECT doc_id, query FROM gen)
+        |SELECT doc_id, array_to_string(list_sort(list(query)), ',') AS queries,
+        |  count(*) AS n_queries
+        |FROM pool GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),

@@ -53,6 +53,10 @@ object MeviIO {
   def readPairsTsv(spark: SparkSession, path: String): DataFrame =
     tsvReader(spark).schema(pairSchema).csv(path).na.drop()
 
+  def writePairsTsv(df: DataFrame, path: String): Unit =
+    tsvWriter(df.select(col("query"), col("doc_id")))
+      .mode("overwrite").csv(path)
+
   /** Empty/null csv field → empty ARRAY, never [null] (split("") yields
     * [""] which a long-cast turns into [null] — a spurious element). */
   private def csvToLongArray(c: Column): Column =
@@ -126,6 +130,30 @@ object MeviIO {
       StructType(Seq(
         StructField("row_id", LongType, nullable = false),
         StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false))))
+  }
+
+  /** S6 writer: one row-major little-endian float32 file in the input's
+    * current row order (callers sort first — row index IS the id). This is
+    * a driver-side EXPORT for np.memmap interop (the reference writes the
+    * file single-node too, MEVI/generate.py:87-88); the scale-path tensor
+    * sink is Parquet (S9, by design). Streams row batches — never holds
+    * the matrix in driver memory.
+    */
+  def writeFloatMatrix(df: DataFrame, path: String, dim: Int,
+      vecCol: String = "vec"): Unit = {
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path))
+    try {
+      val it = df.select(col(vecCol)).toLocalIterator()
+      val buf = ByteBuffer.allocate(4 * dim).order(ByteOrder.LITTLE_ENDIAN)
+      while (it.hasNext) {
+        val vec = it.next().getSeq[Float](0)
+        require(vec.length == dim, s"row width ${vec.length} != $dim")
+        buf.clear()
+        vec.foreach(buf.putFloat)
+        out.write(buf.array())
+      }
+    } finally out.close()
   }
 
   /** Int64 variant (token matrices — prepare_passage_tokenized.py:83-86). */

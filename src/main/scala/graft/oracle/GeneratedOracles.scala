@@ -171,6 +171,22 @@ object GeneratedOracles {
        |  GROUP BY qq.query_id)
        |SELECT round(avg(cnt), 6) AS ndoc_per_query, count(*) AS n_queries FROM cnts""".stripMargin
 
+  /** V6: the coarse beam tuples themselves — (query_id, crank, codes,
+    * logprob), replaying CodebookBeamSearch.search's l2+"prod" scoring and
+    * its lexicographic-codes tie-break. */
+  def v6BeamSql(cb: Codebook, beams: Int, maxQueryId: Int): String = {
+    val tieOrder = ks(cb).mkString(", ")
+    // beamCtes' residual step joins the centroid VALUES tables (c0..cM-1);
+    // the other RQ oracles inherit them from assignCtes — declare them here
+    val values = (0 until cb.numLevels).map(m => valuesCte(cb, m)).mkString(",\n")
+    s"""WITH $values,
+       |${beamCtes(cb, beams, maxQueryId)}
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cum DESC, $tieOrder) AS crank,
+       |  ${codesStr("", cb)} AS codes, round(cum, 6) AS logprob
+       |FROM beams ORDER BY query_id, crank""".stripMargin
+  }
+
   def coarseFineSql(cb: Codebook, beams: Int, k: Int, maxQueryId: Int): String =
     s"""WITH ${assignCtes(cb)},
        |${beamCtes(cb, beams, maxQueryId)},
@@ -219,6 +235,7 @@ object GeneratedOracles {
     "rq_reconstruct" -> rqReconstructSql(cb),
     "rq_reconstruct_all" -> reconstructAllSql(cb),
     "rq_ndoc" -> rqNdocSql(cb, beams, maxQueryId),
+    "v6_beam" -> v6BeamSql(cb, beams, maxQueryId),
     "coarse_fine" -> coarseFineSql(cb, beams, topK, maxQueryId),
     "coarse_fine_budgeted" -> coarseFineBudgetedSql(cb, beams, topK, budget, maxQueryId))
 
