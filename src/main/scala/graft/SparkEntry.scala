@@ -699,6 +699,36 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("doc_id"), round(col("fused_score"), 6).as("fused_score"))
         .orderBy("query_id", "rank")
+    }),
+
+    // V13 grid: α/γ hyperparameter sweep in one pass (the reference's
+    // --alphas/--betas/--gammas comma lists, ensemble_marco.py:251-253) —
+    // one MRR@10 metric row per combo against label ground truth
+    "ensemble_grid" -> ((s, dir) => {
+      val queries = queryVecs(s, dir).select("query_id", "qvec")
+      val docs = docVecs(s, dir).select("doc_id", "vec")
+      val ann = BruteForceKNN.topK(queries, docs, k = 10, metric = "ip",
+        excludeSelf = true).select("query_id", "doc_id", "score")
+      val coarse = BruteForceKNN.topK(queries, docs, k = 5, metric = "cos",
+        excludeSelf = true)
+        .select(col("query_id"), col("doc_id"), col("rank").as("crank"))
+      val fused = Ensemble.fuseGrid(ann, coarse, numClusters = 5,
+        alphas = Seq(0.4, 0.6), betas = Seq(0.03),
+        gammas = Seq(0.02, 0.05), k = 10)
+      val lab = t(s, dir, "embeddings").select("vec_id", "label")
+      fused
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("qlab")), Seq("query_id"))
+        .join(lab.select(col("vec_id").as("doc_id"),
+          col("label").as("dlab")), Seq("doc_id"))
+        .where(col("qlab") === col("dlab"))
+        .groupBy("alpha", "beta", "gamma", "query_id")
+        .agg(min("rank").as("hr"))
+        .groupBy("alpha", "beta", "gamma")
+        // fixed denominator 20 (the query universe): queries with no
+        // labeled hit in the top-10 contribute 0 to the mean
+        .agg(round(sum(lit(1.0) / col("hr")) / lit(20.0), 6).as("mrr"))
+        .orderBy("alpha", "gamma")
     })
   )
 
@@ -1188,7 +1218,43 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY query_id ORDER BY fused_score DESC, doc_id ASC) AS rank
          |           FROM fused)
          |SELECT query_id, rank, doc_id, round(fused_score, 6) AS fused_score
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ensemble_grid" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+         |d AS (SELECT vec_id AS doc_id, embedding AS vec FROM embeddings),
+         |s AS (SELECT q.query_id, d.doc_id, $dotSql AS ip,
+         |        $dotSql
+         |        / (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |           * sqrt(list_sum(list_transform(d.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+         |      FROM q CROSS JOIN d WHERE d.doc_id <> q.query_id),
+         |ann AS (SELECT query_id, doc_id, ip AS score,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, doc_id ASC) AS arank FROM s),
+         |coarse AS (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS crank FROM s),
+         |combos AS (SELECT CAST(c[1] AS DOUBLE) AS alpha, CAST(c[2] AS DOUBLE) AS beta, CAST(c[3] AS DOUBLE) AS gamma
+         |           FROM (SELECT unnest([[0.4, 0.03, 0.02], [0.4, 0.03, 0.05], [0.6, 0.03, 0.02], [0.6, 0.03, 0.05]]) AS c)),
+         |fused AS (
+         |  SELECT cb.alpha, cb.beta, cb.gamma, a.query_id, a.doc_id,
+         |    CASE WHEN c.crank IS NOT NULL
+         |         THEN a.score + cb.alpha / (cb.beta * (c.crank - 1) + 1)
+         |         ELSE (a.score + cb.alpha / (cb.beta * 5 + 1)) * (1 - cb.gamma * cb.alpha) END AS fused_score
+         |  FROM (SELECT * FROM ann WHERE arank <= 10) a
+         |  CROSS JOIN combos cb
+         |  LEFT JOIN (SELECT * FROM coarse WHERE crank <= 5) c
+         |    ON a.query_id = c.query_id AND a.doc_id = c.doc_id),
+         |ranked AS (SELECT alpha, beta, gamma, query_id, doc_id, fused_score,
+         |             row_number() OVER (PARTITION BY alpha, beta, gamma, query_id
+         |                                ORDER BY fused_score DESC, doc_id ASC) AS rank
+         |           FROM fused),
+         |hits AS (SELECT r.alpha, r.beta, r.gamma, r.query_id, min(r.rank) AS hr
+         |         FROM ranked r
+         |         JOIN embeddings ql ON ql.vec_id = r.query_id
+         |         JOIN embeddings dl ON dl.vec_id = r.doc_id AND dl.label = ql.label
+         |         WHERE r.rank <= 10
+         |         GROUP BY r.alpha, r.beta, r.gamma, r.query_id)
+         |SELECT alpha, beta, gamma, round(sum(1.0 / hr) / 20.0, 6) AS mrr
+         |FROM hits GROUP BY alpha, beta, gamma ORDER BY alpha, gamma""".stripMargin
   )
 
   /** Shared oracle fragments (constants must match graft.pipeline.Dedup /

@@ -54,4 +54,47 @@ object Ensemble {
       .where(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "fused_score")
   }
+
+  /** Hyperparameter grid sweep — the reference's `--alphas/--betas/--gammas`
+    * comma lists looped at ensemble_marco.py:214-258, in ONE distributed
+    * pass: the alignment join runs once, each joined row explodes over the
+    * (tiny, literal) combo list, and ranking windows partition by
+    * (combo, query). |combos|× more rows through one shuffle instead of
+    * |combos| separate jobs re-reading both inputs.
+    *
+    * @return (alpha, beta, gamma, query_id, rank, doc_id, fused_score),
+    *         top-k rows per (combo, query).
+    */
+  def fuseGrid(
+      ann: DataFrame,
+      coarse: DataFrame,
+      numClusters: Int,
+      alphas: Seq[Double],
+      betas: Seq[Double],
+      gammas: Seq[Double],
+      k: Int = 100): DataFrame = {
+
+    val combos = for { a <- alphas; b <- betas; g <- gammas } yield (a, b, g)
+    val crank0 = coalesce(col("crank") - 1, lit(numClusters))
+    val additive = col("score") + col("alpha") / (col("beta") * crank0 + 1)
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("alpha", "beta", "gamma", "query_id")
+      .orderBy(col("fused_score").desc, col("doc_id").asc)
+
+    ann
+      .join(coarse, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"), col("crank"), col("score"),
+        explode(typedLit(combos)).as("c"))
+      .select(col("query_id"), col("doc_id"), col("crank"), col("score"),
+        col("c._1").as("alpha"), col("c._2").as("beta"), col("c._3").as("gamma"))
+      .withColumn("fused_score",
+        when(crank0 === numClusters,
+          additive * (lit(1.0) - col("gamma") * col("alpha")))
+          .otherwise(additive))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("alpha", "beta", "gamma", "query_id", "rank", "doc_id",
+        "fused_score")
+  }
 }

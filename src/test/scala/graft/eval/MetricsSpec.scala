@@ -50,6 +50,26 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(fused(1).getAs[Double]("fused_score") - expected11) < 1e-12)
   }
 
+  test("fuseGrid's slice at one combo equals fuse at those params") {
+    val ann = Seq((1L, 10L, 1.0), (1L, 11L, 0.9), (2L, 10L, 0.5))
+      .toDF("query_id", "doc_id", "score")
+    val coarse = Seq((1L, 10L, 2)).toDF("query_id", "doc_id", "crank")
+    val single = Ensemble.fuse(ann, coarse, numClusters = 5,
+      alpha = 0.4, beta = 0.05, gamma = 0.1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getInt(1), r.getDouble(3))).toMap
+    val grid = Ensemble.fuseGrid(ann, coarse, numClusters = 5,
+      alphas = Seq(0.4, 0.6), betas = Seq(0.05), gammas = Seq(0.1), k = 10)
+      .where(col("alpha") === 0.4 && col("gamma") === 0.1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("fused_score"))).toMap
+    assert(grid.keySet == single.keySet)
+    single.foreach { case (key, (rank, score)) =>
+      assert(grid(key)._1 == rank)
+      assert(math.abs(grid(key)._2 - score) < 1e-12)
+    }
+  }
+
   test("batch sessionize splits exactly at the gap by hand") {
     val ts = (m: Int) => new java.sql.Timestamp(m * 60000L)
     val events = Seq(
