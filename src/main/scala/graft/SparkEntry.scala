@@ -651,12 +651,17 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // S4: python-literal list parse (NQ qa.csv answers, get_answers.py:15-29)
+    // — the synthesized literal carries a real apostrophe in a double-quoted
+    // element and an escaped quote in a single-quoted one, the shapes
+    // eval() handles and a [^']* regex cannot
     "s4_pylist_parse" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
-          concat(lit("['"), col("source"), lit("', '"), col("lang"), lit("']")).as("raw"))
+          concat(lit("['"), col("source"), lit("', \"it's a "), col("lang"),
+            lit("\", 'esc\\'d']")).as("raw"))
         .select(col("doc_id"),
-          concat_ws(",", regexp_extract_all(col("raw"), lit("'([^']*)'"), lit(1))).as("answers"))
+          concat_ws(",", graft.io.PyLiteral.parse_py_string_list(col("raw")))
+            .as("answers"))
         .orderBy("doc_id")),
 
     // V10: the precomputed K^M reconstruct-all table (gen_all_reconstruct —
@@ -972,7 +977,7 @@ object SparkEntry {
 
     "s4_pylist_parse" ->
       """SELECT doc_id,
-        |  array_to_string(regexp_extract_all('[''' || source || ''', ''' || lang || ''']', '''([^'']*)''', 1), ',') AS answers
+        |  source || ',it''s a ' || lang || ',esc''d' AS answers
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "j5_answer_contain" ->

@@ -25,16 +25,37 @@ import graft.index.Codebook
   */
 object CodebookBeamSearch {
 
+  /** Seeded uniform in (0,1) from the md5-prefix hash — the same
+    * deterministic-randomness primitive as the rest of the engine. */
+  private def uniformHash(key: String): Double =
+    (graft.functions.Md5PrefixHash.hash(key.getBytes("UTF-8"), 15) + 0.5) /
+      (1L << 60).toDouble
+
   /** Pure-Scala beam search over one query vector. Returns top-R
     * (codes, cumulative log-prob) sorted best-first, ties → lexicographic
     * code order (deterministic).
+    *
+    * `doSample` replays the reference's `do_sample` mode (pq.py:686-688:
+    * `torch.multinomial(proba, num_samples=num_beams)` over the expanded
+    * beam probabilities, used by the qg-augmentation configs) with seeded
+    * randomness: an exponential race — candidate i gets race key
+    * ln(−ln u_i) − score_i with u_i hashed from (seed, salt, codes); the
+    * `beams` smallest keys win. Taking the k smallest exponential/weight
+    * variates IS sampling without replacement proportional to
+    * exp(score) = proba, exactly multinomial's semantics — but as a pure
+    * function of (seed, salt), so identical across engines, partitionings
+    * and reruns. `salt` decorrelates draws across queries (the DataFrame
+    * API passes the query id).
     */
   def searchOne(
       cb: Codebook,
       qvec: Array[Float],
       beams: Int,
       metric: String = "l2",
-      scoreMode: String = "prod"): Array[(Array[Int], Double)] = {
+      scoreMode: String = "prod",
+      doSample: Boolean = false,
+      sampleSeed: Long = 42L,
+      salt: String = ""): Array[(Array[Int], Double)] = {
 
     val dim = qvec.length
     // beam state: (codes so far, residual, cumulative logprob)
@@ -80,7 +101,14 @@ object CodebookBeamSearch {
       // lowest-code-wins rule)
       import scala.math.Ordering.Implicits.seqOrdering
       frontier = expanded
-        .sortBy { case (codes, _, score, _) => (-score, codes.toSeq) }
+        .sortBy { case (codes, _, score, _) =>
+          val key =
+            if (doSample)
+              math.log(-math.log(
+                uniformHash(s"$sampleSeed|$salt|${codes.mkString(",")}"))) - score
+            else -score
+          (key, codes.toSeq)
+        }
         .take(beams)
         .map { case (codes, resid, score, cc) =>
           val cent = cents(cc)
@@ -103,14 +131,19 @@ object CodebookBeamSearch {
       metric: String = "l2",
       scoreMode: String = "prod",
       idCol: String = "query_id",
-      vecCol: String = "qvec"): DataFrame = {
+      vecCol: String = "qvec",
+      doSample: Boolean = false,
+      sampleSeed: Long = 42L): DataFrame = {
     val bc = queries.sparkSession.sparkContext.broadcast(codebook)
-    val beamUdf = udf { (qvec: Array[Float]) =>
-      searchOne(bc.value, qvec, beams, metric, scoreMode)
+    val beamUdf = udf { (id: String, qvec: Array[Float]) =>
+      searchOne(bc.value, qvec, beams, metric, scoreMode,
+        doSample, sampleSeed, salt = id)
         .map { case (codes, score) => (codes.toSeq, score) }.toSeq
     }
     queries
-      .select(col(idCol), posexplode(beamUdf(col(vecCol))).as(Seq("pos", "b")))
+      .select(col(idCol),
+        posexplode(beamUdf(col(idCol).cast("string"), col(vecCol)))
+          .as(Seq("pos", "b")))
       .select(
         col(idCol),
         col("b._1").as("codes"),

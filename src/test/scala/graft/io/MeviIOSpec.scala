@@ -103,4 +103,27 @@ class MeviIOSpec extends SparkSpec {
     assert(dev(0).getSeq[Long](1) == Seq(1L, 2L, 3L))
     assert(dev(1).getSeq[Long](1) == Seq(42L))
   }
+
+  test("python-literal parser matches eval() on the qa.csv shapes (S4)") {
+    import PyLiteral.parseStringList
+    assert(parseStringList("['a', 'b']") == Some(Seq("a", "b")))
+    assert(parseStringList("[]") == Some(Nil))
+    // apostrophe inside a double-quoted element — the regex killer
+    assert(parseStringList("""["it's fine", 'plain']""") ==
+      Some(Seq("it's fine", "plain")))
+    // escaped quotes and backslashes (eval semantics incl. unknown escapes)
+    assert(parseStringList("""['esc\'d', "q\"x", 'a\\b', 'k\d']""") ==
+      Some(Seq("esc'd", "q\"x", "a\\b", "k\\d")))
+    // CSV-wrapped line (get_answers.py:22-23 strip + "" unescape)
+    assert(parseStringList("\"['hi', \"\"there\"\"]\"") ==
+      Some(Seq("hi", "there")))
+    // whitespace / trailing comma tolerance
+    assert(parseStringList("[ 'a' , 'b' , ]") == Some(Seq("a", "b")))
+    // malformed inputs → None, not garbage
+    assert(parseStringList("not a list").isEmpty)
+    assert(parseStringList("['unterminated").isEmpty)
+    assert(parseStringList("['a' 'b']").isEmpty)
+    assert(parseStringList("[1, 2]").isEmpty)
+    assert(parseStringList(null).isEmpty)
+  }
 }

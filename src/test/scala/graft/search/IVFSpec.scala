@@ -106,4 +106,40 @@ class IVFSpec extends SparkSpec {
       assert(aligned.levels(0)(c).toSeq == cb.levels(0)(c).toSeq)
     }
   }
+
+  test("Hungarian alignment beats greedy on an adversarial refresh (V11)") {
+    // squared-distance matrix [[1, 2], [1, 3]] (rows=new, cols=old):
+    // greedy grabs (n0,o0)=1 then is forced into (n1,o1)=3 → total 4;
+    // the optimum is the anti-diagonal (n0→o1)+(n1→o0) = 2+1 = 3 —
+    // exactly the silent code churn linear_sum_assignment avoids
+    val old = Array(Array(0.0f, 0.0f), Array(0.25f, 1.19896f))
+    val fresh = Array(Array(1.0f, 0.0f), Array(-1.0f, 0.0f))
+    def total(perm: Array[Int]): Double =
+      perm.indices.map { n =>
+        fresh(n).zip(old(perm(n)))
+          .map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+      }.sum
+    val greedy = CodebookAligner.align(old, fresh)
+    val optimal = CodebookAligner.alignOptimal(old, fresh)
+    assert(greedy.toSeq == Seq(0, 1)) // mis-paired, total ≈ 4
+    assert(optimal.toSeq == Seq(1, 0))
+    assert(total(optimal) < total(greedy) - 0.5)
+  }
+
+  test("Hungarian equals brute-force optimum on random instances (V11)") {
+    val rnd = new scala.util.Random(11)
+    (0 until 20).foreach { _ =>
+      val k = 2 + rnd.nextInt(5)
+      val old = Array.fill(k)(Array.fill(3)(rnd.nextFloat() * 4 - 2))
+      val fresh = Array.fill(k)(Array.fill(3)(rnd.nextFloat() * 4 - 2))
+      def total(perm: Seq[Int]): Double =
+        perm.indices.map { n =>
+          fresh(n).zip(old(perm(n)))
+            .map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+        }.sum
+      val best = (0 until k).permutations.map(p => total(p)).min
+      val got = total(CodebookAligner.alignOptimal(old, fresh).toSeq)
+      assert(math.abs(got - best) < 1e-9, s"k=$k: $got vs $best")
+    }
+  }
 }

@@ -64,6 +64,58 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("do_sample beam mode: frequencies track softmax weights (pq.py:686-688)") {
+    // one level, 3 centroids, beams=1 ⇒ each draw samples ONE code with
+    // probability softmax(-||q-c||²); across many salts the empirical
+    // frequencies must approach those weights
+    val cents = Array(
+      Array(0.0f, 0.0f),   // closest to q
+      Array(1.0f, 0.0f),
+      Array(2.0f, 0.0f))
+    val cb = graft.index.Codebook(Array(cents))
+    val q = Array(0.0f, 0.0f)
+    val raw = cents.map { c =>
+      -c.zip(q).map { case (ci, qi) => (ci - qi) * (ci - qi) }.sum.toDouble
+    }
+    val z = raw.map(math.exp).sum
+    val p = raw.map(r => math.exp(r) / z)
+    val n = 4000
+    val counts = new Array[Int](3)
+    (0 until n).foreach { i =>
+      val picked = CodebookBeamSearch.searchOne(cb, q, beams = 1,
+        doSample = true, salt = s"salt$i").head._1.head
+      counts(picked) += 1
+    }
+    (0 until 3).foreach { c =>
+      val freq = counts(c).toDouble / n
+      assert(math.abs(freq - p(c)) < 0.03,
+        s"code $c: freq $freq vs weight ${p(c)}")
+    }
+    // and without sampling the argmax always wins
+    assert(CodebookBeamSearch.searchOne(cb, q, beams = 1).head._1.head == 0)
+  }
+
+  test("do_sample search is deterministic across partitionings and reruns") {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    def run(parts: Int): Seq[(Long, Seq[Int], Int)] =
+      CodebookBeamSearch.search(queries.repartition(parts), cb, beams = 4,
+        doSample = true, sampleSeed = 7L)
+        .select(col("query_id"), col("codes"), col("crank"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val a = run(1)
+    assert(a == run(8))
+    assert(a == run(3))
+    // a different seed actually changes some draw
+    val b = CodebookBeamSearch.search(queries, cb, beams = 4,
+      doSample = true, sampleSeed = 8L)
+      .select(col("query_id"), col("codes"), col("crank")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(a != b)
+  }
+
   test("budgeted retrieval: unlimited budget equals plain coarse→fine") {
     val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
     val index = ClusterIndexBuilder.build(CodeAssigner.assign(docs, cb))
