@@ -81,7 +81,10 @@ object SparkEntry {
   // index → coarse beam search → fine re-rank → retrieval metrics.
   // ---------------------------------------------------------------------
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+    // overridable fixture dir (kept distinct from Bench's SF var so a
+    // bench run never silently re-points the smoke-check)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR",
+      "/root/testdata/sf0.001")
     val docs = docVecs(spark, dir).cache()
     val queries = queryVecs(spark, dir)
     val cb = rqCodebook(spark, dir)
@@ -191,14 +194,20 @@ object SparkEntry {
 
     // §2.6 set ops: UNION / INTERSECT / EXCEPT between derived sets
     "set_ops" -> ((s, dir) => {
+      import s.implicits._
       val p = t(s, dir, "part")
       val small = p.where(col("p_size") < 10).select("p_brand").distinct()
       val typed = p.where(col("p_type").contains("a")).select("p_brand").distinct()
-      val stats = Seq(
-        ("union", small.union(typed).distinct().count()),
-        ("intersect", small.intersect(typed).count()),
-        ("except", small.except(typed).count()))
-      s.createDataFrame(stats).toDF("op", "n").orderBy("op")
+      // ONE distributed plan (no driver-side count() loop): tag each set
+      // op's rows, count per tag, left-join the op universe so an empty
+      // result still yields n=0 like the oracle's scalar subqueries
+      val tagged = small.union(typed).distinct().select(lit("union").as("op"))
+        .union(small.intersect(typed).select(lit("intersect").as("op")))
+        .union(small.except(typed).select(lit("except").as("op")))
+      Seq("except", "intersect", "union").toDF("op")
+        .join(tagged.groupBy("op").agg(count(lit(1)).as("n")), Seq("op"), "left")
+        .select(col("op"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("op")
     }),
 
     // J2: invert pairs → group + collect_set (main_utils.py:128-131).
