@@ -70,11 +70,32 @@ object SparkEntry {
       ClusterIndexBuilder.build(rqAssignments(s, dir))
     }
 
+  /** Trained IVF cell centroids for the oracle generator (same contract as
+    * [[lastCodebook]]). */
+  @volatile private var lastIvfCodebook: Option[Codebook] = None
+
+  /** 16-cell IVF structure over the fixture embeddings (dir-memoized). */
+  private def ivfOf(s: SparkSession, dir: String): graft.search.IVFIndex.IVF = {
+    val cb = ArtifactCache.codebook(s"$dir/ivf16") {
+      RQTrainer.fit(docVecs(s, dir).select("doc_id", "vec"), "vec",
+        numLevels = 1, k = 16, seed = 42L, maxIter = 10)
+    }
+    lastIvfCodebook = Some(cb)
+    val cells = ArtifactCache.frame(s, s"$dir/ivf16/cells") {
+      CodeAssigner.assign(docVecs(s, dir).select("doc_id", "vec"), cb)
+        .select(col("doc_id"), col("codes").getItem(0).as("cell"))
+        .repartition(col("cell"))
+    }
+    graft.search.IVFIndex.IVF(cb, cells)
+  }
+
   /** Force-build the per-dir RQ artifacts (codebook fit + assignment +
     * cluster index). Benchmarks call this before their timing loop so the
     * one-time KMeans fit doesn't land on whichever RQ query runs first. */
-  def warmArtifacts(s: SparkSession, dir: String): Unit =
-    rqIndex(s, dir).count(): Unit
+  def warmArtifacts(s: SparkSession, dir: String): Unit = {
+    rqIndex(s, dir).count()
+    ivfOf(s, dir).cells.count(): Unit
+  }
 
   // ---------------------------------------------------------------------
   // Flagship: full MEVI shape on sf0.001 — RQ train → assign → cluster
@@ -257,6 +278,20 @@ object SparkEntry {
         queryVecs(s, dir).select("query_id", "qvec"),
         docVecs(s, dir).select("doc_id", "vec"),
         k = 10, metric = "ip", excludeSelf = true)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // T4/V9: IVF probe ANN — nprobe closest cells per query, exact IP
+    // re-rank inside them (oracle replays the probe with inlined trained
+    // cell centroids)
+    "ivf_knn" -> ((s, dir) => {
+      graft.search.IVFIndex.search(
+        queryVecs(s, dir).select("query_id", "qvec"),
+        ivfOf(s, dir),
+        docVecs(s, dir).select("doc_id", "vec"),
+        nprobe = 4, k = 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
@@ -770,7 +805,10 @@ object SparkEntry {
       lastCodebook.map(cb => graft.oracle.GeneratedOracles.rqOracles(
         cb, beams = 4, topK = 10, budget = 100,
         maxChunk = graft.index.ClusterIndexBuilder.DefaultMaxChunk,
-        maxQueryId = 20)).getOrElse(Map.empty)
+        maxQueryId = 20)).getOrElse(Map.empty) ++
+      lastIvfCodebook.map(cb => Map("ivf_knn" ->
+        graft.oracle.GeneratedOracles.ivfKnnSql(
+          cb, nprobe = 4, k = 10, maxQueryId = 20))).getOrElse(Map.empty)
 
   private def staticOracleSql: Map[String, String] = Map(
 

@@ -227,6 +227,29 @@ object GeneratedOracles {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** T4/V9: IVF probe search — 1-level cell assignment, top-`nprobe`
+    * cells per query (L2 to the cell centroid, cell-id tie-break), exact
+    * IP re-rank inside the probed cells (IVFIndex.search). */
+  def ivfKnnSql(cb: Codebook, nprobe: Int, k: Int, maxQueryId: Int): String = {
+    require(cb.numLevels == 1, "IVF oracle expects a 1-level codebook")
+    s"""WITH ${assignCtes(cb)},
+       |q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u0 FROM embeddings WHERE vec_id < $maxQueryId),
+       |pd AS (SELECT q.query_id, code AS cell,
+       |  list_sum(list_transform(list_zip(q.u0, cent), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+       |  FROM q CROSS JOIN c0),
+       |probe AS (SELECT query_id, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn FROM pd)
+       |  WHERE rn <= $nprobe),
+       |cand AS (SELECT DISTINCT p.query_id, a.doc_id FROM probe p JOIN assign a ON a.k0 = p.cell),
+       |sc AS (SELECT c.query_id, c.doc_id,
+       |  list_sum(list_transform(list_zip(qq.u0, dd.v0), p -> p[1] * p[2])) AS score
+       |  FROM cand c JOIN q qq USING (query_id) JOIN d dd USING (doc_id)),
+       |rk AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, rank, doc_id, round(score, 6) AS score
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** All codebook-derived oracles keyed by SparkEntry query name. */
   def rqOracles(cb: Codebook, beams: Int, topK: Int, budget: Int,
       maxChunk: Int, maxQueryId: Int): Map[String, String] = Map(

@@ -28,6 +28,33 @@ object BruteForceKNN {
     case other => throw new IllegalArgumentException(s"metric $other")
   }
 
+  /** Scored (query, doc) pairs. For "cos" the norms are precomputed ONCE
+    * per doc row and once per (broadcast) query row before the crossJoin —
+    * the naive per-pair form recomputes both norms |Q|·|D| times, doubling
+    * the flops of the scan. Bit-identical to the per-pair form: the norm
+    * columns hold the same sequentially-folded doubles, and the division
+    * groups the same way (zero-norm rows still score 0.0, matching
+    * VectorOps.vecCosine).
+    */
+  private def scoredPairs(
+      queries: DataFrame,
+      docs: DataFrame,
+      metric: String,
+      excludeSelf: Boolean): DataFrame = {
+    val (q2, d2, sc) =
+      if (metric == "cos") {
+        val qn = sqrt(float_dot(col("qvec"), col("qvec")))
+        val dn = sqrt(float_dot(col("vec"), col("vec")))
+        (queries.withColumn("__qn", qn), docs.withColumn("__dn", dn),
+          when(col("__qn") === 0.0 || col("__dn") === 0.0, lit(0.0))
+            .otherwise(float_dot(col("qvec"), col("vec")) /
+              (col("__qn") * col("__dn"))))
+      } else (queries, docs, score(metric)(col("qvec"), col("vec")))
+    d2.crossJoin(broadcast(q2))
+      .where(if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("doc_id"), sc.as("score"))
+  }
+
   /** Returns (query_id, rank, doc_id, score), rank 1-based best-first.
     * `queries`: (query_id LONG, qvec ARRAY<FLOAT>) — assumed broadcastable.
     * `docs`:    (doc_id LONG, vec ARRAY<FLOAT>) — arbitrarily large.
@@ -37,17 +64,8 @@ object BruteForceKNN {
       docs: DataFrame,
       k: Int,
       metric: String = "ip",
-      excludeSelf: Boolean = false): DataFrame = {
-
-    val scored = docs
-      .crossJoin(broadcast(queries))
-      .where(if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true))
-      .select(
-        col("query_id"), col("doc_id"),
-        score(metric)(col("qvec"), col("vec")).as("score"))
-
-    TopK.ranked(scored, k)
-  }
+      excludeSelf: Boolean = false): DataFrame =
+    TopK.ranked(scoredPairs(queries, docs, metric, excludeSelf), k)
 
   /** Ranked-list form: (query_id, preds ARRAY<LONG>, scores ARRAY<DOUBLE>). */
   def topKLists(
@@ -55,19 +73,12 @@ object BruteForceKNN {
       docs: DataFrame,
       k: Int,
       metric: String = "ip",
-      excludeSelf: Boolean = false): DataFrame = {
-    val scored = docs
-      .crossJoin(broadcast(queries))
-      .where(if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true))
-      .select(
-        col("query_id"), col("doc_id"),
-        score(metric)(col("qvec"), col("vec")).as("score"))
-    scored
+      excludeSelf: Boolean = false): DataFrame =
+    scoredPairs(queries, docs, metric, excludeSelf)
       .groupBy("query_id")
       .agg(TopK.topk(k)(col("doc_id"), col("score")).as("top"))
       .select(
         col("query_id"),
         col("top.id").as("preds"),
         col("top.score").as("scores"))
-  }
 }
