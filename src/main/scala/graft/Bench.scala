@@ -42,18 +42,30 @@ object Bench {
     System.err.println(f"[bench] artifact warmup ${warmSec}%.1f s")
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // best-of-N per query (default 2): single-shot timings at this scale
+    // carry multi-second GC/scheduler noise, which round-over-round diffs
+    // would misread as regressions; min-of-iters is the stable statistic
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val (_, sec) = timed {
-        // noop sink: materializes every output column (count() would let
-        // Catalyst prune the projection and understate the real work)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      var best = Double.MaxValue
+      var ok = true
+      var i = 0
+      while (i < iters && ok) {
+        val (_, sec) = timed {
+          // noop sink: materializes every output column (count() would let
+          // Catalyst prune the projection and understate the real work)
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            ok = false
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
         }
+        if (ok) best = math.min(best, sec)
+        i += 1
       }
       // a crashed query must not masquerade as a fast one
-      name -> (if (failed.contains(name)) -1.0 else sec)
+      name -> (if (!ok) -1.0 else best)
     }
 
     // ---- engine metrics (BASELINE.md protocol) ----

@@ -90,4 +90,50 @@ object InvariantProps extends Properties("graft.invariants") {
       val out = CodebookBeamSearch.searchOne(cb, v, all)
       out.exists(_._1.toSeq == cb.assign(v).toSeq)
     }
+
+  property("Hungarian assignment never costs more than greedy") =
+    forAll(genCodebook) { cb =>
+      def total(old: Array[Array[Float]], fresh: Array[Array[Float]],
+          perm: Array[Int]): Double =
+        perm.indices.map { n =>
+          fresh(n).zip(old(perm(n)))
+            .map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+        }.sum
+      cb.levels.forall { level =>
+        val fresh = scala.util.Random.shuffle(level.toList).toArray
+          .map(_.map(f => f + 0.01f))
+        val g = total(level, fresh, CodebookAligner.align(level, fresh))
+        val h = total(level, fresh, CodebookAligner.alignOptimal(level, fresh))
+        h <= g + 1e-9
+      }
+    }
+
+  property("do_sample beam is a pure function of (seed, salt) with valid output") =
+    forAll(genCodebook, genVec, Gen.choose(1, 6), Gen.choose(0L, 1000L),
+      Gen.alphaNumStr) { (cb, v, beams, seed, salt) =>
+      val a = CodebookBeamSearch.searchOne(cb, v, beams,
+        doSample = true, sampleSeed = seed, salt = salt)
+      val b = CodebookBeamSearch.searchOne(cb, v, beams,
+        doSample = true, sampleSeed = seed, salt = salt)
+      val same = a.map(t => (t._1.toSeq, t._2)).toSeq ==
+        b.map(t => (t._1.toSeq, t._2)).toSeq
+      val valid = a.forall(t => t._1.length == cb.numLevels &&
+        t._1.forall(c => c >= 0 && c < cb.k))
+      Prop(same && valid &&
+        a.length == math.min(beams, math.pow(cb.k, cb.numLevels).toInt))
+    }
+
+  private val genPyString: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('\'', '"', '\\', ' ', ',', '[', ']'))).map(_.mkString)
+
+  property("python-literal parser inverts repr() rendering") =
+    forAll(Gen.listOf(genPyString)) { elems =>
+      // python repr of a string list: single quotes, escape \ and '
+      val rendered = elems.map { s =>
+        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      }.mkString("[", ", ", "]")
+      graft.io.PyLiteral.parseStringList(rendered).contains(elems)
+    }
 }
