@@ -53,12 +53,36 @@ class StressSpec extends SparkSpec {
     val t0 = System.nanoTime()
     val sigs = Dedup.minhashSignatures(docs, numPerms = 8)
     val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
-    val pairs = Dedup.jaccardPairs(docs, pairs = Some(cands))
+    val pairs = Dedup.jaccardPairsByHash(docs, cands)
       .where(col("jaccard") >= 0.99)
     val nPairs = pairs.count()
     val sec = (System.nanoTime() - t0) / 1e9
     // every doc now has 7 exact replicas → 8*7/2 pairs per base doc
     assert(nPairs == 500L * 8 * 7 / 2, s"expected full replica pairing, got $nPairs")
     assert(sec < 120, s"minhash took ${sec}s on 4k docs — candidate blowup?")
+  }
+
+  test("default notClusterNegatives stays pre-sampled on a replicated corpus") {
+    import graft.pipeline.NegativeSampling
+    val docs = replicatedVecs(8).repartition(16).cache()
+    assert(docs.count() == 4000)
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val assignments = CodeAssigner.assign(docs, cb).cache()
+    val pairs = docs.where(col("doc_id") < 10)
+      .select(concat(lit("q"), col("doc_id")).as("query"), col("doc_id"))
+    val t0 = System.nanoTime()
+    val negs = NegativeSampling.notClusterNegatives(pairs, assignments,
+      docs.select("doc_id"), n = 8) // default auto pre-sampling
+    negs.collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val plan = negs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"default notclus produced a cartesian product at 4k docs:\n$plan")
+    assert(sec < 60, s"notclus default took ${sec}s on 4k docs")
+    // every (query, doc) pair keeps its full quota: the auto sample must
+    // leave enough survivors after cluster rejection
+    val sizes = negs.select(size(col("neg_ids"))).collect().map(_.getInt(0))
+    assert(sizes.length == 10 && sizes.forall(_ == 8),
+      s"a pair lost negatives under the default pre-sample: ${sizes.toSeq}")
   }
 }
