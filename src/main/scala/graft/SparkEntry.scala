@@ -552,6 +552,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // A7 simans: score-aware negative sampling (main_models.py:1613-1616) —
+    // exponential race over w = exp(−a·(s−s_pos)²), md5-rank randomness, so
+    // the whole draw replays in SQL (each query's positive is itself)
+    "a7_simans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 20)
+        .select(concat(lit("q"), col("vec_id")).as("query"),
+          col("vec_id").as("doc_id"), col("embedding").as("qvec"))
+      val cands = emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cvec"))
+      // queries broadcast, corpus streams (the KNN layout — corpus-sized
+      // sides are never broadcast)
+      val scored = cands.crossJoin(broadcast(queries))
+        .where(col("cand_id") =!= col("doc_id"))
+        .select(col("query"), col("doc_id"), col("cand_id"),
+          float_dot(col("qvec"), col("cvec")).as("cand_score"),
+          float_dot(col("qvec"), col("qvec")).as("pos_score"))
+      NegativeSampling.simansNegatives(scored, n = 5, a = 0.5, b = 0.0)
+        .select(col("query"), col("doc_id"),
+          concat_ws(",", col("neg_ids").cast("array<string>")).as("neg_ids"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal: binary payload metadata (no decode needed)
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.asMedia(t(s, dir, "documents"),
@@ -1091,6 +1114,26 @@ object SparkEntry {
         |           FROM members)
         |SELECT query, doc_id, array_to_string(list(cand ORDER BY h, cand), ',') AS neg_ids
         |FROM ranked WHERE rn <= 4 GROUP BY query, doc_id ORDER BY doc_id""".stripMargin,
+
+    "a7_simans" ->
+      """WITH q AS (SELECT 'q' || vec_id AS query, vec_id AS doc_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cand_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings),
+        |sc AS (SELECT q.query, q.doc_id, c.cand_id,
+        |         list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS cand_score,
+        |         list_sum(list_transform(q.qv, x -> x * x)) AS pos_score
+        |       FROM c CROSS JOIN q WHERE c.cand_id <> q.doc_id),
+        |r AS (SELECT query, doc_id, cand_id,
+        |        (CAST('0x' || substr(md5(query || ':' || cand_id), 1, 15) AS BIGINT) % 2147483647 + 1)
+        |          / (2147483647.0 + 2.0) AS u,
+        |        exp(-0.5 * (cand_score - pos_score - 0.0) ^ 2) AS w
+        |      FROM sc),
+        |k AS (SELECT query, doc_id, cand_id,
+        |        row_number() OVER (PARTITION BY query, doc_id ORDER BY ln(u) / w DESC, cand_id) AS rn
+        |      FROM r)
+        |SELECT query, doc_id, array_to_string(list_sort(list(cand_id)), ',') AS neg_ids
+        |FROM k WHERE rn <= 5 GROUP BY query, doc_id ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,

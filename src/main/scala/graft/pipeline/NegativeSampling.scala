@@ -163,7 +163,11 @@ object NegativeSampling {
       .cast("double") + 1.0) / (Dedup.P.toDouble + 2.0)
     val wgt = exp(lit(-a) * pow(col("cand_score") - col("pos_score") - lit(b), 2))
     val key = log(u) / wgt // ln(u) < 0; larger weight → key nearer 0 → wins
-    val w = Window.partitionBy("query", "doc_id").orderBy(key.desc)
+    // cand_id tie-break: exact key ties are near-impossible (u is a
+    // per-candidate hash) but the order must still be total for
+    // engine/partitioning determinism
+    val w = Window.partitionBy("query", "doc_id")
+      .orderBy(key.desc, col("cand_id").asc)
     scored
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
