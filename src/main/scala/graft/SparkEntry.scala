@@ -74,6 +74,10 @@ object SparkEntry {
     * [[lastCodebook]]). */
   @volatile private var lastIvfCodebook: Option[Codebook] = None
 
+  /** Trained reranker weights (coefficients, intercept) for the oracle
+    * generator — set by the v15_rerank query. */
+  @volatile private var lastReranker: Option[(Array[Double], Double)] = None
+
   /** 16-cell IVF structure over the fixture embeddings (dir-memoized). */
   private def ivfOf(s: SparkSession, dir: String): graft.search.IVFIndex.IVF = {
     val cb = ArtifactCache.codebook(s"$dir/ivf16") {
@@ -773,6 +777,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // V15/V19: learned reranker — LR over (score, 1/(1+crank), missing)
+    // features of the aligned candidate table, labels from label ground
+    // truth. The fit is MLlib; the trained 3-weight model is inlined into
+    // the generated oracle, which replays sigmoid scoring exactly
+    "v15_rerank" -> ((s, dir) => {
+      val queries = queryVecs(s, dir)
+      val docs = docVecs(s, dir)
+      val ann = BruteForceKNN.topK(queries.select("query_id", "qvec"),
+        docs.select("doc_id", "vec"), k = 10, metric = "ip",
+        excludeSelf = true).select("query_id", "doc_id", "score")
+      val coarse = BruteForceKNN.topK(queries.select("query_id", "qvec"),
+        docs.select("doc_id", "vec"), k = 5, metric = "cos",
+        excludeSelf = true)
+        .select(col("query_id"), col("doc_id"), col("rank").as("crank"))
+      val aligned = ann.join(coarse, Seq("query_id", "doc_id"), "left")
+      val labeled = graft.eval.Reranker.features(aligned
+        .join(queries.select(col("query_id"), col("label").as("qlab")),
+          Seq("query_id"))
+        .join(docs.select(col("doc_id"), col("label").as("dlab")),
+          Seq("doc_id"))
+        .withColumn("label",
+          when(col("qlab") === col("dlab"), 1.0).otherwise(0.0)))
+      val model = graft.eval.Reranker.train(labeled)
+      lastReranker = Some((model.coefficients.toArray, model.intercept))
+      graft.eval.Reranker.rerank(model, aligned, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("prob"), 6).as("prob"))
+        .orderBy("query_id", "rank")
+    }),
+
     // V13 grid: α/γ hyperparameter sweep in one pass (the reference's
     // --alphas/--betas/--gammas comma lists, ensemble_marco.py:251-253) —
     // one MRR@10 metric row per combo against label ground truth
@@ -831,7 +865,10 @@ object SparkEntry {
         maxQueryId = 20)).getOrElse(Map.empty) ++
       lastIvfCodebook.map(cb => Map("ivf_knn" ->
         graft.oracle.GeneratedOracles.ivfKnnSql(
-          cb, nprobe = 4, k = 10, maxQueryId = 20))).getOrElse(Map.empty)
+          cb, nprobe = 4, k = 10, maxQueryId = 20))).getOrElse(Map.empty) ++
+      lastReranker.map { case (coef, intercept) => Map("v15_rerank" ->
+        graft.oracle.GeneratedOracles.rerankSql(
+          coef, intercept, k = 10, maxQueryId = 20)) }.getOrElse(Map.empty)
 
   private def staticOracleSql: Map[String, String] = Map(
 

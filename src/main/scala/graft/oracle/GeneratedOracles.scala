@@ -274,6 +274,44 @@ object GeneratedOracles {
   }
 
   // -------------------------------------------------------------------
+  // Learned-reranker oracle (V15/V19): the LR fit is not SQL-expressible,
+  // but the trained model is 3 coefficients + an intercept — inline them
+  // and replay sigmoid scoring (margin = sequential dot + intercept,
+  // matching MLlib BLAS.dot) over the same aligned-candidate features.
+  // -------------------------------------------------------------------
+
+  def rerankSql(coef: Array[Double], intercept: Double, k: Int,
+      maxQueryId: Int): String = {
+    require(coef.length == 3, s"expected 3 feature weights, got ${coef.length}")
+    val dot = "list_sum(list_transform(list_zip(q.qvec, d.vec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $maxQueryId),
+       |d AS (SELECT vec_id AS doc_id, embedding AS vec FROM embeddings),
+       |s AS (SELECT q.query_id, d.doc_id, $dot AS ip,
+       |        $dot
+       |        / (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |           * sqrt(list_sum(list_transform(d.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+       |      FROM q CROSS JOIN d WHERE d.doc_id <> q.query_id),
+       |ann AS (SELECT query_id, doc_id, ip AS score,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, doc_id ASC) AS arank FROM s),
+       |coarse AS (SELECT query_id, doc_id,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS crank FROM s),
+       |al AS (SELECT a.query_id, a.doc_id, a.score, c.crank
+       |       FROM (SELECT * FROM ann WHERE arank <= 10) a
+       |       LEFT JOIN (SELECT * FROM coarse WHERE crank <= 5) c
+       |         ON a.query_id = c.query_id AND a.doc_id = c.doc_id),
+       |f AS (SELECT query_id, doc_id, score AS x1,
+       |        1.0 / (CAST(coalesce(crank, 1000) AS DOUBLE) + 1.0) AS x2,
+       |        CASE WHEN crank IS NULL THEN 1.0 ELSE 0.0 END AS x3 FROM al),
+       |p AS (SELECT query_id, doc_id,
+       |        1.0 / (1.0 + exp(-((${dLit(coef(0))} * x1 + ${dLit(coef(1))} * x2 + ${dLit(coef(2))} * x3) + ${dLit(intercept)}))) AS prob
+       |      FROM f),
+       |rk AS (SELECT query_id, doc_id, prob,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY prob DESC, doc_id ASC) AS rank FROM p)
+       |SELECT query_id, rank, doc_id, round(prob, 6) AS prob
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Seeded-LSH near-dup oracle (static — planes derive from the seed)
   // -------------------------------------------------------------------
 
