@@ -490,6 +490,25 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Gopher/C4-style within-doc repetition signals (bigram duplication)
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"), n = 2)
+        .select(col("doc_id"), col("n_ngrams"),
+          round(col("dup_ngram_ratio"), 6).as("dup_ngram_ratio"),
+          round(col("top_ngram_frac"), 6).as("top_ngram_frac"))
+        .orderBy("doc_id")),
+
+    // PII scrubbing: typed redaction of emails/IPs/phones + hit counts
+    // (PII is planted deterministically — the fixture corpus has none)
+    "text_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com from 10.0."),
+            (col("doc_id") % 200).cast("string"),
+            lit(".25 tel 0123456789")).as("text")))
+        .orderBy("doc_id")),
+
     // S5-analog: JSON-ish field extraction from event props
     "events_json" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1320,6 +1339,34 @@ object SparkEntry {
         |  tok -> CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)) AS hs FROM documents)
         |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
         |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t),
+        |pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+        |a AS (SELECT doc_id, sum(c) AS total, count(*) AS nd, max(c) AS mx FROM pg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.total, 0) AS BIGINT) AS n_ngrams,
+        |  round(CASE WHEN coalesce(a.total, 0) = 0 THEN 0.0
+        |        ELSE (a.total - a.nd) / CAST(a.total AS DOUBLE) END, 6) AS dup_ngram_ratio,
+        |  round(CASE WHEN coalesce(a.total, 0) = 0 THEN 0.0
+        |        ELSE a.mx / CAST(a.total AS DOUBLE) END, 6) AS top_ngram_frac
+        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com from 10.0.' || (doc_id % 200) || '.25 tel 0123456789' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "events_json" ->

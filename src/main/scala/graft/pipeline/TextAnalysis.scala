@@ -60,6 +60,65 @@ object TextAnalysis {
       q.as("quality_score"))
   }
 
+  /** Within-document repetition signals (the Gopher/C4 duplicate-text
+    * filters): fraction of n-gram occurrences that are repeats of an
+    * earlier n-gram in the same doc. A boilerplate- or loop-generated doc
+    * scores high and gets filtered before training. Per-row expression —
+    * shuffle-free, exact, oracle-expressible.
+    *
+    * @return (idCol, n_ngrams, dup_ngram_ratio, top_ngram_frac) where
+    *         top_ngram_frac is the most frequent n-gram's share of all
+    *         n-gram slots (the Gopher "top n-gram fraction" signal).
+    */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 2): DataFrame = {
+    // relational shape, not per-row HOFs: a nested filter-inside-transform
+    // count is O(total·distinct) per doc AND drops out of codegen (the
+    // MinHash 400× trap); explode → (doc, gram) counts → per-doc aggregate
+    // is linear with map-side combine
+    val grams = Dedup.ensureParallelism(docs).select(col(idCol),
+      explode(Dedup.shingles(tokens(col(textCol)), n)).as("__g"))
+    val perGram = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val agg = perGram.groupBy(col(idCol)).agg(
+      sum("__c").as("__total"), count(lit(1)).as("__nd"), max("__c").as("__mx"))
+    // left join keeps docs too short for any n-gram (all-zero row)
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__total"), lit(0L)).as("n_ngrams"),
+        when(coalesce(col("__total"), lit(0L)) === 0, 0.0)
+          .otherwise((col("__total") - col("__nd")).cast("double") / col("__total"))
+          .as("dup_ngram_ratio"),
+        when(coalesce(col("__total"), lit(0L)) === 0, 0.0)
+          .otherwise(col("__mx").cast("double") / col("__total"))
+          .as("top_ngram_frac"))
+  }
+
+  /** PII scrubbing (the standard pretraining redaction pass): replace
+    * emails, phone-like numbers, and IPv4 addresses with typed tags,
+    * reporting per-kind hit counts. Pure regexp_replace — codegen'd,
+    * shuffle-free, and the same regexes replay in the oracle.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    def hits(re: String): Column = size(regexp_extract_all(text, lit(re), lit(0)))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs.select(col(idCol),
+      hits(EmailRe).cast("long").as("n_emails"),
+      hits(Ipv4Re).cast("long").as("n_ips"),
+      hits(PhoneRe).cast("long").as("n_phones"),
+      scrubbed.as("scrubbed"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint over token hashes:
     * h ← (h·1000003 + h32(token)) mod (2^31−1). Exact integer arithmetic →
     * reproducible in the oracle via list_reduce.
