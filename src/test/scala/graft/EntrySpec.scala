@@ -23,9 +23,21 @@ class EntrySpec extends SparkSpec {
   // near-duplicates at this sf (sf0.1 plants 8 exact dups)
   private val mayBeEmpty = Set("dedup_minhash_pairs")
 
-  test("all queries run at sf0.001 and return rows") {
+  // deliberate bounded cartesian: the exhaustive small-input oracle form
+  // (docs gated to 200 rows; the scale path is the LSH variant)
+  private val mayCartesian = Set("dedup_jaccard_topk")
+
+  test("all queries run at sf0.001, return rows, and plan no unbroadcast cartesian") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf("0.001")).count()
+      val df = fn(spark, sf("0.001"))
+      // pre-AQE physical plan: a CartesianProduct here means a corpus-sized
+      // shuffle-shuffle cross join at scale (broadcast cross joins plan as
+      // BroadcastNestedLoopJoin and are fine)
+      val plan = df.queryExecution.sparkPlan.toString
+      if (!mayCartesian(name))
+        assert(!plan.contains("CartesianProduct"),
+          s"query $name plans a CartesianProduct:\n$plan")
+      val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"query $name returned 0 rows")
     }
   }
