@@ -490,6 +490,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Corpus vocab heavy hitters (exact top-k via TakeOrdered)
+    "text_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(t(s, dir, "documents"), k = 50)),
+
     // Gopher/C4-style within-doc repetition signals (bigram duplication)
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), n = 2)
@@ -1340,6 +1344,11 @@ object SparkEntry {
         |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
         |  (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fingerprint
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+        |SELECT token, count(*) AS freq FROM t WHERE length(token) > 0
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

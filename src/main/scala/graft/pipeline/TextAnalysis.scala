@@ -119,6 +119,21 @@ object TextAnalysis {
       scrubbed.as("scrubbed"))
   }
 
+  /** Corpus vocabulary heavy hitters: top-k tokens by frequency.
+    * explode → hash-agg with map-side combine → TakeOrdered (Spark's
+    * `orderBy.limit` never sorts the full vocab globally — each partition
+    * keeps k, the driver merges k·P rows). The exact form; a Misra-Gries
+    * sketch plugs in when the vocab itself is too wide for a hash-agg.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 50,
+      textCol: String = "text"): DataFrame =
+    Dedup.ensureParallelism(docs)
+      .select(explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   /** Order-sensitive rolling-hash fingerprint over token hashes:
     * h ← (h·1000003 + h32(token)) mod (2^31−1). Exact integer arithmetic →
     * reproducible in the oracle via list_reduce.

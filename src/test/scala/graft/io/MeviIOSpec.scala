@@ -104,6 +104,18 @@ class MeviIOSpec extends SparkSpec {
     assert(dev(1).getSeq[Long](1) == Seq(42L))
   }
 
+  test("tensor table round-trips through the parquet sink (S9 by design)") {
+    // S9: the torch-tensor sink is Parquet by design (SURVEY §2.1) — the
+    // contract is that ARRAY<FLOAT> columns survive a write/read unchanged
+    val dir = "target/tmp/test_tensor_parquet"
+    val in = Seq((0L, Seq(1.5f, -2.25f)), (1L, Seq(0.0f, 3.125f)))
+      .toDF("row_id", "vec")
+    in.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).orderBy("row_id").collect()
+    assert(back.map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq ==
+      Seq((0L, Seq(1.5f, -2.25f)), (1L, Seq(0.0f, 3.125f))))
+  }
+
   test("python-literal parser matches eval() on the qa.csv shapes (S4)") {
     import PyLiteral.parseStringList
     assert(parseStringList("['a', 'b']") == Some(Seq("a", "b")))
