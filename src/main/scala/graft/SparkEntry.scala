@@ -763,8 +763,14 @@ object SparkEntry {
     "rq_reconstruct_all" -> ((s, dir) =>
       graft.index.Reconstructor.reconstructAll(s, rqCodebook(s, dir))
         .select(concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          // integer micro-units, NOT %.5f strings: decimal formatting
+          // diverges between Java (HALF_UP) and C printf (ties-to-even)
+          // when a centroid sum lands exactly on a representable …5
+          // boundary; floor(x·1e5 + 0.5) is pure IEEE arithmetic on the
+          // identical double → bit-identical longs in both engines
           concat_ws(",", transform(col("vec"),
-            x => format_string("%.5f", x.cast("double")))).as("vec"))
+            x => floor(x.cast("double") * 100000 + lit(0.5)).cast("long")))
+            .as("vec"))
         .orderBy("codes")),
 
     // rows-only: RQ reconstruction error (V10 diagnostic)

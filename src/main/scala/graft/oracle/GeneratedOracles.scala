@@ -29,12 +29,17 @@ import graft.search.LSHSearch
 object GeneratedOracles {
 
   /** Shortest round-trip double literal (Java Double.toString is
-    * guaranteed to parse back to the same double; DuckDB accepts
-    * E-notation). */
+    * guaranteed to parse back to the same double). ALWAYS carries an
+    * exponent marker: DuckDB types a bare decimal literal as DECIMAL and
+    * then evaluates literal-only arithmetic (e.g. the reconstruct-all
+    * centroid sums) EXACTLY in decimal — which rounds float-boundary ties
+    * differently than double arithmetic (found: one element off by one
+    * float ulp at sf0.001). `E0` forces DOUBLE typing at parse time. */
   private def dLit(d: Double): String = {
     if (d.isNaN || d.isInfinite)
       throw new IllegalArgumentException(s"non-finite literal $d")
-    d.toString
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
   }
 
   private def centList(cent: Array[Float]): String =
@@ -266,10 +271,14 @@ object GeneratedOracles {
     val values = (0 until cb.numLevels).map(m => valuesCte(cb, m)).mkString(",\n")
     val from = (0 until cb.numLevels).map(m => s"c$m t$m").mkString(" CROSS JOIN ")
     val codes = (0 until cb.numLevels).map(m => s"t$m.code").mkString(", ")
+    // micro-units (floor(x·1e5 + 0.5) as BIGINT), not printf('%.5f'):
+    // decimal formatting rounds HALF_UP in Java but ties-to-even in C at
+    // exactly-representable …5 boundaries; the arithmetic form is
+    // bit-identical across engines
     s"""WITH $values
        |SELECT array_to_string([$codes], ',') AS codes,
        |  array_to_string(list_transform(${recExpr(cb)},
-       |    x -> printf('%.5f', CAST(x AS DOUBLE))), ',') AS vec
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 100000 + 0.5) AS BIGINT)), ',') AS vec
        |FROM $from ORDER BY codes""".stripMargin
   }
 
