@@ -91,18 +91,27 @@ object Bench {
       val (cb, index) = artifacts
 
       val k = math.min(1000, nVec.toInt)
-      val (knnRanked, knnSec) = timed {
-        val r = BruteForceKNN.topK(queries.select("query_id", "qvec"),
-          docs.select("doc_id", "vec"), k = k).cache()
-        r.count()
-        r
+      // throughput sections use best-of-2 like the query loop — a single
+      // shot makes the qps lines jitter round-over-round
+      def bestOf2(f: => Unit): Double = {
+        val (_, s1) = timed(f); val (_, s2) = timed(f); math.min(s1, s2)
       }
-      val (cf, cfSec) = timed {
+      val (knnRanked, knnSec) = {
+        val r = BruteForceKNN.topK(queries.select("query_id", "qvec"),
+          docs.select("doc_id", "vec"), k = k)
+        val sec = bestOf2 {
+          r.write.format("noop").mode("overwrite").save()
+        }
+        (r.cache(), sec)
+      }
+      val (cf, cfSec) = {
         val r = CoarseFineRetriever.retrieve(
           queries.select("query_id", "qvec"), index,
-          docs.select("doc_id", "vec"), cb, beams = 4, k = k).cache()
-        r.count()
-        r
+          docs.select("doc_id", "vec"), cb, beams = 4, k = k)
+        val sec = bestOf2 {
+          r.write.format("noop").mode("overwrite").save()
+        }
+        (r.cache(), sec)
       }
       // quality of the coarse→fine path vs label ground truth
       // quality vs label ground truth — exact KNN is the upper bound the
@@ -121,7 +130,7 @@ object Bench {
         queries = Some(queries.select("query_id")))
         .head.getAs[Double]("ndoc_per_query")
 
-      val (_, cfbSec) = timed {
+      val cfbSec = bestOf2 {
         CoarseFineRetriever.retrieveBudgeted(
           queries.select("query_id", "qvec"), index,
           docs.select("doc_id", "vec"), cb, beams = 4, k = k,

@@ -439,7 +439,10 @@ object SparkEntry {
     // O(near-dups), not O(n²·j²).
     "dedup_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val sigs = Dedup.minhashSignatures(docs, numPerms = 8)
+      // localCheckpoint: the banding self-join and bucket-count branches
+      // would otherwise re-run the whole explode→md5→min-agg signature
+      // pipeline once per reference (3×) — materialize it once
+      val sigs = Dedup.minhashSignatures(docs, numPerms = 8).localCheckpoint()
       val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
       Dedup.jaccardPairsByHash(docs, cands)
         .where(col("jaccard") >= 0.5)
