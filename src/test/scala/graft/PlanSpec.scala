@@ -114,6 +114,31 @@ class PlanSpec extends SparkSpec {
       s"default notclus plan contains a cartesian product:\n$p")
   }
 
+  test("bucketed tables join without any exchange (co-located J4 layout)") {
+    import graft.io.Bucketing
+    val emb = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
+    val asg = emb.select(col("doc_id"), col("doc_id").%(8).as("cell"))
+    Bucketing.writeBucketed(emb, "b_emb", "target/tmp/bucketed/emb",
+      "doc_id", buckets = 8)
+    Bucketing.writeBucketed(asg, "b_asg", "target/tmp/bucketed/asg",
+      "doc_id", buckets = 8)
+    // force the sort-merge path: at fixture size broadcast wins and the
+    // planner disables bucketing — at 100 TB neither side broadcasts and
+    // the bucketed SMJ is exactly what runs
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.readBucketed(spark, "b_emb")
+        .join(Bucketing.readBucketed(spark, "b_asg"), Seq("doc_id"))
+      assert(joined.count() == emb.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("c0-partitioned cluster index prunes partitions on probe") {
     import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
     val docs = Tables.load(spark, sf("0.001"), "embeddings")
