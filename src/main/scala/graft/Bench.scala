@@ -48,24 +48,25 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       var best = Double.MaxValue
-      var ok = true
       var i = 0
-      while (i < iters && ok) {
-        val (_, sec) = timed {
+      while (i < iters) {
+        val (okRun, sec) = timed {
           // noop sink: materializes every output column (count() would let
           // Catalyst prune the projection and understate the real work)
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
-            ok = false
-            failed += name
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            System.err.println(s"[bench] $name iter $i failed: ${e.getMessage}")
+            false
           }
         }
-        if (ok) best = math.min(best, sec)
+        if (okRun) best = math.min(best, sec)
         i += 1
       }
-      // a crashed query must not masquerade as a fast one
-      name -> (if (!ok) -1.0 else best)
+      // a query only counts as failed when NO iteration succeeded — a
+      // transient flake on a later iteration must not discard a valid
+      // earlier measurement
+      if (best == Double.MaxValue) failed += name
+      name -> (if (best == Double.MaxValue) -1.0 else best)
     }
 
     // ---- engine metrics (BASELINE.md protocol) ----

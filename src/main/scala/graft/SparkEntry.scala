@@ -39,10 +39,20 @@ object SparkEntry {
       .select(col("vec_id").as("doc_id"), col("embedding").as("vec"),
         col("label"))
 
-  /** Last codebook trained in this JVM — the generated RQ oracles inline
-    * its centroids (Verify dumps oracleSql AFTER running the queries, so
-    * this is always populated by then). */
-  @volatile private var lastCodebook: Option[Codebook] = None
+  /** Trained artifacts for the oracle generator, keyed by fixture dir.
+    * `oracleSql` has no dir parameter (fixed driver contract), so the dump
+    * targets `lastDir` — the dir the most recent query ran against. Verify
+    * runs every query on ONE dir then dumps, so lastDir is always right
+    * there; keying by dir (rather than keeping bare "last trained" values)
+    * ensures the three artifact kinds can never mix fixture dirs even if a
+    * caller interleaves dirs before dumping. */
+  private val dirCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Codebook]
+  private val dirIvfCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Codebook]
+  private val dirRerankers =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]
+  @volatile private var lastDir: Option[String] = None
 
   /** Session-memoized RQ artifacts per fixture dir (path-keyed caching,
     * mirroring MEVI/main_models.py:2944-2978). */
@@ -53,7 +63,8 @@ object SparkEntry {
       RQTrainer.fit(docVecs(s, dir).select("doc_id", "vec"),
         "vec", numLevels = 2, k = 8, seed = 42L, maxIter = 10)
     }
-    lastCodebook = Some(cb)
+    dirCodebooks.put(dir, cb)
+    lastDir = Some(dir)
     cb
   }
 
@@ -70,21 +81,14 @@ object SparkEntry {
       ClusterIndexBuilder.build(rqAssignments(s, dir))
     }
 
-  /** Trained IVF cell centroids for the oracle generator (same contract as
-    * [[lastCodebook]]). */
-  @volatile private var lastIvfCodebook: Option[Codebook] = None
-
-  /** Trained reranker weights (coefficients, intercept) for the oracle
-    * generator — set by the v15_rerank query. */
-  @volatile private var lastReranker: Option[(Array[Double], Double)] = None
-
   /** 16-cell IVF structure over the fixture embeddings (dir-memoized). */
   private def ivfOf(s: SparkSession, dir: String): graft.search.IVFIndex.IVF = {
     val cb = ArtifactCache.codebook(s"$dir/ivf16") {
       RQTrainer.fit(docVecs(s, dir).select("doc_id", "vec"), "vec",
         numLevels = 1, k = 16, seed = 42L, maxIter = 10)
     }
-    lastIvfCodebook = Some(cb)
+    dirIvfCodebooks.put(dir, cb)
+    lastDir = Some(dir)
     val cells = ArtifactCache.frame(s, s"$dir/ivf16/cells") {
       CodeAssigner.assign(docVecs(s, dir).select("doc_id", "vec"), cb)
         .select(col("doc_id"), col("codes").getItem(0).as("cell"))
@@ -99,6 +103,23 @@ object SparkEntry {
   def warmArtifacts(s: SparkSession, dir: String): Unit = {
     rqIndex(s, dir).count()
     ivfOf(s, dir).cells.count(): Unit
+  }
+
+  /** Candidate tables shared by the ensemble family (ensemble_fuse /
+    * ensemble_grid / v15_rerank): ip-ANN top-10 `(query_id, doc_id,
+    * score)` and the cosine coarse top-5 `(…, crank)`. The SQL twin is
+    * `GeneratedOracles.ensembleBaseSql` — one definition per side, every
+    * consumer references it. */
+  private def annCoarseCandidates(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val queries = queryVecs(s, dir).select("query_id", "qvec")
+    val docs = docVecs(s, dir).select("doc_id", "vec")
+    val ann = BruteForceKNN.topK(queries, docs, k = 10, metric = "ip",
+      excludeSelf = true).select("query_id", "doc_id", "score")
+    val coarse = BruteForceKNN.topK(queries, docs, k = 5, metric = "cos",
+      excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("crank"))
+    (ann, coarse)
   }
 
   // ---------------------------------------------------------------------
@@ -639,8 +660,11 @@ object SparkEntry {
       MeviIO.readRankedTsv(s, path)
         .select(col("query"),
           concat_ws(",", col("preds").cast("array<string>")).as("preds"),
+          // integer micro-units, not %.6f: Java HALF_UP vs C ties-to-even
+          // diverge when a float lands exactly on a …5 decimal boundary
           concat_ws(",", transform(col("scores"),
-            x => format_string("%.6f", x.cast("double")))).as("scores"))
+            x => floor(x.cast("double") * 1000000 + lit(0.5)).cast("long")))
+            .as("scores"))
         .orderBy("query")
     }),
 
@@ -664,7 +688,8 @@ object SparkEntry {
       MeviIO.readFloatMatrix(s, path, dim = 64)
         .select(col("row_id"),
           concat_ws(",", transform(col("vec"),
-            x => format_string("%.5f", x.cast("double")))).as("vec"))
+            x => floor(x.cast("double") * 100000 + lit(0.5)).cast("long")))
+            .as("vec"))
         .orderBy("row_id")
     }),
 
@@ -711,7 +736,8 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") < 100), dim = 16)
         .select(col("doc_id"),
           concat_ws(",", transform(col("vec"),
-            x => format_string("%.6f", x.cast("double")))).as("vec"))
+            x => floor(x.cast("double") * 1000000 + lit(0.5)).cast("long")))
+            .as("vec"))
         .orderBy("doc_id")),
 
     // A3: per-cluster centroid average (codebook `avg` init, pq.py:488-524;
@@ -724,7 +750,8 @@ object SparkEntry {
         .groupBy("label")
         .agg(concat_ws(",", transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          s_ => format_string("%.6f", s_.getField("m")))).as("centroid"))
+          s_ => floor(s_.getField("m") * 1000000 + lit(0.5)).cast("long")))
+          .as("centroid"))
         .orderBy("label")),
 
     // P3: text cleaning via regexp_replace (main_models.py:437-443)
@@ -795,13 +822,7 @@ object SparkEntry {
 
     // J6+V13: ensemble fusion of IP-ANN list with a coarse ranked list
     "ensemble_fuse" -> ((s, dir) => {
-      val queries = queryVecs(s, dir).select("query_id", "qvec")
-      val docs = docVecs(s, dir).select("doc_id", "vec")
-      val ann = BruteForceKNN.topK(queries, docs, k = 10, metric = "ip",
-        excludeSelf = true).select("query_id", "doc_id", "score")
-      val coarse = BruteForceKNN.topK(queries, docs, k = 5, metric = "cos",
-        excludeSelf = true)
-        .select(col("query_id"), col("doc_id"), col("rank").as("crank"))
+      val (ann, coarse) = annCoarseCandidates(s, dir)
       Ensemble.fuse(ann, coarse, numClusters = 5,
         alpha = 0.6, beta = 0.03, gamma = 0.02, k = 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -814,25 +835,18 @@ object SparkEntry {
     // truth. The fit is MLlib; the trained 3-weight model is inlined into
     // the generated oracle, which replays sigmoid scoring exactly
     "v15_rerank" -> ((s, dir) => {
-      val queries = queryVecs(s, dir)
-      val docs = docVecs(s, dir)
-      val ann = BruteForceKNN.topK(queries.select("query_id", "qvec"),
-        docs.select("doc_id", "vec"), k = 10, metric = "ip",
-        excludeSelf = true).select("query_id", "doc_id", "score")
-      val coarse = BruteForceKNN.topK(queries.select("query_id", "qvec"),
-        docs.select("doc_id", "vec"), k = 5, metric = "cos",
-        excludeSelf = true)
-        .select(col("query_id"), col("doc_id"), col("rank").as("crank"))
+      val (ann, coarse) = annCoarseCandidates(s, dir)
       val aligned = ann.join(coarse, Seq("query_id", "doc_id"), "left")
       val labeled = graft.eval.Reranker.features(aligned
-        .join(queries.select(col("query_id"), col("label").as("qlab")),
-          Seq("query_id"))
-        .join(docs.select(col("doc_id"), col("label").as("dlab")),
-          Seq("doc_id"))
+        .join(queryVecs(s, dir).select(col("query_id"),
+          col("label").as("qlab")), Seq("query_id"))
+        .join(docVecs(s, dir).select(col("doc_id"),
+          col("label").as("dlab")), Seq("doc_id"))
         .withColumn("label",
           when(col("qlab") === col("dlab"), 1.0).otherwise(0.0)))
       val model = graft.eval.Reranker.train(labeled)
-      lastReranker = Some((model.coefficients.toArray, model.intercept))
+      dirRerankers.put(dir, (model.coefficients.toArray, model.intercept))
+      lastDir = Some(dir)
       graft.eval.Reranker.rerank(model, aligned, k = 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("doc_id"), round(col("prob"), 6).as("prob"))
@@ -843,13 +857,7 @@ object SparkEntry {
     // --alphas/--betas/--gammas comma lists, ensemble_marco.py:251-253) —
     // one MRR@10 metric row per combo against label ground truth
     "ensemble_grid" -> ((s, dir) => {
-      val queries = queryVecs(s, dir).select("query_id", "qvec")
-      val docs = docVecs(s, dir).select("doc_id", "vec")
-      val ann = BruteForceKNN.topK(queries, docs, k = 10, metric = "ip",
-        excludeSelf = true).select("query_id", "doc_id", "score")
-      val coarse = BruteForceKNN.topK(queries, docs, k = 5, metric = "cos",
-        excludeSelf = true)
-        .select(col("query_id"), col("doc_id"), col("rank").as("crank"))
+      val (ann, coarse) = annCoarseCandidates(s, dir)
       val fused = Ensemble.fuseGrid(ann, coarse, numClusters = 5,
         alphas = Seq(0.4, 0.6), betas = Seq(0.03),
         gammas = Seq(0.02, 0.05), k = 10)
@@ -889,18 +897,23 @@ object SparkEntry {
   /** Static + generated oracles. The RQ entries need the trained codebook
     * (Verify evaluates this AFTER running the queries); without one (e.g. a
     * dry oracle dump) they are simply omitted. */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = {
+    val dir = lastDir
     staticOracleSql ++
-      lastCodebook.map(cb => graft.oracle.GeneratedOracles.rqOracles(
-        cb, beams = 4, topK = 10, budget = 100,
-        maxChunk = graft.index.ClusterIndexBuilder.DefaultMaxChunk,
-        maxQueryId = 20)).getOrElse(Map.empty) ++
-      lastIvfCodebook.map(cb => Map("ivf_knn" ->
-        graft.oracle.GeneratedOracles.ivfKnnSql(
-          cb, nprobe = 4, k = 10, maxQueryId = 20))).getOrElse(Map.empty) ++
-      lastReranker.map { case (coef, intercept) => Map("v15_rerank" ->
-        graft.oracle.GeneratedOracles.rerankSql(
-          coef, intercept, k = 10, maxQueryId = 20)) }.getOrElse(Map.empty)
+      dir.flatMap(d => Option(dirCodebooks.get(d)))
+        .map(cb => graft.oracle.GeneratedOracles.rqOracles(
+          cb, beams = 4, topK = 10, budget = 100,
+          maxChunk = graft.index.ClusterIndexBuilder.DefaultMaxChunk,
+          maxQueryId = 20)).getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirIvfCodebooks.get(d)))
+        .map(cb => Map("ivf_knn" ->
+          graft.oracle.GeneratedOracles.ivfKnnSql(
+            cb, nprobe = 4, k = 10, maxQueryId = 20))).getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirRerankers.get(d)))
+        .map { case (coef, intercept) => Map("v15_rerank" ->
+          graft.oracle.GeneratedOracles.rerankSql(
+            coef, intercept, k = 10, maxQueryId = 20)) }.getOrElse(Map.empty)
+  }
 
   private def staticOracleSql: Map[String, String] = Map(
 
@@ -1083,8 +1096,8 @@ object SparkEntry {
         |              i -> CAST(coalesce(map_extract(m, i)[1], 0) AS DOUBLE)) AS raw
         |          FROM mp)
         |SELECT doc_id,
-        |  array_to_string(list_transform(raw, x -> printf('%.6f', CAST(CAST(
-        |    x / sqrt(list_sum(list_transform(raw, v -> v * v))) AS REAL) AS DOUBLE))), ',') AS vec
+        |  array_to_string(list_transform(raw, x -> CAST(floor(CAST(CAST(
+        |    x / sqrt(list_sum(list_transform(raw, v -> v * v))) AS REAL) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ',') AS vec
         |FROM dense ORDER BY doc_id""".stripMargin,
 
     "a3_centroid_avg" ->
@@ -1092,7 +1105,7 @@ object SparkEntry {
         |             generate_subscripts(embedding, 1) - 1 AS pos
         |           FROM embeddings),
         |m AS (SELECT label, pos, avg(CAST(x AS DOUBLE)) AS m FROM e GROUP BY label, pos)
-        |SELECT label, array_to_string(list(printf('%.6f', m) ORDER BY pos), ',') AS centroid
+        |SELECT label, array_to_string(list(CAST(floor(m * 1000000 + 0.5) AS BIGINT) ORDER BY pos), ',') AS centroid
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "p3_text_clean" ->
@@ -1225,7 +1238,7 @@ object SparkEntry {
       s"""$knnBase
          |SELECT CAST(query_id AS VARCHAR) AS query,
          |  array_to_string(list(doc_id ORDER BY rank), ',') AS preds,
-         |  array_to_string(list(printf('%.6f', CAST(CAST(score AS REAL) AS DOUBLE)) ORDER BY rank), ',') AS scores
+         |  array_to_string(list(CAST(floor(CAST(CAST(score AS REAL) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) ORDER BY rank), ',') AS scores
          |FROM r WHERE rank <= 10 GROUP BY query_id ORDER BY query""".stripMargin,
 
     "s2_pair_roundtrip" ->
@@ -1235,7 +1248,7 @@ object SparkEntry {
     "s6_tensor_roundtrip" ->
       """SELECT row_number() OVER (ORDER BY vec_id) - 1 AS row_id,
         |  array_to_string(list_transform(embedding,
-        |    x -> printf('%.5f', CAST(x AS DOUBLE))), ',') AS vec
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100000 + 0.5) AS BIGINT)), ',') AS vec
         |FROM embeddings WHERE vec_id < 500 ORDER BY row_id""".stripMargin,
 
     "p5_query_spans" ->
@@ -1282,7 +1295,9 @@ object SparkEntry {
          |banded AS (SELECT doc_id, unnest([
          |  concat('0:', sig[1], ',', sig[2], ',', sig[3], ',', sig[4]),
          |  concat('1:', sig[5], ',', sig[6], ',', sig[7], ',', sig[8])]) AS band_key FROM sig),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded x JOIN banded y
+         |ok AS (SELECT band_key FROM banded GROUP BY band_key HAVING count(*) <= 1000),
+         |capped AS (SELECT b.* FROM banded b JOIN ok USING (band_key)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x JOIN capped y
          |         ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
          |jac AS (SELECT cand.a, cand.b,
          |          len(list_intersect(sa.shingles, sb.shingles))
@@ -1392,25 +1407,13 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "ensemble_fuse" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
-         |d AS (SELECT vec_id AS doc_id, embedding AS vec FROM embeddings),
-         |s AS (SELECT q.query_id, d.doc_id, $dotSql AS ip,
-         |        $dotSql
-         |        / (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-         |           * sqrt(list_sum(list_transform(d.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-         |      FROM q CROSS JOIN d WHERE d.doc_id <> q.query_id),
-         |ann AS (SELECT query_id, doc_id, ip AS score,
-         |          row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, doc_id ASC) AS arank FROM s),
-         |coarse AS (SELECT query_id, doc_id,
-         |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS crank FROM s),
+      s"""WITH ${graft.oracle.GeneratedOracles.ensembleBaseSql(20)},
          |fused AS (
-         |  SELECT a.query_id, a.doc_id,
-         |    CASE WHEN c.crank IS NOT NULL
-         |         THEN a.score + 0.6 / (0.03 * (c.crank - 1) + 1)
-         |         ELSE (a.score + 0.6 / (0.03 * 5 + 1)) * (1 - 0.02 * 0.6) END AS fused_score
-         |  FROM (SELECT * FROM ann WHERE arank <= 10) a
-         |  LEFT JOIN (SELECT * FROM coarse WHERE crank <= 5) c
-         |    ON a.query_id = c.query_id AND a.doc_id = c.doc_id),
+         |  SELECT query_id, doc_id,
+         |    CASE WHEN crank IS NOT NULL
+         |         THEN score + 0.6 / (0.03 * (crank - 1) + 1)
+         |         ELSE (score + 0.6 / (0.03 * 5 + 1)) * (1 - 0.02 * 0.6) END AS fused_score
+         |  FROM al),
          |ranked AS (SELECT query_id, doc_id, fused_score,
          |             row_number() OVER (PARTITION BY query_id ORDER BY fused_score DESC, doc_id ASC) AS rank
          |           FROM fused)
@@ -1418,28 +1421,16 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ensemble_grid" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
-         |d AS (SELECT vec_id AS doc_id, embedding AS vec FROM embeddings),
-         |s AS (SELECT q.query_id, d.doc_id, $dotSql AS ip,
-         |        $dotSql
-         |        / (sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-         |           * sqrt(list_sum(list_transform(d.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-         |      FROM q CROSS JOIN d WHERE d.doc_id <> q.query_id),
-         |ann AS (SELECT query_id, doc_id, ip AS score,
-         |          row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, doc_id ASC) AS arank FROM s),
-         |coarse AS (SELECT query_id, doc_id,
-         |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS crank FROM s),
+      s"""WITH ${graft.oracle.GeneratedOracles.ensembleBaseSql(20)},
          |combos AS (SELECT CAST(c[1] AS DOUBLE) AS alpha, CAST(c[2] AS DOUBLE) AS beta, CAST(c[3] AS DOUBLE) AS gamma
          |           FROM (SELECT unnest([[0.4, 0.03, 0.02], [0.4, 0.03, 0.05], [0.6, 0.03, 0.02], [0.6, 0.03, 0.05]]) AS c)),
          |fused AS (
          |  SELECT cb.alpha, cb.beta, cb.gamma, a.query_id, a.doc_id,
-         |    CASE WHEN c.crank IS NOT NULL
-         |         THEN a.score + cb.alpha / (cb.beta * (c.crank - 1) + 1)
+         |    CASE WHEN a.crank IS NOT NULL
+         |         THEN a.score + cb.alpha / (cb.beta * (a.crank - 1) + 1)
          |         ELSE (a.score + cb.alpha / (cb.beta * 5 + 1)) * (1 - cb.gamma * cb.alpha) END AS fused_score
-         |  FROM (SELECT * FROM ann WHERE arank <= 10) a
-         |  CROSS JOIN combos cb
-         |  LEFT JOIN (SELECT * FROM coarse WHERE crank <= 5) c
-         |    ON a.query_id = c.query_id AND a.doc_id = c.doc_id),
+         |  FROM al a
+         |  CROSS JOIN combos cb),
          |ranked AS (SELECT alpha, beta, gamma, query_id, doc_id, fused_score,
          |             row_number() OVER (PARTITION BY alpha, beta, gamma, query_id
          |                                ORDER BY fused_score DESC, doc_id ASC) AS rank

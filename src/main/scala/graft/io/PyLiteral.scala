@@ -29,11 +29,76 @@ object PyLiteral {
         .replace("\"\"", "\"")
       if (s.isEmpty || s.head != '[') return None
     }
-    val out = Seq.newBuilder[String]
     var i = 1 // past '['
     val n = s.length
     var closed = false
     var expectElem = true
+    val elems = scala.collection.mutable.ListBuffer.empty[String]
+
+    // one quoted string literal starting at s(start); returns the decoded
+    // content and the index past the closing quote, or None on malformed
+    def parseStr(start: Int): Option[(String, Int)] = {
+      val quote = s.charAt(start)
+      val sb = new StringBuilder
+      var j = start + 1
+      def hex(len: Int): Option[Int] =
+        if (j + len <= n &&
+            s.substring(j, j + len).forall(c => Character.digit(c, 16) >= 0)) {
+          val v = Integer.parseInt(s.substring(j, j + len), 16)
+          j += len
+          Some(v)
+        } else None
+      while (j < n) {
+        val ch = s.charAt(j)
+        if (ch == '\\' && j + 1 < n) {
+          // python escape rules (eval semantics): recognized escapes
+          // translate; an UNRECOGNIZED escape keeps the backslash
+          // (eval("'\\d'") == "\\d"); a malformed \x/\u without its hex
+          // digits is a SyntaxError in python -> None here
+          val e = s.charAt(j + 1)
+          j += 2
+          e match {
+            case 'n' => sb.append('\n')
+            case 't' => sb.append('\t')
+            case 'r' => sb.append('\r')
+            case 'a' => sb.append('\u0007')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'v' => sb.append('\u000B')
+            case '\\' => sb.append('\\')
+            case '\'' => sb.append('\'')
+            case '"' => sb.append('"')
+            case 'x' => hex(2) match {
+              case Some(v) => sb.append(v.toChar)
+              case None => return None
+            }
+            case 'u' => hex(4) match {
+              case Some(v) => sb.append(v.toChar)
+              case None => return None
+            }
+            case 'U' => hex(8) match {
+              case Some(v) => sb.appendAll(Character.toChars(v))
+              case None => return None
+            }
+            case d if d >= '0' && d <= '7' =>
+              // octal: \o, \oo, \ooo (greedy up to 3 digits total)
+              var v = d - '0'
+              var taken = 1
+              while (taken < 3 && j < n &&
+                  s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+                v = v * 8 + (s.charAt(j) - '0')
+                j += 1
+                taken += 1
+              }
+              sb.append(v.toChar)
+            case other => sb.append('\\').append(other)
+          }
+        } else if (ch == quote) return Some((sb.result(), j + 1))
+        else { sb.append(ch); j += 1 }
+      }
+      None // unterminated
+    }
+
     while (i < n && !closed) {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
@@ -43,41 +108,24 @@ object PyLiteral {
         expectElem = true; i += 1
       }
       else if (c == '\'' || c == '"') {
-        if (!expectElem) return None // two adjacent strings
-        val quote = c
-        val sb = new StringBuilder
-        i += 1
-        var done = false
-        while (i < n && !done) {
-          val ch = s.charAt(i)
-          if (ch == '\\' && i + 1 < n) {
-            // python escape rules: known escapes translate, unknown ones
-            // keep the backslash (eval("'\\d'") == "\\d")
-            val e = s.charAt(i + 1)
-            sb.append(e match {
-              case 'n' => "\n"
-              case 't' => "\t"
-              case 'r' => "\r"
-              case '\\' => "\\"
-              case '\'' => "'"
-              case '"' => "\""
-              case '0' => "\u0000"
-              case other => "\\" + other
-            })
-            i += 2
-          } else if (ch == quote) { done = true; i += 1 }
-          else { sb.append(ch); i += 1 }
+        parseStr(i) match {
+          case Some((str, next)) =>
+            // python concatenates ADJACENT string literals: ['a' 'b'] ==
+            // ["ab"] -- a quote while not expecting an element extends the
+            // previous one
+            if (expectElem) elems += str
+            else elems(elems.length - 1) = elems.last + str
+            expectElem = false
+            i = next
+          case None => return None
         }
-        if (!done) return None // unterminated string
-        out += sb.result()
-        expectElem = false
       }
       else return None // non-string element
     }
     if (!closed) return None
     // trailing junk after ']' (other than whitespace) is malformed
     if (s.substring(i).trim.nonEmpty) return None
-    Some(out.result())
+    Some(elems.toList)
   }
 
   /** Column form: STRING → ARRAY<STRING> (null on malformed input). */

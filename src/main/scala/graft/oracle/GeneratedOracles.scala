@@ -289,11 +289,17 @@ object GeneratedOracles {
   // matching MLlib BLAS.dot) over the same aligned-candidate features.
   // -------------------------------------------------------------------
 
-  def rerankSql(coef: Array[Double], intercept: Double, k: Int,
-      maxQueryId: Int): String = {
-    require(coef.length == 3, s"expected 3 feature weights, got ${coef.length}")
+  /** Shared CTE block for every ensemble-family oracle: the aligned
+    * candidate table — ip-ANN top-10 (`ann`/`score`/`arank`) and cosine
+    * coarse top-5 (`coarse`/`crank`) over the first `maxQueryId` query
+    * vectors, plus their left-aligned join `al`. The Spark twin is
+    * `SparkEntry.annCoarseCandidates`; the two definitions must stay in
+    * lockstep, which is why every consumer (ensemble_fuse, ensemble_grid,
+    * v15_rerank) references THIS string rather than carrying a copy.
+    */
+  def ensembleBaseSql(maxQueryId: Int): String = {
     val dot = "list_sum(list_transform(list_zip(q.qvec, d.vec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $maxQueryId),
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < $maxQueryId),
        |d AS (SELECT vec_id AS doc_id, embedding AS vec FROM embeddings),
        |s AS (SELECT q.query_id, d.doc_id, $dot AS ip,
        |        $dot
@@ -307,7 +313,13 @@ object GeneratedOracles {
        |al AS (SELECT a.query_id, a.doc_id, a.score, c.crank
        |       FROM (SELECT * FROM ann WHERE arank <= 10) a
        |       LEFT JOIN (SELECT * FROM coarse WHERE crank <= 5) c
-       |         ON a.query_id = c.query_id AND a.doc_id = c.doc_id),
+       |         ON a.query_id = c.query_id AND a.doc_id = c.doc_id)""".stripMargin
+  }
+
+  def rerankSql(coef: Array[Double], intercept: Double, k: Int,
+      maxQueryId: Int): String = {
+    require(coef.length == 3, s"expected 3 feature weights, got ${coef.length}")
+    s"""WITH ${ensembleBaseSql(maxQueryId)},
        |f AS (SELECT query_id, doc_id, score AS x1,
        |        1.0 / (CAST(coalesce(crank, 1000) AS DOUBLE) + 1.0) AS x2,
        |        CASE WHEN crank IS NULL THEN 1.0 ELSE 0.0 END AS x3 FROM al),

@@ -119,13 +119,25 @@ object NegativeSampling {
     // headroom covers high rejection rates (with coarse clustering most of
     // the corpus can share a code level with a positive). Small corpora
     // degrade to buckets=1 — everything kept, still broadcast. 0 opts into
-    // the full-corpus join explicitly; never the default.
-    val buckets = if (preSampleBuckets >= 0) preSampleBuckets
-      else math.max(1L, cand0.count() / math.max(64L * n, 1024L)).toInt
-    val cand = if (buckets > 0)
-      cand0.where(pmod(Dedup.md5Hash60(col("cand_id").cast("string")),
-        lit(buckets.toLong)) === 0)
-    else cand0
+    // the full-corpus join explicitly; never the default. The corpus count
+    // enters the plan as a broadcast scalar, NOT an eager driver count():
+    // sizing must not cost a full corpus scan at DataFrame-construction
+    // time (and again per re-construction).
+    val sampled = preSampleBuckets != 0
+    val cand =
+      if (preSampleBuckets > 0)
+        cand0.where(pmod(Dedup.md5Hash60(col("cand_id").cast("string")),
+          lit(preSampleBuckets.toLong)) === 0)
+      else if (preSampleBuckets == 0) cand0
+      else {
+        val nb = cand0.agg(greatest(
+          floor(count(lit(1)) / lit(math.max(64L * n, 1024L))).cast("long"),
+          lit(1L)).as("__buckets"))
+        cand0.crossJoin(broadcast(nb))
+          .where(pmod(Dedup.md5Hash60(col("cand_id").cast("string")),
+            col("__buckets")) === 0)
+          .drop("__buckets")
+      }
     val posCodes = pairs.join(assignments, Seq("doc_id"))
     val w = Window.partitionBy("query", "doc_id")
       .orderBy(rankHash(col("query"), col("cand_id")))
@@ -137,7 +149,7 @@ object NegativeSampling {
     val candCodes = cand.join(assignments.select(col("doc_id").as("cand_id"),
       col("codes").as("cand_codes")), Seq("cand_id"))
     posCodes
-      .crossJoin(if (buckets > 0) broadcast(candCodes) else candCodes)
+      .crossJoin(if (sampled) broadcast(candCodes) else candCodes)
       .where(!sharesAnyLevel)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)

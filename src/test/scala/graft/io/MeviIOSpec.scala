@@ -131,10 +131,16 @@ class MeviIOSpec extends SparkSpec {
       Some(Seq("hi", "there")))
     // whitespace / trailing comma tolerance
     assert(parseStringList("[ 'a' , 'b' , ]") == Some(Seq("a", "b")))
+    // hex/unicode/octal escapes translate exactly as eval() does
+    assert(parseStringList("""['caf\xe9', 'éclair', '\101\60']""") ==
+      Some(Seq("café", "éclair", "A0")))
+    // adjacent string literals concatenate (python juxtaposition)
+    assert(parseStringList("['a' 'b', 'c']") == Some(Seq("ab", "c")))
+    assert(parseStringList("""["it" 's']""") == Some(Seq("its")))
     // malformed inputs → None, not garbage
     assert(parseStringList("not a list").isEmpty)
     assert(parseStringList("['unterminated").isEmpty)
-    assert(parseStringList("['a' 'b']").isEmpty)
+    assert(parseStringList("""['bad \xZZ hex']""").isEmpty)
     assert(parseStringList("[1, 2]").isEmpty)
     assert(parseStringList(null).isEmpty)
   }
