@@ -71,6 +71,32 @@ case class Codebook(levels: Array[Array[Array[Float]]]) extends Serializable {
       cents.zipWithIndex.map { case (cent, c) => (m, c, cent.toSeq) }
     }.toSeq.toDF("level", "code", "centroid")
   }
+
+  /** Persist to Parquet — the durable form of the reference's codebook
+    * pickle (MEVI/pq.py stores the trained tensor with the run artifacts).
+    * One (level, code, centroid) row per centroid; tiny, but Parquet keeps
+    * it engine-portable and joinable without deserialization tricks. */
+  def save(spark: SparkSession, path: String): Unit =
+    toDF(spark).coalesce(1).write.mode("overwrite").parquet(path)
+}
+
+object Codebook {
+  /** Load a [[Codebook.save]]d codebook (exact float round-trip). */
+  def load(spark: SparkSession, path: String): Codebook = {
+    val rows = spark.read.parquet(path)
+      .select("level", "code", "centroid").collect()
+    require(rows.nonEmpty, s"empty codebook at $path")
+    val byLevel = rows.groupBy(_.getInt(0))
+    val levels = (0 until byLevel.size).map { m =>
+      val cents = byLevel.getOrElse(m,
+        throw new IllegalStateException(s"codebook at $path missing level $m"))
+      val byCode = cents.map(r => r.getInt(1) -> r.getSeq[Float](2).toArray).toMap
+      (0 until byCode.size).map(c => byCode.getOrElse(c,
+        throw new IllegalStateException(
+          s"codebook at $path missing code $c at level $m"))).toArray
+    }.toArray
+    Codebook(levels)
+  }
 }
 
 /** Residual-quantizer trainer: M sequential MLlib KMeans fits, each on the

@@ -23,6 +23,18 @@ class RQSpec extends SparkSpec {
     assert(cb.dim == 64)
   }
 
+  test("codebook parquet save/load round-trips the exact floats") {
+    val path = "target/tmp/codebook_parquet"
+    cb.save(spark, path)
+    val back = Codebook.load(spark, path)
+    assert(back.numLevels == cb.numLevels && back.k == cb.k && back.dim == cb.dim)
+    for (m <- 0 until cb.numLevels; c <- 0 until cb.k)
+      assert(back.levels(m)(c).toSeq == cb.levels(m)(c).toSeq, s"level $m code $c")
+    // the reloaded codebook assigns identically (exact float round-trip)
+    val v = docs.head.getSeq[Float](1).toArray
+    assert(back.assign(v).toSeq == cb.assign(v).toSeq)
+  }
+
   test("assignment emits one M-length code tuple per doc") {
     val n = docs.count()
     assert(assignments.count() == n)
