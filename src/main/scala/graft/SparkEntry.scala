@@ -25,6 +25,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Float comparison projection: integer units of 10^-digits, via pure
+    * IEEE arithmetic (floor(x·scale + 0.5)) — NOT %.Nf strings, whose
+    * decimal tie-rounding differs between Java (HALF_UP) and DuckDB's C
+    * printf (ties-to-even). The oracle twin is
+    * `CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)`; this one
+    * definition keeps every float-bearing query's projection in lockstep
+    * with its SQL. */
+  private def microUnits(x: Column, digits: Int): Column = {
+    val scale = math.pow(10, digits).toLong
+    floor(x.cast("double") * scale + lit(0.5)).cast("long")
+  }
+
   /** Query-side of the embeddings table: first 20 vectors play "queries"
     * (the fixtures carry no separate query table; deterministic + SQL-
     * expressible so oracles can reproduce it).
@@ -660,11 +672,8 @@ object SparkEntry {
       MeviIO.readRankedTsv(s, path)
         .select(col("query"),
           concat_ws(",", col("preds").cast("array<string>")).as("preds"),
-          // integer micro-units, not %.6f: Java HALF_UP vs C ties-to-even
-          // diverge when a float lands exactly on a …5 decimal boundary
           concat_ws(",", transform(col("scores"),
-            x => floor(x.cast("double") * 1000000 + lit(0.5)).cast("long")))
-            .as("scores"))
+            x => microUnits(x, 6))).as("scores"))
         .orderBy("query")
     }),
 
@@ -688,8 +697,7 @@ object SparkEntry {
       MeviIO.readFloatMatrix(s, path, dim = 64)
         .select(col("row_id"),
           concat_ws(",", transform(col("vec"),
-            x => floor(x.cast("double") * 100000 + lit(0.5)).cast("long")))
-            .as("vec"))
+            x => microUnits(x, 5))).as("vec"))
         .orderBy("row_id")
     }),
 
@@ -736,8 +744,7 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") < 100), dim = 16)
         .select(col("doc_id"),
           concat_ws(",", transform(col("vec"),
-            x => floor(x.cast("double") * 1000000 + lit(0.5)).cast("long")))
-            .as("vec"))
+            x => microUnits(x, 6))).as("vec"))
         .orderBy("doc_id")),
 
     // A3: per-cluster centroid average (codebook `avg` init, pq.py:488-524;
@@ -750,8 +757,7 @@ object SparkEntry {
         .groupBy("label")
         .agg(concat_ws(",", transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          s_ => floor(s_.getField("m") * 1000000 + lit(0.5)).cast("long")))
-          .as("centroid"))
+          s_ => microUnits(s_.getField("m"), 6))).as("centroid"))
         .orderBy("label")),
 
     // P3: text cleaning via regexp_replace (main_models.py:437-443)
@@ -793,14 +799,8 @@ object SparkEntry {
     "rq_reconstruct_all" -> ((s, dir) =>
       graft.index.Reconstructor.reconstructAll(s, rqCodebook(s, dir))
         .select(concat_ws(",", col("codes").cast("array<string>")).as("codes"),
-          // integer micro-units, NOT %.5f strings: decimal formatting
-          // diverges between Java (HALF_UP) and C printf (ties-to-even)
-          // when a centroid sum lands exactly on a representable …5
-          // boundary; floor(x·1e5 + 0.5) is pure IEEE arithmetic on the
-          // identical double → bit-identical longs in both engines
           concat_ws(",", transform(col("vec"),
-            x => floor(x.cast("double") * 100000 + lit(0.5)).cast("long")))
-            .as("vec"))
+            x => microUnits(x, 5))).as("vec"))
         .orderBy("codes")),
 
     // rows-only: RQ reconstruction error (V10 diagnostic)

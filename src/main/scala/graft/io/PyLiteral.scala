@@ -41,13 +41,19 @@ object PyLiteral {
       val quote = s.charAt(start)
       val sb = new StringBuilder
       var j = start + 1
-      def hex(len: Int): Option[Int] =
-        if (j + len <= n &&
-            s.substring(j, j + len).forall(c => Character.digit(c, 16) >= 0)) {
-          val v = Integer.parseInt(s.substring(j, j + len), 16)
-          j += len
-          Some(v)
+      // ASCII hex only (Character.digit would accept fullwidth/Arabic
+      // digits that python's escape grammar rejects as a SyntaxError);
+      // accumulate in Long so an 8-digit \U value can't overflow parseInt
+      def hex(len: Int): Option[Int] = {
+        def isHex(c: Char) = (c >= '0' && c <= '9') ||
+          (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+        if (j + len <= n && s.substring(j, j + len).forall(isHex)) {
+          val v = java.lang.Long.parseLong(s.substring(j, j + len), 16)
+          // python caps escapes at U+10FFFF (ValueError above it)
+          if (v > 0x10FFFFL) None
+          else { j += len; Some(v.toInt) }
         } else None
+      }
       while (j < n) {
         val ch = s.charAt(j)
         if (ch == '\\' && j + 1 < n) {

@@ -137,10 +137,15 @@ class MeviIOSpec extends SparkSpec {
     // adjacent string literals concatenate (python juxtaposition)
     assert(parseStringList("['a' 'b', 'c']") == Some(Seq("ab", "c")))
     assert(parseStringList("""["it" 's']""") == Some(Seq("its")))
-    // malformed inputs → None, not garbage
+    // malformed inputs → None, not garbage (and never an exception — the
+    // UDF maps None to null; a throw would abort the whole Spark task)
     assert(parseStringList("not a list").isEmpty)
     assert(parseStringList("['unterminated").isEmpty)
     assert(parseStringList("""['bad \xZZ hex']""").isEmpty)
+    assert(parseStringList("""['\Udeadbeef']""").isEmpty)   // > Int range
+    assert(parseStringList("""['\U00110000']""").isEmpty)   // > U+10FFFF
+    assert(parseStringList("['\\x4\uFF11']").isEmpty)       // non-ASCII digit
+    assert(parseStringList("""['ok \U0001F600']""") == Some(Seq("ok \ud83d\ude00")))
     assert(parseStringList("[1, 2]").isEmpty)
     assert(parseStringList(null).isEmpty)
   }
