@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.pipeline.Dedup
+
+/** Streaming near-duplicate screening: new documents arriving on a stream
+  * are checked against the ACCUMULATED corpus before admission — the
+  * shape a continuously-ingesting training-data pipeline needs
+  * (dedup-at-the-door instead of periodic full-corpus sweeps).
+  *
+  * Per micro-batch (foreachBatch — the store is both read and appended
+  * within one batch, which a pure stream-stream join cannot express):
+  *   1. MinHash signatures + LSH band keys for the batch (the same
+  *      `Dedup` primitives and constants as the batch path, so a document
+  *      hashes identically in both worlds).
+  *   2. Band keys joined against the persisted signature store →
+  *      candidate (new, existing) pairs, with the batch path's band-bucket
+  *      cap so a degenerate stored band can't make later batches
+  *      quadratic.
+  *   3. Pairs whose signature agreement ≥ `simThreshold` (the MinHash
+  *      Jaccard estimate — the store holds signatures, not text; exact
+  *      confirmation of flagged pairs is a downstream batch join) are
+  *      appended to `matchesDir`; the batch's signatures are appended to
+  *      the store so later batches dedup against them.
+  *
+  * The store carries one row per (doc, band): linear in corpus size; at
+  * scale it lives bucketed by `band_key` (graft.io.Bucketing) so step 2
+  * is a co-located join.
+  */
+object IncrementalDedup {
+
+  /** (doc_id, band_key, sig) rows for one batch of (doc_id, text). */
+  private[streaming] def bandedSignatures(docs: DataFrame,
+      numPerms: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = Dedup.minhashSignatures(docs, numPerms = numPerms)
+    sigs.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
+        b => concat(b.cast("string"), lit(":"),
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand)))))).as("band_key"),
+      col("sig"))
+  }
+
+  /** Matches of `banded` (a batch's banded signatures) against the stored
+    * signatures: (a = new doc, b = stored doc, sim = fraction of agreeing
+    * signature components, the MinHash Jaccard estimate).
+    */
+  private[streaming] def matchesAgainst(banded: DataFrame, store: DataFrame,
+      simThreshold: Double, maxBucket: Int): DataFrame = {
+    val ok = store.groupBy("band_key").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket).select("band_key")
+    val capped = store.join(ok, Seq("band_key"))
+    val cands = banded.select(col("doc_id").as("a"), col("band_key"))
+      .join(capped.select(col("doc_id").as("b"), col("band_key")),
+        Seq("band_key"))
+      .select("a", "b").distinct()
+    val sa = banded.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+      .distinct()
+    val sb = store.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+      .distinct()
+    val agree = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+    cands.join(sa, Seq("a")).join(sb, Seq("b"))
+      .select(col("a"), col("b"),
+        (agree.cast("double") / size(col("sig_a"))).as("sim"))
+      .where(col("sim") >= simThreshold)
+  }
+
+  /** One micro-batch step: emit matches vs the store at `storeDir`, then
+    * append the batch's signatures to it. Exposed for tests; [[start]]
+    * wires it into foreachBatch. */
+  def processBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
+      matchesDir: String, numPerms: Int = 8, rowsPerBand: Int = 4,
+      simThreshold: Double = 0.75, maxBucket: Int = 1000): Unit = {
+    // localCheckpoint: the banded frame feeds both the match join and the
+    // store append — compute the signature pipeline once
+    val banded = bandedSignatures(batch, numPerms, rowsPerBand)
+      .localCheckpoint()
+    if (new java.io.File(storeDir).exists()) {
+      val store = spark.read.parquet(storeDir)
+      matchesAgainst(banded, store, simThreshold, maxBucket)
+        .write.mode("append").parquet(matchesDir)
+    }
+    banded.write.mode("append").parquet(storeDir)
+  }
+
+  /** Start the stream: parquet (doc_id, text) arrivals under `inputDir`,
+    * near-dup matches appended to `matchesDir`, signatures accumulated at
+    * `storeDir`. */
+  def start(spark: SparkSession, inputDir: String, storeDir: String,
+      matchesDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      numPerms: Int = 8, rowsPerBand: Int = 4,
+      simThreshold: Double = 0.75): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(spark, batch, storeDir, matchesDir,
+          numPerms, rowsPerBand, simThreshold)
+      }
+      .start()
+  }
+}
