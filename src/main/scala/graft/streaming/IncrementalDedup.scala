@@ -79,7 +79,10 @@ object IncrementalDedup {
     // store append — compute the signature pipeline once
     val banded = bandedSignatures(batch, numPerms, rowsPerBand)
       .localCheckpoint()
-    if (new java.io.File(storeDir).exists()) {
+    // Hadoop FS, not java.io.File: the store lives on HDFS/S3 at scale
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(storePath)) {
       val store = spark.read.parquet(storeDir)
       matchesAgainst(banded, store, simThreshold, maxBucket)
         .write.mode("append").parquet(matchesDir)
