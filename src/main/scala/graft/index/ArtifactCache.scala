@@ -20,18 +20,29 @@ object ArtifactCache {
 
   private val codebooks = TrieMap.empty[String, Codebook]
   private val frames = TrieMap.empty[String, DataFrame]
+  private val values = TrieMap.empty[String, Any]
 
   def codebook(key: String)(train: => Codebook): Codebook =
     codebooks.getOrElseUpdate(key, train)
 
-  /** Cached + persisted DataFrame (materialized once per live context). */
-  def frame(session: org.apache.spark.sql.SparkSession, key: String)(
+  /** Arbitrary serializable trained artifact (model weights, thresholds).
+    * Like codebooks these are plain objects, safe across sessions. */
+  def value[T](key: String)(build: => T): T =
+    values.getOrElseUpdate(key, build).asInstanceOf[T]
+
+  /** Cached + persisted DataFrame (materialized once per live context).
+    * `persist=false` skips the persist+count for builds that materialize
+    * themselves (e.g. `localCheckpoint()`, whose truncated-lineage RDD
+    * both caches AND plans better than an InMemoryRelation under the
+    * multi-reference self-joins the dedup pipeline runs). */
+  def frame(session: org.apache.spark.sql.SparkSession, key: String,
+      persist: Boolean = true)(
       build: => DataFrame): DataFrame = frames.synchronized {
     frames.get(key) match {
       case Some(df) if !df.sparkSession.sparkContext.isStopped => df
       case _ =>
-        val df = build.persist()
-        df.count()
+        val df = if (persist) { val d = build.persist(); d.count(); d }
+                 else build
         frames.put(key, df)
         df
     }
@@ -45,5 +56,6 @@ object ArtifactCache {
       frames.clear()
     }
     codebooks.clear()
+    values.clear()
   }
 }
