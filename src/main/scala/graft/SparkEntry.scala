@@ -125,6 +125,22 @@ object SparkEntry {
     }: Unit
   }
 
+  /** LSH-banded + exact-Jaccard-confirmed near-dup pairs (≥ 0.5) over the
+    * documents table — shared by `dedup_minhash_pairs` (reports them) and
+    * `dedup_components` (clusters them). The 8-perm signature store is a
+    * dir-memoized localCheckpoint (a dedup pipeline keeps signatures as a
+    * persistent artifact — the same store the streaming IncrementalDedup
+    * accumulates); raw signature computation is timed by `dedup_minhash`.
+    */
+  private def confirmedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = ArtifactCache.frame(s, s"$dir/dedup/sig8", persist = false) {
+      Dedup.minhashSignatures(docs, numPerms = 8).localCheckpoint()
+    }
+    val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
+    Dedup.jaccardPairsByHash(docs, cands).where(col("jaccard") >= 0.5)
+  }
+
   /** Candidate tables shared by the ensemble family (ensemble_fuse /
     * ensemble_grid / v15_rerank): ip-ANN top-10 `(query_id, doc_id,
     * score)` and the cosine coarse top-5 `(…, crank)`. The SQL twin is
@@ -489,21 +505,23 @@ object SparkEntry {
     // never reach the exact-Jaccard confirm join — the candidate set stays
     // O(near-dups), not O(n²·j²).
     "dedup_minhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // dir-memoized signature store (the banding self-join and
-      // bucket-count branches reference it 3×, and a dedup pipeline keeps
-      // signatures as a persistent artifact — same store the streaming
-      // IncrementalDedup accumulates); raw signature computation is timed
-      // by `dedup_minhash` above
-      val sigs = graft.index.ArtifactCache.frame(s, s"$dir/dedup/sig8",
-        persist = false) {
-        Dedup.minhashSignatures(docs, numPerms = 8).localCheckpoint()
-      }
-      val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
-      Dedup.jaccardPairsByHash(docs, cands)
-        .where(col("jaccard") >= 0.5)
+      confirmedNearDupPairs(s, dir)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a", "b")
+    }),
+
+    // Dedup #2c: near-dup PAIRS → duplicate CLUSTERS via distributed
+    // connected components (min-label propagation + path halving); the
+    // canonical doc to keep is the component id (min member). The oracle
+    // replays reachability with a recursive CTE.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = confirmedNearDupPairs(s, dir).select("a", "b")
+      val comp = Dedup.connectedComponents(pairs)
+        .select(col("v").as("doc_id"), col("comp").as("component"))
+      val sz = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sz, Seq("component"))
+        .select(col("doc_id"), col("component"), col("cluster_size"))
+        .orderBy("doc_id")
     }),
 
     // Dedup #3: exhaustive n-gram Jaccard, top-20 most similar pairs
@@ -1314,24 +1332,22 @@ object SparkEntry {
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
-         |h AS (SELECT doc_id, list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS hs FROM sh),
-         |sig AS (SELECT doc_id, [$minhashSigSql8] AS sig FROM h),
-         |banded AS (SELECT doc_id, unnest([
-         |  concat('0:', sig[1], ',', sig[2], ',', sig[3], ',', sig[4]),
-         |  concat('1:', sig[5], ',', sig[6], ',', sig[7], ',', sig[8])]) AS band_key FROM sig),
-         |ok AS (SELECT band_key FROM banded GROUP BY band_key HAVING count(*) <= 1000),
-         |capped AS (SELECT b.* FROM banded b JOIN ok USING (band_key)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x JOIN capped y
-         |         ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         |jac AS (SELECT cand.a, cand.b,
-         |          len(list_intersect(sa.shingles, sb.shingles))
-         |            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
-         |        FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b)
+      s"""WITH $minhashPairsCte
          |SELECT a, b, round(jaccard, 6) AS jaccard FROM jac
          |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, r.l FROM e JOIN reach r ON r.v = e.dst),
+         |comp AS (SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v),
+         |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT c.doc_id, c.component, s.cluster_size
+         |FROM comp c JOIN sz s USING (component) ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_topk" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents WHERE doc_id < 200),
@@ -1481,6 +1497,27 @@ object SparkEntry {
 
   private def minhashSigSql: String = minhashSigN(4)
   private def minhashSigSql8: String = minhashSigN(8)
+
+  /** Shared CTE chain: documents → shingles → 8-perm signatures → capped
+    * LSH bands → candidate pairs → exact-Jaccard (`jac`). Mirrors
+    * `confirmedNearDupPairs`; consumers filter `jac` at 0.5. */
+  private def minhashPairsCte: String =
+    s"""t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
+       |h AS (SELECT doc_id, list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS hs FROM sh),
+       |sig AS (SELECT doc_id, [$minhashSigSql8] AS sig FROM h),
+       |banded AS (SELECT doc_id, unnest([
+       |  concat('0:', sig[1], ',', sig[2], ',', sig[3], ',', sig[4]),
+       |  concat('1:', sig[5], ',', sig[6], ',', sig[7], ',', sig[8])]) AS band_key FROM sig),
+       |ok AS (SELECT band_key FROM banded GROUP BY band_key HAVING count(*) <= 1000),
+       |capped AS (SELECT b.* FROM banded b JOIN ok USING (band_key)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x JOIN capped y
+       |         ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |jac AS (SELECT cand.a, cand.b,
+       |          len(list_intersect(sa.shingles, sb.shingles))
+       |            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+       |        FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b)""".stripMargin
 
   private def stopwordListSql: String =
     TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")

@@ -156,6 +156,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list — the dedup
+    * finishing step that turns confirmed near-dup PAIRS into duplicate
+    * CLUSTERS (component id = min member id, the canonical doc to keep).
+    *
+    * Iterative min-label propagation with path-halving: each round every
+    * vertex adopts the smallest label in its closed neighborhood (one
+    * shuffle join + map-side-partial min aggregate), then labels shortcut
+    * through their parents (comp(v) := comp(comp(v)), a self-join on |V|),
+    * giving O(log n) rounds like large-star/small-star rather than
+    * O(diameter). No driver-side graph state — labels are a DataFrame;
+    * `localCheckpoint` per round truncates the otherwise-exponential
+    * lineage. Converges in 2-3 rounds on LSH dup clusters (near-cliques).
+    *
+    * Returns (v, comp) for every vertex that appears in an edge.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("comp")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("v").as("dst"), col("comp").as("ncomp")),
+          Seq("dst"))
+        .groupBy(col("src").as("v")).agg(min("ncomp").as("nmin"))
+      val propagated = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // path halving: comp(v) := comp(comp(v)) — labels are vertex ids
+      // (mins of vertex-id sets), so the parent lookup is a |V| self-join
+      val updated = propagated.as("x")
+        .join(propagated.select(col("v").as("comp"),
+          col("comp").as("pcomp")), Seq("comp"))
+        .select(col("v"), col("pcomp").as("comp"))
+        .localCheckpoint()
+      // labels only ever decrease; any strict decrease means another round
+      val changed = updated
+        .join(labels.select(col("v"), col("comp").as("old")), Seq("v"))
+        .where(col("comp") < col("old")).limit(1).count() > 0
+      labels = updated
+      converged = !changed
+      it += 1
+    }
+    labels
+  }
+
   // -------------------------------------------------------------------
   // Exact n-gram Jaccard
   // -------------------------------------------------------------------

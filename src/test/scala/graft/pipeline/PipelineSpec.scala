@@ -62,6 +62,33 @@ class PipelineSpec extends SparkSpec {
     assert(full == 15 + 1)
   }
 
+  test("connected components: chains, cliques, and singleton pairs") {
+    // chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair (20,21)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: long path converges within the iteration cap") {
+    // a 40-vertex path needs ~log2(40) rounds with path halving — far
+    // under maxIter, and the min label must traverse the whole path
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges).collect()
+    assert(comp.length == 40 && comp.forall(_.getLong(1) == 0L))
+    // reversed ids: min is at the far end
+    val rev = (0L until 39L).map(i => (39L - i, 38L - i)).toDF("a", "b")
+    val comp2 = Dedup.connectedComponents(rev).collect()
+    assert(comp2.length == 40 && comp2.forall(_.getLong(1) == 0L))
+  }
+
+  test("connected components: empty edge set yields empty labels") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(edges).count() == 0)
+  }
+
   test("hash-based Jaccard confirm matches the array form on candidate pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
