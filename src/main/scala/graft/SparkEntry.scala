@@ -275,6 +275,18 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // P9 at 100 TB: bloom-pre-filtered membership (map-side lossy filter +
+    // exact confirm semi join — identical result, shuffle ∝ matches)
+    "p9_bloom_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      graft.pipeline.Membership.bloomSemiJoin(o, l,
+        factKeyCol = "o_orderkey", keyCol = "l_orderkey",
+        expectedItems = 100000L)
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
     // Anti join (negative-sampling `notclus` shape, main_models.py:1841-1852)
     "a7_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -570,6 +582,18 @@ object SparkEntry {
     // Corpus vocab heavy hitters (exact top-k via TakeOrdered)
     "text_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(t(s, dir, "documents"), k = 50)),
+
+    // Okapi BM25 lexical retrieval: top-20 docs for two literal queries
+    // (the sparse baseline the reference's ensemble stage fuses against)
+    "text_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, "spark fast query join"),
+        (1L, "stream window batch agg")).toDF("query_id", "qtext")
+      graft.search.BM25.topK(t(s, dir, "documents"), qs, k = 20)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), microUnits(col("score"), 6).as("score_micro"))
+        .orderBy("query_id", "rank")
+    }),
 
     // Gopher/C4-style within-doc repetition signals (bigram duplication)
     "text_repetition" -> ((s, dir) =>
@@ -1015,6 +1039,14 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |ORDER BY o_orderkey""".stripMargin,
 
+    // the bloom pre-filter is removed by the exact confirm join, so the
+    // oracle is the plain EXISTS — byte-identical output is the point
+    "p9_bloom_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+
     "a7_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
@@ -1416,6 +1448,29 @@ object SparkEntry {
       """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
         |SELECT token, count(*) AS freq FROM t WHERE length(token) > 0
         |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+
+    "text_bm25" ->
+      """WITH q AS (SELECT * FROM (VALUES (0, 'spark fast query join'),
+        |  (1, 'stream window batch agg')) AS v(query_id, qtext)),
+        |qt AS (SELECT query_id, unnest(list_distinct(string_split_regex(lower(qtext), '\s+'))) AS term FROM q),
+        |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |contrib AS (SELECT qt.query_id, tf.doc_id,
+        |    ln(1.0E0 + (s.n_docs - d.df + 0.5E0) / (d.df + 0.5E0)) *
+        |      (CAST(tf.tf AS DOUBLE) * (1.2E0 + 1.0E0)) /
+        |      (CAST(tf.tf AS DOUBLE) + 1.2E0 * (1.0E0 - 0.75E0 + 0.75E0 * dl.dl / s.avgdl)) AS c
+        |  FROM tf JOIN qt USING (term) JOIN dfreq d USING (term)
+        |  JOIN dl USING (doc_id) CROSS JOIN stats s),
+        |sc AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |      FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
+        |FROM r WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

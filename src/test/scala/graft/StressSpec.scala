@@ -62,6 +62,41 @@ class StressSpec extends SparkSpec {
     assert(sec < 120, s"minhash took ${sec}s on 4k docs — candidate blowup?")
   }
 
+  test("bloomSemiJoin is byte-identical to the exact semi join") {
+    import graft.pipeline.Membership
+    val o = Tables.load(spark, sf("0.01"), "orders")
+    val l = Tables.load(spark, sf("0.01"), "lineitem")
+      .where(col("l_returnflag") === "R")
+    val exact = o.join(l.select(col("l_orderkey").as("o_orderkey")).distinct(),
+      Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey").orderBy("o_orderkey").collect()
+    // tiny filter (high fpp) to force real false positives into the
+    // pre-filter — the confirm join must still remove every one of them
+    val bloomed = Membership.bloomSemiJoin(o, l, "o_orderkey", "l_orderkey",
+      expectedItems = 100L, fpp = 0.5)
+      .select("o_orderkey").orderBy("o_orderkey").collect()
+    assert(bloomed.toSeq == exact.toSeq)
+  }
+
+  test("salted join matches the plain join on a hot-keyed fact") {
+    import graft.pipeline.SkewJoin
+    import spark.implicits._
+    // 50k-row hot key 7 + uniform tail; dim has one row per key
+    val fact = spark.range(50000).select(lit(7L).as("k"), col("id").as("v"))
+      .unionByName(spark.range(1000).select(
+        (col("id") % 100).as("k"), (col("id") + 1000000L).as("v")))
+    val dim = spark.range(100).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    val plain = fact.join(dim, Seq("k"))
+    val salted = SkewJoin.salted(fact, dim, "k", salt = 8)
+    assert(salted.count() == plain.count())
+    val pAgg = plain.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k").collect().toSeq
+    val sAgg = salted.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k").collect().toSeq
+    assert(sAgg == pAgg)
+  }
+
   test("default notClusterNegatives stays pre-sampled on a replicated corpus") {
     import graft.pipeline.NegativeSampling
     val docs = replicatedVecs(8).repartition(16).cache()
