@@ -595,6 +595,37 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Deterministic per-language stratified sampling (md5-rank — the same
+    // rows survive on any engine/partitioning; sampled_corpus.py:9-16
+    // semantics made reproducible)
+    "sample_stratified" -> ((s, dir) =>
+      graft.pipeline.Sampling.stratified(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "zh" -> 0.25, "es" -> 0.1))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Per-source document cap (web-corpus anti-spam: uniform hash-ranked
+    // keep, not crawl-order keep)
+    "sample_domain_cap" -> ((s, dir) =>
+      graft.pipeline.Sampling.capPerGroup(t(s, dir, "documents"), "source",
+        cap = 30)
+        .select("doc_id", "source").orderBy("doc_id")),
+
+    // Exact per-language length quantiles (corpus monitoring; interpolated
+    // type-7 percentiles match DuckDB quantile_cont)
+    "text_length_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("double").as("len"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          percentile(col("len"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("qs"))
+        .select(col("lang"), col("n"),
+          microUnits(element_at(col("qs"), 1), 4).as("q25"),
+          microUnits(element_at(col("qs"), 2), 4).as("q50"),
+          microUnits(element_at(col("qs"), 3), 4).as("q75"),
+          microUnits(element_at(col("qs"), 4), 4).as("q90"))
+        .orderBy("lang")),
+
     // Gopher/C4-style within-doc repetition signals (bigram duplication)
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), n = 2)
@@ -1471,6 +1502,33 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank, doc_id,
         |  CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micro
         |FROM r WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 1000000 <
+        |  CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000
+        |            WHEN 'es' THEN 100000 ELSE -1 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
+        |             doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 30 ORDER BY doc_id""".stripMargin,
+
+    "text_length_quantiles" ->
+      """WITH t AS (SELECT lang, CAST(length(text) AS DOUBLE) AS len FROM documents),
+        |q AS (SELECT lang, count(*) AS n,
+        |        quantile_cont(len, [0.25, 0.5, 0.75, 0.9]) AS qs
+        |      FROM t GROUP BY lang)
+        |SELECT lang, n,
+        |  CAST(floor(qs[1] * 10000 + 0.5) AS BIGINT) AS q25,
+        |  CAST(floor(qs[2] * 10000 + 0.5) AS BIGINT) AS q50,
+        |  CAST(floor(qs[3] * 10000 + 0.5) AS BIGINT) AS q75,
+        |  CAST(floor(qs[4] * 10000 + 0.5) AS BIGINT) AS q90
+        |FROM q ORDER BY lang""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling — the reference subsamples corpora with
+  * python RNG (dataprocess/msmarco_passage/sampled_corpus.py:9-16
+  * random.sample over doc ids); the engine-portable equivalent ranks rows
+  * by an md5-derived hash so the SAME rows are chosen on any engine, any
+  * partitioning, any run (the convention every sampling operator in this
+  * library uses — see Augment.subsampleMapping).
+  *
+  * Scale: per-row hash + filter, zero shuffle for Bernoulli forms; the
+  * per-group cap is one window over the group key (hash-partitioned, no
+  * global sort).
+  */
+object Sampling {
+
+  private val M = 1000000L
+
+  /** 60-bit md5 hash of (seed, id) mapped to [0, 1e6). */
+  private def bucket(idCol: Column, seed: Long): Column =
+    pmod(graft.functions.HashFunctions.md5_prefix(
+      concat(lit(seed.toString), lit(":"), idCol.cast("string")), 15), lit(M))
+
+  /** Deterministic Bernoulli sample: keep a row iff its hash bucket falls
+    * under `fraction`. Exact-in-expectation, reproducible, join-stable
+    * (the same id survives in every table sampled with the same seed).
+    */
+  def bernoulli(df: DataFrame, fraction: Double, idCol: String = "doc_id",
+      seed: Long = 42L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.where(bucket(col(idCol), seed) < lit((fraction * M).toLong))
+  }
+
+  /** Deterministic stratified sample: per-stratum keep fractions (strata
+    * missing from the map are dropped). One broadcast map lookup per row,
+    * zero shuffle.
+    */
+  def stratified(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], idCol: String = "doc_id",
+      seed: Long = 42L): DataFrame = {
+    val thresh = fractions.foldLeft(lit(-1L)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit((f * M).toLong)).otherwise(acc)
+    }
+    df.where(bucket(col(idCol), seed) < thresh)
+  }
+
+  /** Cap rows per group (e.g. max documents per source domain, the
+    * standard web-corpus anti-spam measure): keeps the `cap` rows with the
+    * smallest (hash, id) rank inside each group — a deterministic uniform
+    * choice, not "first by ingest order" (which overweights crawl order).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, cap: Int,
+      idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucket(col(idCol), seed).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= cap).drop("__rn")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.io.Tables
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf("0.01"), "documents").cache()
+
+  test("bernoulli sample is deterministic and partitioning-independent") {
+    val a = Sampling.bernoulli(docs, 0.3).select("doc_id").collect().toSet
+    val b = Sampling.bernoulli(docs.repartition(13), 0.3)
+      .select("doc_id").collect().toSet
+    assert(a == b && a.nonEmpty)
+    // rough mass check: within ±40% of the target fraction
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.18 && frac < 0.42, s"fraction $frac far from 0.3")
+  }
+
+  test("bernoulli sampling is join-stable: nested fractions nest row sets") {
+    val small = Sampling.bernoulli(docs, 0.2).select("doc_id").collect().toSet
+    val big = Sampling.bernoulli(docs, 0.5).select("doc_id").collect().toSet
+    assert(small.subsetOf(big), "smaller fraction must be a subset")
+  }
+
+  test("stratified sampling applies per-stratum fractions, drops unknown strata") {
+    val d = Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
+      .unionByName((4L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+        .toDF("doc_id", "lang"))
+    val out = Sampling.stratified(d, "lang", Map("en" -> 1.0, "zh" -> 0.0))
+      .select("doc_id", "lang").collect()
+    assert(out.forall(_.getString(1) == "en")) // zh: 0.0, fr: unmapped
+    val enCount = d.where(col("lang") === "en").count()
+    assert(out.length == enCount) // fraction 1.0 keeps every en row
+  }
+
+  test("capPerGroup bounds every group and keeps a deterministic subset") {
+    val capped = Sampling.capPerGroup(docs, "source", cap = 10)
+    val sizes = capped.groupBy("source").count().collect()
+    assert(sizes.forall(_.getLong(1) <= 10))
+    val again = Sampling.capPerGroup(docs.repartition(7), "source", cap = 10)
+    assert(capped.select("doc_id").collect().toSet ==
+      again.select("doc_id").collect().toSet)
+  }
+}
