@@ -82,6 +82,9 @@ object Bench {
       val nQ = queries.count().toDouble
 
       val (artifacts, buildSec) = timed {
+        // library-default maxIter (20): the engine-metric codebook must
+        // stay identical round-over-round so recall/ndoc lines are
+        // comparable (a shorter fit changes the trained clustering)
         val cb = RQTrainer.fit(docs.select("doc_id", "vec"), "vec",
           numLevels = 2, k = 8, seed = 42L)
         val assignments = CodeAssigner.assign(docs, cb).cache()

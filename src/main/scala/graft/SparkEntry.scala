@@ -137,7 +137,12 @@ object SparkEntry {
     val sigs = ArtifactCache.frame(s, s"$dir/dedup/sig8", persist = false) {
       Dedup.minhashSignatures(docs, numPerms = 8).localCheckpoint()
     }
+    // the candidate table feeds four consumers inside the confirm join
+    // (id-restriction union ×2, intersection join, final join) — one
+    // localCheckpoint of the tiny pair list beats re-running the banding
+    // self-join per consumer
     val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
+      .localCheckpoint()
     Dedup.jaccardPairsByHash(docs, cands).where(col("jaccard") >= 0.5)
   }
 
@@ -527,7 +532,10 @@ object SparkEntry {
     // canonical doc to keep is the component id (min member). The oracle
     // replays reachability with a recursive CTE.
     "dedup_components" -> ((s, dir) => {
+      // the symmetric-closure union reads the confirmed pairs twice —
+      // materialize the (tiny) confirm-join output once
       val pairs = confirmedNearDupPairs(s, dir).select("a", "b")
+        .localCheckpoint()
       val comp = Dedup.connectedComponents(pairs)
         .select(col("v").as("doc_id"), col("comp").as("component"))
       val sz = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))

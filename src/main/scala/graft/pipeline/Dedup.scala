@@ -245,7 +245,16 @@ object Dedup {
   def jaccardPairsByHash(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 3): DataFrame = {
-    val sh = ensureParallelism(docs).select(col(idCol).as("id"),
+    // only docs that appear in a candidate pair need their shingles
+    // re-expanded — the `sh` table feeds three consumers (two join sides
+    // + the size aggregate), and without this restriction each one
+    // re-runs the FULL-corpus explode→md5 pipeline; with it, confirm
+    // work is ∝ candidates, not corpus (candidate ids ≪ corpus by
+    // LSH construction, so the semi join broadcasts under AQE)
+    val ids = pairs.select(col("a").as(idCol))
+      .union(pairs.select(col("b").as(idCol))).distinct()
+    val candDocs = ensureParallelism(docs).join(ids, Seq(idCol), "left_semi")
+    val sh = candDocs.select(col(idCol).as("id"),
       explode(array_distinct(shingles(tokens(col(textCol)), shingleN))).as("__sh"))
       .select(col("id"), md5Hash60(col("__sh")).as("h"))
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n"))

@@ -159,6 +159,28 @@ class PlanSpec extends SparkSpec {
     assert(filesRead.exists(_ <= 1), s"read $filesRead partitions, expected 1")
   }
 
+  test("bernoulli/stratified sampling plans have no exchange (zero shuffle)") {
+    import graft.pipeline.Sampling
+    val docs = Tables.load(spark, sf("0.01"), "documents")
+    for (df <- Seq(Sampling.bernoulli(docs, 0.3),
+        Sampling.stratified(docs, "lang", Map("en" -> 0.5)))) {
+      val p = planString(df)
+      assert(!p.contains("Exchange"), s"sampling shuffled:\n$p")
+    }
+  }
+
+  test("BM25 scoring broadcasts query terms; postings aggregate partially") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf("0.01"), "documents")
+    val qs = Seq((0L, "spark fast query join")).toDF("query_id", "qtext")
+    val df = graft.search.BM25.score(docs, qs)
+    df.collect() // finalize AQE
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"), s"query terms not broadcast:\n$p")
+    assert(p.toLowerCase.contains("partial_"), s"postings not map-side combined:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("SQL registration: float_dot usable from SQL") {
     GraftExtensions.register(spark)
     Tables.load(spark, sf("0.001"), "embeddings").limit(3)

@@ -60,6 +60,15 @@ class StressSpec extends SparkSpec {
     // every doc now has 7 exact replicas → 8*7/2 pairs per base doc
     assert(nPairs == 500L * 8 * 7 / 2, s"expected full replica pairing, got $nPairs")
     assert(sec < 120, s"minhash took ${sec}s on 4k docs — candidate blowup?")
+
+    // dedup finishing step: pairs → components must recover exactly the
+    // 500 replica groups, each of size 8, canonical = the base doc id
+    val comp = Dedup.connectedComponents(pairs.select("a", "b"))
+    val sizes = comp.groupBy("comp").count().collect()
+    assert(sizes.length == 500, s"expected 500 dup clusters, got ${sizes.length}")
+    assert(sizes.forall(_.getLong(1) == 8))
+    assert(comp.where(col("comp") >= 1000000L).count() == 0,
+      "canonical id must be the base (smallest) replica")
   }
 
   test("bloomSemiJoin is byte-identical to the exact semi join") {

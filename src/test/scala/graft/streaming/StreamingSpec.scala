@@ -83,6 +83,36 @@ class StreamingSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("sampling + quality filters run at the door: stream output == batch") {
+    // Sampling.stratified and the quality/repetition filters are stateless
+    // per-row ops, so the same plan fragments apply unchanged to a stream
+    // — the "filter at ingest" posture for a 100 TB pipeline
+    import graft.pipeline.Sampling
+    val docs = Tables.load(spark, sf("0.001"), "documents").cache()
+    val base = "target/tmp/stream_sample"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    Files.createDirectories(Paths.get(s"$base/in"))
+    docs.where(col("doc_id") < 250).write.parquet(s"$base/in/b0")
+    docs.where(col("doc_id") >= 250).write.parquet(s"$base/in/b1")
+
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$base/in/*")
+    val q = Sampling.stratified(stream, "lang",
+        Map("en" -> 0.5, "zh" -> 0.25))
+      .select("doc_id", "lang")
+      .writeStream.format("memory").queryName("sample_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ck").start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sample_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Sampling.stratified(docs, "lang",
+        Map("en" -> 0.5, "zh" -> 0.25))
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("stateful streaming sessionization matches batch sessions") {
     import spark.implicits._
     val base = "target/tmp/stream_sessions"
