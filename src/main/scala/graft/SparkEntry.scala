@@ -559,6 +559,28 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Dedup #4b: SimHash near-dup pairs — banded byte-blocks (pigeonhole:
+    // hamming ≤ 3 ⇒ one of 4 blocks matches exactly) + Hamming confirm.
+    // The oracle confirms ALL pairs brute-force, so a hash-match also
+    // certifies the banding guarantee loses nothing.
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash(t(s, dir, "documents")),
+        maxHamming = 3)
+        .orderBy("a", "b")),
+
+    // Benchmark-contamination screen: corpus docs sharing ≥ 3 distinct
+    // 5-gram hashes with a held-out set (synthesized as char-span excerpts
+    // of the first 10 docs, so every bench item must at least hit its
+    // source document)
+    "contamination_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 21, 80).as("text"))
+      graft.pipeline.Contamination.screen(docs, bench, n = 5, minShared = 3)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // Dedup #5: embedding-cosine near-dup pairs (label-blocked)
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), tau = 0.35)
@@ -1433,12 +1455,33 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "dedup_simhash" ->
-      """WITH t AS (SELECT doc_id, list_transform(string_split_regex(lower(text), '\s+'),
-        |  tok -> CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)) AS hs FROM documents)
-        |SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
-        |  CASE WHEN list_sum(list_transform(hs, h -> CAST(floor(h / pow(2.0, b)) AS BIGINT) % 2 * 2 - 1)) > 0
-        |       THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
-        |FROM t ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    // brute-force all-pairs confirm — intentionally NOT banded, so a
+    // hash-match proves the Spark side's pigeonhole banding is lossless
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin,
+
+    "contamination_screen" ->
+      """WITH c AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g FROM c),
+        |ch AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h FROM cg),
+        |b0 AS (SELECT doc_id AS bench_id, substr(text, 21, 80) AS text FROM documents WHERE doc_id < 10),
+        |bt AS (SELECT bench_id, string_split_regex(lower(text), '\s+') AS toks FROM b0),
+        |bg AS (SELECT bench_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g FROM bt),
+        |bh AS (SELECT bench_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h FROM bg)
+        |SELECT ch.doc_id, bh.bench_id, count(*) AS n_shared
+        |FROM ch JOIN bh USING (h)
+        |GROUP BY ch.doc_id, bh.bench_id HAVING count(*) >= 3
+        |ORDER BY doc_id, bench_id""".stripMargin,
 
     "dedup_embedding" ->
       """SELECT x.vec_id AS a, y.vec_id AS b,
@@ -1618,6 +1661,16 @@ object SparkEntry {
 
   private def minhashSigSql: String = minhashSigN(4)
   private def minhashSigSql8: String = minhashSigN(8)
+
+  /** Shared CTE: per-doc 32-bit SimHash (`sh(doc_id, simhash)`) —
+    * mirrors `Dedup.simhash`. */
+  private def simhashCte: String =
+    """t AS (SELECT doc_id, list_transform(string_split_regex(lower(text), '\s+'),
+      |  tok -> CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)) AS hs FROM documents),
+      |sh AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
+      |  CASE WHEN list_sum(list_transform(hs, h -> CAST(floor(h / pow(2.0, b)) AS BIGINT) % 2 * 2 - 1)) > 0
+      |       THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM t)""".stripMargin
 
   /** Shared CTE chain: documents → shingles → 8-perm signatures → capped
     * LSH bands → candidate pairs → exact-Jaccard (`jac`). Mirrors

@@ -76,8 +76,9 @@ object TextAnalysis {
     // count is O(total·distinct) per doc AND drops out of codegen (the
     // MinHash 400× trap); explode → (doc, gram) counts → per-doc aggregate
     // is linear with map-side combine
-    val grams = Dedup.ensureParallelism(docs).select(col(idCol),
-      explode(Dedup.shingles(tokens(col(textCol)), n)).as("__g"))
+    val grams = Dedup.ensureParallelism(docs)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(Dedup.shingles(col("__toks"), n)).as("__g"))
     val perGram = grams.groupBy(col(idCol), col("__g"))
       .agg(count(lit(1)).as("__c"))
     val agg = perGram.groupBy(col(idCol)).agg(

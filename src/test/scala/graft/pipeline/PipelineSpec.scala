@@ -62,6 +62,42 @@ class PipelineSpec extends SparkSpec {
     assert(full == 15 + 1)
   }
 
+  test("simhashPairs banding finds exactly the brute-force hamming matches") {
+    val sigs = Dedup.simhash(docs)
+    val banded = Dedup.simhashPairs(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = sigs.as("x").join(sigs.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+  }
+
+  test("simhashPairs rejects a banding that voids the pigeonhole guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(Dedup.simhash(docs), maxHamming = 4, bands = 4)
+    }
+  }
+
+  test("contamination screen: planted excerpt hits its source document") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally unrelated content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "beta gamma delta epsilon zeta eta"),
+      (200L, "missing from every corpus document entirely")
+    ).toDF("bench_id", "text")
+    val hits = Contamination.screen(corpus, bench, n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 100L)))
+  }
+
   test("connected components: chains, cliques, and singleton pairs") {
     // chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair (20,21)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
