@@ -444,6 +444,33 @@ object SparkEntry {
           col("n_events"), round(col("sum_value"), 2).as("sum_value"))
         .orderBy("user_id", "session_id")),
 
+    // As-of (temporal) join: each purchase attached to the user's most
+    // recent prior click — union+window formulation (one shuffle, no
+    // range-join blowup); the oracle replays it with DuckDB's native
+    // ASOF JOIN, so the hash match certifies the formulation
+    "events_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      // right side unique per (user, ts): greatest event_id wins, the
+      // same tie rule the operator applies
+      val wDedup = Window.partitionBy("user_id", "ts")
+        .orderBy(col("event_id").desc)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+        .withColumn("__rn", row_number().over(wDedup))
+        .where(col("__rn") === 1).drop("__rn")
+      graft.pipeline.AsOfJoin.backward(purchases, clicks,
+        on = Seq("user_id"), timeCol = "ts", tieCol = "event_id")
+        .where(col("asof").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("asof.event_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"),
+          round(col("value"), 2).as("value"))
+        .orderBy("event_id")
+    }),
+
     // Streaming-analog batch: tumbling-window event aggregation
     "events_window" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1197,6 +1224,19 @@ object SparkEntry {
         |  len(string_split_regex(text, '\s+')) AS n_tokens,
         |  length(text) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c0 AS (SELECT event_id, user_id, ts,
+        |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |       FROM events WHERE event_type = 'click'),
+        |c AS (SELECT event_id, user_id, ts FROM c0 WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+        |  round(p.value, 2) AS value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH g AS (

@@ -62,6 +62,33 @@ class PipelineSpec extends SparkSpec {
     assert(full == 15 + 1)
   }
 
+  test("as-of join: latest prior right row, equal-ts visibility, no-match null") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq((1L, 10L, ts(100)), (2L, 10L, ts(200)), (3L, 20L, ts(50)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((11L, 10L, ts(90)), (12L, 10L, ts(200)), (13L, 20L, ts(60)))
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "event_id")
+      .select(col("event_id"), col("asof.event_id").as("m")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // left 1: latest right at/before t=100 is 11; left 2: equal-ts right 12
+    // is visible; left 3: right is later (t=60 > 50) → no match
+    assert(out == Map(1L -> 11L, 2L -> 12L, 3L -> -1L))
+  }
+
+  test("as-of join tie rule: greatest tie column wins at equal timestamps") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val left = Seq((1L, 10L, ts(100))).toDF("event_id", "user_id", "ts")
+    val right = Seq((11L, 10L, ts(90)), (15L, 10L, ts(90)), (12L, 10L, ts(90)))
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "event_id")
+      .select(col("asof.event_id")).head.getLong(0)
+    assert(out == 15L)
+  }
+
   test("simhashPairs banding finds exactly the brute-force hamming matches") {
     val sigs = Dedup.simhash(docs)
     val banded = Dedup.simhashPairs(sigs, maxHamming = 3)
