@@ -64,6 +64,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, Codebook]
   private val dirRerankers =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]
+  private val dirRotations =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.PcaRotation.Rotation]
   @volatile private var lastDir: Option[String] = None
 
   /** Session-memoized RQ artifacts per fixture dir (path-keyed caching,
@@ -667,6 +669,46 @@ object SparkEntry {
         cap = 30)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // Data-mixture construction: per-source TOKEN budget, docs chosen in
+    // deterministic hash-rank order until the budget fills
+    "sample_token_budget" -> ((s, dir) =>
+      graft.pipeline.Sampling.tokenBudget(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
+        "source", budget = 800L)
+        .select("doc_id", "source", "n_tokens").orderBy("doc_id")),
+
+    // LLM training prep: GPT-style concat-and-chunk sequence packing —
+    // the whitespace token stream in doc_id order cut every 128 tokens;
+    // the exclusive prefix sum underneath is the two-level distributed
+    // scan (never a single-partition global window)
+    "pack_sequences" -> ((s, dir) =>
+      graft.pipeline.Packing.chunkSpans(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
+        seqLen = 128)
+        .orderBy("seq_id", "doc_id")),
+
+    // Whole-document next-fit bin packing (instruction-tuning layout: no
+    // doc is split); bins are sequential state, so packing runs per
+    // deterministic hash group
+    "pack_nextfit" -> ((s, dir) =>
+      graft.pipeline.Packing.nextFit(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
+        budget = 256L, groups = 8)
+        .orderBy("doc_id")),
+
+    // BPE tokenizer induction, step 1: corpus-frequency-weighted adjacent
+    // char-pair counts over the distinct-word table (vocab ≪ corpus — the
+    // standard trick that makes BPE training corpus-size-independent);
+    // the greedy merge loop on top is Bpe.train (BpeSpec)
+    "bpe_top_pairs" -> ((s, dir) =>
+      graft.pipeline.Bpe.pairs(graft.pipeline.Bpe.initSymbols(
+        graft.pipeline.Bpe.wordCounts(t(s, dir, "documents"))))
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(20)),
+
     // Exact per-language length quantiles (corpus monitoring; interpolated
     // type-7 percentiles match DuckDB quantile_cont)
     "text_length_quantiles" -> ((s, dir) =>
@@ -1010,6 +1052,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // V3/OPQ reinstated: PCA rotation of the embedding space (the learned
+    // rotation faiss's "OPQM,PQMxB" factory applies before quantization,
+    // MEVI/pq.py:186-190). MLlib fits the components once (train-once
+    // artifact like the RQ codebook); projection is the deterministic
+    // sequential-fold kernel, so the oracle replays it from inlined
+    // component literals
+    "v_opq_rotate" -> ((s, dir) => {
+      val rot = ArtifactCache.value(s"$dir/pca4") {
+        graft.index.PcaRotation.fit(t(s, dir, "embeddings"), "embedding",
+          k = 4)
+      }
+      dirRotations.put(dir, rot)
+      lastDir = Some(dir)
+      graft.index.PcaRotation.project(
+        t(s, dir, "embeddings"), "embedding", rot)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("proj"),
+            x => microUnits(x, 6)).cast("array<string>")).as("proj"))
+        .orderBy("vec_id")
+    }),
+
     // V13 grid: α/γ hyperparameter sweep in one pass (the reference's
     // --alphas/--betas/--gammas comma lists, ensemble_marco.py:251-253) —
     // one MRR@10 metric row per combo against label ground truth
@@ -1069,7 +1132,11 @@ object SparkEntry {
       dir.flatMap(d => Option(dirRerankers.get(d)))
         .map { case (coef, intercept) => Map("v15_rerank" ->
           graft.oracle.GeneratedOracles.rerankSql(
-            coef, intercept, k = 10, maxQueryId = 20)) }.getOrElse(Map.empty)
+            coef, intercept, k = 10, maxQueryId = 20)) }.getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirRotations.get(d)))
+        .map(rot => Map("v_opq_rotate" ->
+          graft.oracle.GeneratedOracles.pcaProjectSql(rot.components)))
+        .getOrElse(Map.empty)
   }
 
   private def staticOracleSql: Map[String, String] = Map(
@@ -1608,6 +1675,64 @@ object SparkEntry {
         |             doc_id ASC) AS rn
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 30 ORDER BY doc_id""".stripMargin,
+
+    "sample_token_budget" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
+        |               doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tok)
+        |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800
+        |ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH tok AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM tok),
+        |sp AS (SELECT seq_id, doc_id,
+        |    GREATEST(seq_id * 128, st) AS lo,
+        |    LEAST((seq_id + 1) * 128, st + n) AS hi
+        |  FROM c, unnest(generate_series(st // 128, (st + n - 1) // 128)) AS u(seq_id)
+        |  WHERE n > 0)
+        |SELECT seq_id, doc_id, lo - seq_id * 128 AS off_in_seq, hi - lo AS n_tok
+        |FROM sp ORDER BY seq_id, doc_id""".stripMargin,
+
+    "pack_nextfit" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, doc_id % 8 AS grp,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |d AS (SELECT doc_id, grp, n,
+        |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn FROM tok),
+        |r AS (
+        |  SELECT grp, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS running
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.grp, d.rn, d.doc_id, d.n,
+        |    CASE WHEN r.running + d.n > 256 AND r.running > 0
+        |         THEN r.bin + 1 ELSE r.bin END,
+        |    CASE WHEN r.running + d.n > 256 AND r.running > 0
+        |         THEN d.n ELSE r.running + d.n END
+        |  FROM r JOIN d ON d.grp = r.grp AND d.rn = r.rn + 1)
+        |SELECT doc_id, grp, bin, n AS n_tokens FROM r ORDER BY doc_id""".stripMargin,
+
+    "bpe_top_pairs" ->
+      """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |        FROM documents)
+        |  GROUP BY word),
+        |p AS (SELECT substring(word, i, 1) AS lhs, substring(word, i + 1, 1) AS rhs, cnt
+        |  FROM w, unnest(generate_series(1, length(word) - 1)) AS u(i)
+        |  WHERE length(word) >= 2)
+        |SELECT lhs, rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM p
+        |GROUP BY lhs, rhs ORDER BY pair_count DESC, lhs, rhs LIMIT 20""".stripMargin,
 
     "text_length_quantiles" ->
       """WITH t AS (SELECT lang, CAST(length(text) AS DOUBLE) AS len FROM documents),

@@ -332,6 +332,22 @@ object GeneratedOracles {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** PCA/OPQ rotation oracle: replays PcaRotation.projectExpr — per kept
+    * component, a sequential double fold of embedding×component products
+    * (same shape as dotSql), then the micro-unit projection
+    * (floor(x·1e6 + 0.5), the library-wide float-compare contract). The
+    * trained component matrix is inlined as literals. */
+  def pcaProjectSql(components: Array[Array[Double]]): String = {
+    val comps = components
+      .map(c => c.map(dLit).mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    s"""SELECT vec_id, array_to_string(list_transform($comps,
+       |    c -> CAST(floor(list_sum(list_transform(
+       |           list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), c),
+       |           p -> p[1] * p[2])) * 1000000 + 0.5) AS BIGINT)), ',') AS proj
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Seeded-LSH near-dup oracle (static — planes derive from the seed)
   // -------------------------------------------------------------------

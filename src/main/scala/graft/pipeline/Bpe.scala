@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer induction over a corpus — the classic
+  * Sennrich et al. greedy merge loop, distributed the way every BPE
+  * trainer actually runs at scale: statistics are computed over the
+  * DISTINCT-WORD table (vocab ≪ corpus; each word carries its corpus
+  * frequency), so one merge iteration is an aggregation over at most
+  * |vocab| rows regardless of corpus size.
+  *
+  * Beyond-reference operator (builder mandate: text analysis for training
+  * pipelines). The reference consumes a finished HF tokenizer
+  * (prepare_passage_tokenized.py:49-60); this is the operator that
+  * produces one.
+  *
+  * Scale: [[wordCounts]] is the only corpus-wide pass (explode + hash
+  * agg, map-side partial). The merge loop then iterates on the vocab
+  * table — per iteration one explode of within-word adjacent pairs, one
+  * hash agg, one ordered head(1) (TakeOrdered, no global sort), and one
+  * map-side merge application. No driver-side corpus state; only the
+  * (pair, count) winner crosses to the driver each round.
+  */
+object Bpe {
+
+  /** Lower-cased `[a-z0-9]+` word frequencies — the vocab table every
+    * other step works from. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Vocab table with the word split into its current symbol sequence
+    * (initially one character per symbol). */
+  def initSymbols(words: DataFrame): DataFrame =
+    words.withColumn("syms", split(col("word"), ""))
+
+  /** Corpus-frequency-weighted counts of ADJACENT symbol pairs within
+    * words, `(lhs, rhs, pair_count)` — one zip of the symbol list with
+    * its own tail (no positional self-join, stays in codegen);
+    * single-symbol words contribute nothing. */
+  def pairs(vocab: DataFrame): DataFrame =
+    vocab
+      .where(size(col("syms")) >= 2)
+      .select(col("cnt"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (l, r) => struct(l.as("lhs"), r.as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum("cnt").as("pair_count"))
+
+  /** Apply one merge `(l, r) → l+r` to every symbol sequence: a
+    * left-to-right single pass, exactly the reference BPE semantics
+    * (overlapping occurrences like "aaa" with merge (a,a) merge the
+    * leftmost pair first → ["aa", "a"]).
+    */
+  def applyMerge(vocab: DataFrame, left: String, right: String): DataFrame = {
+    // aggregate-based left-to-right scan: fold each symbol into the
+    // accumulator list, merging with the previous element when (prev,cur)
+    // equals the merge pair and prev is not itself a just-merged token
+    // (tracked by a parallel "fresh" flag in the fold state)
+    val merged = lit(left + right)
+    vocab.withColumn("syms",
+      aggregate(
+        col("syms"),
+        struct(array().cast("array<string>").as("acc"), lit(false).as("fresh")),
+        (st, s) => {
+          val acc = st.getField("acc")
+          val fresh = st.getField("fresh")
+          val prev = element_at(acc, -1)
+          val canMerge = (size(acc) > 0) && !fresh &&
+            (prev === lit(left)) && (s === lit(right))
+          struct(
+            when(canMerge,
+              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+              .otherwise(concat(acc, array(s))).as("acc"),
+            canMerge.as("fresh"))
+        },
+        st => st.getField("acc")))
+  }
+
+  /** Greedy BPE training: `nMerges` rounds of count → pick max (ties by
+    * (left, right) ascending for engine-portable determinism) → merge.
+    * Returns the learned merge list in order. The vocab table is
+    * re-persisted each round (its lineage otherwise grows one aggregate
+    * HOF per merge).
+    */
+  def train(docs: DataFrame, nMerges: Int,
+      textCol: String = "text"): Seq[(String, String)] = {
+    var vocab = initSymbols(wordCounts(docs, textCol)).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val top = pairs(vocab)
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getAs[String]("lhs"), top(0).getAs[String]("rhs"))
+        out += ((l, r))
+        vocab = applyMerge(vocab, l, r).localCheckpoint()
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+}

