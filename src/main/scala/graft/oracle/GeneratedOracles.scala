@@ -332,6 +332,57 @@ object GeneratedOracles {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Plain-PQ oracles (pq_type pq: per-slice argmin, MEVI/pq.py:249-279)
+  // -------------------------------------------------------------------
+
+  private def pqValuesCte(cb: graft.index.PQCodebook, m: Int): String = {
+    val rows = cb.subs(m).zipWithIndex
+      .map { case (c, code) => s"($code, ${centList(c)})" }
+      .mkString(", ")
+    s"p$m(code, cent) AS (VALUES $rows)"
+  }
+
+  /** CTEs: corpus as doubles + per-slice argmin → `a0..a(M-1)` each
+    * holding (doc_id, k_m). Slices are 1-based inclusive DuckDB ranges. */
+  private def pqAssignCtes(cb: graft.index.PQCodebook): String = {
+    val sd = cb.subDim
+    val values = (0 until cb.numSub).map(m => pqValuesCte(cb, m)).mkString(",\n")
+    val subs = (0 until cb.numSub).map { m =>
+      val (lo, hi) = (m * sd + 1, (m + 1) * sd)
+      s"""s$m AS (SELECT doc_id, code, cent,
+         |  list_sum(list_transform(list_zip(v[$lo:$hi], cent), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+         |  FROM d CROSS JOIN p$m),
+         |a$m AS (SELECT doc_id, code AS k$m, cent AS cent$m
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist, code) AS rn FROM s$m)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until cb.numSub).map(m => s"JOIN a$m USING (doc_id)").mkString(" ")
+    s"""d AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |$values,
+       |$subs,
+       |assign AS (SELECT a0.doc_id, ${(0 until cb.numSub).map(m => s"k$m").mkString(", ")},
+       |  ${(0 until cb.numSub).map(m => s"cent$m").mkString(" || ")} AS rec
+       |  FROM a0 $joins)""".stripMargin
+  }
+
+  def pqAssignSql(cb: graft.index.PQCodebook): String =
+    s"""WITH ${pqAssignCtes(cb)}
+       |SELECT doc_id, array_to_string([${(0 until cb.numSub).map(m => s"k$m").mkString(", ")}], ',') AS codes
+       |FROM assign ORDER BY doc_id""".stripMargin
+
+  /** Reconstruction = concatenation of chosen slice centroids (exact
+    * float values — no arithmetic), plus the ‖x−rec‖ double fold. */
+  def pqReconstructSql(cb: graft.index.PQCodebook): String =
+    s"""WITH ${pqAssignCtes(cb)},
+       |r AS (SELECT d.doc_id, rec,
+       |  sqrt(list_sum(list_transform(list_zip(v, rec), p -> (p[1] - p[2]) * (p[1] - p[2])))) AS err
+       |  FROM assign JOIN d ON d.doc_id = assign.doc_id)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(rec, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)), ',') AS rec,
+       |  CAST(floor(err * 1000000 + 0.5) AS BIGINT) AS recon_error
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** PCA/OPQ rotation oracle: replays PcaRotation.projectExpr — per kept
     * component, a sequential double fold of embedding×component products
     * (same shape as dotSql), then the micro-unit projection
