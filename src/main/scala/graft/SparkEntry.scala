@@ -68,6 +68,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.index.PcaRotation.Rotation]
   private val dirPqCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, graft.index.PQCodebook]
+  private val dirIvfPq =
+    new java.util.concurrent.ConcurrentHashMap[String, (Codebook, graft.index.PQCodebook)]
   @volatile private var lastDir: Option[String] = None
 
   /** Session-memoized RQ artifacts per fixture dir (path-keyed caching,
@@ -125,6 +127,25 @@ object SparkEntry {
     cb
   }
 
+  /** IVF-PQ composite index over the fixture embeddings: 16 coarse cells,
+    * 4×8 residual PQ. Codebooks cache across sessions; the (cheap,
+    * train-free) code table is re-encoded per live session. */
+  private def ivfPqOf(s: SparkSession, dir: String): graft.search.IVFPQ.Index = {
+    val (coarse, pq) = ArtifactCache.value(s"$dir/ivfpq16_4x8") {
+      val idx = graft.search.IVFPQ.build(docVecs(s, dir).select("doc_id", "vec"),
+        coarseK = 16, numSub = 4, k = 8, seed = 42L, maxIter = 10)
+      (idx.coarse, idx.pq)
+    }
+    dirIvfPq.put(dir, (coarse, pq))
+    lastDir = Some(dir)
+    val codes = ArtifactCache.frame(s, s"$dir/ivfpq16_4x8/codes",
+      persist = false) {
+      graft.search.IVFPQ.encode(docVecs(s, dir).select("doc_id", "vec"),
+        coarse, pq).localCheckpoint()
+    }
+    graft.search.IVFPQ.Index(coarse, pq, codes)
+  }
+
   /** Force-build the per-dir trained artifacts: RQ codebook fit +
     * assignment + cluster index, IVF cells, ensemble candidate tables, and
     * the reranker LR fit. Benchmarks call this before their timing loop so
@@ -133,6 +154,7 @@ object SparkEntry {
     rqIndex(s, dir).count()
     ivfOf(s, dir).cells.count()
     pqCodebookOf(s, dir): Unit
+    ivfPqOf(s, dir).codes.count()
     // constructing the v15 frame materializes the candidate frames and the
     // one-time LR fit (ArtifactCache-backed); the plan itself stays lazy
     queries("v15_rerank")(s, dir)
@@ -513,6 +535,29 @@ object SparkEntry {
         .select(col("doc_id"),
           concat_ws(",", col("codes").cast("array<string>")).as("codes"))
         .orderBy("doc_id")),
+
+    // V9 composite: IVF-PQ ADC search — coarse cell probe + per-cell
+    // lookup-table scoring over residual PQ codes (faiss "IVFx,PQy", the
+    // billion-scale shape; docs stored as numSub bytes of codes)
+    "ivfpq_knn" -> ((s, dir) =>
+      graft.search.IVFPQ.search(queryVecs(s, dir).select("query_id", "qvec"),
+        ivfPqOf(s, dir), nprobe = 4, k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          microUnits(col("dist"), 6).as("dist"))
+        .orderBy("query_id", "rank")),
+
+    // V-family compression #3: SQ8 scalar quantization (faiss "SQ8") —
+    // per-dim 8-bit codes against corpus [min,max], with round-trip error;
+    // stats + arithmetic are plain algebra, so the oracle is static SQL
+    "sq8_roundtrip" -> ((s, dir) => {
+      val docs = docVecs(s, dir).select("doc_id", "vec")
+      graft.index.ScalarQuantizer.roundtrip(docs,
+        graft.index.ScalarQuantizer.fitStats(docs, "vec"))
+        .select(col("doc_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          microUnits(col("err"), 6).as("err"))
+        .orderBy("doc_id")
+    }),
 
     // V10, pq branch: reconstruction = concatenation of slice centroids +
     // per-row quantization error
@@ -1177,6 +1222,11 @@ object SparkEntry {
         .map(cb => Map(
           "pq_assign" -> graft.oracle.GeneratedOracles.pqAssignSql(cb),
           "pq_reconstruct" -> graft.oracle.GeneratedOracles.pqReconstructSql(cb)))
+        .getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirIvfPq.get(d)))
+        .map { case (coarse, pq) => Map("ivfpq_knn" ->
+          graft.oracle.GeneratedOracles.ivfPqKnnSql(
+            coarse, pq, nprobe = 4, k = 10, maxQueryId = 20)) }
         .getOrElse(Map.empty)
   }
 
@@ -1385,6 +1435,21 @@ object SparkEntry {
         |  array_to_string(list_transform(raw, x -> CAST(floor(CAST(CAST(
         |    x / sqrt(list_sum(list_transform(raw, v -> v * v))) AS REAL) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)), ',') AS vec
         |FROM dense ORDER BY doc_id""".stripMargin,
+
+    "sq8_roundtrip" ->
+      """WITH pe AS (SELECT vec_id AS doc_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             generate_subscripts(embedding, 1) - 1 AS pos
+        |           FROM embeddings),
+        |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM pe GROUP BY pos),
+        |c AS (SELECT doc_id, pos, x, mn, mx,
+        |        CAST(CASE WHEN mx = mn THEN 0.0
+        |             ELSE least(255.0, greatest(0.0, floor((x - mn) * 255.0 / (mx - mn) + 0.5))) END AS INT) AS code
+        |      FROM pe JOIN st USING (pos)),
+        |d AS (SELECT doc_id, pos, x, code, mn + code * (mx - mn) / 255.0 AS deq FROM c)
+        |SELECT doc_id,
+        |  array_to_string(list(code ORDER BY pos), ',') AS codes,
+        |  CAST(floor(sqrt(list_sum(list((x - deq) * (x - deq) ORDER BY pos))) * 1000000 + 0.5) AS BIGINT) AS err
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "a3_centroid_avg" ->
       """WITH e AS (SELECT label, unnest(embedding) AS x,

@@ -31,6 +31,16 @@ case class PQCodebook(subs: Array[Array[Array[Float]]]) extends Serializable {
   /** Per-slice argmin-L2 assignment (MEVI/pq.py:249-279); ties → lowest
     * code id. Double accumulation in slice order — engine-replayable. */
   def assign(vec: Array[Float]): Array[Int] = {
+    val d = new Array[Double](vec.length)
+    var i = 0
+    while (i < vec.length) { d(i) = vec(i).toDouble; i += 1 }
+    assignDouble(d)
+  }
+
+  /** Double-input form — IVF-PQ assigns RESIDUALS, which are exact in
+    * double (float − float) but would round if narrowed to float first;
+    * the oracle computes them in double, so this path must too. */
+  def assignDouble(vec: Array[Double]): Array[Int] = {
     require(vec.length == dim, s"dim ${vec.length} != codebook dim $dim")
     val codes = new Array[Int](numSub)
     var m = 0
@@ -45,7 +55,7 @@ case class PQCodebook(subs: Array[Array[Array[Float]]]) extends Serializable {
         var d = 0.0
         var j = 0
         while (j < subDim) {
-          val diff = vec(off + j).toDouble - cent(j).toDouble
+          val diff = vec(off + j) - cent(j).toDouble
           d += diff * diff
           j += 1
         }

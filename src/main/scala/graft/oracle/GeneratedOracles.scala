@@ -383,6 +383,59 @@ object GeneratedOracles {
        |  CAST(floor(err * 1000000 + 0.5) AS BIGINT) AS recon_error
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** IVF-PQ ADC search oracle: replays the full composite pipeline —
+    * doc cell assignment (argmin over coarse cents), double-precision
+    * residuals, per-slice PQ code choice (keeping the chosen centroid),
+    * query probing (top-nprobe cells), and the asymmetric distance
+    * Σ_m ‖qres-slice − chosen-centroid‖² (per-slice list_sum folds added
+    * left-to-right in slice order — IVFPQ.search's LUT accumulation). */
+  def ivfPqKnnSql(coarse: Codebook, pq: graft.index.PQCodebook,
+      nprobe: Int, k: Int, maxQueryId: Int): String = {
+    val m0 = pq.numSub
+    val sd = pq.subDim
+    val pqValues = (0 until m0).map(m => pqValuesCte(pq, m)).mkString(",\n")
+    val l2 = (a: String, b: String) =>
+      s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    val subCtes = (0 until m0).map { m =>
+      val (lo, hi) = (m * sd + 1, (m + 1) * sd)
+      s"""s$m AS (SELECT doc_id, cell, code, cent, ${l2(s"r[$lo:$hi]", "cent")} AS dist
+         |  FROM dr CROSS JOIN p$m),
+         |a$m AS (SELECT doc_id, cell, cent AS cent$m
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist, code) AS rn FROM s$m)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until m0).map(m => s"JOIN a$m USING (doc_id)").mkString(" ")
+    val sliceDist = (0 until m0).map { m =>
+      val (lo, hi) = (m * sd + 1, (m + 1) * sd)
+      l2(s"qv[$lo:$hi]", s"cent$m")
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${valuesCte(coarse, 0)},
+       |$pqValues,
+       |dc AS (SELECT vec_id AS doc_id, v, code AS cell, cent
+       |  FROM (SELECT e.vec_id, e.v, c0.code, c0.cent,
+       |          row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.v", "c0.cent")}, c0.code) AS rn
+       |        FROM e CROSS JOIN c0) WHERE rn = 1),
+       |dr AS (SELECT doc_id, cell, list_transform(list_zip(v, cent), p -> p[1] - p[2]) AS r FROM dc),
+       |$subCtes,
+       |dcodes AS (SELECT a0.doc_id, a0.cell, ${(0 until m0).map(m => s"cent$m").mkString(", ")}
+       |  FROM a0 $joins),
+       |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < $maxQueryId),
+       |qp AS (SELECT query_id, cell, cent
+       |  FROM (SELECT q.query_id, q.v AS qvv, c0.code AS cell, c0.cent,
+       |          row_number() OVER (PARTITION BY q.query_id ORDER BY ${l2("q.v", "c0.cent")}, c0.code) AS pr
+       |        FROM q CROSS JOIN c0) WHERE pr <= $nprobe),
+       |qres AS (SELECT query_id, qp.cell,
+       |    list_transform(list_zip(q.v, qp.cent), p -> p[1] - p[2]) AS qv
+       |  FROM qp JOIN q USING (query_id)),
+       |sc AS (SELECT query_id, doc_id, $sliceDist AS dist
+       |  FROM qres JOIN dcodes USING (cell)),
+       |rk AS (SELECT query_id, doc_id, dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rank FROM sc)
+       |SELECT query_id, rank, doc_id, CAST(floor(dist * 1000000 + 0.5) AS BIGINT) AS dist
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** PCA/OPQ rotation oracle: replays PcaRotation.projectExpr — per kept
     * component, a sequential double fold of embedding×component products
     * (same shape as dotSql), then the micro-unit projection
