@@ -131,15 +131,19 @@ object SparkEntry {
     * 4×8 residual PQ. Codebooks cache across sessions; the (cheap,
     * train-free) code table is re-encoded per live session. */
   private def ivfPqOf(s: SparkSession, dir: String): graft.search.IVFPQ.Index = {
+    val codesKey = s"$dir/ivfpq16_4x8/codes"
     val (coarse, pq) = ArtifactCache.value(s"$dir/ivfpq16_4x8") {
       val idx = graft.search.IVFPQ.build(docVecs(s, dir).select("doc_id", "vec"),
         coarseK = 16, numSub = 4, k = 8, seed = 42L, maxIter = 10)
+      // seed the frame cache with build's (already materialized) code
+      // table so the cold path doesn't re-encode the corpus right after
+      ArtifactCache.frame(s, codesKey, persist = false)(idx.codes): Unit
       (idx.coarse, idx.pq)
     }
     dirIvfPq.put(dir, (coarse, pq))
     lastDir = Some(dir)
-    val codes = ArtifactCache.frame(s, s"$dir/ivfpq16_4x8/codes",
-      persist = false) {
+    // warm path (fresh session, cached codebooks): one train-free encode
+    val codes = ArtifactCache.frame(s, codesKey, persist = false) {
       graft.search.IVFPQ.encode(docVecs(s, dir).select("doc_id", "vec"),
         coarse, pq).localCheckpoint()
     }
@@ -1753,13 +1757,13 @@ object SparkEntry {
         |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-        |contrib AS (SELECT qt.query_id, tf.doc_id,
+        |contrib AS (SELECT qt.query_id, tf.doc_id, tf.term,
         |    ln(1.0E0 + (s.n_docs - d.df + 0.5E0) / (d.df + 0.5E0)) *
         |      (CAST(tf.tf AS DOUBLE) * (1.2E0 + 1.0E0)) /
         |      (CAST(tf.tf AS DOUBLE) + 1.2E0 * (1.0E0 - 0.75E0 + 0.75E0 * dl.dl / s.avgdl)) AS c
         |  FROM tf JOIN qt USING (term) JOIN dfreq d USING (term)
         |  JOIN dl USING (doc_id) CROSS JOIN stats s),
-        |sc AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, doc_id),
+        |sc AS (SELECT query_id, doc_id, list_sum(list(c ORDER BY term)) AS score FROM contrib GROUP BY query_id, doc_id),
         |r AS (SELECT query_id, doc_id, score,
         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
         |      FROM sc)

@@ -18,12 +18,11 @@ import scala.collection.concurrent.TrieMap
   */
 object ArtifactCache {
 
-  private val codebooks = TrieMap.empty[String, Codebook]
   private val frames = TrieMap.empty[String, DataFrame]
   private val values = TrieMap.empty[String, Any]
 
   def codebook(key: String)(train: => Codebook): Codebook =
-    codebooks.getOrElseUpdate(key, train)
+    value[Codebook](key)(train)
 
   /** Arbitrary serializable trained artifact (model weights, thresholds).
     * Like codebooks these are plain objects, safe across sessions. */
@@ -55,7 +54,6 @@ object ArtifactCache {
       }
       frames.clear()
     }
-    codebooks.clear()
     values.clear()
   }
 }

@@ -59,27 +59,23 @@ object Bpe {
     */
   def applyMerge(vocab: DataFrame, left: String, right: String): DataFrame = {
     // aggregate-based left-to-right scan: fold each symbol into the
-    // accumulator list, merging with the previous element when (prev,cur)
-    // equals the merge pair and prev is not itself a just-merged token
-    // (tracked by a parallel "fresh" flag in the fold state)
+    // accumulator list, merging with the previous element when (prev, cur)
+    // equals the merge pair. A just-merged token can never immediately
+    // re-merge as `prev`: it equals left+right, and right is non-empty, so
+    // it never compares equal to `left` — leftmost-first semantics hold
+    // with a plain accumulator (BpeSpec's overlap tests pin this down).
     val merged = lit(left + right)
     vocab.withColumn("syms",
       aggregate(
         col("syms"),
-        struct(array().cast("array<string>").as("acc"), lit(false).as("fresh")),
-        (st, s) => {
-          val acc = st.getField("acc")
-          val fresh = st.getField("fresh")
-          val prev = element_at(acc, -1)
-          val canMerge = (size(acc) > 0) && !fresh &&
-            (prev === lit(left)) && (s === lit(right))
-          struct(
-            when(canMerge,
-              concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
-              .otherwise(concat(acc, array(s))).as("acc"),
-            canMerge.as("fresh"))
-        },
-        st => st.getField("acc")))
+        array().cast("array<string>"),
+        (acc, s) => {
+          val canMerge = (size(acc) > 0) &&
+            (element_at(acc, -1) === lit(left)) && (s === lit(right))
+          when(canMerge,
+            concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+            .otherwise(concat(acc, array(s)))
+        }))
   }
 
   /** Greedy BPE training: `nMerges` rounds of count → pick max (ties by

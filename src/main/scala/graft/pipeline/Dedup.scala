@@ -335,10 +335,18 @@ object Dedup {
     require(32 % bands == 0, "bands must divide 32")
     val bits = 32 / bands
     val mask = (1L << bits) - 1
-    val banded = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
+    // materialize the (id, sig) projection once: banding feeds the bucket
+    // count AND both sides of the self-join — without this, the upstream
+    // signature pipeline (explode→hash→32 sums per doc) re-runs ~3×
+    // (the same pathology the MinHash path's signature store avoids).
+    // Checkpointing BEFORE the band explode keeps it 1× corpus rows; the
+    // re-derived banding is cheap bit arithmetic.
+    val sigsOnce = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .localCheckpoint()
+    val banded = sigsOnce.select(col("id"), col("sig"),
       explode(array((0 until bands).map(b =>
         concat(lit(s"$b:"),
-          shiftright(col(sigCol), b * bits).bitwiseAND(lit(mask)))): _*))
+          shiftright(col("sig"), b * bits).bitwiseAND(lit(mask)))): _*))
         .as("band_key"))
     val okKeys = banded.groupBy("band_key").agg(count(lit(1)).as("__n"))
       .where(col("__n") <= maxBucket).select("band_key")

@@ -38,16 +38,26 @@ object Packing {
     * the id RANGE (ids need not be dense; heavily clustered ids degrade
     * bucket balance, not correctness). Adds `outCol` = Σ n over all rows
     * with smaller id.
+    *
+    * The input is materialized once (localCheckpoint): three consumers
+    * read it — the id-bounds probe, the in-bucket window, and the
+    * bucket-offset aggregate — and re-running an expensive upstream
+    * projection (e.g. regex tokenization) three times would dominate the
+    * scan. Pass a narrow (id, n) projection.
     */
   def exclusivePrefixSum(df: DataFrame, idCol: String, nCol: String,
       outCol: String = "start", buckets: Int = 256): DataFrame = {
-    val bounds = df.agg(min(col(idCol)).cast("long"),
+    val in = df.localCheckpoint()
+    val bounds = in.agg(min(col(idCol)).cast("long"),
       max(col(idCol)).cast("long")).head
     if (bounds.isNullAt(0))
       return df.withColumn(outCol, lit(0L)) // empty input
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (mx - mn) / buckets + 1)
-    val withB = df.withColumn("__b", ((col(idCol) - mn) / width).cast("long"))
+    // exact integer `div` (a double-division round-trip is only exact to
+    // 2^53 — id spaces above that would silently mis-bucket)
+    val withB = in.withColumn("__b",
+      expr(s"(CAST(`$idCol` AS BIGINT) - ${mn}L) div ${width}L"))
     // level 1: exclusive cumsum WITHIN each bucket (parallel over buckets)
     val wIn = Window.partitionBy("__b").orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)

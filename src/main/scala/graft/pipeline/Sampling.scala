@@ -30,7 +30,9 @@ object Sampling {
   def bernoulli(df: DataFrame, fraction: Double, idCol: String = "doc_id",
       seed: Long = 42L): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
-    df.where(bucket(col(idCol), seed) < lit((fraction * M).toLong))
+    // round, not truncate: 0.3 * 1e6 is 299999.99999999994 in double, and
+    // truncation would silently drop one hash bucket of mass
+    df.where(bucket(col(idCol), seed) < lit(math.round(fraction * M)))
   }
 
   /** Deterministic stratified sample: per-stratum keep fractions (strata
@@ -41,7 +43,7 @@ object Sampling {
       fractions: Map[String, Double], idCol: String = "doc_id",
       seed: Long = 42L): DataFrame = {
     val thresh = fractions.foldLeft(lit(-1L)) { case (acc, (k, f)) =>
-      when(col(strataCol) === k, lit((f * M).toLong)).otherwise(acc)
+      when(col(strataCol) === k, lit(math.round(f * M))).otherwise(acc)
     }
     df.where(bucket(col(idCol), seed) < thresh)
   }

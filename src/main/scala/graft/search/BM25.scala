@@ -58,12 +58,20 @@ object BM25 {
         .join(dfreq, Seq("term"))), Seq("term"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
-      .select(col(qidCol), col(idCol),
+      .select(col(qidCol), col(idCol), col("term"),
         (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
           (col("tf").cast("double") * (k1 + 1.0)) /
           (col("tf").cast("double") +
             lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("c"))
-    contrib.groupBy(col(qidCol), col(idCol)).agg(sum(col("c")).as("score"))
+    // term-ordered sequential fold, NOT sum(): float addition is
+    // order-sensitive and partial-agg order varies with partitioning — the
+    // library's determinism contract (and the DuckDB twin's
+    // `list_sum(list(c ORDER BY term))`) needs one canonical fold order
+    contrib.groupBy(col(qidCol), col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("c")))),
+        lit(0.0),
+        (acc, s) => acc + s.getField("c")).as("score"))
   }
 
   /** Top-k per query by score (doc id tiebreak). */

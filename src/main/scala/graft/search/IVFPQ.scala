@@ -45,19 +45,25 @@ object IVFPQ {
       .select(col("doc_id"), col("r._1").as("cell"), col("r._2").as("resid"))
   }
 
-  /** Re-encode a corpus against frozen codebooks: (doc_id, cell,
-    * codes ARRAY<INT>) partitioned by cell. This is the cheap
-    * (train-free) step — also the streaming/incremental ingest path. */
-  def encode(docs: DataFrame, coarse: Codebook, pq: PQCodebook): DataFrame = {
-    val bcPq = docs.sparkSession.sparkContext.broadcast(pq)
+  /** (doc_id, cell, resid) → (doc_id, cell, codes) against a frozen PQ
+    * codebook — the shared tail of [[encode]] and [[build]]. */
+  private def encodeResiduals(withRes: DataFrame, pq: PQCodebook): DataFrame = {
+    val bcPq = withRes.sparkSession.sparkContext.broadcast(pq)
     val codeUdf = udf { (resid: Array[Double]) => bcPq.value.assignDouble(resid) }
-    residuals(docs, coarse)
+    withRes
       .select(col("doc_id"), col("cell"), codeUdf(col("resid")).as("codes"))
       .repartition(col("cell"))
   }
 
+  /** Re-encode a corpus against frozen codebooks: (doc_id, cell,
+    * codes ARRAY<INT>) partitioned by cell. This is the cheap
+    * (train-free) step — also the streaming/incremental ingest path. */
+  def encode(docs: DataFrame, coarse: Codebook, pq: PQCodebook): DataFrame =
+    encodeResiduals(residuals(docs, coarse), pq)
+
   /** Fit coarse cells, then PQ on the residuals. Input: (doc_id,
-    * vec ARRAY<FLOAT>). */
+    * vec ARRAY<FLOAT>). The persisted residual frame feeds BOTH the PQ
+    * fit and the code table — one coarse-assignment pass, not two. */
   def build(docs: DataFrame, coarseK: Int, numSub: Int, k: Int,
       seed: Long = 42L, maxIter: Int = 20): Index = {
     val coarse = RQTrainer.fit(docs, "vec", numLevels = 1, k = coarseK,
@@ -65,7 +71,7 @@ object IVFPQ {
     val withRes = residuals(docs, coarse).persist()
     val pq = PQTrainer.fit(withRes, "resid", numSub, k,
       seed = seed + 1, maxIter = maxIter)
-    val codes = encode(docs, coarse, pq).localCheckpoint()
+    val codes = encodeResiduals(withRes, pq).localCheckpoint()
     withRes.unpersist()
     Index(coarse, pq, codes)
   }
