@@ -83,6 +83,48 @@ class StreamingSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("IVF-PQ ingest: per-batch encode against frozen codebooks == batch") {
+    // IVFPQ.encode is the train-free ingest path — new arrivals are cell-
+    // assigned and residual-coded against the frozen index, the same
+    // incremental-update shape as the RQ assignment stream above
+    import graft.search.IVFPQ
+    val docs = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec")).cache()
+    val idx = IVFPQ.build(docs.where(col("doc_id") < 300),
+      coarseK = 4, numSub = 2, k = 4, seed = 42L, maxIter = 10)
+
+    val base = "target/tmp/stream_ivfpq"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    Files.createDirectories(Paths.get(s"$base/in"))
+    val newDocs = docs.where(col("doc_id") >= 300).cache()
+    newDocs.where(col("doc_id") < 400).write.parquet(s"$base/in/b0")
+    newDocs.where(col("doc_id") >= 400).write.parquet(s"$base/in/b1")
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema).parquet(s"$base/in/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IVFPQ.encode(batch, idx.coarse, idx.pq)
+          .write.mode("append").parquet(s"$base/out")
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id", "cell", "codes")
+    val batch = IVFPQ.encode(newDocs, idx.coarse, idx.pq)
+    assert(streamed.count() == newDocs.count())
+    val diff = streamed.as("s")
+      .join(batch.as("b"), Seq("doc_id"))
+      .where(col("s.cell") =!= col("b.cell") ||
+        col("s.codes") =!= col("b.codes")).count()
+    assert(diff == 0, "streamed codes must equal batch codes")
+  }
+
   test("sampling + quality filters run at the door: stream output == batch") {
     // Sampling.stratified and the quality/repetition filters are stateless
     // per-row ops, so the same plan fragments apply unchanged to a stream
