@@ -784,6 +784,22 @@ object SparkEntry {
         budget = 256L, groups = 8)
         .orderBy("doc_id")),
 
+    // Incremental re-index work-list: snapshot diff by content
+    // fingerprint — added / removed / changed docs between two corpus
+    // versions (the docs that need re-embedding; everything else skips
+    // the pipeline). Snapshots are deterministic slices of the fixture:
+    // prev = ids < 450; cur = ids >= 50 with ids 100-149 text-revised
+    "corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prev = docs.where(col("doc_id") < 450).select("doc_id", "text")
+      val cur = docs.where(col("doc_id") >= 50)
+        .select(col("doc_id"),
+          when(col("doc_id").between(100, 149),
+            concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      graft.pipeline.CorpusDiff.diff(prev, cur).orderBy("doc_id")
+    }),
+
     // BPE tokenizer induction, step 1: corpus-frequency-weighted adjacent
     // char-pair counts over the distinct-word table (vocab ≪ corpus — the
     // standard trick that makes BPE training corpus-size-independent);
@@ -1832,6 +1848,19 @@ object SparkEntry {
         |         THEN d.n ELSE r.running + d.n END
         |  FROM r JOIN d ON d.grp = r.grp AND d.rn = r.rn + 1)
         |SELECT doc_id, grp, bin, n AS n_tokens FROM r ORDER BY doc_id""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH prev AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 450),
+        |cur AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id BETWEEN 100 AND 149 THEN text || ' [rev2]' ELSE text END) AS h
+        |  FROM documents WHERE doc_id >= 50),
+        |j AS (SELECT COALESCE(prev.doc_id, cur.doc_id) AS doc_id, prev.h AS hp, cur.h AS hc
+        |      FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN hp IS NULL THEN 'added' WHEN hc IS NULL THEN 'removed'
+        |       WHEN hp <> hc THEN 'changed' END AS change
+        |FROM j WHERE hp IS NULL OR hc IS NULL OR hp <> hc
+        |ORDER BY doc_id""".stripMargin,
 
     "bpe_top_pairs" ->
       """WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt

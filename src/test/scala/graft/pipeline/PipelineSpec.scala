@@ -321,6 +321,18 @@ class PipelineSpec extends SparkSpec {
     assert(rows(1).getSeq[String](1).contains("q2a"))
   }
 
+  test("corpus diff labels added/removed/changed; identical snapshots diff empty") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val d = CorpusDiff.diff(prev, cur)
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    assert(CorpusDiff.diff(prev, prev).count() == 0)
+    // work-list is change-sized: unchanged ids never appear
+    assert(!d.contains(2L))
+  }
+
   test("multimodal decode stub produces fixed-dim features per doc") {
     val feats = Multimodal.decodeStub(Multimodal.asMedia(docs.limit(20)))
     val rows = feats.collect()
