@@ -123,6 +123,40 @@ object InvariantProps extends Properties("graft.invariants") {
         a.length == math.min(beams, math.pow(cb.k, cb.numLevels).toInt))
     }
 
+  private val genPqCodebook: Gen[graft.index.PQCodebook] = for {
+    numSub <- Gen.oneOf(1, 2, 4)
+    k <- Gen.choose(2, 6)
+    subs <- Gen.containerOfN[Array, Array[Array[Float]]](numSub,
+      Gen.containerOfN[Array, Array[Float]](k,
+        Gen.containerOfN[Array, Float](dim / numSub, Gen.choose(-4.0f, 4.0f))))
+  } yield graft.index.PQCodebook(subs)
+
+  property("PQ assign is the independent per-slice argmin") =
+    forAll(genPqCodebook, genVec) { (cb, v) =>
+      val codes = cb.assign(v)
+      val sd = cb.subDim
+      codes.indices.forall { m =>
+        val slice = v.slice(m * sd, (m + 1) * sd).map(_.toDouble)
+        val dists = cb.subs(m).map(c => l2sq(slice, c))
+        dists(codes(m)) == dists.min
+      }
+    }
+
+  property("PQ reconstruct is the exact concatenation of chosen centroids") =
+    forAll(genPqCodebook, genVec) { (cb, v) =>
+      val codes = cb.assign(v)
+      val rec = cb.reconstruct(codes)
+      val sd = cb.subDim
+      rec.length == cb.dim && rec.indices.forall { i =>
+        rec(i) == cb.subs(i / sd)(codes(i / sd))(i % sd)
+      }
+    }
+
+  property("PQ float and double assignment agree on float-valued input") =
+    forAll(genPqCodebook, genVec) { (cb, v) =>
+      cb.assign(v).toSeq == cb.assignDouble(v.map(_.toDouble)).toSeq
+    }
+
   private val genPyString: Gen[String] =
     Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar,
