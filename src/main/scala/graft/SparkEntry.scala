@@ -1767,8 +1767,12 @@ object SparkEntry {
     "text_bm25" ->
       """WITH q AS (SELECT * FROM (VALUES (0, 'spark fast query join'),
         |  (1, 'stream window batch agg')) AS v(query_id, qtext)),
-        |qt AS (SELECT query_id, unnest(list_distinct(string_split_regex(lower(qtext), '\s+'))) AS term FROM q),
-        |toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |qt AS (SELECT query_id, term FROM (
+        |    SELECT query_id, unnest(list_distinct(string_split_regex(lower(qtext), '\s+'))) AS term FROM q)
+        |  WHERE length(term) > 0),
+        |toks AS (SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents)
+        |  WHERE length(term) > 0),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
         |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),

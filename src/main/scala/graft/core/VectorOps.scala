@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** JVM-side ‖a − b‖ with the library's sequential double fold — the ONE
+    * definition of the reconstruction-error norm (shared by the RQ and PQ
+    * assigners; the fold order is part of the oracle-parity contract). */
+  def l2DiffNorm(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < a.length) {
+      val d = a(j).toDouble - b(j).toDouble
+      s += d * d
+      j += 1
+    }
+    math.sqrt(s)
+  }
+
   /** q · p — inner product (reference `ip` metric, document_encoder.py:129). */
   def vecDot(a: Column, b: Column): Column =
     aggregate(

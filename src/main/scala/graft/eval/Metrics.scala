@@ -95,11 +95,16 @@ object Metrics {
 
   /** Label-match ground truth: gt(query) = every doc sharing the query's
     * label, excluding the query row itself (the fixtures' cluster labels
-    * play the relevance judgments).
+    * play the relevance judgments). LEFT join from the queries: a query
+    * whose label has no other member still gets a row (empty gt) —
+    * `ranking` counts every eval query in its averages (empty gt scores
+    * recall 0), and an inner join here would silently shrink the
+    * denominator and inflate the reported metrics.
     */
   def labelGroundTruth(docs: DataFrame, queries: DataFrame): DataFrame =
-    docs.as("d").join(queries.as("q"), col("d.label") === col("q.label"))
-      .where(col("d.doc_id") =!= col("q.query_id"))
+    queries.as("q").join(docs.as("d"),
+        col("d.label") === col("q.label") &&
+          col("d.doc_id") =!= col("q.query_id"), "left")
       .groupBy(col("q.query_id"))
       .agg(sort_array(collect_list(col("d.doc_id"))).as("gt"))
 }

@@ -25,9 +25,12 @@ object ArtifactCache {
     value[Codebook](key)(train)
 
   /** Arbitrary serializable trained artifact (model weights, thresholds).
-    * Like codebooks these are plain objects, safe across sessions. */
-  def value[T](key: String)(build: => T): T =
+    * Like codebooks these are plain objects, safe across sessions. Builds
+    * are serialized (like `frame`) so two concurrent callers can't both
+    * launch the same expensive training job and discard one result. */
+  def value[T](key: String)(build: => T): T = values.synchronized {
     values.getOrElseUpdate(key, build).asInstanceOf[T]
+  }
 
   /** Cached + persisted DataFrame (materialized once per live context).
     * `persist=false` skips the persist+count for builds that materialize

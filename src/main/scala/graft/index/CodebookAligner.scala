@@ -116,6 +116,9 @@ object CodebookAligner {
   /** Re-label a refreshed codebook so its code ids align with `old`
     * (optimal assignment, matching the reference exactly). */
   def alignCodebook(old: Codebook, fresh: Codebook): Codebook = {
+    require(old.numLevels == fresh.numLevels,
+      s"level-count mismatch: old has ${old.numLevels} levels, " +
+        s"fresh has ${fresh.numLevels} — alignment is per-level")
     val levels = old.levels.indices.map { m =>
       val perm = alignOptimal(old.levels(m), fresh.levels(m))
       val out = new Array[Array[Float]](perm.length)

@@ -143,14 +143,7 @@ object PQAssigner {
     val recUdf = udf { (vec: Array[Float]) =>
       val cb = bc.value
       val rec = cb.reconstruct(cb.assign(vec))
-      var s = 0.0
-      var j = 0
-      while (j < vec.length) {
-        val d = vec(j).toDouble - rec(j).toDouble
-        s += d * d
-        j += 1
-      }
-      (rec, math.sqrt(s))
+      (rec, graft.core.VectorOps.l2DiffNorm(vec, rec))
     }
     df.select(col(idCol), recUdf(col(vecCol)).as("r"))
       .select(col(idCol), col("r._1").as("rec"), col("r._2").as("recon_error"))

@@ -191,15 +191,7 @@ object CodeAssigner {
     val bc = spark.sparkContext.broadcast(codebook)
     val errUdf = udf { (vec: Array[Float]) =>
       val cb = bc.value
-      val rec = cb.reconstruct(cb.assign(vec))
-      var s = 0.0
-      var j = 0
-      while (j < vec.length) {
-        val d = vec(j).toDouble - rec(j).toDouble
-        s += d * d
-        j += 1
-      }
-      math.sqrt(s)
+      graft.core.VectorOps.l2DiffNorm(vec, cb.reconstruct(cb.assign(vec)))
     }
     df.select(col(idCol), errUdf(col(vecCol)).as("recon_error"))
   }

@@ -20,14 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object BM25 {
 
-  /** Tokenize like the dedup/text-analysis family (lowercased whitespace
-    * split) so postings agree with the rest of the engine. */
-  private def tokens(c: org.apache.spark.sql.Column) = split(lower(c), "\\s+")
+  /** THE engine tokenizer (TextAnalysis.tokens) — one definition site so
+    * postings can never drift from the dedup/text-analysis family. */
+  private def tokens(c: org.apache.spark.sql.Column) =
+    graft.pipeline.TextAnalysis.tokens(c)
 
-  /** (doc_id, term, tf) postings from a document table. */
+  /** (doc_id, term, tf) postings from a document table. Empty tokens are
+    * dropped: Spark's split keeps leading/trailing empties, and an ""
+    * term would (a) inflate every doc's length and (b) let a query with
+    * stray whitespace join the ENTIRE corpus through the "" posting. */
   def postings(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
 
   /** BM25 score of every (query, doc) pair sharing at least one term.
@@ -50,6 +55,7 @@ object BM25 {
       .agg(count(lit(1)).cast("double").as("df"))
     val qterms = queries.select(col(qidCol),
       explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+      .where(length(col("term")) > 0)
     // restrict postings to query terms FIRST (broadcast semi-shape), then
     // attach the vocabulary-sized df only for the surviving terms
     val contrib = tf
@@ -74,16 +80,20 @@ object BM25 {
         (acc, s) => acc + s.getField("c")).as("score"))
   }
 
-  /** Top-k per query by score (doc id tiebreak). */
+  /** Top-k per query — through the shared bounded-heap aggregator
+    * (TopK.ranked, the engine's one ranked-list contract), NOT a window:
+    * a query with one common term scores a large corpus slice, and the
+    * partial-aggregated top-k ships ≤ ~4k rows per group per map task
+    * where a window sort would shuffle every scored pair. */
   def topK(docs: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text",
       qidCol: String = "query_id", qtextCol: String = "qtext",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(col("score").desc, col(idCol).asc)
-    score(docs, queries, idCol, textCol, qidCol, qtextCol, k1, b)
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    val scored = score(docs, queries, idCol, textCol, qidCol, qtextCol, k1, b)
+      .select(col(qidCol).as("query_id"), col(idCol).as("doc_id"),
+        col("score"))
+    TopK.ranked(scored, k)
+      .select(col("query_id").as(qidCol), col("rank"),
+        col("doc_id").as(idCol), col("score"))
   }
 }

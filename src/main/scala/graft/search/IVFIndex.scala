@@ -27,13 +27,13 @@ object IVFIndex {
     IVF(cb, cells)
   }
 
-  /** Probe top-`nprobe` cells per query, exact re-rank inside them.
-    * Returns (query_id, rank, doc_id, score).
-    */
-  def search(queries: DataFrame, ivf: IVF, docs: DataFrame,
-      nprobe: Int, k: Int, metric: String = "ip"): DataFrame = {
-    val bc = queries.sparkSession.sparkContext.broadcast(ivf.codebook)
-    val probeUdf = udf { (qvec: Array[Float]) =>
+  /** The nearest-`nprobe` cells of a broadcast 1-level codebook, as a
+    * UDF — ONE definition of the probe (L2 fold order and the (dist,
+    * cell) tie-break are part of the oracle-replay contract), shared by
+    * [[search]] and [[IVFPQ.search]]. */
+  private[search] def probeCellsUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Codebook], nprobe: Int) =
+    udf { (qvec: Array[Float]) =>
       val cents = bc.value.levels(0)
       cents.indices
         .map { c =>
@@ -50,6 +50,14 @@ object IVFIndex {
         .sortBy { case (c, d) => (d, c) }
         .take(nprobe).map(_._1)
     }
+
+  /** Probe top-`nprobe` cells per query, exact re-rank inside them.
+    * Returns (query_id, rank, doc_id, score).
+    */
+  def search(queries: DataFrame, ivf: IVF, docs: DataFrame,
+      nprobe: Int, k: Int, metric: String = "ip"): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(ivf.codebook)
+    val probeUdf = probeCellsUdf(bc, nprobe)
     // candidates carry only (query_id, doc_id); qvec re-attaches via the
     // broadcast join below, so the shuffle never duplicates query vectors
     // per candidate row

@@ -94,20 +94,7 @@ object IVFPQ {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     val bcQ = spark.sparkContext.broadcast(qVecs)
 
-    val probeUdf = udf { (qvec: Array[Float]) =>
-      val cents = bcCoarse.value.levels(0)
-      cents.indices.map { c =>
-        val cent = cents(c)
-        var d = 0.0
-        var j = 0
-        while (j < qvec.length) {
-          val diff = qvec(j).toDouble - cent(j).toDouble
-          d += diff * diff
-          j += 1
-        }
-        (c, d)
-      }.sortBy { case (c, d) => (d, c) }.take(nprobe).map(_._1)
-    }
+    val probeUdf = IVFIndex.probeCellsUdf(bcCoarse, nprobe)
 
     val cands = queries
       .select(col("query_id"), explode(probeUdf(col("qvec"))).as("cell"))

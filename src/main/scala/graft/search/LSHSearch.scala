@@ -61,20 +61,34 @@ object LSHSearch {
   /** Seeded random-hyperplane near-dup pairs (a < b): bucket by sign
     * patterns over `tables` × `bits` hyperplanes, candidate pairs within any
     * shared bucket, exact L2 confirm ≤ `threshold`. Same banding shape as
-    * the MLlib path above but fully oracle-replayable. Shuffles
-    * (bucket, doc) rows — tables·n, never O(n²).
+    * the MLlib path above but fully oracle-replayable.
+    *
+    * The candidate join is quadratic PER BUCKET (there are only 2^bits
+    * sign patterns per table, so a degenerate bucket of B ids yields B²/2
+    * pairs); `maxBucket` drops buckets beyond the cap — the same skew
+    * guard as Dedup.lshCandidatePairs/simhashPairs, lossy only for
+    * buckets a pairwise confirm could never afford anyway. The generated
+    * oracle replays the uncapped regime (fixture buckets sit far below
+    * the cap). Shuffled input is (bucket, doc) rows — tables·n.
     */
   def seededNearDupPairs(emb: DataFrame, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 1.2, tables: Int = 4, bits: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 100000): DataFrame = {
     val planes = seededPlanes(tables, bits, dim, seed)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = e.select(col("id"), col("v"),
+    // narrow (id, bkey) table materialized once: it feeds the bucket
+    // count and BOTH self-join sides — the sign-pattern computation
+    // (tables×bits×dim flops/row) must not run three times
+    val bucketed = e.select(col("id"),
       explode(array((0 until tables).map(t =>
         concat(lit(s"$t:"), bucketKey(col("v"), planes(t)))): _*)).as("bkey"))
-    val pairs = bucketed.select("id", "bkey").as("x")
-      .join(bucketed.select(col("id").as("id2"), col("bkey")).as("y"), Seq("bkey"))
+      .localCheckpoint()
+    val okKeys = bucketed.groupBy("bkey").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket).select("bkey")
+    val capped = bucketed.join(okKeys, Seq("bkey"))
+    val pairs = capped.as("x")
+      .join(capped.select(col("id").as("id2"), col("bkey")).as("y"), Seq("bkey"))
       .where(col("id") < col("id2"))
       .select(col("id").as("a"), col("id2").as("b"))
       .distinct()
