@@ -35,6 +35,19 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(m(0).getAs[Double]("recall") - 2.0 / 3) < 1e-9)
   }
 
+  test("labelGroundTruth keeps singleton-label queries with empty gt") {
+    import spark.implicits._
+    // label 7 appears only on the query row itself → gt must be [] (not a
+    // dropped row, which would shrink ranking()'s denominator)
+    val docs = Seq((1L, 5), (2L, 5), (3L, 7))
+      .toDF("doc_id", "label")
+    val queries = Seq((2L, 5), (3L, 7))
+      .toDF("query_id", "label")
+    val gt = Metrics.labelGroundTruth(docs, queries)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(gt == Map(2L -> Seq(1L), 3L -> Seq.empty))
+  }
+
   test("ensemble fusion matches the reference formula by hand") {
     // ensemble_marco.py:235-238: s + α/(β·crank0+1) with 0-based crank;
     // unknown cluster → crank0 = C sentinel AND the whole value ×(1−γα)

@@ -38,6 +38,23 @@ class BM25Spec extends SparkSpec {
     assert(top.head == 1L)
   }
 
+  test("boundary whitespace never creates an empty-string term") {
+    // Spark's split keeps leading/trailing empties; an "" posting would
+    // join a whitespace-padded query against the ENTIRE corpus
+    val padded = Seq((9L, " spark query engine \n")).toDF("doc_id", "text")
+    val p = BM25.postings(padded).select("term").as[String].collect()
+    assert(p.sorted.toSeq == Seq("engine", "query", "spark"))
+    val qs = Seq((0L, "  nosuchterm  ")).toDF("query_id", "qtext")
+    assert(BM25.score(docs, qs).count() == 0,
+      "padded query must not match every document via the empty term")
+    // scores of a padded query equal the trimmed query's
+    val a = BM25.score(docs, Seq((0L, " spark query ")).toDF("query_id", "qtext"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val b = BM25.score(docs, Seq((0L, "spark query")).toDF("query_id", "qtext"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
+
   test("query terms are deduplicated before scoring") {
     val q1 = Seq((0L, "spark spark")).toDF("query_id", "qtext")
     val q2 = Seq((0L, "spark")).toDF("query_id", "qtext")
