@@ -1595,8 +1595,8 @@ object SparkEntry {
 
     "multimodal_frames" ->
       """WITH t AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len FROM documents
-        |           WHERE octet_length(CAST(text AS BLOB)) >= 64),
-        |f AS (SELECT doc_id, len, CAST(unnest(range(0, CAST(floor(len / 64.0) AS INT))) AS INT) AS frame_idx FROM t)
+        |           WHERE octet_length(CAST(text AS BLOB)) > 0),
+        |f AS (SELECT doc_id, len, CAST(unnest(range(0, CAST((len + 63) // 64 AS INT))) AS INT) AS frame_idx FROM t)
         |SELECT doc_id, frame_idx,
         |  least(CAST(64 AS BIGINT), CAST(len AS BIGINT) - frame_idx * 64) AS frame_len
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
@@ -1907,15 +1907,18 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@example.com from 10.0.' || (doc_id % 200) || '.25 tel 0123456789' AS text
         |  FROM documents)
+        |, c AS (SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        |  FROM t)
+        |, c2 AS (SELECT doc_id, text, after_email,
+        |    regexp_replace(after_email, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS after_ip
+        |  FROM c)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
-        |FROM t ORDER BY doc_id""".stripMargin,
+        |  CAST(len(regexp_extract_all(after_email, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(after_ip, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |  regexp_replace(after_ip, '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |FROM c2 ORDER BY doc_id""".stripMargin,
 
     "events_json" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k

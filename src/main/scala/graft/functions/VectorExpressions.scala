@@ -18,8 +18,25 @@ import org.apache.spark.sql.types._
   * Results are bit-identical to [[graft.core.VectorOps]]'s HOF forms
   * (Double accumulation, sequential fold) so either can back an oracle query.
   */
+/** Both children must be ARRAY<FLOAT>: these kernels read elements with
+  * `getFloat`, which on an UnsafeArrayData of doubles would reinterpret
+  * half of each 8-byte value as garbage — the type must fail ANALYSIS,
+  * not produce silently wrong numbers (cf. Md5PrefixHash's BINARY check).
+  */
+private[functions] trait FloatArrayBinaryCheck { self: BinaryExpression =>
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    (self.left.dataType, self.right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"${self.prettyName} requires two ARRAY<FLOAT> arguments, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+}
+
 case class FloatVectorDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with FloatArrayBinaryCheck {
 
   override def dataType: DataType = DoubleType
   // null on length mismatch (matching the HOF form, where zip_with pads
@@ -72,7 +89,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
 /** −‖a−b‖² as a single fused pass (RQ assignment hot loop, MEVI/pq.py:281-305). */
 case class FloatVectorNegL2Sq(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with FloatArrayBinaryCheck {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true // null on length mismatch, as above

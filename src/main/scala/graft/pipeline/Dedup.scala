@@ -145,14 +145,25 @@ object Dedup {
     * re-banding with more rows per band handles it instead). The count
     * aggregates map-side, so the hot key never lands in a single task.
     */
+  /** The band keys of a `sig` column, as one exploded expression — THE
+    * definition of banding (shared by the batch path here and the
+    * streaming store in IncrementalDedup: a document must hash to the
+    * same bands in both worlds). */
+  def bandKeys(sigCol: Column, rowsPerBand: Int): Column =
+    explode(transform(
+      sequence(lit(0), (size(sigCol) / rowsPerBand).cast("int") - 1),
+      b => concat(b.cast("string"), lit(":"),
+        concat_ws(",", slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))))))
+
   def lshCandidatePairs(sigs: DataFrame, idCol: String = "doc_id",
       rowsPerBand: Int = 2, maxBucket: Int = 1000): DataFrame = {
+    // narrow (id, band_key) table materialized once: it feeds the bucket
+    // count and both self-join sides — external callers would otherwise
+    // re-run the whole upstream signature pipeline ~3× (SparkEntry's
+    // dir-memoized signature store makes this a cheap re-checkpoint)
     val banded = sigs.select(col(idCol).as("id"),
-      explode(transform(
-        sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
-        b => concat(b.cast("string"), lit(":"),
-          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-        .as("band_key"))
+      bandKeys(col("sig"), rowsPerBand).as("band_key"))
+      .localCheckpoint()
     val okKeys = banded.groupBy("band_key").agg(count(lit(1)).as("__n"))
       .where(col("__n") <= maxBucket).select("band_key")
     val capped = banded.join(okKeys, Seq("band_key"))
@@ -372,13 +383,17 @@ object Dedup {
       vecCol: String = "embedding", blockCol: String = "label",
       tau: Double = 0.35): DataFrame = {
     import graft.functions.VectorFunctions.float_dot
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), col(blockCol).as("blk"))
+    // per-row norm computed ONCE before the self-join: a block of B docs
+    // makes ~B²/2 pair rows, and recomputing both self-dots per pair
+    // would triple the join's per-row O(d) work
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(blockCol).as("blk"),
+      sqrt(float_dot(col(vecCol), col(vecCol))).as("nrm"))
     e.as("x").join(e.as("y"),
         col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         (float_dot(col("x.v"), col("y.v")) /
-          (sqrt(float_dot(col("x.v"), col("x.v"))) *
-            sqrt(float_dot(col("y.v"), col("y.v"))))).as("cosine"))
+          (col("x.nrm") * col("y.nrm"))).as("cosine"))
       .where(col("cosine") >= tau)
   }
 

@@ -80,12 +80,15 @@ object Multimodal {
     * frame bytes; the stub emits only per-frame metadata, computed
     * arithmetically so no payload bytes are copied per frame (the explode
     * over frame indices — the part that matters for the plan shape — is
-    * real).
+    * real). A payload yields ceil(len/stride) frames: the last one is the
+    * partial tail (frame_len < stride) — truncating to full frames would
+    * silently drop up to stride−1 trailing bytes per payload.
     */
   def frameSample(media: DataFrame, stride: Int = 64): DataFrame =
-    media.where(length(col("payload")) >= stride)
+    media.where(length(col("payload")) > 0)
       .select(col("doc_id"), length(col("payload")).as("__len"),
-        explode(sequence(lit(0), (length(col("payload")) / stride).cast("int") - 1))
+        explode(sequence(lit(0),
+          ((length(col("payload")) + lit(stride - 1)) / stride).cast("int") - 1))
           .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         least(lit(stride.toLong),

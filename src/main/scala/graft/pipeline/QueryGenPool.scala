@@ -36,8 +36,10 @@ object QueryGenPool {
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
+      // count(*), not countDistinct: the pool is maintained distinct on
+      // (doc_id, query), so a distinct-aggregate expand would be pure waste
       val counts = universe.join(
-        pool.groupBy("doc_id").agg(countDistinct(col("query")).as("have")),
+        pool.groupBy("doc_id").agg(count(col("query")).as("have")),
         Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("have"), lit(0L)).as("have"))
       val need = counts.where(col("have") < minPerDoc)

@@ -107,17 +107,20 @@ object TextAnalysis {
   def piiScrub(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val text = col(textCol)
-    def hits(re: String): Column = size(regexp_extract_all(text, lit(re), lit(0)))
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace(text, EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      PhoneRe, "<PHONE>")
+    def hits(c: Column, re: String): Column =
+      size(regexp_extract_all(c, lit(re), lit(0)))
+    // counts follow the replacement CASCADE (each kind counted on the
+    // text after the previous kinds were redacted): counting every kind
+    // on the original would double-book overlaps — e.g. the digit-heavy
+    // local part of "12345678901@example.com" also matches the phone
+    // regex, but only one <EMAIL> token ends up in `scrubbed`
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
     docs.select(col(idCol),
-      hits(EmailRe).cast("long").as("n_emails"),
-      hits(Ipv4Re).cast("long").as("n_ips"),
-      hits(PhoneRe).cast("long").as("n_phones"),
-      scrubbed.as("scrubbed"))
+      hits(text, EmailRe).cast("long").as("n_emails"),
+      hits(afterEmail, Ipv4Re).cast("long").as("n_ips"),
+      hits(afterIp, PhoneRe).cast("long").as("n_phones"),
+      regexp_replace(afterIp, PhoneRe, "<PHONE>").as("scrubbed"))
   }
 
   /** Corpus vocabulary heavy hitters: top-k tokens by frequency.

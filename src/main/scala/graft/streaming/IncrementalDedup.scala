@@ -31,16 +31,13 @@ import graft.pipeline.Dedup
   */
 object IncrementalDedup {
 
-  /** (doc_id, band_key, sig) rows for one batch of (doc_id, text). */
+  /** (doc_id, band_key, sig) rows for one batch of (doc_id, text) — the
+    * banding is Dedup.bandKeys, the SAME definition the batch path uses. */
   private[streaming] def bandedSignatures(docs: DataFrame,
       numPerms: Int, rowsPerBand: Int): DataFrame = {
     val sigs = Dedup.minhashSignatures(docs, numPerms = numPerms)
     sigs.select(col("doc_id"),
-      explode(transform(
-        sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
-        b => concat(b.cast("string"), lit(":"),
-          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand)))))).as("band_key"),
+      Dedup.bandKeys(col("sig"), rowsPerBand).as("band_key"),
       col("sig"))
   }
 
@@ -69,25 +66,64 @@ object IncrementalDedup {
       .where(col("sim") >= simThreshold)
   }
 
-  /** One micro-batch step: emit matches vs the store at `storeDir`, then
-    * append the batch's signatures to it. Exposed for tests; [[start]]
-    * wires it into foreachBatch. */
-  def processBatch(spark: SparkSession, batch: DataFrame, storeDir: String,
-      matchesDir: String, numPerms: Int = 8, rowsPerBand: Int = 4,
-      simThreshold: Double = 0.75, maxBucket: Int = 1000): Unit = {
-    // localCheckpoint: the banded frame feeds both the match join and the
-    // store append — compute the signature pipeline once
+  /** Matches WITHIN one batch (a < b): two near-dups arriving in the same
+    * micro-batch — or the whole backlog in batch 0 — would never meet
+    * through the store (both are appended after matching), so the batch
+    * must also be banded against itself. */
+  private[streaming] def intraBatchMatches(banded: DataFrame,
+      simThreshold: Double, maxBucket: Int): DataFrame = {
+    val ok = banded.groupBy("band_key").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket).select("band_key")
+    val capped = banded.select(col("doc_id"), col("band_key"))
+      .join(ok, Seq("band_key"))
+    val cands = capped.select(col("doc_id").as("a"), col("band_key"))
+      .join(capped.select(col("doc_id").as("b"), col("band_key")),
+        Seq("band_key"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val s = banded.select(col("doc_id"), col("sig")).distinct()
+    val agree = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+    cands
+      .join(s.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(s.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        (agree.cast("double") / size(col("sig_a"))).as("sim"))
+      .where(col("sim") >= simThreshold)
+  }
+
+  /** One micro-batch step: emit matches (vs the store AND within the
+    * batch), then add the batch's signatures to the store. Exposed for
+    * tests; [[start]] wires it into foreachBatch.
+    *
+    * IDEMPOTENT under foreachBatch's at-least-once replays: both sinks
+    * are written as `batch=<id>` partition directories in OVERWRITE mode,
+    * so a retried batch replaces its own previous (possibly partial)
+    * output instead of appending it twice — a duplicated store would
+    * double every band bucket (pushing hot bands over `maxBucket`) and
+    * re-emit every later match.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      storeDir: String, matchesDir: String, numPerms: Int = 8,
+      rowsPerBand: Int = 4, simThreshold: Double = 0.75,
+      maxBucket: Int = 1000): Unit = {
+    // localCheckpoint: the banded frame feeds the two match joins and the
+    // store write — compute the signature pipeline once
     val banded = bandedSignatures(batch, numPerms, rowsPerBand)
       .localCheckpoint()
     // Hadoop FS, not java.io.File: the store lives on HDFS/S3 at scale
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(storePath)) {
+    val intra = intraBatchMatches(banded, simThreshold, maxBucket)
+    val matches = if (fs.exists(storePath)) {
+      // exclude this batch's own partition from the store view: a RETRY
+      // must not match the batch against its own half-written signatures
       val store = spark.read.parquet(storeDir)
-      matchesAgainst(banded, store, simThreshold, maxBucket)
-        .write.mode("append").parquet(matchesDir)
-    }
-    banded.write.mode("append").parquet(storeDir)
+        .where(col("batch") =!= batchId)
+      matchesAgainst(banded, store, simThreshold, maxBucket).unionByName(intra)
+    } else intra
+    matches.write.mode("overwrite").parquet(s"$matchesDir/batch=$batchId")
+    banded.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
   }
 
   /** Start the stream: parquet (doc_id, text) arrivals under `inputDir`,
@@ -103,8 +139,8 @@ object IncrementalDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, storeDir, matchesDir,
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, storeDir, matchesDir,
           numPerms, rowsPerBand, simThreshold)
       }
       .start()

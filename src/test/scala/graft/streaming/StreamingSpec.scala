@@ -21,19 +21,29 @@ class StreamingSpec extends SparkSpec {
     // plus a fresh doc
     IncrementalDedup.processBatch(spark,
       Seq((1L, text1), (2L, text2)).toDF("doc_id", "text"),
+      batchId = 0L, storeDir, matchesDir)
+    val batch1 = Seq((10L, text1),
+      (11L, "totally different words without any overlap at all"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.processBatch(spark, batch1, batchId = 1L,
       storeDir, matchesDir)
-    IncrementalDedup.processBatch(spark,
-      Seq((10L, text1), (11L, "totally different words without any overlap at all"))
-        .toDF("doc_id", "text"),
-      storeDir, matchesDir)
-    val matches = spark.read.parquet(matchesDir).collect()
+    def readMatches() = spark.read.parquet(matchesDir)
+      .select("a", "b", "sim").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(matches.toSeq == Seq((10L, 1L, 1.0)),
-      s"expected exactly the planted dup, got ${matches.toSeq}")
+    assert(readMatches().toSeq == Seq((10L, 1L, 1.0)),
+      s"expected exactly the planted dup, got ${readMatches().toSeq}")
     // the store accumulated both batches' signatures
     val storedDocs = spark.read.parquet(storeDir)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(storedDocs == Set(1L, 2L, 10L, 11L))
+    // at-least-once replay: re-running batch 1 must leave both sinks
+    // byte-identical (overwrite of its own partition, no append-doubling)
+    IncrementalDedup.processBatch(spark, batch1, batchId = 1L,
+      storeDir, matchesDir)
+    assert(readMatches().toSeq == Seq((10L, 1L, 1.0)), "retry duplicated matches")
+    assert(spark.read.parquet(storeDir).count() ==
+      spark.read.parquet(storeDir).select("doc_id", "band_key").distinct().count(),
+      "retry duplicated store rows")
     // and the streaming wrapper drives the same step end-to-end
     FileUtils.deleteDirectory(new java.io.File(base))
     Files.createDirectories(Paths.get(s"$base/in"))
@@ -46,12 +56,15 @@ class StreamingSpec extends SparkSpec {
     val q = IncrementalDedup.start(spark, s"$base/in/*", storeDir,
       matchesDir, s"$base/ck", schema)
     q.awaitTermination(120000)
-    // one trigger may fold both dirs into a single batch (AvailableNow
-    // lists all files); if so the dup was within-batch and the store still
-    // holds every doc — assert on the store, which is trigger-invariant
     val stored2 = spark.read.parquet(storeDir)
       .select("doc_id").distinct().count()
     assert(stored2 == 3L)
+    // the planted dup {1, 20} is caught whether AvailableNow split the
+    // dirs into two batches (store match: a=20,b=1) or folded them into
+    // one (intra-batch match: a=1,b=20)
+    val pairs = spark.read.parquet(matchesDir).select("a", "b").collect()
+      .map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set(Set(1L, 20L)), s"got $pairs")
   }
 
   test("incremental assignment stream matches batch assignment (§2.10)") {
