@@ -784,6 +784,17 @@ object SparkEntry {
         budget = 256L, groups = 8)
         .orderBy("doc_id")),
 
+    // LM-based quality gate (CCNet-style): corpus-trained smoothed bigram
+    // model, docs scored by mean log-prob in position order
+    "text_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.pipeline.NgramLM.train(docs)
+      graft.pipeline.NgramLM.score(docs, m)
+        .select(col("doc_id"), col("n_bigrams"),
+          microUnits(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental re-index work-list: snapshot diff by content
     // fingerprint — added / removed / changed docs between two corpus
     // versions (the docs that need re-embedding; everything else skips
@@ -1852,6 +1863,24 @@ object SparkEntry {
         |         THEN d.n ELSE r.running + d.n END
         |  FROM r JOIN d ON d.grp = r.grp AND d.rn = r.rn + 1)
         |SELECT doc_id, grp, bin, n AS n_tokens FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) - 1 AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS l
+        |        FROM documents)),
+        |b AS (SELECT doc_id, pos, w AS w1,
+        |        lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
+        |bg AS (SELECT doc_id, pos, w1, w2 FROM b WHERE w2 IS NOT NULL),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+        |uc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM bc GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM t),
+        |lp AS (SELECT bg.doc_id, bg.pos,
+        |        ln((COALESCE(bc.c, 0) + 1.0) / (COALESCE(uc.cw, 0) + v.v)) AS lp
+        |      FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(floor(list_sum(list(lp ORDER BY pos)) / count(*) * 1000000 + 0.5) AS BIGINT) AS avg_logp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "corpus_diff" ->
       """WITH prev AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 450),
