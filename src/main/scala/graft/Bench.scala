@@ -73,12 +73,11 @@ object Bench {
     val engine = try {
       import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
       import graft.search.{BruteForceKNN, CoarseFineRetriever}
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
-      val nVec = emb.count()
-      val docs = emb.select(col("vec_id").as("doc_id"),
-        col("embedding").as("vec"), col("label")).cache()
-      val queries = docs.where(col("doc_id") < 20)
-        .select(col("doc_id").as("query_id"), col("vec").as("qvec"), col("label"))
+      // the SAME doc/query projections the catalog queries use (shared
+      // helpers — the vec_id < 20 query-slice contract lives in one place)
+      val docs = SparkEntry.docVecs(spark, sfDir).cache()
+      val nVec = docs.count()
+      val queries = SparkEntry.queryVecs(spark, sfDir)
       val nQ = queries.count().toDouble
 
       val (artifacts, buildSec) = timed {
@@ -101,8 +100,11 @@ object Bench {
         val (_, s1) = timed(f); val (_, s2) = timed(f); math.min(s1, s2)
       }
       val (knnRanked, knnSec) = {
+        // excludeSelf: labelGroundTruth excludes the query's own doc, so
+        // the preds must too — a self-hit at rank 1 would deflate every
+        // rr/recall line (the catalog's knn_ip/knn_cos do the same)
         val r = BruteForceKNN.topK(queries.select("query_id", "qvec"),
-          docs.select("doc_id", "vec"), k = k)
+          docs.select("doc_id", "vec"), k = k, excludeSelf = true)
         val sec = bestOf2 {
           r.write.format("noop").mode("overwrite").save()
         }
@@ -117,20 +119,29 @@ object Bench {
         }
         (r.cache(), sec)
       }
-      // quality of the coarse→fine path vs label ground truth
+      // candidate pool per query (BASELINE.md ndoc@cluster-R): measured on
+      // an UNCAPPED retrieval — the rank-k output would silently clamp the
+      // metric at k once beams cover more than k docs/query; the same
+      // uncapped ranking feeds the quality lines (slicing happens per k)
+      val cfFull = CoarseFineRetriever.retrieve(
+        queries.select("query_id", "qvec"), index,
+        docs.select("doc_id", "vec"), cb, beams = 4, k = nVec.toInt)
+        .where(col("doc_id") =!= col("query_id")) // self-hit, as above
+        .cache()
       // quality vs label ground truth — exact KNN is the upper bound the
       // labels admit (label clusters ≠ embedding geometry), coarse→fine is
       // judged against it
       val gt = graft.eval.Metrics.labelGroundTruth(docs, queries).cache()
       def qual(ranked: org.apache.spark.sql.DataFrame) =
         graft.eval.Metrics.ranking(
-          graft.eval.Metrics.rankedToPreds(ranked), gt, ks = Seq(10, 100))
+          graft.eval.Metrics.rankedToPreds(ranked), gt,
+          ks = Seq(1, 10, 100, 1000))
           .collect().map(r => r.getAs[Int]("k") ->
             (r.getAs[Double]("recall"), r.getAs[Double]("mrr"))).toMap
-      val m = qual(cf)
+      val m = qual(cfFull)
       val mKnn = qual(knnRanked)
       val ndoc = graft.eval.Metrics.ndoc(
-        cf.select("query_id", "doc_id"),
+        cfFull.select("query_id", "doc_id"),
         queries = Some(queries.select("query_id")))
         .head.getAs[Double]("ndoc_per_query")
 
@@ -142,15 +153,23 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
 
-      f"""{"index_build_sec":$buildSec%.3f,"knn_qps":${nQ / knnSec}%.2f,""" +
-        f""""coarse_fine_qps":${nQ / cfSec}%.2f,""" +
-        f""""coarse_fine_budgeted_qps":${nQ / cfbSec}%.2f,""" +
-        f""""recall_at_10":${m(10)._1}%.4f,""" +
-        f""""mrr_at_10":${m(10)._2}%.4f,"recall_at_100":${m(100)._1}%.4f,""" +
-        f""""knn_recall_at_10":${mKnn(10)._1}%.4f,""" +
-        f""""knn_mrr_at_10":${mKnn(10)._2}%.4f,""" +
-        f""""knn_recall_at_100":${mKnn(100)._1}%.4f,""" +
-        f""""ndoc_per_query":$ndoc%.1f,"n_docs":$nVec,"topk":$k}"""
+      // Locale.ROOT formatting: the f"" interpolator is locale-sensitive
+      // and a comma-decimal default locale would emit invalid JSON
+      def d(v: Double, digits: Int): String =
+        String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+      s"""{"index_build_sec":${d(buildSec, 3)},"knn_qps":${d(nQ / knnSec, 2)},""" +
+        s""""coarse_fine_qps":${d(nQ / cfSec, 2)},""" +
+        s""""coarse_fine_budgeted_qps":${d(nQ / cfbSec, 2)},""" +
+        s""""recall_at_1":${d(m(1)._1, 4)},""" +
+        s""""recall_at_10":${d(m(10)._1, 4)},""" +
+        s""""mrr_at_10":${d(m(10)._2, 4)},""" +
+        s""""recall_at_100":${d(m(100)._1, 4)},""" +
+        s""""recall_at_1000":${d(m(1000)._1, 4)},""" +
+        s""""knn_recall_at_10":${d(mKnn(10)._1, 4)},""" +
+        s""""knn_mrr_at_10":${d(mKnn(10)._2, 4)},""" +
+        s""""knn_recall_at_100":${d(mKnn(100)._1, 4)},""" +
+        s""""knn_recall_at_1000":${d(mKnn(1000)._1, 4)},""" +
+        s""""ndoc_per_query":${d(ndoc, 1)},"n_docs":$nVec,"topk":$k}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] engine metrics failed: ${e.getMessage}")

@@ -41,12 +41,12 @@ object SparkEntry {
     * (the fixtures carry no separate query table; deterministic + SQL-
     * expressible so oracles can reproduce it).
     */
-  private def queryVecs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def queryVecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").where(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("label"))
 
-  private def docVecs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docVecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding").as("vec"),
         col("label"))
@@ -159,9 +159,11 @@ object SparkEntry {
     ivfOf(s, dir).cells.count()
     pqCodebookOf(s, dir): Unit
     ivfPqOf(s, dir).codes.count()
-    // constructing the v15 frame materializes the candidate frames and the
-    // one-time LR fit (ArtifactCache-backed); the plan itself stays lazy
+    // constructing the v15/PCA frames materializes the candidate frames,
+    // the one-time LR fit, and the PCA rotation fit (ArtifactCache-backed,
+    // all eager at frame-construction time); the plans themselves stay lazy
     queries("v15_rerank")(s, dir)
+    queries("v_opq_rotate")(s, dir)
     ArtifactCache.frame(s, s"$dir/dedup/sig8", persist = false) {
       Dedup.minhashSignatures(t(s, dir, "documents"), numPerms = 8)
         .localCheckpoint()
