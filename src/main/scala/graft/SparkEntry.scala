@@ -70,6 +70,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.index.PQCodebook]
   private val dirIvfPq =
     new java.util.concurrent.ConcurrentHashMap[String, (Codebook, graft.index.PQCodebook)]
+  private val dirHkmTrees =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.index.HierarchicalKMeans.Tree]
   @volatile private var lastDir: Option[String] = None
 
   /** Session-memoized RQ artifacts per fixture dir (path-keyed caching,
@@ -164,6 +166,7 @@ object SparkEntry {
     // all eager at frame-construction time); the plans themselves stay lazy
     queries("v15_rerank")(s, dir)
     queries("v_opq_rotate")(s, dir)
+    queries("hkm_assign")(s, dir)
     ArtifactCache.frame(s, s"$dir/dedup/sig8", persist = false) {
       Dedup.minhashSignatures(t(s, dir, "documents"), numPerms = 8)
         .localCheckpoint()
@@ -531,6 +534,24 @@ object SparkEntry {
       rqAssignments(s, dir)
         .select(col("doc_id"), concat_ws(",", col("codes").cast("array<string>")).as("codes"))
         .orderBy("doc_id")),
+
+    // The reference's NON-RQ id scheme: hierarchical-k-means trie ids
+    // (NCI semantic ids — per-node child codebooks, variable-depth paths;
+    // the structure the reference's decode trie walks). Oracle replays
+    // the trained tree with per-path-prefix centroid tables
+    "hkm_assign" -> ((s, dir) => {
+      val tree = ArtifactCache.value(s"$dir/hkm4x2") {
+        graft.index.HierarchicalKMeans.fit(
+          docVecs(s, dir).select("doc_id", "vec"), "vec",
+          k = 4, depth = 2, seed = 42L, maxIter = 10)
+      }
+      dirHkmTrees.put(dir, tree)
+      lastDir = Some(dir)
+      graft.index.HierarchicalKMeans.assign(docVecs(s, dir), tree)
+        .select(col("doc_id"),
+          concat_ws(",", col("path").cast("array<string>")).as("path"))
+        .orderBy("doc_id")
+    }),
 
     // V5, pq_type=pq: plain product quantization — per-SLICE independent
     // argmin (MEVI/pq.py:249-279), no residual chain; the other half of
@@ -1260,6 +1281,10 @@ object SparkEntry {
         .map { case (coarse, pq) => Map("ivfpq_knn" ->
           graft.oracle.GeneratedOracles.ivfPqKnnSql(
             coarse, pq, nprobe = 4, k = 10, maxQueryId = 20)) }
+        .getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirHkmTrees.get(d)))
+        .map(tree => Map("hkm_assign" ->
+          graft.oracle.GeneratedOracles.hkmAssignSql(tree)))
         .getOrElse(Map.empty)
   }
 

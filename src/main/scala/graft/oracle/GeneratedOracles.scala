@@ -436,6 +436,56 @@ object GeneratedOracles {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Hierarchical-k-means id oracle: replays the trie walk — per level,
+    * argmin over the centroids of the node REACHED so far (sibling
+    * subtrees differ, so level-m tables are keyed by the parent PATH;
+    * the `||` prefix build null-propagates, so docs that hit a leaf early
+    * match nothing deeper and their path stays short). Path rendering is
+    * null-skipping array_to_string — identical to Spark's concat_ws. */
+  def hkmAssignSql(tree: graft.index.HierarchicalKMeans.Tree): String = {
+    val nodes = tree.nodesByPrefix
+    def level(p: String): Int = if (p.isEmpty) 0 else p.count(_ == ',') + 1
+    val byLevel = nodes.groupBy { case (p, _) => level(p) }
+    val maxLevel = byLevel.keys.max
+    require(maxLevel >= 1,
+      "depth-1 tree: use the flat rq/ivf oracles instead")
+    val root = byLevel(0).head._2
+    val rootRows = root.cents.zipWithIndex
+      .map { case (c, code) => s"($code, ${centList(c)})" }.mkString(", ")
+    val l2 = (a: String, b: String) =>
+      s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    val levelCtes = (1 to maxLevel).map { m =>
+      val rows = byLevel(m).flatMap { case (prefix, node) =>
+        node.cents.zipWithIndex.map { case (c, code) =>
+          s"('$prefix', $code, ${centList(c)})"
+        }
+      }.mkString(", ")
+      val pfx = (0 until m).map(i => s"CAST(k$i AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"""hk$m(parent, code, cent) AS (VALUES $rows),
+         |s$m AS (SELECT a${m - 1}.doc_id, a${m - 1}.v,
+         |    ${(0 until m).map(i => s"a${m - 1}.k$i").mkString(", ")}, hk$m.code,
+         |    ${l2(s"a${m - 1}.v", s"hk$m.cent")} AS dist
+         |  FROM a${m - 1} JOIN hk$m ON hk$m.parent = $pfx),
+         |a$m AS (SELECT doc_id, v, ${(0 until m).map(i => s"k$i").mkString(", ")}, code AS k$m
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist, code) AS rn FROM s$m)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to maxLevel)
+      .map(m => s"LEFT JOIN (SELECT doc_id, k$m FROM a$m) j$m USING (doc_id)")
+      .mkString(" ")
+    s"""WITH d AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |hk0(code, cent) AS (VALUES $rootRows),
+       |s0 AS (SELECT doc_id, v, code, ${l2("v", "cent")} AS dist FROM d CROSS JOIN hk0),
+       |a0 AS (SELECT doc_id, v, code AS k0
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist, code) AS rn FROM s0)
+       |  WHERE rn = 1),
+       |$levelCtes
+       |SELECT a0.doc_id,
+       |  array_to_string([${(0 to maxLevel).map(m => s"k$m").mkString(", ")}], ',') AS path
+       |FROM a0 $joins ORDER BY doc_id""".stripMargin
+  }
+
   /** PCA/OPQ rotation oracle: replays PcaRotation.projectExpr — per kept
     * component, a sequential double fold of embedding×component products
     * (same shape as dotSql), then the micro-unit projection

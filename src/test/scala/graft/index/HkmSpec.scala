@@ -1,0 +1,63 @@
+package graft.index
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HkmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignment is the per-node argmin walk (local replica check)") {
+    val rng = new scala.util.Random(31)
+    val df = (0 until 300).map(i =>
+      (i.toLong, Array.fill(6)(rng.nextGaussian().toFloat)))
+      .toDF("doc_id", "vec").cache()
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 3, depth = 2,
+      seed = 42L, maxIter = 10)
+    val got = HierarchicalKMeans.assign(df, tree)
+      .as[(Long, Seq[Int])].collect().toMap
+    val data = df.as[(Long, Array[Float])].collect()
+    data.foreach { case (id, v) =>
+      assert(got(id) == tree.assign(v), s"doc $id")
+      assert(got(id).nonEmpty && got(id).length <= 2)
+      assert(got(id).forall(c => c >= 0 && c < 3))
+    }
+    // sibling subtrees genuinely differ (a trie, not a K-ary product):
+    // two level-1 nodes with different centroid sets
+    val kids = tree.root.children.flatten
+    assert(kids.length >= 2)
+    assert(!java.util.Arrays.deepEquals(
+      kids(0).cents.asInstanceOf[Array[AnyRef]],
+      kids(1).cents.asInstanceOf[Array[AnyRef]]))
+  }
+
+  test("undersized clusters become leaves (variable-depth paths)") {
+    val rng = new scala.util.Random(7)
+    // 3 points far out at (+50, ...) — below the 2k=6 split threshold —
+    // plus 300 points near the origin
+    val far = (0 until 3).map(i =>
+      (1000L + i, Array(50f + i, 50f, 0f, 0f)))
+    val near = (0 until 300).map(i =>
+      (i.toLong, Array.fill(4)(rng.nextGaussian().toFloat)))
+    val df = (far ++ near).toDF("doc_id", "vec").cache()
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 3, depth = 2,
+      seed = 42L, maxIter = 10)
+    val paths = HierarchicalKMeans.assign(df, tree)
+      .as[(Long, Seq[Int])].collect().toMap
+    val farLens = far.map { case (id, _) => paths(id).length }.toSet
+    assert(farLens == Set(1), s"far cluster should be a leaf: $farLens")
+    assert(near.exists { case (id, _) => paths(id).length == 2 },
+      "dense region should split to depth 2")
+  }
+
+  test("assignment is partitioning-independent given a trained tree") {
+    val rng = new scala.util.Random(3)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Array.fill(4)(rng.nextGaussian().toFloat)))
+      .toDF("doc_id", "vec").cache()
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 2, depth = 3,
+      seed = 5L, maxIter = 5)
+    val a = HierarchicalKMeans.assign(df, tree).collect().toSet
+    val b = HierarchicalKMeans.assign(df.repartition(13), tree).collect().toSet
+    assert(a == b)
+  }
+}
