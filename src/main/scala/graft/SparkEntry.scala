@@ -553,6 +553,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // V7's generation side over the real trie: beam search with per-node
+    // log-softmax scores and structural trie masking (only existing
+    // children expand; leaf beams carry) — top-4 id paths per query
+    "hkm_beam" -> ((s, dir) => {
+      val tree = ArtifactCache.value(s"$dir/hkm4x2") {
+        graft.index.HierarchicalKMeans.fit(
+          docVecs(s, dir).select("doc_id", "vec"), "vec",
+          k = 4, depth = 2, seed = 42L, maxIter = 10)
+      }
+      dirHkmTrees.put(dir, tree)
+      lastDir = Some(dir)
+      graft.index.HierarchicalKMeans.beamSearchDf(
+        queryVecs(s, dir).select("query_id", "qvec"), tree, beams = 4)
+        .select(col("query_id"), col("rank"),
+          concat_ws(",", col("path").cast("array<string>")).as("path"),
+          microUnits(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // V5, pq_type=pq: plain product quantization — per-SLICE independent
     // argmin (MEVI/pq.py:249-279), no residual chain; the other half of
     // the reference's --pq_type switch (rq is the shipped default)
@@ -1283,8 +1302,10 @@ object SparkEntry {
             coarse, pq, nprobe = 4, k = 10, maxQueryId = 20)) }
         .getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirHkmTrees.get(d)))
-        .map(tree => Map("hkm_assign" ->
-          graft.oracle.GeneratedOracles.hkmAssignSql(tree)))
+        .map(tree => Map(
+          "hkm_assign" -> graft.oracle.GeneratedOracles.hkmAssignSql(tree),
+          "hkm_beam" -> graft.oracle.GeneratedOracles.hkmBeamSql(
+            tree, beams = 4, maxQueryId = 20)))
         .getOrElse(Map.empty)
   }
 

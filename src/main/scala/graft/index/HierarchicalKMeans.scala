@@ -115,4 +115,64 @@ object HierarchicalKMeans {
     val assignUdf = udf { (vec: Array[Float]) => bc.value.assign(vec) }
     docs.select(col(idCol), assignUdf(col(vecCol)).as("path"))
   }
+
+  /** Beam search over the trie — the generation-side analog of the
+    * reference's trie-constrained decoding (generation_utils.py:709-1011)
+    * with the engine's V6 substitution semantics: per node, scores are
+    * the log-softmax of −‖q − child‖² over THAT node's children
+    * (CodebookBeamSearch's "prod" mode), accumulated along the path; the
+    * trie mask is structural (only existing children expand; a beam on a
+    * leaf carries unchanged and competes on its shorter-path score).
+    * Ties → lexicographically smallest path. All folds run in code order
+    * (raws, max, Σexp) so the oracle replays them bit-exactly.
+    */
+  def beamSearch(tree: Tree, qvec: Array[Float], beams: Int)
+      : Seq[(Seq[Int], Double)] = {
+    require(beams >= 1)
+    import scala.math.Ordering.Implicits.seqOrdering
+    var frontier: Seq[(Seq[Int], Option[Node], Double)] =
+      Seq((Seq.empty, Some(tree.root), 0.0))
+    while (frontier.exists(_._2.isDefined)) {
+      val expanded = frontier.flatMap {
+        case (path, Some(n), cum) =>
+          val raws = n.cents.map { cent =>
+            var d = 0.0
+            var j = 0
+            while (j < qvec.length) {
+              val diff = qvec(j).toDouble - cent(j).toDouble
+              d += diff * diff
+              j += 1
+            }
+            -d
+          }
+          val mx = raws.max
+          var sumExp = 0.0
+          raws.foreach(r => sumExp += math.exp(r - mx)) // code order
+          val logz = mx + math.log(sumExp)
+          raws.zipWithIndex.map { case (r, c) =>
+            (path :+ c, n.children(c), cum + r - logz)
+          }.toSeq
+        case leaf => Seq(leaf)
+      }
+      frontier = expanded
+        .sortBy { case (p, _, cum) => (-cum, p) }
+        .take(beams)
+    }
+    frontier.map { case (p, _, cum) => (p, cum) }
+  }
+
+  /** (query_id, rank, path ARRAY<INT>, score) — top-`beams` trie paths
+    * per query vector, broadcast tree, zero shuffle. */
+  def beamSearchDf(queries: DataFrame, tree: Tree, beams: Int,
+      qidCol: String = "query_id", qvecCol: String = "qvec"): DataFrame = {
+    val bc = queries.sparkSession.sparkContext.broadcast(tree)
+    val beamUdf = udf { (qvec: Array[Float]) =>
+      beamSearch(bc.value, qvec, beams)
+    }
+    queries
+      .select(col(qidCol), posexplode(beamUdf(col(qvecCol)))
+        .as(Seq("pos", "b")))
+      .select(col(qidCol), (col("pos") + 1).cast("long").as("rank"),
+        col("b._1").as("path"), col("b._2").as("score"))
+  }
 }

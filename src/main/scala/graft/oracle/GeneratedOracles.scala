@@ -486,6 +486,57 @@ object GeneratedOracles {
        |FROM a0 $joins ORDER BY doc_id""".stripMargin
   }
 
+  /** Trie beam-search oracle (HierarchicalKMeans.beamSearch): per round,
+    * beams sitting on a live node expand through that node's OWN
+    * log-softmax (raws/max/Σexp as ORDERED lists — the Scala loop's code
+    * order), beams on leaves carry unchanged (the ANTI JOIN), and the
+    * frontier re-ranks to `beams` rows per query on (cum DESC, path ASC)
+    * — DuckDB list comparison is element-wise with shorter-prefix-first,
+    * identical to Scala's Seq ordering. */
+  def hkmBeamSql(tree: graft.index.HierarchicalKMeans.Tree, beams: Int,
+      maxQueryId: Int): String = {
+    val nodes = tree.nodesByPrefix
+    def level(p: String): Int = if (p.isEmpty) 0 else p.count(_ == ',') + 1
+    val byLevel = nodes.groupBy { case (p, _) => level(p) }
+    val maxLevel = byLevel.keys.max + 1 // expansion rounds
+    val k = tree.k
+    val krange = (0 until k).map(c => s"($c)").mkString(", ")
+    def centsLit(n: graft.index.HierarchicalKMeans.Node): String =
+      n.cents.map(centList).mkString("[", ", ", "]")
+    val rounds = (0 until maxLevel).map { m =>
+      val rows = byLevel(m).map { case (prefix, node) =>
+        s"('$prefix', ${centsLit(node)})"
+      }.mkString(", ")
+      s"""hb$m(parent, cents) AS (VALUES $rows),
+         |x$m AS (SELECT b.query_id, b.v, b.path, b.cum, n.cents
+         |  FROM b$m b JOIN hb$m n ON n.parent = COALESCE(array_to_string(b.path, ','), '')),
+         |r$m AS (SELECT *, list_transform(cents,
+         |    cent -> -list_sum(list_transform(list_zip(v, cent), p -> (p[1] - p[2]) * (p[1] - p[2])))) AS raws
+         |  FROM x$m),
+         |g$m AS (SELECT *, list_max(raws) AS mx FROM r$m),
+         |h$m AS (SELECT *, mx + ln(list_sum(list_transform(raws, x -> exp(x - mx)))) AS logz FROM g$m),
+         |un$m AS (SELECT query_id, v, list_append(path, code) AS path,
+         |    cum + raws[code + 1] - logz AS cum
+         |  FROM h$m CROSS JOIN krange
+         |  UNION ALL
+         |  SELECT b.query_id, b.v, b.path, b.cum FROM b$m b
+         |  ANTI JOIN hb$m n ON n.parent = COALESCE(array_to_string(b.path, ','), '')),
+         |b${m + 1} AS (SELECT query_id, v, path, cum FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cum DESC, path ASC) AS rn
+         |    FROM un$m) WHERE rn <= $beams)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |krange(code) AS (VALUES $krange),
+       |b0 AS (SELECT vec_id AS query_id, v, CAST([] AS INT[]) AS path, 0.0E0 AS cum
+       |  FROM e WHERE vec_id < $maxQueryId),
+       |$rounds
+       |SELECT query_id, rn AS rank, array_to_string(path, ',') AS path,
+       |  CAST(floor(cum * 1000000 + 0.5) AS BIGINT) AS score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cum DESC, path ASC) AS rn
+       |      FROM b$maxLevel)
+       |WHERE rn <= $beams ORDER BY query_id, rank""".stripMargin
+  }
+
   /** PCA/OPQ rotation oracle: replays PcaRotation.projectExpr — per kept
     * component, a sequential double fold of embedding×component products
     * (same shape as dotSql), then the micro-unit projection

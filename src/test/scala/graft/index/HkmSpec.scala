@@ -49,6 +49,47 @@ class HkmSpec extends SparkSpec {
       "dense region should split to depth 2")
   }
 
+  test("full-width beam contains the greedy assignment path; scores sorted") {
+    val rng = new scala.util.Random(17)
+    val data = (0 until 250).map(i =>
+      (i.toLong, Array.fill(5)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("doc_id", "vec").cache()
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 3, depth = 2,
+      seed = 42L, maxIter = 10)
+    data.take(25).foreach { case (_, v) =>
+      val beams = tree.k * tree.k // full width at depth 2
+      val out = HierarchicalKMeans.beamSearch(tree, v, beams)
+      assert(out.map(_._2).sliding(2).forall(s =>
+        s.length < 2 || s.head >= s(1)), "scores must be non-increasing")
+      assert(out.map(_._1).contains(tree.assign(v)),
+        "greedy path must appear in the full-width beam")
+      // every path is a valid trie walk
+      out.map(_._1).foreach { p =>
+        var n: Option[HierarchicalKMeans.Node] = Some(tree.root)
+        p.foreach { c =>
+          assert(n.isDefined && c >= 0 && c < tree.k)
+          n = n.get.children(c)
+        }
+      }
+    }
+  }
+
+  test("beam keeps at most `beams` paths and is deterministic") {
+    val rng = new scala.util.Random(23)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Array.fill(4)(rng.nextGaussian().toFloat)))
+      .toDF("doc_id", "vec").cache()
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 4, depth = 2,
+      seed = 9L, maxIter = 10)
+    val q = df.limit(6)
+      .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+    val a = HierarchicalKMeans.beamSearchDf(q, tree, beams = 3).collect()
+    assert(a.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    val b = HierarchicalKMeans.beamSearchDf(q.repartition(5), tree, beams = 3)
+      .collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+  }
+
   test("assignment is partitioning-independent given a trained tree") {
     val rng = new scala.util.Random(3)
     val df = (0 until 200).map(i =>
