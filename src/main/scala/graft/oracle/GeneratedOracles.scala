@@ -447,13 +447,20 @@ object GeneratedOracles {
     def level(p: String): Int = if (p.isEmpty) 0 else p.count(_ == ',') + 1
     val byLevel = nodes.groupBy { case (p, _) => level(p) }
     val maxLevel = byLevel.keys.max
-    require(maxLevel >= 1,
-      "depth-1 tree: use the flat rq/ivf oracles instead")
     val root = byLevel(0).head._2
     val rootRows = root.cents.zipWithIndex
       .map { case (c, code) => s"($code, ${centList(c)})" }.mkString(", ")
     val l2 = (a: String, b: String) =>
       s"list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    // a legitimately depth-1 tree (every root child under the 2k split
+    // threshold) degenerates to the flat single-level argmin
+    if (maxLevel == 0)
+      return s"""WITH d AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |hk0(code, cent) AS (VALUES $rootRows),
+         |s0 AS (SELECT doc_id, code, ${l2("v", "cent")} AS dist FROM d CROSS JOIN hk0)
+         |SELECT doc_id, CAST(code AS VARCHAR) AS path
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist, code) AS rn FROM s0)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
     val levelCtes = (1 to maxLevel).map { m =>
       val rows = byLevel(m).flatMap { case (prefix, node) =>
         node.cents.zipWithIndex.map { case (c, code) =>

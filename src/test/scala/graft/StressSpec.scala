@@ -129,4 +129,56 @@ class StressSpec extends SparkSpec {
     assert(sizes.length == 10 && sizes.forall(_ == 8),
       s"a pair lost negatives under the default pre-sample: ${sizes.toSeq}")
   }
+
+  test("hkm fit job count grows with depth, not node count") {
+    import graft.index.HierarchicalKMeans
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+
+    val rng = new scala.util.Random(11)
+    val df = (0 until 4000).map(i =>
+      (i.toLong, Array.fill(6)(rng.nextGaussian().toFloat)))
+      .toDF("doc_id", "vec").cache()
+    df.count()
+
+    def countJobs(body: => Unit): Int = {
+      val n = new AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        // listener bus is async — poll until the count stops moving
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(150)
+          val cur = n.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        n.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // same depth, 4x the fan-out (k=2 → 3 nodes max vs k=8 → 9 nodes):
+    // job count must be identical — per-LEVEL scheduling
+    val jK2 = countJobs(HierarchicalKMeans.fit(df, "vec", k = 2, depth = 2,
+      seed = 1L, maxIter = 5))
+    val jK8 = countJobs(HierarchicalKMeans.fit(df, "vec", k = 8, depth = 2,
+      seed = 1L, maxIter = 5))
+    assert(jK8 == jK2,
+      s"fit jobs changed with fan-out: k=2 → $jK2 jobs, k=8 → $jK8 jobs")
+
+    // deeper tree → more jobs, but bounded by a per-level constant
+    val jD3 = countJobs(HierarchicalKMeans.fit(df, "vec", k = 2, depth = 3,
+      seed = 1L, maxIter = 5))
+    assert(jD3 > jK2, s"depth 3 ($jD3 jobs) should schedule more than depth 2 ($jK2)")
+    // one extra level costs the fit collect + the assign count; AQE splits
+    // each shuffle into its own job, so "constant" is ~5, never node-count
+    assert(jD3 - jK2 <= 6,
+      s"per-level job cost should be a small constant: depth2=$jK2 depth3=$jD3")
+  }
 }
