@@ -229,10 +229,24 @@ object Dedup {
 
   /** Pairwise Jaccard over distinct shingle sets for the given pairs
     * (or all a<b pairs of `docs` when `pairs` is None — small inputs only).
+    *
+    * The all-pairs default plans a corpus×corpus cartesian product, so it
+    * is size-guarded: above `maxAllPairsDocs` documents the call refuses
+    * (one cheap count) instead of silently planning an O(n²) join —
+    * generate candidates with [[lshCandidatePairs]] and confirm with
+    * [[jaccardPairsByHash]] at scale.
     */
   def jaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3,
-      pairs: Option[DataFrame] = None): DataFrame = {
+      pairs: Option[DataFrame] = None,
+      maxAllPairsDocs: Long = 10000L): DataFrame = {
+    if (pairs.isEmpty) {
+      val n = docs.count()
+      require(n <= maxAllPairsDocs,
+        s"jaccardPairs without candidate pairs is all-pairs O(n²) — $n docs " +
+          s"exceeds maxAllPairsDocs=$maxAllPairsDocs; use lshCandidatePairs " +
+          "+ jaccardPairsByHash instead")
+    }
     val sets = ensureParallelism(docs)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"),

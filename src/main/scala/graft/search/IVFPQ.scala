@@ -88,16 +88,17 @@ object IVFPQ {
     val spark = queries.sparkSession
     val bcCoarse = spark.sparkContext.broadcast(index.coarse)
     val bcPq = spark.sparkContext.broadcast(index.pq)
-    // query vectors keyed by id — the query BATCH is the broadcast-small
-    // side (the corpus-scale side stays distributed)
-    val qVecs = queries.select("query_id", "qvec").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val bcQ = spark.sparkContext.broadcast(qVecs)
-
     val probeUdf = IVFIndex.probeCellsUdf(bcCoarse, nprobe)
 
+    // qvec rides the candidate join (one probe row per (query, cell),
+    // duplicated across that cell's members by the join) instead of a
+    // driver collect+broadcast of the query batch — the query side can
+    // now be corpus-sized (e.g. negative mining over ALL training
+    // queries). Small batches still broadcast: the probe side is
+    // nprobe rows per query and AQE picks the broadcast join itself.
     val cands = queries
-      .select(col("query_id"), explode(probeUdf(col("qvec"))).as("cell"))
+      .select(col("query_id"), col("qvec"),
+        explode(probeUdf(col("qvec"))).as("cell"))
       .join(index.codes, Seq("cell"))
 
     val outSchema = StructType(Seq(
@@ -106,7 +107,7 @@ object IVFPQ {
     val scored = spark.createDataFrame(
       cands.repartition(col("query_id"), col("cell"))
         .sortWithinPartitions("query_id", "cell")
-        .select("query_id", "cell", "doc_id", "codes")
+        .select("query_id", "cell", "doc_id", "codes", "qvec")
         .rdd.mapPartitions { rows =>
           val coarse = bcCoarse.value
           val pq = bcPq.value
@@ -118,7 +119,7 @@ object IVFPQ {
             val q = r.getLong(0); val cell = r.getInt(1)
             if (q != curQ || cell != curCell || lut == null) {
               // (query, cell) LUT: ‖qres slice − centroid‖² per (sub, code)
-              val qvec = bcQ.value(q)
+              val qvec = r.getSeq[Float](4).toArray
               val cent = coarse.levels(0)(cell)
               val qres = Array.tabulate(qvec.length)(j =>
                 qvec(j).toDouble - cent(j).toDouble)

@@ -130,6 +130,42 @@ class StressSpec extends SparkSpec {
       s"a pair lost negatives under the default pre-sample: ${sizes.toSeq}")
   }
 
+  test("all-pairs jaccard refuses above the size guard (no cartesian planned)") {
+    val docs = replicatedVecs(1).selectExpr("doc_id",
+      "CAST(doc_id AS STRING) AS text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docs, maxAllPairsDocs = 100L)
+    }
+    assert(e.getMessage.contains("lshCandidatePairs"))
+    // under the guard the all-pairs default still works
+    val small = docs.limit(50)
+    assert(Dedup.jaccardPairs(small, maxAllPairsDocs = 100L).count() ==
+      50L * 49 / 2)
+  }
+
+  test("ivfpq search takes a corpus-sized query set (no driver collect)") {
+    import graft.search.IVFPQ
+    val docs = replicatedVecs(16).repartition(16).cache()
+    assert(docs.count() == 8000)
+    val index = IVFPQ.build(docs, coarseK = 16, numSub = 8, k = 16, seed = 42L)
+    // every doc plays a query — the shape negative mining runs; the old
+    // collect+broadcast query batch would ship the whole corpus through
+    // the driver here
+    val queries = docs.select(col("doc_id").as("query_id"),
+      col("vec").as("qvec"))
+    val out = IVFPQ.search(queries, index, nprobe = 2, k = 5)
+    assert(out.count() == 8000L * 5)
+    // replicas of one base vector are byte-identical queries → their
+    // result lists must agree: 16 replicas × 500 base queries collapse
+    // to exactly 500 distinct (base, rank, doc-set, dist) profiles
+    val profiles = out
+      .select((col("query_id") % 1000000L).as("base"), col("rank"),
+        (col("doc_id") % 1000000L).as("doc"), col("dist"))
+      .distinct().count()
+    assert(profiles == 500L * 5,
+      s"replica queries diverged: $profiles distinct profiles, want 2500")
+  }
+
   test("hkm fit job count grows with depth, not node count") {
     import graft.index.HierarchicalKMeans
     import java.util.concurrent.atomic.AtomicInteger
