@@ -911,7 +911,8 @@ object SparkEntry {
       val answers = t(s, dir, "documents").where(col("doc_id") < 10)
         .select(col("doc_id").as("query_idx"),
           concat_ws(" ", slice(split(col("text"), "\\s+"), 5, 2)).as("answer"))
-      AnswerIndex.containmentJoin(docs, answers).orderBy("query_idx", "doc_id")
+      AnswerIndex.tokenContainmentJoin(docs, answers)
+        .orderBy("query_idx", "doc_id")
     }),
 
     // A9: inverse answer index (doc → sorted query list)
@@ -920,7 +921,7 @@ object SparkEntry {
       val answers = t(s, dir, "documents").where(col("doc_id") < 10)
         .select(col("doc_id").as("query_idx"),
           concat_ws(" ", slice(split(col("text"), "\\s+"), 5, 2)).as("answer"))
-      AnswerIndex.inverse(AnswerIndex.containmentJoin(docs, answers))
+      AnswerIndex.inverse(AnswerIndex.tokenContainmentJoin(docs, answers))
         .select(col("doc_id"),
           concat_ws(",", col("query_idx").cast("array<string>")).as("query_idx"),
           col("n_queries"))
@@ -1562,23 +1563,45 @@ object SparkEntry {
         |  source || ',it''s a ' || lang || ',esc''d' AS answers
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Token-subsequence containment (DPR semantics): tokenize both sides
+    // with the SimpleTokenizer regex (alphanumeric runs | single
+    // non-space/control chars) over lowercase text, then scan for a
+    // contiguous token-window match. NFD normalization replays as
+    // identity — the fixtures are pure ASCII (verified) — while the Spark
+    // side applies the real thing.
     "j5_answer_contain" ->
       """WITH answers AS (
         |  SELECT doc_id AS query_idx,
-        |    array_to_string(string_split_regex(text, '\s+')[5:6], ' ') AS answer
-        |  FROM documents WHERE doc_id < 10)
+        |    regexp_extract_all(lower(array_to_string(string_split_regex(text, '\s+')[5:6], ' ')),
+        |      '[\p{L}\p{N}\p{M}]+|[^\p{Z}\p{C}]') AS atoks
+        |  FROM documents WHERE doc_id < 10),
+        |dt AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[\p{L}\p{N}\p{M}]+|[^\p{Z}\p{C}]') AS dtoks
+        |  FROM documents)
         |SELECT DISTINCT a.query_idx, d.doc_id
-        |FROM documents d JOIN answers a ON contains(d.text, a.answer)
+        |FROM dt d JOIN answers a
+        |  ON len(a.atoks) > 0 AND len(a.atoks) <= len(d.dtoks)
+        | AND len(list_filter(range(1, len(d.dtoks) - len(a.atoks) + 2),
+        |       p -> list_slice(d.dtoks, p, p + len(a.atoks) - 1) = a.atoks)) > 0
         |ORDER BY query_idx, doc_id""".stripMargin,
 
     "a9_inverse_index" ->
       """WITH answers AS (
         |  SELECT doc_id AS query_idx,
-        |    array_to_string(string_split_regex(text, '\s+')[5:6], ' ') AS answer
+        |    regexp_extract_all(lower(array_to_string(string_split_regex(text, '\s+')[5:6], ' ')),
+        |      '[\p{L}\p{N}\p{M}]+|[^\p{Z}\p{C}]') AS atoks
         |  FROM documents WHERE doc_id < 10),
+        |dt AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[\p{L}\p{N}\p{M}]+|[^\p{Z}\p{C}]') AS dtoks
+        |  FROM documents),
         |matches AS (
         |  SELECT DISTINCT a.query_idx, d.doc_id
-        |  FROM documents d JOIN answers a ON contains(d.text, a.answer))
+        |  FROM dt d JOIN answers a
+        |    ON len(a.atoks) > 0 AND len(a.atoks) <= len(d.dtoks)
+        |   AND len(list_filter(range(1, len(d.dtoks) - len(a.atoks) + 2),
+        |         p -> list_slice(d.dtoks, p, p + len(a.atoks) - 1) = a.atoks)) > 0)
         |SELECT doc_id, array_to_string(list_sort(list(DISTINCT query_idx)), ',') AS query_idx,
         |  count(DISTINCT query_idx) AS n_queries
         |FROM matches GROUP BY doc_id ORDER BY doc_id""".stripMargin,
