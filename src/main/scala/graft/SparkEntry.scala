@@ -101,6 +101,37 @@ object SparkEntry {
       ClusterIndexBuilder.build(rqAssignments(s, dir))
     }
 
+  /** doc_multiclus=2 top-T assignments (doc beam search) — T rows/doc. */
+  private def rqMulticlusAssignments(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.frame(s, s"$dir/rq2x3/multiclus2") {
+      CodeAssigner.assignTopK(docVecs(s, dir).select("doc_id", "vec"),
+        rqCodebook(s, dir), t = 2)
+    }
+
+  /** Multicluster inverted index (main_models.py:3246-3266): a doc is a
+    * member of each of its top-T tuples' clusters. */
+  private def rqMulticlusIndex(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.frame(s, s"$dir/rq2x3/multiclus2/index") {
+      ClusterIndexBuilder.build(
+        rqMulticlusAssignments(s, dir).select("doc_id", "codes"))
+    }
+
+  /** Shared body of the two topic-mix queries (r = topic_score_ratio). */
+  private def coarseFineTopic(s: SparkSession, dir: String, r: Double): DataFrame = {
+    val docs = docVecs(s, dir).select("doc_id", "vec")
+    val queries = queryVecs(s, dir).select("query_id", "qvec")
+    val proba = ArtifactCache.frame(s, s"$dir/rq2x3/multiclus2/proba") {
+      CoarseFineRetriever.docClusterProba(
+        rqMulticlusAssignments(s, dir), docs, rqCodebook(s, dir))
+    }
+    CoarseFineRetriever.retrieve(queries, rqMulticlusIndex(s, dir), docs,
+      rqCodebook(s, dir), beams = 4, k = 10,
+      topicMix = Some(proba), topicRatio = r)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** 16-cell IVF structure over the fixture embeddings (dir-memoized). */
   private def ivfOf(s: SparkSession, dir: String): graft.search.IVFIndex.IVF = {
     val cb = ArtifactCache.codebook(s"$dir/ivf16") {
@@ -637,6 +668,38 @@ object SparkEntry {
           col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
     }),
+
+    // doc_multiclus=2 (main_models.py:3222-3245): each doc's top-2 code
+    // tuples by the query-side beam search — the multi-membership the
+    // multicluster inverted index is built from
+    "rq_multiclus" -> ((s, dir) =>
+      rqMulticlusAssignments(s, dir)
+        .select(col("doc_id"), col("crank").cast("long").as("crank"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          round(col("logprob"), 6).as("logprob"))
+        .orderBy("doc_id", "crank")),
+
+    // V12 over the MULTIcluster index (doc_multiclus=2,
+    // main_models.py:3246-3266): candidates from every doc's top-2
+    // tuples; A10's max-dedup absorbs the double memberships
+    "coarse_fine_multiclus" -> ((s, dir) => {
+      val docs = docVecs(s, dir).select("doc_id", "vec")
+      val queries = queryVecs(s, dir).select("query_id", "qvec")
+      CoarseFineRetriever.retrieve(queries, rqMulticlusIndex(s, dir), docs,
+        rqCodebook(s, dir), beams = 4, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // use_topic_model (main_models.py:3539-3552): per-membership score
+    // q_proba·(r·doc_proba + (1−r)·qd) over the multicluster index,
+    // max-aggregated across memberships; r = topic_score_ratio = 0.5
+    "coarse_fine_topic" -> ((s, dir) => coarseFineTopic(s, dir, r = 0.5)),
+
+    // the r=0 end of the mix: score collapses to q_proba·qd (the doc
+    // proba term drops out) — the formula's reduction sanity point
+    "coarse_fine_topic_r0" -> ((s, dir) => coarseFineTopic(s, dir, r = 0.0)),
 
     // V12b: budgeted coarse→fine (reconstruction-prescored candidate
     // cut BEFORE the embedding-fetch join — the 100 TB shuffle saver)

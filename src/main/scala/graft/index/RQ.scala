@@ -180,6 +180,24 @@ object CodeAssigner {
       vecCol: String = "vec"): DataFrame =
     withCodes(df, codebook, vecCol).select(col(idCol), col("codes"))
 
+  /** doc_multiclus > 1: each doc's top-`t` code tuples, by the SAME
+    * codebook beam search the query side runs — the reference assigns
+    * multi-cluster membership with `pq.get_topk_document_mapping`
+    * (beam search over doc embeddings, MEVI/main_models.py:3222-3245 /
+    * pq.py:716-741). Returns (idCol, codes ARRAY<INT>, crank 1..t,
+    * logprob) — t rows per doc; feed `.select(idCol, "codes")` straight
+    * into [[ClusterIndexBuilder.build]] for the multicluster inverted
+    * index (main_models.py:3246-3266). t=1 reduces to [[assign]]'s
+    * greedy argmin chain. */
+  def assignTopK(
+      df: DataFrame,
+      codebook: Codebook,
+      t: Int,
+      idCol: String = "doc_id",
+      vecCol: String = "vec"): DataFrame =
+    graft.search.CodebookBeamSearch.search(df, codebook, beams = t,
+      idCol = idCol, vecCol = vecCol)
+
   /** Reconstruction error ‖x − reconstruct(assign(x))‖ per row —
     * the quantization-quality diagnostic (MEVI/pq.py:304-305 residual). */
   def reconstructionError(

@@ -100,38 +100,48 @@ object GeneratedOracles {
   /** CTEs: query side + beam search (CodebookBeamSearch.searchOne, l2 +
     * "prod" log-softmax scoring, ref MEVI/pq.py:613-713) →
     * `beams(query_id, k0..kM-1, cum)`, top-`beams` tuples per query. */
-  private def beamCtes(cb: Codebook, beams: Int, maxQueryId: Int): String = {
+  private def beamCtes(cb: Codebook, beams: Int, maxQueryId: Int): String =
+    beamCtesFor(cb, beams, s"WHERE vec_id < $maxQueryId", "")
+
+  /** Generalized beam CTE chain: `where` filters the embeddings source
+    * (empty = whole corpus — the doc_multiclus top-T assignment), and
+    * every CTE name takes prefix `p` so two chains (query beams + doc
+    * top-T) can coexist in one statement. Output: `${p}beams(query_id,
+    * k0..kM-1, cum)`. The centroid VALUES tables c0..cM-1 are NOT
+    * declared here (shared across chains; declare once per statement). */
+  private def beamCtesFor(cb: Codebook, beams: Int, where: String,
+      p: String): String = {
     val m0 = cb.numLevels
     val k = cb.k
     val levels = (0 until m0).map { m =>
       val keep = (0 until m).map(i => s"k$i, ").mkString
-      val src = if (m == 0) "q" else s"y${m - 1}"
+      val src = if (m == 0) s"${p}q" else s"${p}y${m - 1}"
       val carry = if (m == 0) "" else "cum, "
       val cumExpr = if (m == 0) "raws[CAST(code AS INT) + 1] - logz"
         else "cum + raws[CAST(code AS INT) + 1] - logz"
       val tieOrder = ((0 until m).map(i => s"k$i") :+ "code").mkString(", ")
       val base =
-        s"""e$m AS (SELECT query_id, ${keep}${carry}u$m,
+        s"""${p}e$m AS (SELECT query_id, ${keep}${carry}u$m,
            |  list_transform(${centsLit(cb, m)},
            |    cent -> -list_sum(list_transform(list_zip(u$m, cent), p -> (p[1] - p[2]) * (p[1] - p[2])))) AS raws
            |  FROM $src),
-           |g$m AS (SELECT *, list_max(raws) AS mx FROM e$m),
-           |h$m AS (SELECT *, mx + ln(list_sum(list_transform(raws, x -> exp(x - mx)))) AS logz FROM g$m),
-           |x$m AS (SELECT query_id, ${keep}u$m, code, $cumExpr AS cum FROM h$m CROSS JOIN krange),
-           |b$m AS (SELECT query_id, ${keep}u$m, code AS k$m, cum
-           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cum DESC, $tieOrder) AS rn FROM x$m)
+           |${p}g$m AS (SELECT *, list_max(raws) AS mx FROM ${p}e$m),
+           |${p}h$m AS (SELECT *, mx + ln(list_sum(list_transform(raws, x -> exp(x - mx)))) AS logz FROM ${p}g$m),
+           |${p}x$m AS (SELECT query_id, ${keep}u$m, code, $cumExpr AS cum FROM ${p}h$m CROSS JOIN ${p}krange),
+           |${p}b$m AS (SELECT query_id, ${keep}u$m, code AS k$m, cum
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cum DESC, $tieOrder) AS rn FROM ${p}x$m)
            |  WHERE rn <= $beams)""".stripMargin
       if (m < m0 - 1)
         base + s""",
-           |y$m AS (SELECT b.query_id, ${(0 to m).map(i => s"b.k$i, ").mkString}b.cum,
+           |${p}y$m AS (SELECT b.query_id, ${(0 to m).map(i => s"b.k$i, ").mkString}b.cum,
            |  list_transform(list_zip(b.u$m, c$m.cent), p -> p[1] - p[2]) AS u${m + 1}
-           |  FROM b$m b JOIN c$m ON c$m.code = b.k$m)""".stripMargin
+           |  FROM ${p}b$m b JOIN c$m ON c$m.code = b.k$m)""".stripMargin
       else base
     }.mkString(",\n")
-    s"""q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u0 FROM embeddings WHERE vec_id < $maxQueryId),
-       |krange AS (SELECT unnest(range(0, $k)) AS code),
+    s"""${p}q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u0 FROM embeddings $where),
+       |${p}krange AS (SELECT unnest(range(0, $k)) AS code),
        |$levels,
-       |beams AS (SELECT query_id, ${ks(cb).mkString(", ")}, cum FROM b${m0 - 1})""".stripMargin
+       |${p}beams AS (SELECT query_id, ${ks(cb).mkString(", ")}, cum FROM ${p}b${m0 - 1})""".stripMargin
   }
 
   private def codesStr(prefix: String, cb: Codebook): String =
@@ -190,6 +200,78 @@ object GeneratedOracles {
        |  row_number() OVER (PARTITION BY query_id ORDER BY cum DESC, $tieOrder) AS crank,
        |  ${codesStr("", cb)} AS codes, round(cum, 6) AS logprob
        |FROM beams ORDER BY query_id, crank""".stripMargin
+  }
+
+  /** doc_multiclus > 1: every doc's top-T code tuples by the SAME beam
+    * search the query side runs (pq.get_topk_document_mapping beam-searches
+    * the doc embeddings, MEVI/main_models.py:3222-3245 / pq.py:716-741) —
+    * the per-level argmin of rq_assign extended to row_number ≤ T. */
+  def rqMulticlusSql(cb: Codebook, t: Int): String = {
+    val tieOrder = ks(cb).mkString(", ")
+    val values = (0 until cb.numLevels).map(m => valuesCte(cb, m)).mkString(",\n")
+    s"""WITH $values,
+       |${beamCtesFor(cb, t, "", "")}
+       |SELECT query_id AS doc_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cum DESC, $tieOrder) AS crank,
+       |  ${codesStr("", cb)} AS codes, round(cum, 6) AS logprob
+       |FROM beams ORDER BY doc_id, crank""".stripMargin
+  }
+
+  /** Coarse→fine over the MULTI-cluster inverted index (doc_multiclus=T,
+    * MEVI/main_models.py:3246-3266): candidates come from a doc's T best
+    * tuples instead of its argmin one; the DISTINCT dedup is A10's
+    * max-over-identical-scores. Two beam chains coexist — the query side
+    * (unprefixed) and the doc top-T side (prefix `m`). */
+  def coarseFineMulticlusSql(cb: Codebook, beams: Int, k: Int, t: Int,
+      maxQueryId: Int): String = {
+    val values = (0 until cb.numLevels).map(m => valuesCte(cb, m)).mkString(",\n")
+    s"""WITH $values,
+       |d AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),
+       |${beamCtesFor(cb, beams, s"WHERE vec_id < $maxQueryId", "")},
+       |${beamCtesFor(cb, t, "", "m")},
+       |massign AS (SELECT DISTINCT query_id AS doc_id, ${ks(cb).mkString(", ")} FROM mbeams),
+       |cand AS (SELECT DISTINCT b.query_id, a.doc_id FROM beams b JOIN massign a ON ${joinCond(cb, "a", "b")}),
+       |sc AS (SELECT c.query_id, c.doc_id,
+       |  list_sum(list_transform(list_zip(qq.u0, dd.v0), p -> p[1] * p[2])) AS score
+       |  FROM cand c JOIN q qq USING (query_id) JOIN d dd USING (doc_id)),
+       |rk AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, rank, doc_id, round(score, 6) AS score
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Topic-model score mix over the multicluster index
+    * (`get_inference_scores`, MEVI/main_models.py:3539-3552): per
+    * (query, membership, doc), score = exp(beam cum) · (r·dprob +
+    * (1−r)·qd), max-deduped across memberships (multiclus_score_aggr).
+    * dprob replays docClusterProba: doc · float-reconstruction of its
+    * membership tuple. */
+  def coarseFineTopicSql(cb: Codebook, beams: Int, k: Int, t: Int,
+      r: Double, maxQueryId: Int): String = {
+    val kList = ks(cb).mkString(", ")
+    val values = (0 until cb.numLevels).map(m => valuesCte(cb, m)).mkString(",\n")
+    val rallFrom = (0 until cb.numLevels).map(m => s"c$m t$m").mkString(" CROSS JOIN ")
+    val rallCodes = (0 until cb.numLevels).map(m => s"t$m.code AS k$m").mkString(", ")
+    s"""WITH $values,
+       |d AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),
+       |${beamCtesFor(cb, beams, s"WHERE vec_id < $maxQueryId", "")},
+       |${beamCtesFor(cb, t, "", "m")},
+       |massign AS (SELECT DISTINCT query_id AS doc_id, $kList FROM mbeams),
+       |rall AS (SELECT $rallCodes, ${recExpr(cb)} AS recv FROM $rallFrom),
+       |dp AS (SELECT a.doc_id, ${ks(cb).map(x => s"a.$x").mkString(", ")},
+       |  list_sum(list_transform(list_zip(dd.v0, r.recv), p -> p[1] * CAST(p[2] AS DOUBLE))) AS dprob
+       |  FROM massign a JOIN d dd USING (doc_id) JOIN rall r ON ${joinCond(cb, "r", "a")}),
+       |sc AS (SELECT b.query_id, a.doc_id,
+       |  exp(b.cum) * (${dLit(r)} * a.dprob + ${dLit(1.0 - r)} *
+       |    list_sum(list_transform(list_zip(qq.u0, dd.v0), p -> p[1] * p[2]))) AS score
+       |  FROM beams b JOIN dp a ON ${joinCond(cb, "a", "b")}
+       |  JOIN q qq ON qq.query_id = b.query_id
+       |  JOIN d dd ON dd.doc_id = a.doc_id),
+       |ag AS (SELECT query_id, doc_id, max(score) AS score FROM sc GROUP BY query_id, doc_id),
+       |rk AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM ag)
+       |SELECT query_id, rank, doc_id, round(score, 6) AS score
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   def coarseFineSql(cb: Codebook, beams: Int, k: Int, maxQueryId: Int): String =
@@ -265,7 +347,11 @@ object GeneratedOracles {
     "rq_ndoc" -> rqNdocSql(cb, beams, maxQueryId),
     "v6_beam" -> v6BeamSql(cb, beams, maxQueryId),
     "coarse_fine" -> coarseFineSql(cb, beams, topK, maxQueryId),
-    "coarse_fine_budgeted" -> coarseFineBudgetedSql(cb, beams, topK, budget, maxQueryId))
+    "coarse_fine_budgeted" -> coarseFineBudgetedSql(cb, beams, topK, budget, maxQueryId),
+    "rq_multiclus" -> rqMulticlusSql(cb, t = 2),
+    "coarse_fine_multiclus" -> coarseFineMulticlusSql(cb, beams, topK, t = 2, maxQueryId),
+    "coarse_fine_topic" -> coarseFineTopicSql(cb, beams, topK, t = 2, r = 0.5, maxQueryId),
+    "coarse_fine_topic_r0" -> coarseFineTopicSql(cb, beams, topK, t = 2, r = 0.0, maxQueryId))
 
   def reconstructAllSql(cb: Codebook): String = {
     val values = (0 until cb.numLevels).map(m => valuesCte(cb, m)).mkString(",\n")

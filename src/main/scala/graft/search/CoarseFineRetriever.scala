@@ -32,11 +32,46 @@ object CoarseFineRetriever {
     * `metric` parameter governs the EXACT re-rank (and the budget prune,
     * which approximates that re-rank on reconstructions). */
 
+  /** Per-membership doc probability table for the topic-model mix:
+    * dprob = doc · reconstruct(codes) — the engine's stand-in for the
+    * reference's `result_proba` (each doc scored by the document encoder
+    * against its cluster's RECONSTRUCTION, gen_doc2index_mapping,
+    * MEVI/main_models.py:3310-3369; the generate scores there are raw
+    * dot products, so a dot IS the faithful shape). One row per
+    * (doc, membership) from [[graft.index.CodeAssigner.assignTopK]].
+    */
+  def docClusterProba(
+      assignments: DataFrame,
+      docs: DataFrame,
+      codebook: Codebook): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(codebook)
+    val dprobUdf = udf { (vec: Array[Float], codes: Seq[Int]) =>
+      val rec = bc.value.reconstruct(codes.toArray)
+      var s = 0.0; var j = 0
+      while (j < vec.length) { s += vec(j).toDouble * rec(j).toDouble; j += 1 }
+      s
+    }
+    assignments.select("doc_id", "codes")
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("codes"),
+        dprobUdf(col("vec"), col("codes")).as("dprob"))
+  }
+
   /** @param queries       (query_id, qvec ARRAY<FLOAT>)
     * @param clusterIndex  (codes ARRAY<INT>, doc_ids ARRAY<LONG>) from
     *                      [[graft.index.ClusterIndexBuilder]]
     * @param docs          (doc_id, vec ARRAY<FLOAT>) — the full corpus
-    * @param dedup         "max" | "sum" (A10 score-dedup mode)
+    * @param dedup         "max" | "sum" (A10 score-dedup mode; the
+    *                      reference's multiclus_score_aggr)
+    * @param topicMix      optional (doc_id, codes, dprob) table (see
+    *                      [[docClusterProba]]): scores become
+    *                      q_proba·(r·dprob + (1−r)·qd) per membership —
+    *                      `get_inference_scores`,
+    *                      MEVI/main_models.py:3539-3552, with q_proba =
+    *                      exp(beam cum logprob), the reference's
+    *                      nci_scores. None = plain qd (use_topic_model
+    *                      off).
+    * @param topicRatio    the reference's --topic_score_ratio r ∈ [0,1]
     * @return (query_id, rank, doc_id, score)
     */
   def retrieve(
@@ -47,22 +82,38 @@ object CoarseFineRetriever {
       beams: Int = 10,
       k: Int = 100,
       metric: String = "ip",
-      dedup: String = "max"): DataFrame = {
+      dedup: String = "max",
+      topicMix: Option[DataFrame] = None,
+      topicRatio: Double = 0.5): DataFrame = {
 
     val coarse = CodebookBeamSearch.search(queries, codebook, beams)
 
     // J3: candidate clusters → members. Equi-join on the code tuple.
+    // The topic mix needs the membership tuple and its beam logprob
+    // downstream; the plain path drops both right here.
     val candidates = coarse
       .join(clusterIndex.select("codes", "doc_ids"), Seq("codes"))
-      .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
+      .select(col("query_id"), col("codes"), col("logprob"),
+        explode(col("doc_ids")).as("doc_id"))
 
     // J4 + V2: fetch embeddings, score against the query vector.
-    val scored = candidates
-      .join(docs, Seq("doc_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .select(
-        col("query_id"), col("doc_id"),
-        BruteForceKNN.score(metric)(col("qvec"), col("vec")).as("score"))
+    val qd = BruteForceKNN.score(metric)(col("qvec"), col("vec"))
+    val scored = topicMix match {
+      case None =>
+        candidates
+          .join(docs, Seq("doc_id"))
+          .join(broadcast(queries), Seq("query_id"))
+          .select(col("query_id"), col("doc_id"), qd.as("score"))
+      case Some(mix) =>
+        val r = topicRatio
+        candidates
+          .join(docs, Seq("doc_id"))
+          .join(broadcast(queries), Seq("query_id"))
+          .join(mix, Seq("doc_id", "codes"))
+          .select(col("query_id"), col("doc_id"),
+            (exp(col("logprob")) *
+              (lit(r) * col("dprob") + lit(1.0 - r) * qd)).as("score"))
+    }
 
     // A10: a doc can appear via several predicted clusters.
     val agg = if (dedup == "sum") sum(col("score")) else max(col("score"))

@@ -101,4 +101,42 @@ class RQSpec extends SparkSpec {
     val cb2 = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
     assert(cb.levels.flatten.flatten.toSeq == cb2.levels.flatten.flatten.toSeq)
   }
+
+  test("assignTopK: t rows per doc, distinct tuples, sorted logprob") {
+    val topk = CodeAssigner.assignTopK(docs, cb, t = 3).cache()
+    val perDoc = topk.groupBy("doc_id").count().agg(min("count"), max("count"))
+      .head
+    assert(perDoc.getLong(0) == 3 && perDoc.getLong(1) == 3)
+    // top-T tuples per doc are distinct and ranked by logprob
+    assert(topk.select("doc_id", "codes").distinct().count() == topk.count())
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("crank")
+    val bad = topk.withColumn("prev", lag(col("logprob"), 1).over(w))
+      .where(col("prev").isNotNull && col("prev") < col("logprob"))
+    assert(bad.count() == 0, "logprob must be non-increasing in crank")
+  }
+
+  test("assignTopK with t=1 is exactly the greedy argmin chain") {
+    import spark.implicits._
+    // beam width 1 has no cross-branch competition: log-softmax argmax
+    // per level IS the per-level L2 argmin. (Width > 1 rank-1 may
+    // legitimately differ — cumulative log-prob competes across branches,
+    // which is the reference's beam semantics.)
+    val greedy = assignments.as[(Long, Seq[Int])].collect().toMap
+    val t1 = CodeAssigner.assignTopK(docs, cb, t = 1)
+      .select("doc_id", "codes").as[(Long, Seq[Int])].collect()
+    assert(t1.length == greedy.size)
+    t1.foreach { case (id, codes) => assert(codes == greedy(id), s"doc $id") }
+  }
+
+  test("multicluster index: every doc carries exactly t memberships") {
+    val multi = ClusterIndexBuilder.build(
+      CodeAssigner.assignTopK(docs, cb, t = 2).select("doc_id", "codes"))
+    val m2 = multi.select(col("codes"), explode(col("doc_ids")).as("doc_id"))
+    assert(m2.count() == 2 * docs.count())
+    val perDoc = m2.groupBy("doc_id").count()
+    assert(perDoc.where(col("count") =!= 2).count() == 0)
+    // memberships of one doc are distinct clusters
+    assert(m2.distinct().count() == m2.count())
+  }
 }

@@ -153,4 +153,34 @@ class SearchSpec extends SparkSpec {
       assert(r.getAs[Long]("doc_id") == r.getAs[Long]("query_id"))
     }
   }
+
+  test("topic mix r=0 drops the doc-proba term entirely") {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val multi = CodeAssigner.assignTopK(docs, cb, t = 2)
+    val index = ClusterIndexBuilder.build(multi.select("doc_id", "codes"))
+    val proba = CoarseFineRetriever.docClusterProba(multi, docs, cb)
+    def run(mix: org.apache.spark.sql.DataFrame) =
+      CoarseFineRetriever.retrieve(queries, index, docs, cb, beams = 4,
+        k = 10, topicMix = Some(mix), topicRatio = 0.0)
+        .collect().map(_.toString).sorted.toSeq
+    // at r=0 the score is q_proba·qd: poisoning every dprob must not
+    // change a single row
+    assert(run(proba) == run(proba.withColumn("dprob", lit(1e9))))
+  }
+
+  test("topic mix r=1 scores are membership-only (qd term drops)") {
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val multi = CodeAssigner.assignTopK(docs, cb, t = 2)
+    val index = ClusterIndexBuilder.build(multi.select("doc_id", "codes"))
+    val proba = CoarseFineRetriever.docClusterProba(multi, docs, cb)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CoarseFineRetriever.retrieve(queries, index, d, cb, beams = 4,
+        k = 10, topicMix = Some(proba), topicRatio = 1.0)
+        .collect().map(_.toString).sorted.toSeq
+    // at r=1 the qd dot is multiplied by zero: scrambling the doc
+    // vectors that feed it must not change a single row
+    val scrambled = docs.select(col("doc_id"),
+      reverse(col("vec")).as("vec"))
+    assert(run(docs) == run(scrambled))
+  }
 }
