@@ -176,11 +176,20 @@ object Bench {
         "{}"
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds: a full Double repr per query made the record
+    // ~2.5 KB and the driver's tail-capture truncated its head
+    // (BENCH_r03 "parsed: null"); ms resolution is all the diff needs
+    def sec3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"engine":$engine,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"engine":$engine,"sf":"$sfDir"}"""
+    println(line)
+    // duplicate on stderr: survives even if a stdout tail-capture clips
+    System.err.println(line)
     spark.stop()
   }
 }

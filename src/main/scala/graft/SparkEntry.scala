@@ -72,6 +72,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (Codebook, graft.index.PQCodebook)]
   private val dirHkmTrees =
     new java.util.concurrent.ConcurrentHashMap[String, graft.index.HierarchicalKMeans.Tree]
+  private val dirAlignments =
+    new java.util.concurrent.ConcurrentHashMap[String, (Codebook, Codebook, Array[Array[Int]])]
   @volatile private var lastDir: Option[String] = None
 
   /** Session-memoized RQ artifacts per fixture dir (path-keyed caching,
@@ -1114,6 +1116,66 @@ object SparkEntry {
         .orderBy("row_id")
     }),
 
+    // S9: the torch-tensor sink is Parquet by design (SURVEY §2.1) —
+    // ARRAY<FLOAT> columns must survive a write/read bit-exactly
+    "s9_tensor_parquet" -> ((s, dir) => {
+      val path = s"target/tmp/tensor_pq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      t(s, dir, "embeddings").where(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding").as("vec"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("vec"),
+            x => microUnits(x, 5))).as("vec"))
+        .orderBy("vec_id")
+    }),
+
+    // V11: codebook alignment across re-clusterings (pq.py:600-611) —
+    // refresh the codebook with a different seed, Hungarian-match new
+    // centroids to old, emit (level, new_code → old_code, L2² cost); the
+    // oracle recomputes each pair's cost from inlined centroid literals
+    "v11_align" -> ((s, dir) => {
+      val old = rqCodebook(s, dir)
+      val fresh = ArtifactCache.codebook(s"$dir/rq2x3/refresh7") {
+        RQTrainer.fit(docVecs(s, dir).select("doc_id", "vec"), "vec",
+          numLevels = 2, k = 8, seed = 7L, maxIter = 10)
+      }
+      val perms = old.levels.indices.map(m =>
+        graft.index.CodebookAligner.alignOptimal(
+          old.levels(m), fresh.levels(m))).toArray
+      dirAlignments.put(dir, (old, fresh, perms))
+      lastDir = Some(dir)
+      val rows = for {
+        m <- old.levels.indices
+        n <- perms(m).indices
+      } yield {
+        val o = perms(m)(n)
+        val a = fresh.levels(m)(n); val b = old.levels(m)(o)
+        var cst = 0.0; var j = 0
+        while (j < a.length) {
+          val d = a(j).toDouble - b(j).toDouble; cst += d * d; j += 1
+        }
+        (m, n, o, math.floor(cst * 1000000 + 0.5).toLong)
+      }
+      import s.implicits._
+      rows.toDF("level", "new_code", "old_code", "cost")
+        .orderBy("level", "new_code")
+    }),
+
+    // Salted skew join: the hot-key spreader must be row-identical to the
+    // plain equi-join (oracle = the plain join, aggregated)
+    "skew_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val dim = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.pipeline.SkewJoin.salted(fact, dim, "suppkey", salt = 8)
+        .groupBy("suppkey", "s_name")
+        .agg(count(lit(1)).as("n"), round(sum(col("rev")), 2).as("revenue"))
+        .orderBy("suppkey")
+    }),
+
     // P5: deterministic query char-span augmentation (main_utils.py:89-101)
     "p5_query_spans" -> ((s, dir) =>
       Augment.querySpans(
@@ -1370,6 +1432,10 @@ object SparkEntry {
           "hkm_assign" -> graft.oracle.GeneratedOracles.hkmAssignSql(tree),
           "hkm_beam" -> graft.oracle.GeneratedOracles.hkmBeamSql(
             tree, beams = 4, maxQueryId = 20)))
+        .getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirAlignments.get(d)))
+        .map { case (old, fresh, perms) => Map("v11_align" ->
+          graft.oracle.GeneratedOracles.alignSql(old, fresh, perms)) }
         .getOrElse(Map.empty)
   }
 
@@ -1766,6 +1832,18 @@ object SparkEntry {
         |  array_to_string(list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 100000 + 0.5) AS BIGINT)), ',') AS vec
         |FROM embeddings WHERE vec_id < 500 ORDER BY row_id""".stripMargin,
+
+    "s9_tensor_parquet" ->
+      """SELECT vec_id,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 100000 + 0.5) AS BIGINT)), ',') AS vec
+        |FROM embeddings WHERE vec_id < 500 ORDER BY vec_id""".stripMargin,
+
+    "skew_join" ->
+      """SELECT l_suppkey AS suppkey, s_name, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY suppkey, s_name ORDER BY suppkey""".stripMargin,
 
     "p5_query_spans" ->
       """WITH q AS (SELECT substr(text, 1, 80) AS query FROM documents WHERE doc_id < 100),

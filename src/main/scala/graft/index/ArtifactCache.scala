@@ -19,17 +19,26 @@ import scala.collection.concurrent.TrieMap
 object ArtifactCache {
 
   private val frames = TrieMap.empty[String, DataFrame]
-  private val values = TrieMap.empty[String, Any]
+  private val values =
+    new java.util.concurrent.ConcurrentHashMap[String, Lazy]
 
   def codebook(key: String)(train: => Codebook): Codebook =
     value[Codebook](key)(train)
 
   /** Arbitrary serializable trained artifact (model weights, thresholds).
-    * Like codebooks these are plain objects, safe across sessions. Builds
-    * are serialized (like `frame`) so two concurrent callers can't both
-    * launch the same expensive training job and discard one result. */
-  def value[T](key: String)(build: => T): T = values.synchronized {
-    values.getOrElseUpdate(key, build).asInstanceOf[T]
+    * Like codebooks these are plain objects, safe across sessions.
+    * Memoization is PER KEY (computeIfAbsent stores a lazy cell): two
+    * concurrent callers of the same key still build once, but a cache hit
+    * or an unrelated build never blocks behind another key's in-flight
+    * training job — a global lock here would serialize every lookup
+    * under the longest KMeans fit. */
+  def value[T](key: String)(build: => T): T =
+    values.computeIfAbsent(key, _ => new Lazy(() => build)).get.asInstanceOf[T]
+
+  /** One-shot memo cell: `lazy val` forces the thunk exactly once; late
+    * arrivals for the SAME key block only on this cell's monitor. */
+  private final class Lazy(thunk: () => Any) {
+    lazy val get: Any = thunk()
   }
 
   /** Cached + persisted DataFrame (materialized once per live context).

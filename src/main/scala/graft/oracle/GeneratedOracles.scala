@@ -630,6 +630,36 @@ object GeneratedOracles {
        |WHERE rn <= $beams ORDER BY query_id, rank""".stripMargin
   }
 
+  /** V11 codebook-alignment oracle: both codebooks and the Hungarian
+    * permutation are inlined as VALUES; DuckDB recomputes each matched
+    * pair's L2² cost from the centroid literals, so the replay certifies
+    * the (new_code → old_code) pairing AND the cost arithmetic. The
+    * optimality of the permutation itself is pinned by IVFSpec's
+    * permutation-recovery and greedy-vs-optimal adversarial tests (the
+    * reference's linear_sum_assignment, MEVI/pq.py:600-611). */
+  def alignSql(old: Codebook, fresh: Codebook,
+      perms: Array[Array[Int]]): String = {
+    def cbValues(name: String, cb: Codebook): String = {
+      val rows = cb.levels.zipWithIndex.flatMap { case (cents, m) =>
+        cents.zipWithIndex.map { case (c, code) => s"($m, $code, ${centList(c)})" }
+      }.mkString(", ")
+      s"$name(level, code, cent) AS (VALUES $rows)"
+    }
+    val permRows = perms.zipWithIndex.flatMap { case (p, m) =>
+      p.zipWithIndex.map { case (oldCode, newCode) => s"($m, $newCode, $oldCode)" }
+    }.mkString(", ")
+    s"""WITH ${cbValues("oldc", old)},
+       |${cbValues("newc", fresh)},
+       |perm(level, new_code, old_code) AS (VALUES $permRows)
+       |SELECT p.level, p.new_code, p.old_code,
+       |  CAST(floor(list_sum(list_transform(list_zip(n.cent, o.cent),
+       |    q -> (q[1] - q[2]) * (q[1] - q[2]))) * 1000000 + 0.5) AS BIGINT) AS cost
+       |FROM perm p
+       |JOIN newc n ON n.level = p.level AND n.code = p.new_code
+       |JOIN oldc o ON o.level = p.level AND o.code = p.old_code
+       |ORDER BY p.level, p.new_code""".stripMargin
+  }
+
   /** PCA/OPQ rotation oracle: replays PcaRotation.projectExpr — per kept
     * component, a sequential double fold of embedding×component products
     * (same shape as dotSql), then the micro-unit projection

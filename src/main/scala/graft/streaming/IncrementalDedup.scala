@@ -117,8 +117,15 @@ object IncrementalDedup {
     val intra = intraBatchMatches(banded, simThreshold, maxBucket)
     val matches = if (fs.exists(storePath)) {
       // exclude this batch's own partition from the store view: a RETRY
-      // must not match the batch against its own half-written signatures
-      val store = spark.read.parquet(storeDir)
+      // must not match the batch against its own half-written signatures.
+      // The schema is given EXPLICITLY (the banded frame's + the batch
+      // partition column): schema inference would open parquet footers —
+      // including a torn file in this batch's own half-written partition,
+      // which the batch filter prunes only at planning time.
+      val storeSchema = banded.schema
+        .add(org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType, nullable = true))
+      val store = spark.read.schema(storeSchema).parquet(storeDir)
         .where(col("batch") =!= batchId)
       matchesAgainst(banded, store, simThreshold, maxBucket).unionByName(intra)
     } else intra
@@ -133,7 +140,7 @@ object IncrementalDedup {
       matchesDir: String, checkpointDir: String,
       schema: org.apache.spark.sql.types.StructType,
       numPerms: Int = 8, rowsPerBand: Int = 4,
-      simThreshold: Double = 0.75): StreamingQuery = {
+      simThreshold: Double = 0.75, maxBucket: Int = 1000): StreamingQuery = {
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .outputMode("append")
@@ -141,7 +148,7 @@ object IncrementalDedup {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, storeDir, matchesDir,
-          numPerms, rowsPerBand, simThreshold)
+          numPerms, rowsPerBand, simThreshold, maxBucket)
       }
       .start()
   }
