@@ -694,6 +694,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Graph ANN (the batch answer to the reference's faiss HNSW256,
+    // faiss_search.py:87-89): k-NN graph by NN-descent, seeded from IVF
+    // cells — 2 unrolled rounds, oracle replays every join and cap
+    "knn_graph" -> ((s, dir) => {
+      val ivf = ivfOf(s, dir)
+      graft.search.KnnGraph.build(docVecs(s, dir).select("doc_id", "vec"),
+        ivf.cells, k = 8, rounds = 2)
+        .select(col("src"), col("rank").cast("long").as("rank"),
+          col("dst"), round(col("score"), 6).as("score"))
+        .orderBy("src", "rank")
+    }),
+
     // use_topic_model (main_models.py:3539-3552): per-membership score
     // q_proba·(r·doc_proba + (1−r)·qd) over the multicluster index,
     // max-aggregated across memberships; r = topic_score_ratio = 0.5
@@ -1406,9 +1418,11 @@ object SparkEntry {
           maxChunk = graft.index.ClusterIndexBuilder.DefaultMaxChunk,
           maxQueryId = 20)).getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirIvfCodebooks.get(d)))
-        .map(cb => Map("ivf_knn" ->
-          graft.oracle.GeneratedOracles.ivfKnnSql(
-            cb, nprobe = 4, k = 10, maxQueryId = 20))).getOrElse(Map.empty) ++
+        .map(cb => Map(
+          "ivf_knn" -> graft.oracle.GeneratedOracles.ivfKnnSql(
+            cb, nprobe = 4, k = 10, maxQueryId = 20),
+          "knn_graph" -> graft.oracle.GeneratedOracles.knnGraphSql(
+            cb, k = 8, rounds = 2, maxDegree = 16))).getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirRerankers.get(d)))
         .map { case (coef, intercept) => Map("v15_rerank" ->
           graft.oracle.GeneratedOracles.rerankSql(

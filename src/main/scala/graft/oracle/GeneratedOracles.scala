@@ -630,6 +630,47 @@ object GeneratedOracles {
        |WHERE rn <= $beams ORDER BY query_id, rank""".stripMargin
   }
 
+  /** k-NN-graph oracle: exact replay of KnnGraph.build — IVF-cell argmin
+    * (inlined 1-level codebook), lowest-id cellmate seeding, then
+    * `rounds` unrolled NN-descent iterations (symmetrize → degree cap →
+    * neighbor-of-neighbor proposals → rescore → bounded top-k). Every
+    * step tie-breaks on ids, so the replay is bit-exact. */
+  def knnGraphSql(cb: Codebook, k: Int, rounds: Int, maxDegree: Int): String = {
+    require(cb.numLevels == 1, "knn-graph seed expects a 1-level IVF codebook")
+    val ipSql = "list_sum(list_transform(list_zip(ds.v0, dd.v0), p -> p[1] * p[2]))"
+    def scored(pairs: String, out: String): String =
+      s"""$out AS (SELECT src, dst, $ipSql AS score
+         |  FROM $pairs JOIN d ds ON ds.doc_id = src JOIN d dd ON dd.doc_id = dst)""".stripMargin
+    def ranked(sc: String, out: String): String =
+      s"""$out AS (SELECT src, dst, score,
+         |  row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank FROM $sc)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""u$r AS (SELECT src AS node, dst AS nb, score FROM g${r - 1} WHERE rank <= $k
+         |  UNION SELECT dst AS node, src AS nb, score FROM g${r - 1} WHERE rank <= $k),
+         |cap$r AS (SELECT node, nb FROM (
+         |  SELECT node, nb, row_number() OVER (PARTITION BY node ORDER BY score DESC, nb) AS rn FROM u$r)
+         |  WHERE rn <= $maxDegree),
+         |pr$r AS (SELECT x.nb AS src, y.nb AS dst FROM cap$r x JOIN cap$r y
+         |    ON x.node = y.node AND x.nb <> y.nb
+         |  UNION SELECT node AS src, nb AS dst FROM cap$r
+         |  UNION SELECT src, dst FROM g${r - 1} WHERE rank <= $k),
+         |${scored(s"pr$r", s"sc$r")},
+         |${ranked(s"sc$r", s"g$r")}""".stripMargin
+    }.mkString(",\n")
+    val tail = if (rounds > 0) s",\n$roundCtes" else ""
+    s"""WITH ${assignCtes(cb)},
+       |cells AS (SELECT doc_id, k0 AS cell FROM assign),
+       |sd AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.doc_id <> b.doc_id),
+       |g0p AS (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM sd)
+       |  WHERE rn <= $k),
+       |${scored("g0p", "sc0")},
+       |${ranked("sc0", "g0")}$tail
+       |SELECT src, rank, dst, round(score, 6) AS score
+       |FROM g$rounds WHERE rank <= $k ORDER BY src, rank""".stripMargin
+  }
+
   /** V11 codebook-alignment oracle: both codebooks and the Hungarian
     * permutation are inlined as VALUES; DuckDB recomputes each matched
     * pair's L2² cost from the centroid literals, so the replay certifies

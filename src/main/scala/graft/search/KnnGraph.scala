@@ -1,0 +1,121 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed k-NN-graph construction by NN-descent, seeded from IVF
+  * cells — the engine's batch counterpart to the reference's shipped
+  * graph-ANN baseline (faiss `HNSW256`, MEVI/faiss_search.py:87-89;
+  * README twin-tower table). HNSW itself is a sequential, pointer-chasing
+  * in-memory structure with no good distributed analog; the established
+  * batch substitute is the k-NN GRAPH it navigates, built by NN-descent
+  * (Dong et al., WWW'11 "Efficient K-Nearest Neighbor Graph Construction
+  * for Generic Similarity Measures"): start from cheap candidates, then
+  * repeatedly propose each node's neighbors-of-neighbors and keep the
+  * best k. The converged graph serves the same roles (graph-walk ANN
+  * serving, diversification, dedup blocking) and each round is pure
+  * joins + bounded top-k — exactly what Spark distributes well.
+  *
+  * Scale posture: the seed join is blocked per IVF cell (O(Σ cell²) with
+  * bounded cells — the dedup_embedding shape); each round's
+  * neighbor-of-neighbor expansion caps the undirected adjacency at
+  * `maxDegree` per node (NN-descent's ρK sampling), bounding candidate
+  * fan-out at maxDegree² per node; scoring joins the embedding table
+  * twice (shuffle on doc_id, the corpus's natural key) and the merge is
+  * a map-side-combinable bounded top-k. Rounds are fixed (no
+  * driver-side convergence loop reading data): R=2-3 reaches
+  * high-90s recall on real corpora per the NN-descent literature.
+  *
+  * Everything is deterministic and partitioning-independent: seed
+  * neighbors are the k lowest-id cellmates, caps and ranks tie-break on
+  * ids, scores fold sequentially — so the whole build replays in the
+  * DuckDB oracle (GeneratedOracles.knnGraphSql unrolls the rounds).
+  */
+object KnnGraph {
+
+  /** IP score (normalized embeddings → cosine), double sequential fold —
+    * the library-wide oracle-replayable dot. */
+  private val ip = BruteForceKNN.score("ip") _
+
+  /** Seed graph: each doc's `k` lowest-id same-cell companions, scored.
+    * cells: (doc_id, cell); docs: (doc_id, vec). */
+  private[search] def seed(docs: DataFrame, cells: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = cells.select(col("doc_id"), col("cell"))
+    val w = Window.partitionBy("src").orderBy("dst")
+    m.as("a").join(m.as("b"),
+        col("a.cell") === col("b.cell") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("src", "dst")
+  }
+
+  /** Score (src, dst) pairs by joining the embedding table on both ends. */
+  private def score(pairs: DataFrame, docs: DataFrame): DataFrame =
+    pairs
+      .join(docs.select(col("doc_id").as("src"), col("vec").as("svec")), Seq("src"))
+      .join(docs.select(col("doc_id").as("dst"), col("vec").as("dvec")), Seq("dst"))
+      .select(col("src"), col("dst"), ip(col("svec"), col("dvec")).as("score"))
+
+  /** One NN-descent round over the current scored edge set (src, dst,
+    * score): symmetrize, cap the adjacency at `maxDegree` BEST-SCORING
+    * neighbors (an id-ordered cap would evict exactly the links descent
+    * propagates through), propose all neighbor pairs, and return the
+    * union of old and proposed edges (unscored, distinct). */
+  private[search] def expand(edges: DataFrame, maxDegree: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the dot is symmetric, so a pair present in both directions carries
+    // one identical score row after distinct()
+    val und = edges
+      .select(col("src").as("node"), col("dst").as("nb"), col("score"))
+      .unionByName(edges
+        .select(col("dst").as("node"), col("src").as("nb"), col("score")))
+      .distinct()
+    val w = Window.partitionBy("node").orderBy(col("score").desc, col("nb"))
+    val capped = und.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxDegree).select("node", "nb")
+    val proposed = capped.as("x").join(capped.as("y"), Seq("node"))
+      .where(col("x.nb") =!= col("y.nb"))
+      .select(col("x.nb").as("src"), col("y.nb").as("dst"))
+    // reverse-edge adoption: NN-descent updates from B[v] ∪ R[v] — a node
+    // may keep a doc that chose IT as neighbor (und is symmetric, so the
+    // capped adjacency doubles as the adoption candidate list)
+    val adopted = capped.select(col("node").as("src"), col("nb").as("dst"))
+    edges.select("src", "dst").unionByName(proposed).unionByName(adopted)
+      .distinct()
+  }
+
+  /** Build the k-NN graph: (src, rank 1-based, dst, score), `k` rows per
+    * node (fewer for nodes whose candidate closure is smaller).
+    *
+    * @param docs      (doc_id, vec ARRAY<FLOAT>)
+    * @param cells     (doc_id, cell) — IVF coarse assignment (the seed
+    *                  blocking; [[graft.index.CodeAssigner]] over a
+    *                  1-level codebook)
+    * @param k         neighbors per node
+    * @param rounds    NN-descent iterations (fixed, no data-dependent loop)
+    * @param maxDegree adjacency cap per node during expansion (default 2k)
+    */
+  def build(docs: DataFrame, cells: DataFrame, k: Int, rounds: Int = 2,
+      maxDegree: Int = 0): DataFrame = {
+    require(k >= 1 && rounds >= 0)
+    val cap = if (maxDegree > 0) maxDegree else 2 * k
+    var ranked = topK(score(seed(docs, cells, k), docs), k).localCheckpoint()
+    for (_ <- 0 until rounds) {
+      ranked = topK(score(
+        expand(ranked.select("src", "dst", "score"), cap), docs), k)
+        .localCheckpoint()
+    }
+    ranked
+  }
+
+  /** Bounded top-k per src on (score desc, dst asc) — TopK's canonical
+    * ranked contract, renamed to graph columns. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    TopK.ranked(
+      scored.select(col("src").as("query_id"), col("dst").as("doc_id"),
+        col("score")), k)
+      .select(col("query_id").as("src"), col("rank"),
+        col("doc_id").as("dst"), col("score"))
+}
