@@ -200,6 +200,10 @@ object SparkEntry {
     queries("v15_rerank")(s, dir)
     queries("v_opq_rotate")(s, dir)
     queries("hkm_assign")(s, dir)
+    // multiclus assignments + index + doc-proba frames, and the v11
+    // refresh codebook — all ArtifactCache-backed, eager at construction
+    queries("coarse_fine_topic")(s, dir)
+    queries("v11_align")(s, dir)
     ArtifactCache.frame(s, s"$dir/dedup/sig8", persist = false) {
       Dedup.minhashSignatures(t(s, dir, "documents"), numPerms = 8)
         .localCheckpoint()

@@ -209,4 +209,16 @@ class PlanSpec extends SparkSpec {
       // do not stop s2 — it shares the SparkContext with the suite session
     }
   }
+
+  test("no query in the catalog plans an unbroadcast cartesian product") {
+    // full-catalog sweep: every SparkEntry query's physical plan at
+    // sf0.001 — the deliberate small-side crossJoins (BruteForceKNN's
+    // query batch, BM25's single-row stats, the containment theta join)
+    // must all land as BroadcastNestedLoopJoin, never CartesianProduct
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = planString(fn(spark, sf("0.001")))
+      assert(!p.contains("CartesianProduct"),
+        s"query $name plans a cartesian product:\n$p")
+    }
+  }
 }
