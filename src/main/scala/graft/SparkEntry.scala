@@ -118,6 +118,26 @@ object SparkEntry {
         rqMulticlusAssignments(s, dir).select("doc_id", "codes"))
     }
 
+  /** Token-containment matches (J5), dir-memoized — j5 reports them and
+    * a9 inverts them; without sharing, each pays the corpus tokenization
+    * + window scan separately. */
+  private def answerMatches(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.frame(s, s"$dir/answers/token_matches") {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val answers = t(s, dir, "documents").where(col("doc_id") < 10)
+        .select(col("doc_id").as("query_idx"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 5, 2)).as("answer"))
+      AnswerIndex.tokenContainmentJoin(docs, answers)
+    }
+
+  /** NN-descent k-NN graph over the fixture corpus (dir-memoized; the
+    * build localCheckpoints itself, so no extra persist). */
+  private def knnGraphOf(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.frame(s, s"$dir/knn_graph8x2", persist = false) {
+      graft.search.KnnGraph.build(docVecs(s, dir).select("doc_id", "vec"),
+        ivfOf(s, dir).cells, k = 8, rounds = 2)
+    }
+
   /** Shared body of the two topic-mix queries (r = topic_score_ratio). */
   private def coarseFineTopic(s: SparkSession, dir: String, r: Double): DataFrame = {
     val docs = docVecs(s, dir).select("doc_id", "vec")
@@ -701,13 +721,29 @@ object SparkEntry {
     // Graph ANN (the batch answer to the reference's faiss HNSW256,
     // faiss_search.py:87-89): k-NN graph by NN-descent, seeded from IVF
     // cells — 2 unrolled rounds, oracle replays every join and cap
-    "knn_graph" -> ((s, dir) => {
-      val ivf = ivfOf(s, dir)
-      graft.search.KnnGraph.build(docVecs(s, dir).select("doc_id", "vec"),
-        ivf.cells, k = 8, rounds = 2)
+    "knn_graph" -> ((s, dir) =>
+      knnGraphOf(s, dir)
         .select(col("src"), col("rank").cast("long").as("rank"),
           col("dst"), round(col("score"), 6).as("score"))
-        .orderBy("src", "rank")
+        .orderBy("src", "rank")),
+
+    // ...and its SERVING side: per-query entries from probed IVF cells
+    // (the IVF+graph hybrid — fixed entries strand the walk in the entry
+    // clusters), then a frontier-beam walk over the graph edges — the
+    // distributed form of HNSW's greedy search
+    "knn_graph_search" -> ((s, dir) => {
+      val ivf = ivfOf(s, dir)
+      val queries = queryVecs(s, dir).select("query_id", "qvec")
+      graft.search.KnnGraph.walk(
+        queries,
+        knnGraphOf(s, dir).select("src", "dst"),
+        docVecs(s, dir).select("doc_id", "vec"),
+        k = 10, beam = 16, rounds = 2,
+        entries = graft.search.KnnGraph.probeEntries(
+          queries, ivf.cells, ivf.codebook, nprobe = 4, perCell = 4))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
     }),
 
     // use_topic_model (main_models.py:3539-3552): per-membership score
@@ -987,27 +1023,16 @@ object SparkEntry {
         .orderBy("event_id")),
 
     // J5: answer-containment theta join (broadcast nested-loop + contains)
-    "j5_answer_contain" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val answers = t(s, dir, "documents").where(col("doc_id") < 10)
-        .select(col("doc_id").as("query_idx"),
-          concat_ws(" ", slice(split(col("text"), "\\s+"), 5, 2)).as("answer"))
-      AnswerIndex.tokenContainmentJoin(docs, answers)
-        .orderBy("query_idx", "doc_id")
-    }),
+    "j5_answer_contain" -> ((s, dir) =>
+      answerMatches(s, dir).orderBy("query_idx", "doc_id")),
 
     // A9: inverse answer index (doc → sorted query list)
-    "a9_inverse_index" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val answers = t(s, dir, "documents").where(col("doc_id") < 10)
-        .select(col("doc_id").as("query_idx"),
-          concat_ws(" ", slice(split(col("text"), "\\s+"), 5, 2)).as("answer"))
-      AnswerIndex.inverse(AnswerIndex.tokenContainmentJoin(docs, answers))
+    "a9_inverse_index" -> ((s, dir) =>
+      AnswerIndex.inverse(answerMatches(s, dir))
         .select(col("doc_id"),
           concat_ws(",", col("query_idx").cast("array<string>")).as("query_idx"),
           col("n_queries"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // P6: deterministic doc-window augmentation
     "p6_doc_windows" -> ((s, dir) =>
@@ -1426,7 +1451,11 @@ object SparkEntry {
           "ivf_knn" -> graft.oracle.GeneratedOracles.ivfKnnSql(
             cb, nprobe = 4, k = 10, maxQueryId = 20),
           "knn_graph" -> graft.oracle.GeneratedOracles.knnGraphSql(
-            cb, k = 8, rounds = 2, maxDegree = 16))).getOrElse(Map.empty) ++
+            cb, k = 8, rounds = 2, maxDegree = 16),
+          "knn_graph_search" -> graft.oracle.GeneratedOracles.knnGraphWalkSql(
+            cb, k = 8, rounds = 2, maxDegree = 16, walkK = 10, beam = 16,
+            walkRounds = 2, nprobe = 4, perCell = 4,
+            maxQueryId = 20))).getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirRerankers.get(d)))
         .map { case (coef, intercept) => Map("v15_rerank" ->
           graft.oracle.GeneratedOracles.rerankSql(

@@ -635,7 +635,11 @@ object GeneratedOracles {
     * `rounds` unrolled NN-descent iterations (symmetrize → degree cap →
     * neighbor-of-neighbor proposals → rescore → bounded top-k). Every
     * step tie-breaks on ids, so the replay is bit-exact. */
-  def knnGraphSql(cb: Codebook, k: Int, rounds: Int, maxDegree: Int): String = {
+  /** The NN-descent graph CTE chain (everything up to `g<rounds>`,
+    * rank column included) — shared by the build oracle and the
+    * graph-walk serving oracle. */
+  private def knnGraphCtes(cb: Codebook, k: Int, rounds: Int,
+      maxDegree: Int): String = {
     require(cb.numLevels == 1, "knn-graph seed expects a 1-level IVF codebook")
     val ipSql = "list_sum(list_transform(list_zip(ds.v0, dd.v0), p -> p[1] * p[2]))"
     def scored(pairs: String, out: String): String =
@@ -658,7 +662,7 @@ object GeneratedOracles {
          |${ranked(s"sc$r", s"g$r")}""".stripMargin
     }.mkString(",\n")
     val tail = if (rounds > 0) s",\n$roundCtes" else ""
-    s"""WITH ${assignCtes(cb)},
+    s"""${assignCtes(cb)},
        |cells AS (SELECT doc_id, k0 AS cell FROM assign),
        |sd AS (SELECT a.doc_id AS src, b.doc_id AS dst
        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.doc_id <> b.doc_id),
@@ -666,9 +670,55 @@ object GeneratedOracles {
        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM sd)
        |  WHERE rn <= $k),
        |${scored("g0p", "sc0")},
-       |${ranked("sc0", "g0")}$tail
+       |${ranked("sc0", "g0")}$tail""".stripMargin
+  }
+
+  def knnGraphSql(cb: Codebook, k: Int, rounds: Int, maxDegree: Int): String =
+    s"""WITH ${knnGraphCtes(cb, k, rounds, maxDegree)}
        |SELECT src, rank, dst, round(score, 6) AS score
        |FROM g$rounds WHERE rank <= $k ORDER BY src, rank""".stripMargin
+
+  /** Graph-walk serving oracle (KnnGraph.walk + probeEntries): rebuild
+    * the graph with the build CTEs, probe each query's `nprobe` nearest
+    * IVF cells and take `perCell` lowest-id members as entry points,
+    * then unroll `walkRounds` of frontier-beam expansion through the
+    * final edge set; top-`walkK` of everything scored. */
+  def knnGraphWalkSql(cb: Codebook, k: Int, rounds: Int, maxDegree: Int,
+      walkK: Int, beam: Int, walkRounds: Int, nprobe: Int, perCell: Int,
+      maxQueryId: Int): String = {
+    val wip = "list_sum(list_transform(list_zip(wq.u, dd.v0), p -> p[1] * p[2]))"
+    val walkCtes = (1 to walkRounds).map { r =>
+      s"""wf${r - 1} AS (SELECT query_id, doc_id FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+         |  FROM ws${r - 1}) WHERE rn <= $beam),
+         |wn$r AS (SELECT DISTINCT f.query_id, e.dst AS doc_id
+         |  FROM wf${r - 1} f JOIN ge e ON e.src = f.doc_id),
+         |ws$r AS (SELECT n.query_id, n.doc_id, $wip AS score
+         |  FROM wn$r n JOIN wq ON wq.query_id = n.query_id JOIN d dd ON dd.doc_id = n.doc_id
+         |  UNION SELECT query_id, doc_id, score FROM ws${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val tail = if (walkRounds > 0) s",\n$walkCtes" else ""
+    s"""WITH ${knnGraphCtes(cb, k, rounds, maxDegree)},
+       |ge AS (SELECT src, dst FROM g$rounds WHERE rank <= $k),
+       |wq AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u
+       |  FROM embeddings WHERE vec_id < $maxQueryId),
+       |wpd AS (SELECT wq.query_id, code AS cell,
+       |  list_sum(list_transform(list_zip(wq.u, cent), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+       |  FROM wq CROSS JOIN c0),
+       |wprobe AS (SELECT query_id, cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn FROM wpd)
+       |  WHERE rn <= $nprobe),
+       |went AS (SELECT query_id, doc_id FROM (
+       |  SELECT p.query_id, m.doc_id,
+       |    row_number() OVER (PARTITION BY p.query_id, m.cell ORDER BY m.doc_id) AS rn
+       |  FROM wprobe p JOIN cells m ON m.cell = p.cell) WHERE rn <= $perCell),
+       |ws0 AS (SELECT e.query_id, e.doc_id, $wip AS score
+       |  FROM went e JOIN wq ON wq.query_id = e.query_id JOIN d dd ON dd.doc_id = e.doc_id)$tail
+       |SELECT query_id, rank, doc_id, round(score, 6) AS score
+       |FROM (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM ws$walkRounds)
+       |WHERE rank <= $walkK ORDER BY query_id, rank""".stripMargin
   }
 
   /** V11 codebook-alignment oracle: both codebooks and the Hungarian

@@ -118,4 +118,76 @@ object KnnGraph {
         col("score")), k)
       .select(col("query_id").as("src"), col("rank"),
         col("doc_id").as("dst"), col("score"))
+
+  /** Per-query entry points for the graph walk: probe the `nprobe`
+    * nearest IVF cells (L2 to centroid, cell-id tie-break — the same
+    * probe as IVFIndex) and take each probed cell's `perCell` lowest-id
+    * members. A tight-cluster k-NN graph has almost no inter-cluster
+    * edges, so FIXED global entries strand the walk in the entry
+    * clusters; cell-probed entries are the IVF+graph hybrid that lands
+    * the frontier near the query before the graph refines it (the same
+    * coarse→fine shape as the rest of the engine). */
+  def probeEntries(queries: DataFrame, cells: DataFrame,
+      codebook: graft.index.Codebook, nprobe: Int,
+      perCell: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bc = queries.sparkSession.sparkContext.broadcast(codebook)
+    val probeUdf = IVFIndex.probeCellsUdf(bc, nprobe)
+    val probes = queries
+      .select(col("query_id"), explode(probeUdf(col("qvec"))).as("cell"))
+    val w = Window.partitionBy("query_id", "cell").orderBy("doc_id")
+    probes.join(cells.select(col("doc_id"), col("cell")), Seq("cell"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perCell)
+      .select("query_id", "doc_id")
+  }
+
+  /** Serve ANN queries by WALKING a prebuilt k-NN graph — the batch
+    * analog of HNSW's greedy search (faiss_search.py:87-89 serving side):
+    * score per-query entry points (see [[probeEntries]]), then `rounds`
+    * of frontier expansion (follow the graph edges of the current
+    * top-`beam` docs, score the neighbors, fold into the seen set), and
+    * return the top-`k` of everything scored. A per-query greedy walk is
+    * sequential; the fixed-round frontier-beam form is the distributed
+    * equivalent — every round is one join against the edge table
+    * (shuffled on doc_id, the corpus's natural key) plus a bounded
+    * top-k, identical work per query, fully deterministic → the oracle
+    * unrolls build AND walk.
+    *
+    * @param queries (query_id, qvec); @param edges (src, dst) from
+    * [[build]]; @param docs (doc_id, vec); @param entries
+    * (query_id, doc_id) per-query entry points.
+    */
+  def walk(queries: DataFrame, edges: DataFrame, docs: DataFrame,
+      k: Int, beam: Int = 16, rounds: Int = 2,
+      entries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && beam >= 1 && rounds >= 0)
+    val qcols = queries.select(col("query_id"), col("qvec"))
+
+    def scoreDocs(cand: DataFrame): DataFrame = cand
+      .join(docs.select(col("doc_id"), col("vec")), Seq("doc_id"))
+      .join(broadcast(qcols), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        ip(col("qvec"), col("vec")).as("score"))
+
+    def topB(seen: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      seen.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= beam).select("query_id", "doc_id")
+    }
+
+    var seen = scoreDocs(entries.select("query_id", "doc_id"))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val nbrs = topB(seen)
+        .join(edges.select(col("src").as("doc_id"), col("dst")), Seq("doc_id"))
+        .select(col("query_id"), col("dst").as("doc_id"))
+        .distinct()
+      // same (query, doc) always scores identically → distinct dedups
+      seen = scoreDocs(nbrs).unionByName(seen).distinct().localCheckpoint()
+    }
+    TopK.ranked(seen, k)
+  }
 }

@@ -64,6 +64,49 @@ class KnnGraphSpec extends SparkSpec {
       s"(seed $r0, 2 rounds $r2)")
   }
 
+  test("graph walk serves queries with high recall on clustered data") {
+    val rng = new scala.util.Random(9)
+    val data = (0 until 800).map { i =>
+      val c = i % 40
+      val center = Array.tabulate(16)(j => math.sin((c * 16 + j).toDouble))
+      val v = center.map(x => (x + 0.08 * rng.nextGaussian()).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }
+    val cdocs = data.toDF("doc_id", "vec").cache()
+    val cb = RQTrainer.fit(cdocs, "vec", numLevels = 1, k = 16, seed = 1L,
+      maxIter = 10)
+    val ccells = CodeAssigner.assign(cdocs, cb)
+      .select(col("doc_id"), col("codes").getItem(0).as("cell")).cache()
+    val graph = KnnGraph.build(cdocs, ccells, k = 8, rounds = 3)
+      .select("src", "dst").cache()
+    val queries = data.take(30)
+    val qdf = queries.toDF("query_id", "qvec")
+    // per-query entries from probed cells — fixed global entries strand
+    // the walk inside the entry clusters (tight-cluster k-NN graphs have
+    // almost no inter-cluster edges)
+    val entries = KnnGraph.probeEntries(qdf, ccells, cb, nprobe = 2,
+      perCell = 4)
+    val got = KnnGraph.walk(qdf, graph, cdocs, k = 10, beam = 16,
+      rounds = 3, entries = entries)
+      .select("query_id", "doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact top-10 per query (self included — queries are corpus members)
+    val all = data
+    var hit = 0; var total = 0
+    queries.foreach { case (q, qv) =>
+      val truth = all.map { case (b, vb) =>
+        var s = 0.0; var j = 0
+        while (j < qv.length) { s += qv(j).toDouble * vb(j).toDouble; j += 1 }
+        (b, s)
+      }.sortBy { case (b, s) => (-s, b) }.take(10).map(_._1).toSet
+      hit += (truth intersect got(q)).size
+      total += truth.size
+    }
+    val recall = hit.toDouble / total
+    assert(recall >= 0.8, s"graph-walk recall@10 too low: $recall")
+  }
+
   test("graph build is partitioning-independent") {
     val a = KnnGraph.build(docs, cells, k = 5, rounds = 1)
       .collect().map(_.toString).sorted.toSeq
