@@ -138,8 +138,10 @@ object SparkEntry {
         ivfOf(s, dir).cells, k = 8, rounds = 2)
     }
 
-  /** Shared body of the two topic-mix queries (r = topic_score_ratio). */
-  private def coarseFineTopic(s: SparkSession, dir: String, r: Double): DataFrame = {
+  /** Shared body of the topic-mix queries (r = topic_score_ratio; dedup =
+    * the reference's multiclus_score_aggr, "max" or "sum"). */
+  private def coarseFineTopic(s: SparkSession, dir: String, r: Double,
+      dedup: String = "max"): DataFrame = {
     val docs = docVecs(s, dir).select("doc_id", "vec")
     val queries = queryVecs(s, dir).select("query_id", "qvec")
     val proba = ArtifactCache.frame(s, s"$dir/rq2x3/multiclus2/proba") {
@@ -147,7 +149,7 @@ object SparkEntry {
         rqMulticlusAssignments(s, dir), docs, rqCodebook(s, dir))
     }
     CoarseFineRetriever.retrieve(queries, rqMulticlusIndex(s, dir), docs,
-      rqCodebook(s, dir), beams = 4, k = 10,
+      rqCodebook(s, dir), beams = 4, k = 10, dedup = dedup,
       topicMix = Some(proba), topicRatio = r)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("doc_id"), round(col("score"), 6).as("score"))
@@ -754,6 +756,12 @@ object SparkEntry {
     // the r=0 end of the mix: score collapses to q_proba·qd (the doc
     // proba term drops out) — the formula's reduction sanity point
     "coarse_fine_topic_r0" -> ((s, dir) => coarseFineTopic(s, dir, r = 0.0)),
+
+    // multiclus_score_aggr='add' (main.py:675, main_models.py:4003-4009):
+    // a doc reached through BOTH its memberships sums the two mixed
+    // scores instead of keeping the max
+    "coarse_fine_topic_add" -> ((s, dir) =>
+      coarseFineTopic(s, dir, r = 0.5, dedup = "sum")),
 
     // V12b: budgeted coarse→fine (reconstruction-prescored candidate
     // cut BEFORE the embedding-fetch join — the 100 TB shuffle saver)

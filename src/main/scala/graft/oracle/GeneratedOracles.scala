@@ -247,7 +247,8 @@ object GeneratedOracles {
     * dprob replays docClusterProba: doc · float-reconstruction of its
     * membership tuple. */
   def coarseFineTopicSql(cb: Codebook, beams: Int, k: Int, t: Int,
-      r: Double, maxQueryId: Int): String = {
+      r: Double, maxQueryId: Int, aggr: String = "max"): String = {
+    require(aggr == "max" || aggr == "sum", s"aggr must be max|sum: $aggr")
     val kList = ks(cb).mkString(", ")
     val values = (0 until cb.numLevels).map(m => valuesCte(cb, m)).mkString(",\n")
     val rallFrom = (0 until cb.numLevels).map(m => s"c$m t$m").mkString(" CROSS JOIN ")
@@ -267,7 +268,7 @@ object GeneratedOracles {
        |  FROM beams b JOIN dp a ON ${joinCond(cb, "a", "b")}
        |  JOIN q qq ON qq.query_id = b.query_id
        |  JOIN d dd ON dd.doc_id = a.doc_id),
-       |ag AS (SELECT query_id, doc_id, max(score) AS score FROM sc GROUP BY query_id, doc_id),
+       |ag AS (SELECT query_id, doc_id, $aggr(score) AS score FROM sc GROUP BY query_id, doc_id),
        |rk AS (SELECT query_id, doc_id, score,
        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM ag)
        |SELECT query_id, rank, doc_id, round(score, 6) AS score
@@ -351,7 +352,12 @@ object GeneratedOracles {
     "rq_multiclus" -> rqMulticlusSql(cb, t = 2),
     "coarse_fine_multiclus" -> coarseFineMulticlusSql(cb, beams, topK, t = 2, maxQueryId),
     "coarse_fine_topic" -> coarseFineTopicSql(cb, beams, topK, t = 2, r = 0.5, maxQueryId),
-    "coarse_fine_topic_r0" -> coarseFineTopicSql(cb, beams, topK, t = 2, r = 0.0, maxQueryId))
+    "coarse_fine_topic_r0" -> coarseFineTopicSql(cb, beams, topK, t = 2, r = 0.0, maxQueryId),
+    // sum-dedup determinism note: groups here hold ≤ 2 doubles (T=2
+    // memberships), and two-operand double addition is commutative, so
+    // Spark's partition-order sum and DuckDB's scan-order sum agree
+    // bit-exactly; at T ≥ 3 the replay would need an ordered fold
+    "coarse_fine_topic_add" -> coarseFineTopicSql(cb, beams, topK, t = 2, r = 0.5, maxQueryId, aggr = "sum"))
 
   def reconstructAllSql(cb: Codebook): String = {
     val values = (0 until cb.numLevels).map(m => valuesCte(cb, m)).mkString(",\n")
