@@ -222,10 +222,13 @@ object SparkEntry {
     queries("v15_rerank")(s, dir)
     queries("v_opq_rotate")(s, dir)
     queries("hkm_assign")(s, dir)
-    // multiclus assignments + index + doc-proba frames, and the v11
-    // refresh codebook — all ArtifactCache-backed, eager at construction
+    // multiclus assignments + index + doc-proba frames, the v11 refresh
+    // codebook, the NN-descent graph and the token-containment matches —
+    // all ArtifactCache-backed, eager at construction
     queries("coarse_fine_topic")(s, dir)
     queries("v11_align")(s, dir)
+    knnGraphOf(s, dir): Unit
+    answerMatches(s, dir): Unit
     ArtifactCache.frame(s, s"$dir/dedup/sig8", persist = false) {
       Dedup.minhashSignatures(t(s, dir, "documents"), numPerms = 8)
         .localCheckpoint()

@@ -190,4 +190,49 @@ object KnnGraph {
     }
     TopK.ranked(seen, k)
   }
+
+  /** Incrementally add `newDocs` to an existing graph WITHOUT a rebuild —
+    * the growing-corpus maintenance path (nightly full NN-descent vs
+    * per-batch insertion; HNSW inserts the same way: search, then link).
+    * Each new doc WALKS the existing graph to find its k neighbors
+    * (new → old edges), and affected old nodes re-rank their lists
+    * against the reverse candidates (old → new edges) through the same
+    * bounded top-k — work ∝ batch × walk cost + touched old nodes, never
+    * corpus². Returns the merged (src, rank, dst, score) graph.
+    *
+    * @param graph    (src, rank, dst, score) current graph ([[build]]'s
+    *                 output — scores ride along so untouched nodes pass
+    *                 through without any rescoring)
+    * @param newDocs  (doc_id, vec) arrivals (ids distinct from existing)
+    * @param docs     (doc_id, vec) existing corpus
+    * @param cells    (doc_id, cell) existing IVF assignment
+    * @param codebook the IVF coarse codebook (entry-point probe)
+    */
+  def insert(graph: DataFrame, newDocs: DataFrame, docs: DataFrame,
+      cells: DataFrame, codebook: graft.index.Codebook, k: Int,
+      beam: Int = 16, rounds: Int = 2, nprobe: Int = 2,
+      perCell: Int = 4): DataFrame = {
+    val asQueries = newDocs
+      .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+    val entries = probeEntries(asQueries, cells, codebook, nprobe, perCell)
+    // new → old: each arrival walks the existing graph
+    val newEdges = walk(asQueries, graph.select("src", "dst"), docs, k,
+      beam, rounds, entries)
+      .select(col("query_id").as("src"), col("doc_id").as("dst"),
+        col("score"))
+      .localCheckpoint()
+    // old → new: touched old nodes compete their current lists against
+    // the reverse candidates (scores are symmetric dots, so the reverse
+    // edge reuses the walk's score); untouched nodes pass through
+    val reverse = newEdges
+      .select(col("dst").as("src"), col("src").as("dst"), col("score"))
+    val touchedIds = reverse.select("src").distinct()
+    val mergedTouched = topK(
+      graph.join(touchedIds, Seq("src"), "left_semi")
+        .select("src", "dst", "score")
+        .unionByName(reverse), k)
+    val untouched = graph.join(touchedIds, Seq("src"), "left_anti")
+      .select("src", "rank", "dst", "score")
+    untouched.unionByName(mergedTouched).unionByName(topK(newEdges, k))
+  }
 }

@@ -107,6 +107,54 @@ class KnnGraphSpec extends SparkSpec {
     assert(recall >= 0.8, s"graph-walk recall@10 too low: $recall")
   }
 
+  test("incremental insert: new docs get high-recall edges, old graph intact") {
+    val rng = new scala.util.Random(13)
+    def mk(i: Int): (Long, Array[Float]) = {
+      val c = i % 40
+      val center = Array.tabulate(16)(j => math.sin((c * 16 + j).toDouble))
+      val v = center.map(x => (x + 0.08 * rng.nextGaussian()).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }
+    val base = (0 until 700).map(mk)
+    val arrivals = (700 until 800).map(mk)
+    val bdocs = base.toDF("doc_id", "vec").cache()
+    val ndocs = arrivals.toDF("doc_id", "vec").cache()
+    val cb = RQTrainer.fit(bdocs, "vec", numLevels = 1, k = 16, seed = 1L,
+      maxIter = 10)
+    val bcells = CodeAssigner.assign(bdocs, cb)
+      .select(col("doc_id"), col("codes").getItem(0).as("cell")).cache()
+    val graph = KnnGraph.build(bdocs, bcells, k = 8, rounds = 3).cache()
+    val merged = KnnGraph.insert(graph, ndocs, bdocs, bcells, cb, k = 8,
+      rounds = 3).cache()
+    // every node (old + new) keeps ≤ k edges, no self loops
+    assert(merged.groupBy("src").count().where(col("count") > 8).count() == 0)
+    assert(merged.where(col("src") === col("dst")).count() == 0)
+    assert(merged.select("src").distinct().count() == 800)
+    // new docs' edge recall vs brute force over the FULL 800-doc corpus
+    val all = base ++ arrivals
+    val truth = arrivals.flatMap { case (a, va) =>
+      all.filter(_._1 != a).map { case (b, vb) =>
+        var s = 0.0; var j = 0
+        while (j < va.length) { s += va(j).toDouble * vb(j).toDouble; j += 1 }
+        (b, s)
+      }.sortBy { case (b, s) => (-s, b) }.take(8).map(b => (a, b._1))
+    }.toSet
+    val got = merged.where(col("src") >= 700)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.75, s"inserted-doc edge recall too low: $recall")
+    // an old node far from every arrival keeps its list bit-identically
+    val touched = merged.where(col("dst") >= 700)
+      .select("src").distinct().as[Long].collect().toSet
+    val keep = graph.where(!col("src").isin(touched.toSeq: _*) &&
+      col("src") < 700)
+    val after = merged.join(keep.select("src").distinct(), Seq("src"),
+      "left_semi")
+    assert(keep.collect().map(_.toString).sorted.toSeq ==
+      after.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("graph build is partitioning-independent") {
     val a = KnnGraph.build(docs, cells, k = 5, rounds = 1)
       .collect().map(_.toString).sorted.toSeq
