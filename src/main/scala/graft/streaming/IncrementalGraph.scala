@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.index.Codebook
+import graft.search.KnnGraph
+
+/** Structured-Streaming k-NN-graph maintenance: arriving (doc_id, vec)
+  * batches are inserted into the persisted graph with
+  * [[graft.search.KnnGraph.insert]] — each arrival walks the current
+  * graph for its edges, touched nodes re-rank, untouched lists carry
+  * bit-identically. The graph and the growing corpus live as parquet
+  * stores, rewritten per batch through the same idempotent
+  * `batch=<id>`-partition discipline as [[IncrementalDedup]]: a retried
+  * batch replaces its own output instead of double-inserting.
+  *
+  * The IVF cells that seed each walk stay FROZEN (the incremental-index
+  * posture of [[IncrementalIndexer]]): arrivals are assigned to the
+  * existing coarse codebook; codebook refresh remains a batch job.
+  */
+object IncrementalGraph {
+
+  /** One micro-batch step, exposed for tests. Reads the current graph +
+    * corpus stores, inserts the batch, and OVERWRITES both stores with
+    * versioned snapshots (`version=<batchId>`); readers take the max
+    * version — torn writes from a crashed attempt are superseded, never
+    * unioned.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      graphDir: String, corpusDir: String, codebook: Codebook, k: Int,
+      beam: Int = 16, rounds: Int = 2, nprobe: Int = 2,
+      perCell: Int = 4): Unit = {
+    val arrivals = batch.select(col("doc_id"), col("vec")).localCheckpoint()
+    if (arrivals.isEmpty) return
+    // read only snapshots written BEFORE this batch: a RETRY must not
+    // consume (or lazily read under the overwrite of) its own previous
+    // half-written version — the IncrementalDedup store discipline
+    val docs = latest(spark, corpusDir, arrivals.schema, batchId)
+    val graph = latest(spark, graphDir, null, batchId)
+    val bc = spark.sparkContext.broadcast(codebook)
+    val cellUdf = udf { (vec: Array[Float]) => bc.value.assign(vec)(0) }
+    val merged =
+      if (docs.isEmpty || graph == null || graph.isEmpty) {
+        // cold start: the first batch IS the corpus — full build
+        val cells = arrivals
+          .select(col("doc_id"), cellUdf(col("vec")).as("cell"))
+        KnnGraph.build(arrivals, cells, k, rounds)
+      } else {
+        val cells = docs.select(col("doc_id"), cellUdf(col("vec")).as("cell"))
+        KnnGraph.insert(graph, arrivals, docs, cells, codebook, k,
+          beam, rounds, nprobe, perCell)
+      }
+    merged.write.mode("overwrite")
+      .parquet(s"$graphDir/version=$batchId")
+    docs.unionByName(arrivals).write.mode("overwrite")
+      .parquet(s"$corpusDir/version=$batchId")
+  }
+
+  /** Read the highest `version=<n>` snapshot under `dir` with
+    * n < `beforeBatch` (empty frame with `schema` when none exist; null
+    * when no schema fallback is available and the dir is empty). */
+  private def latest(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      beforeBatch: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (!fs.exists(path)) Array.empty[Long]
+      else fs.listStatus(path).map(_.getPath.getName)
+        .filter(_.startsWith("version="))
+        .map(_.stripPrefix("version=").toLong)
+        .filter(_ < beforeBatch)
+    if (versions.isEmpty) {
+      if (schema == null) null
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(s"$dir/version=${versions.max}")
+  }
+
+  /** Wire the stream: parquet (doc_id, vec) arrivals under `inputDir`,
+    * graph snapshots under `graphDir`, corpus snapshots under
+    * `corpusDir`. */
+  def start(spark: SparkSession, inputDir: String, graphDir: String,
+      corpusDir: String, checkpointDir: String, codebook: Codebook,
+      schema: org.apache.spark.sql.types.StructType, k: Int,
+      beam: Int = 16, rounds: Int = 2, nprobe: Int = 2,
+      perCell: Int = 4): StreamingQuery = {
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, graphDir, corpusDir, codebook,
+          k, beam, rounds, nprobe, perCell)
+      }
+      .start()
+  }
+}

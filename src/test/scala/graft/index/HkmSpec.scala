@@ -90,6 +90,25 @@ class HkmSpec extends SparkSpec {
     assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
   }
 
+  test("bounded node sampling stays partitioning-independent") {
+    val rng = new scala.util.Random(41)
+    val df = (0 until 600).map(i =>
+      (i.toLong, Array.fill(4)(rng.nextGaussian().toFloat)))
+      .toDF("doc_id", "vec")
+    // sampleCap far below the root size: the fit must pick the SAME
+    // lowest-scrambled-rank sample regardless of how rows are partitioned
+    val a = HierarchicalKMeans.fit(df, "vec", k = 3, depth = 2,
+      seed = 8L, maxIter = 8, sampleCap = 64)
+    val b = HierarchicalKMeans.fit(df.repartition(17), "vec", k = 3,
+      depth = 2, seed = 8L, maxIter = 8, sampleCap = 64)
+    def flat(t: HierarchicalKMeans.Tree): Seq[(String, Seq[Float])] =
+      t.nodesByPrefix.map { case (p, n) =>
+        (p, n.cents.flatten.toSeq)
+      }
+    assert(flat(a) == flat(b),
+      "trees diverged across partitionings under bounded sampling")
+  }
+
   test("assignment is partitioning-independent given a trained tree") {
     val rng = new scala.util.Random(3)
     val df = (0 until 200).map(i =>

@@ -274,4 +274,65 @@ class StreamingSpec extends SparkSpec {
       .where(col("s.n") =!= col("b.n")).count()
     assert(mismatches == 0)
   }
+
+  test("streaming k-NN-graph ingest == sequential batch inserts") {
+    val docs = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec")).cache()
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 1, k = 16, seed = 42L,
+      maxIter = 10)
+    val b0 = docs.where(col("doc_id") < 300)
+    val b1 = docs.where(col("doc_id") >= 300 && col("doc_id") < 400)
+    val b2 = docs.where(col("doc_id") >= 400 && col("doc_id") < 450)
+
+    // sequential reference: processBatch three times
+    val base = "target/tmp/stream_graph"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    val seqG = s"$base/seq_graph"; val seqC = s"$base/seq_corpus"
+    Seq((b0, 0L), (b1, 1L), (b2, 2L)).foreach { case (b, id) =>
+      IncrementalGraph.processBatch(spark, b, id, seqG, seqC, cb, k = 6)
+    }
+    // materialize NOW: the retry-idempotence step below overwrites this
+    // directory, and a lazy frame would re-list stale files
+    val seqFinalRows = spark.read.parquet(s"$seqG/version=2")
+      .collect().map(_.toString).sorted.toSeq
+    val seqDistinctSrc = spark.read.parquet(s"$seqG/version=2")
+      .select("src").distinct().count()
+
+    // streamed: same three batches through start()
+    val inDir = s"$base/in"
+    Files.createDirectories(Paths.get(inDir))
+    b0.write.parquet(s"$inDir/b0")
+    b1.write.parquet(s"$inDir/b1")
+    b2.write.parquet(s"$inDir/b2")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    val q = IncrementalGraph.start(spark, s"$inDir/*",
+      s"$base/st_graph", s"$base/st_corpus", s"$base/ck", cb, schema, k = 6)
+    q.awaitTermination(180000)
+
+    val stPath = new org.apache.hadoop.fs.Path(s"$base/st_graph")
+    val fs = stPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxV = fs.listStatus(stPath).map(_.getPath.getName)
+      .filter(_.startsWith("version=")).map(_.stripPrefix("version=").toLong).max
+    val stFinal = spark.read.parquet(s"$base/st_graph/version=$maxV")
+
+    // NOTE: AvailableNow may coalesce the three files into fewer
+    // micro-batches; parity holds only when the batch boundaries match,
+    // so compare against the sequential result ONLY if the stream saw 3
+    // batches — otherwise check the structural invariants
+    // a doc alone in its IVF cell gets no seed edges (isolated node), so
+    // "every doc" is off by the singleton-cell count — allow a few
+    assert(stFinal.select("src").distinct().count() >= 445)
+    assert(stFinal.groupBy("src").count().where(col("count") > 6).count() == 0)
+    assert(seqDistinctSrc >= 445)
+    if (maxV == 2L) {
+      assert(stFinal.collect().map(_.toString).sorted.toSeq == seqFinalRows)
+    }
+    // retry idempotence: re-running the last sequential batch overwrites
+    // its own snapshot and changes nothing
+    IncrementalGraph.processBatch(spark, b2, 2L, seqG, seqC, cb, k = 6)
+    val replay = spark.read.parquet(s"$seqG/version=2")
+    assert(replay.collect().map(_.toString).sorted.toSeq == seqFinalRows)
+  }
 }
