@@ -217,4 +217,26 @@ class StressSpec extends SparkSpec {
     assert(jD3 - jK2 <= 6,
       s"per-level job cost should be a small constant: depth2=$jK2 depth3=$jD3")
   }
+
+  test("hkm fit handles the reference's fan-out (k=32) in seconds") {
+    import graft.index.HierarchicalKMeans
+    import spark.implicits._
+    // the reference's id geometry is K=32 (subvector_bits 5,
+    // marco_generate_embedding_n_rq.sh); depth 2 at 32k vectors gives
+    // ~33 potential nodes in ONE level — the shape that used to cost one
+    // MLlib fit + two counts each. Level-sync must clear it in seconds.
+    val rng = new scala.util.Random(3)
+    val df = (0 until 32000).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("doc_id", "vec").repartition(16).cache()
+    df.count()
+    val t0 = System.nanoTime()
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 32, depth = 2,
+      seed = 2L, maxIter = 10)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(tree.root.cents.length == 32)
+    assert(tree.root.children.count(_.isDefined) >= 16,
+      "most root cells should be big enough to split at 32k docs")
+    assert(sec < 90, s"k=32 depth-2 fit took ${sec}s on 32k vectors")
+  }
 }
