@@ -103,19 +103,21 @@ object SparkEntry {
       ClusterIndexBuilder.build(rqAssignments(s, dir))
     }
 
-  /** doc_multiclus=2 top-T assignments (doc beam search) — T rows/doc. */
-  private def rqMulticlusAssignments(s: SparkSession, dir: String): DataFrame =
-    ArtifactCache.frame(s, s"$dir/rq2x3/multiclus2") {
+  /** doc_multiclus=T top-T assignments (doc beam search) — T rows/doc. */
+  private def rqMulticlusAssignments(s: SparkSession, dir: String,
+      t: Int = 2): DataFrame =
+    ArtifactCache.frame(s, s"$dir/rq2x3/multiclus$t") {
       CodeAssigner.assignTopK(docVecs(s, dir).select("doc_id", "vec"),
-        rqCodebook(s, dir), t = 2)
+        rqCodebook(s, dir), t = t)
     }
 
   /** Multicluster inverted index (main_models.py:3246-3266): a doc is a
     * member of each of its top-T tuples' clusters. */
-  private def rqMulticlusIndex(s: SparkSession, dir: String): DataFrame =
-    ArtifactCache.frame(s, s"$dir/rq2x3/multiclus2/index") {
+  private def rqMulticlusIndex(s: SparkSession, dir: String,
+      t: Int = 2): DataFrame =
+    ArtifactCache.frame(s, s"$dir/rq2x3/multiclus$t/index") {
       ClusterIndexBuilder.build(
-        rqMulticlusAssignments(s, dir).select("doc_id", "codes"))
+        rqMulticlusAssignments(s, dir, t).select("doc_id", "codes"))
     }
 
   /** Token-containment matches (J5), dir-memoized — j5 reports them and
@@ -141,14 +143,14 @@ object SparkEntry {
   /** Shared body of the topic-mix queries (r = topic_score_ratio; dedup =
     * the reference's multiclus_score_aggr, "max" or "sum"). */
   private def coarseFineTopic(s: SparkSession, dir: String, r: Double,
-      dedup: String = "max"): DataFrame = {
+      dedup: String = "max", t: Int = 2): DataFrame = {
     val docs = docVecs(s, dir).select("doc_id", "vec")
     val queries = queryVecs(s, dir).select("query_id", "qvec")
-    val proba = ArtifactCache.frame(s, s"$dir/rq2x3/multiclus2/proba") {
+    val proba = ArtifactCache.frame(s, s"$dir/rq2x3/multiclus$t/proba") {
       CoarseFineRetriever.docClusterProba(
-        rqMulticlusAssignments(s, dir), docs, rqCodebook(s, dir))
+        rqMulticlusAssignments(s, dir, t), docs, rqCodebook(s, dir))
     }
-    CoarseFineRetriever.retrieve(queries, rqMulticlusIndex(s, dir), docs,
+    CoarseFineRetriever.retrieve(queries, rqMulticlusIndex(s, dir, t), docs,
       rqCodebook(s, dir), beams = 4, k = 10, dedup = dedup,
       topicMix = Some(proba), topicRatio = r)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -765,6 +767,12 @@ object SparkEntry {
     // scores instead of keeping the max
     "coarse_fine_topic_add" -> ((s, dir) =>
       coarseFineTopic(s, dir, r = 0.5, dedup = "sum")),
+
+    // ...and at T=3 memberships, where an unordered sum() stops being
+    // replay-deterministic (3-operand float addition doesn't commute
+    // across partial-agg orders): exercises the membership-ordered fold
+    "coarse_fine_topic_add_t3" -> ((s, dir) =>
+      coarseFineTopic(s, dir, r = 0.5, dedup = "sum", t = 3)),
 
     // V12b: budgeted coarse→fine (reconstruction-prescored candidate
     // cut BEFORE the embedding-fetch join — the 100 TB shuffle saver)

@@ -250,6 +250,12 @@ object GeneratedOracles {
       r: Double, maxQueryId: Int, aggr: String = "max"): String = {
     require(aggr == "max" || aggr == "sum", s"aggr must be max|sum: $aggr")
     val kList = ks(cb).mkString(", ")
+    // 'sum' replays the engine's membership-ordered sequential fold
+    // (CoarseFineRetriever sum-dedup): float addition is order-sensitive,
+    // so both engines fold in code-tuple order — the BM25 term-fold pattern
+    val aggExpr =
+      if (aggr == "sum") s"list_sum(list(score ORDER BY $kList))"
+      else "max(score)"
     val values = (0 until cb.numLevels).map(m => valuesCte(cb, m)).mkString(",\n")
     val rallFrom = (0 until cb.numLevels).map(m => s"c$m t$m").mkString(" CROSS JOIN ")
     val rallCodes = (0 until cb.numLevels).map(m => s"t$m.code AS k$m").mkString(", ")
@@ -262,13 +268,13 @@ object GeneratedOracles {
        |dp AS (SELECT a.doc_id, ${ks(cb).map(x => s"a.$x").mkString(", ")},
        |  list_sum(list_transform(list_zip(dd.v0, r.recv), p -> p[1] * CAST(p[2] AS DOUBLE))) AS dprob
        |  FROM massign a JOIN d dd USING (doc_id) JOIN rall r ON ${joinCond(cb, "r", "a")}),
-       |sc AS (SELECT b.query_id, a.doc_id,
+       |sc AS (SELECT b.query_id, a.doc_id, ${ks(cb).map(x => s"a.$x").mkString(", ")},
        |  exp(b.cum) * (${dLit(r)} * a.dprob + ${dLit(1.0 - r)} *
        |    list_sum(list_transform(list_zip(qq.u0, dd.v0), p -> p[1] * p[2]))) AS score
        |  FROM beams b JOIN dp a ON ${joinCond(cb, "a", "b")}
        |  JOIN q qq ON qq.query_id = b.query_id
        |  JOIN d dd ON dd.doc_id = a.doc_id),
-       |ag AS (SELECT query_id, doc_id, $aggr(score) AS score FROM sc GROUP BY query_id, doc_id),
+       |ag AS (SELECT query_id, doc_id, $aggExpr AS score FROM sc GROUP BY query_id, doc_id),
        |rk AS (SELECT query_id, doc_id, score,
        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM ag)
        |SELECT query_id, rank, doc_id, round(score, 6) AS score
@@ -353,11 +359,10 @@ object GeneratedOracles {
     "coarse_fine_multiclus" -> coarseFineMulticlusSql(cb, beams, topK, t = 2, maxQueryId),
     "coarse_fine_topic" -> coarseFineTopicSql(cb, beams, topK, t = 2, r = 0.5, maxQueryId),
     "coarse_fine_topic_r0" -> coarseFineTopicSql(cb, beams, topK, t = 2, r = 0.0, maxQueryId),
-    // sum-dedup determinism note: groups here hold ≤ 2 doubles (T=2
-    // memberships), and two-operand double addition is commutative, so
-    // Spark's partition-order sum and DuckDB's scan-order sum agree
-    // bit-exactly; at T ≥ 3 the replay would need an ordered fold
-    "coarse_fine_topic_add" -> coarseFineTopicSql(cb, beams, topK, t = 2, r = 0.5, maxQueryId, aggr = "sum"))
+    "coarse_fine_topic_add" -> coarseFineTopicSql(cb, beams, topK, t = 2, r = 0.5, maxQueryId, aggr = "sum"),
+    // T=3: the regime where sum-dedup NEEDS the membership-ordered fold
+    // (3-operand float addition isn't partial-agg-order invariant)
+    "coarse_fine_topic_add_t3" -> coarseFineTopicSql(cb, beams, topK, t = 3, r = 0.5, maxQueryId, aggr = "sum"))
 
   def reconstructAllSql(cb: Codebook): String = {
     val values = (0 until cb.numLevels).map(m => valuesCte(cb, m)).mkString(",\n")

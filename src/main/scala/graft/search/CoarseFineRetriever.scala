@@ -96,30 +96,42 @@ object CoarseFineRetriever {
       .select(col("query_id"), col("codes"), col("logprob"),
         explode(col("doc_ids")).as("doc_id"))
 
-    // J4 + V2: fetch embeddings, score against the query vector.
+    // J4 + V2: fetch embeddings, score against the query vector. `codes`
+    // rides along: the sum-dedup below folds in membership order.
     val qd = BruteForceKNN.score(metric)(col("qvec"), col("vec"))
     val scored = topicMix match {
       case None =>
         candidates
           .join(docs, Seq("doc_id"))
           .join(broadcast(queries), Seq("query_id"))
-          .select(col("query_id"), col("doc_id"), qd.as("score"))
+          .select(col("query_id"), col("doc_id"), col("codes"), qd.as("score"))
       case Some(mix) =>
         val r = topicRatio
         candidates
           .join(docs, Seq("doc_id"))
           .join(broadcast(queries), Seq("query_id"))
           .join(mix, Seq("doc_id", "codes"))
-          .select(col("query_id"), col("doc_id"),
+          .select(col("query_id"), col("doc_id"), col("codes"),
             (exp(col("logprob")) *
               (lit(r) * col("dprob") + lit(1.0 - r) * qd)).as("score"))
     }
 
-    // A10: a doc can appear via several predicted clusters.
-    val agg = if (dedup == "sum") sum(col("score")) else max(col("score"))
-    val deduped = scored
-      .groupBy("query_id", "doc_id")
-      .agg(agg.as("score"))
+    // A10: a doc can appear via several predicted clusters. 'sum'
+    // (multiclus_score_aggr='add', main_models.py:3999-4011) folds in
+    // membership-tuple order, NOT sum(): float addition is
+    // order-sensitive and partial-agg order varies with partitioning, so
+    // at T ≥ 3 memberships an unordered sum is not replay-deterministic
+    // (the BM25 term-fold contract; the DuckDB twin orders by the same
+    // tuple).
+    val deduped =
+      if (dedup == "sum")
+        scored.groupBy("query_id", "doc_id")
+          .agg(aggregate(
+            array_sort(collect_list(struct(col("codes"), col("score")))),
+            lit(0.0),
+            (acc, s) => acc + s.getField("score")).as("score"))
+      else
+        scored.groupBy("query_id", "doc_id").agg(max(col("score")).as("score"))
 
     // T2: grouped bounded top-k.
     TopK.ranked(deduped, k)
