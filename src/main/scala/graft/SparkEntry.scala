@@ -1113,6 +1113,82 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // A7 clusfile (main_models.py:1824-1829): cluster candidates from a
+    // per-QUERY top-cluster file — here each query lists its positive's
+    // label cluster and the next label (mod 10)
+    "a7_clusfile" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = emb.where(col("vec_id") < 20)
+        .select(concat(lit("q"), col("vec_id")).as("query"),
+          col("vec_id").as("doc_id"))
+      val clusterIndex = emb.groupBy(array(col("label")).as("codes"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("doc_ids"))
+      val negClus = emb.where(col("vec_id") < 20)
+        .select(concat(lit("q"), col("vec_id")).as("query"),
+          explode(array(array(col("label")),
+            array(pmod(col("label") + 1, lit(10))))).as("codes"))
+      NegativeSampling.clusterFileNegatives(pairs, negClus, clusterIndex, n = 4)
+        .select(col("query"), col("doc_id"),
+          concat_ws(",", col("neg_ids").cast("array<string>")).as("neg_ids"))
+        .orderBy("doc_id")
+    }),
+
+    // A7 interhalf (main_models.py:1893-1905): half the quota from
+    // clus ∩ file, half from clus ∖ file; file list = multiples of 3
+    // below 60 (so both parts are non-trivial per label cluster)
+    "a7_interhalf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = emb.where(col("vec_id") < 20)
+        .select(concat(lit("q"), col("vec_id")).as("query"),
+          col("vec_id").as("doc_id"))
+      val assignments = emb.select(col("vec_id").as("doc_id"),
+        array(col("label")).as("codes"))
+      val clusterIndex = assignments.groupBy("codes")
+        .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      // un-capped cluster list: the reference intersects the FULL
+      // per-cluster candidate list (max label cluster ≪ 1000)
+      val clus = NegativeSampling.clusterNegatives(
+        pairs, assignments, clusterIndex, n = 1000)
+      val fileList = emb
+        .where(col("vec_id") % 3 === 0 && col("vec_id") < 60)
+        .agg(sort_array(collect_list(col("vec_id"))).as("neg_ids"))
+      val fileNegs = pairs.select("query").crossJoin(broadcast(fileList))
+      NegativeSampling.combineNegatives(clus, fileNegs, "interhalf", n = 6)
+        .select(col("query"), col("doc_id"),
+          concat_ws(",", sort_array(col("neg_ids")).cast("array<string>"))
+            .as("neg_ids"))
+        .orderBy("doc_id")
+    }),
+
+    // A7 simansinter (main_models.py:1911-1927): the SimANS draw over
+    // file candidates restricted to the positive's cluster set, with the
+    // reference's fallback chain; file shortlist = ids < 40
+    "a7_simansinter" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 20)
+        .select(concat(lit("q"), col("vec_id")).as("query"),
+          col("vec_id").as("doc_id"), col("label"),
+          col("embedding").as("qvec"))
+      val clusNegs = queries.select("query", "doc_id", "label")
+        .join(emb.select(col("vec_id").as("cand_id"), col("label")),
+          Seq("label"))
+        .where(col("cand_id") =!= col("doc_id"))
+        .groupBy("query", "doc_id")
+        .agg(sort_array(collect_list(col("cand_id"))).as("neg_ids"))
+      val cands = emb.where(col("vec_id") < 40)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cvec"))
+      val scored = cands
+        .crossJoin(broadcast(queries.select("query", "doc_id", "qvec")))
+        .where(col("cand_id") =!= col("doc_id"))
+        .select(col("query"), col("doc_id"), col("cand_id"),
+          float_dot(col("qvec"), col("cvec")).as("cand_score"),
+          float_dot(col("qvec"), col("qvec")).as("pos_score"))
+      NegativeSampling.simansInterNegatives(scored, clusNegs, n = 5)
+        .select(col("query"), col("doc_id"),
+          concat_ws(",", col("neg_ids").cast("array<string>")).as("neg_ids"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal: binary payload metadata (no decode needed)
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.asMedia(t(s, dir, "documents"),
@@ -1864,6 +1940,85 @@ object SparkEntry {
         |      FROM r)
         |SELECT query, doc_id, array_to_string(list_sort(list(cand_id)), ',') AS neg_ids
         |FROM k WHERE rn <= 5 GROUP BY query, doc_id ORDER BY doc_id""".stripMargin,
+
+    "a7_clusfile" ->
+      """WITH pairs AS (SELECT 'q' || vec_id AS query, vec_id AS doc_id, label
+        |               FROM embeddings WHERE vec_id < 20),
+        |tc AS (SELECT query, doc_id, label FROM pairs
+        |       UNION ALL SELECT query, doc_id, (label + 1) % 10 FROM pairs),
+        |m AS (SELECT DISTINCT t.query, t.doc_id, e.vec_id AS cand
+        |      FROM tc t JOIN embeddings e ON e.label = t.label AND e.vec_id <> t.doc_id),
+        |r AS (SELECT query, doc_id, cand,
+        |        CAST('0x' || substr(md5(query || ':' || cand), 1, 15) AS BIGINT) AS h
+        |      FROM m),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY query, doc_id ORDER BY h, cand) AS rn FROM r)
+        |SELECT query, doc_id, array_to_string(list(cand ORDER BY h, cand), ',') AS neg_ids
+        |FROM k WHERE rn <= 4 GROUP BY query, doc_id ORDER BY doc_id""".stripMargin,
+
+    "a7_interhalf" ->
+      """WITH pairs AS (SELECT 'q' || vec_id AS query, vec_id AS doc_id, label
+        |               FROM embeddings WHERE vec_id < 20),
+        |m AS (SELECT p.query, p.doc_id, e.vec_id AS cand,
+        |        (e.vec_id % 3 = 0 AND e.vec_id < 60) AS in_file,
+        |        CAST('0x' || substr(md5(p.query || ':' || e.vec_id), 1, 15) AS BIGINT) AS h
+        |      FROM pairs p JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query, doc_id, in_file ORDER BY h, cand) AS rn FROM m),
+        |cnt AS (SELECT query, doc_id,
+        |         count(*) FILTER (WHERE in_file) AS ni,
+        |         count(*) FILTER (WHERE NOT in_file) AS nr
+        |       FROM m GROUP BY query, doc_id),
+        |sel AS (SELECT r.query, r.doc_id, r.cand FROM r JOIN cnt USING (query, doc_id)
+        |        WHERE (ni > 0 AND nr > 0 AND rn <= 3)
+        |           OR (ni = 0 AND rn <= 6) OR (nr = 0 AND rn <= 6))
+        |SELECT query, doc_id, array_to_string(list_sort(list(cand)), ',') AS neg_ids
+        |FROM sel GROUP BY query, doc_id ORDER BY doc_id""".stripMargin,
+
+    "a7_simansinter" ->
+      """WITH q AS (SELECT 'q' || vec_id AS query, vec_id AS doc_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |m AS (SELECT p.query, p.doc_id, e.vec_id AS cand,
+        |        CAST('0x' || substr(md5(p.query || ':' || e.vec_id), 1, 15) AS BIGINT) AS h
+        |      FROM q p JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.doc_id),
+        |cnt_c AS (SELECT query, doc_id, count(*) AS nc FROM m GROUP BY query, doc_id),
+        |f AS (SELECT p.query, p.doc_id, e.vec_id AS cand,
+        |        list_sum(list_transform(list_zip(p.qv,
+        |          list_transform(e.embedding, x -> CAST(x AS DOUBLE))), z -> z[1] * z[2])) AS cand_score,
+        |        list_sum(list_transform(p.qv, x -> x * x)) AS pos_score
+        |      FROM q p JOIN embeddings e ON e.vec_id < 40 AND e.vec_id <> p.doc_id),
+        |filt AS (SELECT f.* FROM f JOIN m ON m.query = f.query AND m.doc_id = f.doc_id AND m.cand = f.cand),
+        |rr AS (SELECT query, doc_id, cand,
+        |         row_number() OVER (PARTITION BY query, doc_id ORDER BY
+        |           ln((CAST('0x' || substr(md5(query || ':' || cand), 1, 15) AS BIGINT) % 2147483647 + 1)
+        |             / (2147483647.0 + 2.0))
+        |           / exp(-0.5 * (cand_score - pos_score - 0.0) ^ 2) DESC, cand) AS rn
+        |       FROM filt),
+        |cnt_f AS (SELECT query, doc_id, count(*) AS nf FROM filt GROUP BY query, doc_id),
+        |mid AS (SELECT query, doc_id, cand FROM (
+        |          SELECT query, doc_id, cand,
+        |            row_number() OVER (PARTITION BY query, doc_id ORDER BY h, cand) AS rn FROM m)
+        |        WHERE rn <= 5),
+        |u AS (SELECT DISTINCT query, doc_id, cand FROM (
+        |        SELECT query, doc_id, cand FROM rr
+        |        UNION ALL SELECT query, doc_id, cand FROM mid)),
+        |u2 AS (SELECT query, doc_id, cand FROM (
+        |         SELECT query, doc_id, cand,
+        |           row_number() OVER (PARTITION BY query, doc_id ORDER BY
+        |             CAST('0x' || substr(md5(query || ':' || cand), 1, 15) AS BIGINT), cand) AS rn FROM u)
+        |       WHERE rn <= 5),
+        |base AS (SELECT c.query, c.doc_id, c.nc, coalesce(cf.nf, 0) AS nf
+        |         FROM cnt_c c LEFT JOIN cnt_f cf USING (query, doc_id)),
+        |sel AS (
+        |  SELECT b.query, b.doc_id, r.cand FROM base b JOIN rr r USING (query, doc_id)
+        |    WHERE b.nf >= 5 AND r.rn <= 5
+        |  UNION ALL
+        |  SELECT b.query, b.doc_id, u2.cand FROM base b JOIN u2 USING (query, doc_id)
+        |    WHERE b.nf < 5 AND b.nc >= 5
+        |  UNION ALL
+        |  SELECT b.query, b.doc_id, m.cand FROM base b JOIN m USING (query, doc_id)
+        |    WHERE b.nf < 5 AND b.nc < 5)
+        |SELECT query, doc_id, array_to_string(list_sort(list(cand)), ',') AS neg_ids
+        |FROM sel GROUP BY query, doc_id ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -91,6 +91,21 @@ object NegativeSampling {
             concat(inter, sampleArrayN(col("query"), rest, needMore)))
           .otherwise(col("neg_ids"))
       case "union" => array_union(col("neg_ids"), col("file_negs"))
+      case "interhalf" =>
+        // Reference (main_models.py:1893-1905): half the quota from
+        // inter = clus ∩ file, half from rest = clus ∖ file; degenerate
+        // cases collapse to whichever part is non-empty. The reference's
+        // random.choices-with-replacement top-up (a part shorter than its
+        // half-quota repeats members) has no relational meaning — a part
+        // shorter than its quota just contributes all of itself.
+        val inter = array_intersect(col("neg_ids"), col("file_negs"))
+        val rest = array_except(col("neg_ids"), col("file_negs"))
+        val halfNeg = n / 2
+        when(size(inter) === 0, rest)
+          .when(size(rest) === 0, inter)
+          .otherwise(concat(
+            sampleArray(col("query"), inter, halfNeg),
+            sampleArrayN(col("query"), rest, lit(n - halfNeg))))
       case other   => throw new IllegalArgumentException(s"mode $other")
     }
     clusNegs
@@ -98,6 +113,41 @@ object NegativeSampling {
       .select(col("query"), col("doc_id"),
         sampleArray(col("query"),
           coalesce(combined, col("neg_ids")), n).as("neg_ids"))
+  }
+
+  /** `clusfile`: cluster candidates sourced from a per-QUERY top-cluster
+    * list (the reference's `co_negclus` file, main_models.py:1824-1829:
+    * `sum([pq_doc_cluster.get(clus, []) for clus in top_clus], [])` minus
+    * the paired positive) instead of the positive doc's own cluster. The
+    * reference's list concat keeps a doc once per containing cluster;
+    * duplicates carry no relational meaning, so membership is distinct
+    * here (same md5-rank draw either way).
+    *
+    * @param pairs        (query, doc_id) positives
+    * @param negClus      (query, codes) — one row per top cluster of the
+    *                     query (the co_negclus file contents)
+    * @param clusterIndex (codes, doc_ids) — chunked rows supported
+    * @return (query, doc_id, neg_ids ARRAY<LONG> size ≤ n, hash order)
+    */
+  def clusterFileNegatives(pairs: DataFrame, negClus: DataFrame,
+      clusterIndex: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = pairs
+      .join(negClus, Seq("query"))
+      .join(clusterIndex.select("codes", "doc_ids"), Seq("codes"))
+      .select(col("query"), col("doc_id"), explode(col("doc_ids")).as("cand"))
+      .where(col("cand") =!= col("doc_id"))
+      .distinct() // a doc in several top clusters is one candidate
+      .withColumn("__h", rankHash(col("query"), col("cand")))
+    val w = Window.partitionBy("query", "doc_id")
+      .orderBy(col("__h").asc, col("cand").asc)
+    cands
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .groupBy("query", "doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__h"), col("cand")))),
+        s => s.getField("cand")).as("neg_ids"))
   }
 
   /** `notclus`: corpus-wide negatives rejecting any candidate that shares
@@ -168,22 +218,79 @@ object NegativeSampling {
       b: Double = 0.0): DataFrame = {
     // scored: (query, doc_id pos, cand_id, cand_score, pos_score)
     import org.apache.spark.sql.expressions.Window
-    // u must land in (0,1): rankHash is 60-bit, so reduce mod P first
-    // (raw hash/(P+1) would exceed 1, flipping ln(u)'s sign and inverting
-    // the race toward the LOWEST weights)
-    val u = (pmod(rankHash(col("query"), col("cand_id")), lit(Dedup.P))
-      .cast("double") + 1.0) / (Dedup.P.toDouble + 2.0)
-    val wgt = exp(lit(-a) * pow(col("cand_score") - col("pos_score") - lit(b), 2))
-    val key = log(u) / wgt // ln(u) < 0; larger weight → key nearer 0 → wins
-    // cand_id tie-break: exact key ties are near-impossible (u is a
-    // per-candidate hash) but the order must still be total for
-    // engine/partitioning determinism
     val w = Window.partitionBy("query", "doc_id")
-      .orderBy(key.desc, col("cand_id").asc)
+      .orderBy(raceKey(a, b).desc, col("cand_id").asc)
     scored
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
       .groupBy("query", "doc_id")
       .agg(sort_array(collect_list(col("cand_id"))).as("neg_ids"))
+  }
+
+  /** Exponential-race sort key for the SimANS draw over a (cand_score,
+    * pos_score) row: ln(u)/w with u from the rank hash. u must land in
+    * (0,1): rankHash is 60-bit, so reduce mod P first (raw hash/(P+1)
+    * would exceed 1, flipping ln(u)'s sign and inverting the race toward
+    * the LOWEST weights). ln(u) < 0; larger weight → key nearer 0 → wins.
+    * cand_id tie-break at the call sites: exact key ties are
+    * near-impossible (u is a per-candidate hash) but the order must still
+    * be total for engine/partitioning determinism. */
+  private def raceKey(a: Double, b: Double): Column = {
+    val u = (pmod(rankHash(col("query"), col("cand_id")), lit(Dedup.P))
+      .cast("double") + 1.0) / (Dedup.P.toDouble + 2.0)
+    val wgt = exp(lit(-a) * pow(col("cand_score") - col("pos_score") - lit(b), 2))
+    log(u) / wgt
+  }
+
+  /** `simansinter` (main_models.py:1911-1927): the SimANS draw restricted
+    * to file candidates that ALSO lie in the positive's cluster candidate
+    * set, with the reference's fallback chain when the intersection can't
+    * fill the quota:
+    *
+    *   1. ≥ n survivors       → race-weighted top-n over the survivors;
+    *   2. cluster list ≥ n    → survivors ∪ an md5-rank draw of n from the
+    *                            cluster list, de-duplicated, re-drawn to n
+    *                            (the reference's `filtered + random.sample
+    *                            (clus, n)` then set-dedup + final k=n cut);
+    *   3. otherwise           → the whole (short) cluster list — the
+    *                            reference tops up by choices-with-
+    *                            replacement, which has no relational
+    *                            meaning, so the short list stands.
+    *
+    * @param scored   (query, doc_id, cand_id, cand_score, pos_score) —
+    *                 the file candidates with their biencoder scores
+    * @param clusNegs (query, doc_id, neg_ids) — the UN-capped cluster
+    *                 candidate list (clusterNegatives with large n)
+    * @return (query, doc_id, neg_ids ARRAY<LONG> sorted, size ≤ n)
+    */
+  def simansInterNegatives(scored: DataFrame, clusNegs: DataFrame, n: Int,
+      a: Double = 0.5, b: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clus = clusNegs.select(col("query"), col("doc_id"),
+      col("neg_ids").as("clus_cands"))
+    // survivors of the cluster filter, in race order (array_sort on the
+    // (rank, cand) struct replays the window order inside the array)
+    val w = Window.partitionBy("query", "doc_id")
+      .orderBy(raceKey(a, b).desc, col("cand_id").asc)
+    val filtAgg = scored
+      .join(clus, Seq("query", "doc_id"))
+      .where(array_contains(col("clus_cands"), col("cand_id")))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("query", "doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__rn").as("r"), col("cand_id").as("v")))),
+        s => s.getField("v")).as("filt"))
+    // positives with zero survivors still resolve via the fallbacks
+    val filt = coalesce(col("filt"), array().cast("array<long>"))
+    clus
+      .join(filtAgg, Seq("query", "doc_id"), "left")
+      .select(col("query"), col("doc_id"),
+        sort_array(
+          when(size(filt) >= n, slice(filt, 1, n))
+            .when(size(col("clus_cands")) >= n,
+              sampleArray(col("query"),
+                array_distinct(concat(filt,
+                  sampleArray(col("query"), col("clus_cands"), n))), n))
+            .otherwise(col("clus_cands"))).as("neg_ids"))
   }
 }

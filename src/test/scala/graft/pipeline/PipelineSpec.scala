@@ -233,6 +233,54 @@ class PipelineSpec extends SparkSpec {
       .head.getSeq[Long](2).toSet == Set(10L, 11L, 12L))
   }
 
+  test("combineNegatives interhalf splits the quota across inter/rest (A7)") {
+    val clus = Seq(("q1", 1L, Seq(10L, 11L, 12L, 13L, 14L, 15L)))
+      .toDF("query", "doc_id", "neg_ids")
+    val file = Seq(("q1", Seq(10L, 11L, 12L, 90L))).toDF("query", "neg_ids")
+    // n=4: 2 from inter {10,11,12}, 2 from rest {13,14,15}
+    val got = NegativeSampling.combineNegatives(clus, file, "interhalf", n = 4)
+      .head.getSeq[Long](2).toSet
+    assert(got.size == 4)
+    assert(got.count(Set(10L, 11L, 12L)) == 2)
+    assert(got.count(Set(13L, 14L, 15L)) == 2)
+    // empty intersection → the whole rest side (capped at n)
+    val disjoint = Seq(("q1", Seq(97L, 98L, 99L))).toDF("query", "neg_ids")
+    assert(NegativeSampling.combineNegatives(clus, disjoint, "interhalf", n = 4)
+      .head.getSeq[Long](2).toSet.subsetOf(Set(10L, 11L, 12L, 13L, 14L, 15L)))
+    // file ⊇ clus → rest empty → the inter side
+    val superset = Seq(("q1", (9L to 16L).toSeq)).toDF("query", "neg_ids")
+    assert(NegativeSampling.combineNegatives(clus, superset, "interhalf", n = 4)
+      .head.getSeq[Long](2).toSet.subsetOf(Set(10L, 11L, 12L, 13L, 14L, 15L)))
+  }
+
+  test("simansInterNegatives fallback chain (A7 simansinter)") {
+    // survivors ≥ n → race top-n from the intersection only
+    val scored = Seq.tabulate(8)(i =>
+      ("q1", 1L, 10L + i, 0.9 - i * 0.1, 1.0))
+      .toDF("query", "doc_id", "cand_id", "cand_score", "pos_score")
+    val bigClus = Seq(("q1", 1L, (10L to 17L).toSeq))
+      .toDF("query", "doc_id", "neg_ids")
+    val race = NegativeSampling.simansInterNegatives(scored, bigClus, n = 5)
+      .head.getSeq[Long](2)
+    assert(race.size == 5 && race.forall(c => c >= 10L && c <= 17L))
+    // survivors < n but cluster ≥ n → survivors ∪ cluster draw, size n
+    val narrow = Seq(("q1", 1L, Seq(10L, 11L, 30L, 31L, 32L, 33L)))
+      .toDF("query", "doc_id", "neg_ids")
+    val mid = NegativeSampling.simansInterNegatives(scored, narrow, n = 5)
+      .head.getSeq[Long](2)
+    assert(mid.size == 5)
+    assert(mid.toSet.subsetOf(Set(10L, 11L, 30L, 31L, 32L, 33L)))
+    // cluster itself < n → the whole short cluster list, verbatim
+    val short = Seq(("q1", 1L, Seq(10L, 30L))).toDF("query", "doc_id", "neg_ids")
+    assert(NegativeSampling.simansInterNegatives(scored, short, n = 5)
+      .head.getSeq[Long](2) == Seq(10L, 30L))
+    // zero survivors (disjoint file/cluster) still resolves via fallback
+    val disjoint = Seq(("q1", 1L, (50L to 60L).toSeq))
+      .toDF("query", "doc_id", "neg_ids")
+    assert(NegativeSampling.simansInterNegatives(scored, disjoint, n = 5)
+      .head.getSeq[Long](2).size == 5)
+  }
+
   test("notClusterNegatives excludes the positive's cluster (A7 notclus)") {
     val emb = Tables.load(spark, sf("0.001"), "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding").as("vec"))
