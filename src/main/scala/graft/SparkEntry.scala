@@ -1441,6 +1441,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // NQ-style end-to-end eval (MEVI/ensemble_nqdpr.py:9-45): fuse the
+    // ANN list with the coarse cluster ranks (NQ alpha=0.4,
+    // ensemble_nqdpr.py:261), then walk each query's fused ranks for the
+    // first doc whose TEXT token-contains the query's answer (the
+    // offsets/array gt structure = the J5/A9 containment matches) —
+    // HitRate@k / MRR@k over ALL answer queries
+    "ensemble_nq_hitrate" -> ((s, dir) => {
+      val (ann, coarse) = annCoarseCandidates(s, dir)
+      val fused = Ensemble.fuse(ann, coarse, numClusters = 5,
+        alpha = 0.4, beta = 0.03, gamma = 0.02, k = 10)
+        .where(col("query_id") < 10)
+      val gt = answerMatches(s, dir)
+        .groupBy(col("query_idx").as("query_id"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("gt"))
+      // denominator = ALL answer queries (evaluate() divides by nqueries,
+      // ensemble_nqdpr.py:43-45) — a query whose answer matches nothing
+      // still counts, so LEFT join from the full answer-query set
+      val truth = t(s, dir, "documents").where(col("doc_id") < 10)
+        .select(col("doc_id").as("query_id"))
+        .join(gt, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("gt"), array().cast("array<long>")).as("gt"))
+      Metrics.ranking(Metrics.rankedToPreds(fused), truth, ks = Seq(1, 5, 10))
+        .select(col("k"), round(col("recall"), 6).as("recall"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("hitrate"), 6).as("hitrate"), col("n_queries"))
+        .orderBy("k")
+    }),
+
     // V15/V19: learned reranker — LR over (score, 1/(1+crank), missing)
     // features of the aligned candidate table, labels from label ground
     // truth. The fit is MLlib; the trained 3-weight model is inlined into
@@ -2399,6 +2428,50 @@ object SparkEntry {
          |           FROM fused)
          |SELECT query_id, rank, doc_id, round(fused_score, 6) AS fused_score
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ensemble_nq_hitrate" ->
+      s"""WITH ${graft.oracle.GeneratedOracles.ensembleBaseSql(20)},
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    CASE WHEN crank IS NOT NULL
+         |         THEN score + 0.4 / (0.03 * (crank - 1) + 1)
+         |         ELSE (score + 0.4 / (0.03 * 5 + 1)) * (1 - 0.02 * 0.4) END AS fused_score
+         |  FROM al WHERE query_id < 10),
+         |ranked AS (SELECT query_id, doc_id,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY fused_score DESC, doc_id ASC) AS rank
+         |           FROM fused),
+         |answers AS (
+         |  SELECT doc_id AS query_idx,
+         |    regexp_extract_all(lower(array_to_string(string_split_regex(text, '\\s+')[5:6], ' ')),
+         |      '[\\p{L}\\p{N}\\p{M}]+|[^\\p{Z}\\p{C}]') AS atoks
+         |  FROM documents WHERE doc_id < 10),
+         |dt AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[\\p{L}\\p{N}\\p{M}]+|[^\\p{Z}\\p{C}]') AS dtoks
+         |  FROM documents),
+         |matches AS (
+         |  SELECT DISTINCT a.query_idx, d.doc_id
+         |  FROM dt d JOIN answers a
+         |    ON len(a.atoks) > 0 AND len(a.atoks) <= len(d.dtoks)
+         |   AND len(list_filter(range(1, len(d.dtoks) - len(a.atoks) + 2),
+         |         p -> list_slice(d.dtoks, p, p + len(a.atoks) - 1) = a.atoks)) > 0),
+         |hits AS (SELECT r.query_id, r.rank FROM ranked r
+         |         JOIN matches m ON m.doc_id = r.doc_id AND m.query_idx = r.query_id
+         |         WHERE r.rank <= 10),
+         |gtn AS (SELECT a.query_idx AS query_id,
+         |          (SELECT count(*) FROM matches m WHERE m.query_idx = a.query_idx) AS gt_n
+         |        FROM answers a),
+         |ks AS (SELECT unnest([1, 5, 10]) AS k),
+         |perq AS (
+         |  SELECT ks.k, gtn.query_id,
+         |    CASE WHEN gtn.gt_n = 0 THEN 0
+         |         ELSE COALESCE((SELECT count(*) FROM hits h WHERE h.query_id = gtn.query_id AND h.rank <= ks.k), 0) / gtn.gt_n END AS recall,
+         |    COALESCE((SELECT 1.0 / min(h.rank) FROM hits h WHERE h.query_id = gtn.query_id AND h.rank <= ks.k), 0) AS rr,
+         |    CASE WHEN EXISTS (SELECT 1 FROM hits h WHERE h.query_id = gtn.query_id AND h.rank <= ks.k) THEN 1.0 ELSE 0.0 END AS hit
+         |  FROM ks CROSS JOIN gtn)
+         |SELECT k, round(avg(recall), 6) AS recall, round(avg(rr), 6) AS mrr,
+         |  round(avg(hit), 6) AS hitrate, count(*) AS n_queries
+         |FROM perq GROUP BY k ORDER BY k""".stripMargin,
 
     "ensemble_grid" ->
       s"""WITH ${graft.oracle.GeneratedOracles.ensembleBaseSql(20)},
