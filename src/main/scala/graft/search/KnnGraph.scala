@@ -165,9 +165,15 @@ object KnnGraph {
     require(k >= 1 && beam >= 1 && rounds >= 0)
     val qcols = queries.select(col("query_id"), col("qvec"))
 
-    def scoreDocs(cand: DataFrame): DataFrame = cand
+    // qvec rides the candidate row through a plain equi-join (the IVFPQ
+    // probe-row pattern) — NEVER a broadcast hint on the query batch:
+    // insert() calls walk with the ARRIVAL batch as queries, so the query
+    // side can be corpus-sized. When the batch really is small, AQE still
+    // picks a broadcast join on its own; the point is not hard-coding the
+    // assumption.
+    def scoreCands(cand: DataFrame): DataFrame = cand
+      .join(qcols, Seq("query_id"))
       .join(docs.select(col("doc_id"), col("vec")), Seq("doc_id"))
-      .join(broadcast(qcols), Seq("query_id"))
       .select(col("query_id"), col("doc_id"),
         ip(col("qvec"), col("vec")).as("score"))
 
@@ -178,7 +184,7 @@ object KnnGraph {
         .where(col("rn") <= beam).select("query_id", "doc_id")
     }
 
-    var seen = scoreDocs(entries.select("query_id", "doc_id"))
+    var seen = scoreCands(entries.select("query_id", "doc_id"))
       .localCheckpoint()
     for (_ <- 0 until rounds) {
       val nbrs = topB(seen)
@@ -186,7 +192,7 @@ object KnnGraph {
         .select(col("query_id"), col("dst").as("doc_id"))
         .distinct()
       // same (query, doc) always scores identically → distinct dedups
-      seen = scoreDocs(nbrs).unionByName(seen).distinct().localCheckpoint()
+      seen = scoreCands(nbrs).unionByName(seen).distinct().localCheckpoint()
     }
     TopK.ranked(seen, k)
   }
@@ -233,6 +239,22 @@ object KnnGraph {
         .unionByName(reverse), k)
     val untouched = graph.join(touchedIds, Seq("src"), "left_anti")
       .select("src", "rank", "dst", "score")
-    untouched.unionByName(mergedTouched).unionByName(topK(newEdges, k))
+    // intra-batch: two similar docs arriving TOGETHER must be able to
+    // appear in each other's lists (sequential HNSW insertion sees
+    // earlier same-batch inserts; walking only the existing graph cannot
+    // — a correlated arrival burst, e.g. a near-dup crawl, would degrade
+    // inserted-node recall). Seed per-cell arrival pairs exactly the way
+    // build() seeds, score the symmetric dot, and let the bounded top-k
+    // keep whichever edges win.
+    val bc = newDocs.sparkSession.sparkContext.broadcast(codebook)
+    val newCells = newDocs.select(col("doc_id"),
+      IVFIndex.probeCellsUdf(bc, 1)(col("vec")).getItem(0).as("cell"))
+    // one expand round on top of the seed (the build() round structure,
+    // same degree cap): lowest-id seeds alone never pair two high-id
+    // arrivals — the round propagates through the shared seed hubs
+    val intraSeed = score(seed(newDocs, newCells, k), newDocs)
+    val intra = score(expand(intraSeed, 2 * k), newDocs)
+    untouched.unionByName(mergedTouched)
+      .unionByName(topK(newEdges.unionByName(intra).distinct(), k))
   }
 }

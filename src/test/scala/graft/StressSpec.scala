@@ -166,6 +166,33 @@ class StressSpec extends SparkSpec {
       s"replica queries diverged: $profiles distinct profiles, want 2500")
   }
 
+  test("graph walk takes a corpus-sized query set (no broadcast hint)") {
+    import graft.search.KnnGraph
+    val docs = replicatedVecs(4).repartition(16).cache()
+    assert(docs.count() == 2000)
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 1, k = 16, seed = 42L,
+      maxIter = 10)
+    val cells = CodeAssigner.assign(docs, cb)
+      .select(col("doc_id"), col("codes").getItem(0).as("cell")).cache()
+    val graph = KnnGraph.build(docs, cells, k = 4, rounds = 1)
+      .select("src", "dst").cache()
+    // every doc plays a query — insert() does exactly this with a large
+    // arrival batch; a broadcast(queries) hint would pin a corpus-sized
+    // broadcast into every scoring round
+    val queries = docs.select(col("doc_id").as("query_id"),
+      col("vec").as("qvec"))
+    val entries = KnnGraph.probeEntries(queries, cells, cb, nprobe = 1,
+      perCell = 2)
+    val out = KnnGraph.walk(queries, graph, docs, k = 5, beam = 8,
+      rounds = 1, entries = entries)
+    assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "walk must not pin a broadcast hint on the query batch")
+    // closure can be < k for a few queries (beam 8, 1 round); every query
+    // must answer, near-full lists overall
+    assert(out.select("query_id").distinct().count() == 2000L)
+    assert(out.count() >= 2000L * 4)
+  }
+
   test("hkm fit job count grows with depth, not node count") {
     import graft.index.HierarchicalKMeans
     import java.util.concurrent.atomic.AtomicInteger

@@ -155,6 +155,46 @@ class KnnGraphSpec extends SparkSpec {
       after.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("insert links same-batch arrivals (correlated burst)") {
+    val rng = new scala.util.Random(21)
+    def mk(i: Int, c: Int): (Long, Array[Float]) = {
+      val center = Array.tabulate(16)(j => math.sin((c * 16 + j).toDouble))
+      val v = center.map(x => (x + 0.08 * rng.nextGaussian()).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }
+    val base = (0 until 400).map(i => mk(i, i % 20))
+    // the burst: 20 arrivals around a direction the base corpus does NOT
+    // cover — their true neighbors are (almost) all inside the batch, so
+    // walking only the existing graph cannot link them at all
+    val arrivals = (400 until 420).map(i => mk(i, 77))
+    val bdocs = base.toDF("doc_id", "vec").cache()
+    val ndocs = arrivals.toDF("doc_id", "vec").cache()
+    val cb = RQTrainer.fit(bdocs, "vec", numLevels = 1, k = 16, seed = 1L,
+      maxIter = 10)
+    val bcells = CodeAssigner.assign(bdocs, cb)
+      .select(col("doc_id"), col("codes").getItem(0).as("cell")).cache()
+    val graph = KnnGraph.build(bdocs, bcells, k = 8, rounds = 2).cache()
+    val merged = KnnGraph.insert(graph, ndocs, bdocs, bcells, cb, k = 8,
+      rounds = 2).cache()
+    // arrival→arrival truth: each burst doc's exact 8-NN over base∪burst
+    // is dominated by burst mates; count how many of those edges landed
+    val all = base ++ arrivals
+    val truth = arrivals.flatMap { case (a, va) =>
+      all.filter(_._1 != a).map { case (b, vb) =>
+        var s = 0.0; var j = 0
+        while (j < va.length) { s += va(j).toDouble * vb(j).toDouble; j += 1 }
+        (b, s)
+      }.sortBy { case (b, s) => (-s, b) }.take(8)
+        .collect { case (b, _) if b >= 400 => (a, b) }
+    }.toSet
+    assert(truth.size > 100, s"burst fixture degenerate: ${truth.size}")
+    val got = merged.where(col("src") >= 400 && col("dst") >= 400)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    val recall = (got intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"intra-batch edge recall too low: $recall")
+  }
+
   test("graph build is partitioning-independent") {
     val a = KnnGraph.build(docs, cells, k = 5, rounds = 1)
       .collect().map(_.toString).sorted.toSeq
