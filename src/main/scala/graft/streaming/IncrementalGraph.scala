@@ -22,15 +22,16 @@ import graft.search.KnnGraph
 object IncrementalGraph {
 
   /** One micro-batch step, exposed for tests. Reads the current graph +
-    * corpus stores, inserts the batch, and OVERWRITES both stores with
-    * versioned snapshots (`version=<batchId>`); readers take the max
+    * corpus + cell stores, inserts the batch, and OVERWRITES all three
+    * with versioned snapshots (`version=<batchId>`); readers take the max
     * version — torn writes from a crashed attempt are superseded, never
     * unioned.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      graphDir: String, corpusDir: String, codebook: Codebook, k: Int,
-      beam: Int = 16, rounds: Int = 2, nprobe: Int = 2,
-      perCell: Int = 4): Unit = {
+      graphDir: String, corpusDir: String, cellsDir: String,
+      codebook: Codebook, k: Int, beam: Int = 16, rounds: Int = 2,
+      nprobe: Int = 2, perCell: Int = 4): Unit = {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, IntegerType}
     val arrivals = batch.select(col("doc_id"), col("vec")).localCheckpoint()
     if (arrivals.isEmpty) return
     // read only snapshots written BEFORE this batch: a RETRY must not
@@ -38,23 +39,35 @@ object IncrementalGraph {
     // half-written version — the IncrementalDedup store discipline
     val docs = latest(spark, corpusDir, arrivals.schema, batchId)
     val graph = latest(spark, graphDir, null, batchId)
+    val cellSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("cell", IntegerType)))
+    val prevCells = latest(spark, cellsDir, cellSchema, batchId)
     val bc = spark.sparkContext.broadcast(codebook)
     val cellUdf = udf { (vec: Array[Float]) => bc.value.assign(vec)(0) }
+    // only ARRIVALS pay the assignment scan: the coarse codebook is
+    // frozen, so existing assignments never change — they persist as
+    // their own versioned store instead of being recomputed O(corpus)
+    // every micro-batch
+    val newCells = arrivals
+      .select(col("doc_id"), cellUdf(col("vec")).as("cell"))
+    val allCells = prevCells.unionByName(newCells)
     val merged =
-      if (docs.isEmpty || graph == null || graph.isEmpty) {
-        // cold start: the first batch IS the corpus — full build
-        val cells = arrivals
-          .select(col("doc_id"), cellUdf(col("vec")).as("cell"))
-        KnnGraph.build(arrivals, cells, k, rounds)
+      if (graph == null || graph.isEmpty) {
+        // cold start — including graph-empty-but-corpus-NONEMPTY (an
+        // earlier batch of singleton-cell docs yields a legitimately
+        // empty graph): build over everything known, not the arrivals
+        // alone, or the existing corpus would be excluded permanently
+        KnnGraph.build(docs.unionByName(arrivals), allCells, k, rounds)
       } else {
-        val cells = docs.select(col("doc_id"), cellUdf(col("vec")).as("cell"))
-        KnnGraph.insert(graph, arrivals, docs, cells, codebook, k,
+        KnnGraph.insert(graph, arrivals, docs, prevCells, codebook, k,
           beam, rounds, nprobe, perCell)
       }
     merged.write.mode("overwrite")
       .parquet(s"$graphDir/version=$batchId")
     docs.unionByName(arrivals).write.mode("overwrite")
       .parquet(s"$corpusDir/version=$batchId")
+    allCells.write.mode("overwrite")
+      .parquet(s"$cellsDir/version=$batchId")
   }
 
   /** Read the highest `version=<n>` snapshot under `dir` with
@@ -80,11 +93,11 @@ object IncrementalGraph {
 
   /** Wire the stream: parquet (doc_id, vec) arrivals under `inputDir`,
     * graph snapshots under `graphDir`, corpus snapshots under
-    * `corpusDir`. */
+    * `corpusDir`, frozen-codebook cell assignments under `cellsDir`. */
   def start(spark: SparkSession, inputDir: String, graphDir: String,
-      corpusDir: String, checkpointDir: String, codebook: Codebook,
-      schema: org.apache.spark.sql.types.StructType, k: Int,
-      beam: Int = 16, rounds: Int = 2, nprobe: Int = 2,
+      corpusDir: String, cellsDir: String, checkpointDir: String,
+      codebook: Codebook, schema: org.apache.spark.sql.types.StructType,
+      k: Int, beam: Int = 16, rounds: Int = 2, nprobe: Int = 2,
       perCell: Int = 4): StreamingQuery = {
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
@@ -92,8 +105,8 @@ object IncrementalGraph {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, graphDir, corpusDir, codebook,
-          k, beam, rounds, nprobe, perCell)
+        processBatch(spark, batch, batchId, graphDir, corpusDir, cellsDir,
+          codebook, k, beam, rounds, nprobe, perCell)
       }
       .start()
   }

@@ -288,8 +288,9 @@ class StreamingSpec extends SparkSpec {
     val base = "target/tmp/stream_graph"
     FileUtils.deleteDirectory(new java.io.File(base))
     val seqG = s"$base/seq_graph"; val seqC = s"$base/seq_corpus"
+    val seqCe = s"$base/seq_cells"
     Seq((b0, 0L), (b1, 1L), (b2, 2L)).foreach { case (b, id) =>
-      IncrementalGraph.processBatch(spark, b, id, seqG, seqC, cb, k = 6)
+      IncrementalGraph.processBatch(spark, b, id, seqG, seqC, seqCe, cb, k = 6)
     }
     // materialize NOW: the retry-idempotence step below overwrites this
     // directory, and a lazy frame would re-list stale files
@@ -308,7 +309,8 @@ class StreamingSpec extends SparkSpec {
       StructField("doc_id", LongType),
       StructField("vec", ArrayType(FloatType))))
     val q = IncrementalGraph.start(spark, s"$inDir/*",
-      s"$base/st_graph", s"$base/st_corpus", s"$base/ck", cb, schema, k = 6)
+      s"$base/st_graph", s"$base/st_corpus", s"$base/st_cells", s"$base/ck",
+      cb, schema, k = 6)
     q.awaitTermination(180000)
 
     val stPath = new org.apache.hadoop.fs.Path(s"$base/st_graph")
@@ -331,8 +333,36 @@ class StreamingSpec extends SparkSpec {
     }
     // retry idempotence: re-running the last sequential batch overwrites
     // its own snapshot and changes nothing
-    IncrementalGraph.processBatch(spark, b2, 2L, seqG, seqC, cb, k = 6)
+    IncrementalGraph.processBatch(spark, b2, 2L, seqG, seqC, seqCe, cb, k = 6)
     val replay = spark.read.parquet(s"$seqG/version=2")
     assert(replay.collect().map(_.toString).sorted.toSeq == seqFinalRows)
+  }
+
+  test("graph ingest recovers from a legitimately empty graph snapshot") {
+    val docs = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec")).cache()
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 1, k = 16, seed = 42L,
+      maxIter = 10)
+    val base = "target/tmp/stream_graph_empty"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    val g = s"$base/graph"; val c = s"$base/corpus"; val ce = s"$base/cells"
+    val b0 = docs.where(col("doc_id") < 100)
+    // simulate batch 0 having produced a corpus but an EMPTY graph (e.g.
+    // every doc alone in its cell → no seed pairs): corpus + cells
+    // snapshots exist, graph snapshot has zero rows
+    IncrementalGraph.processBatch(spark, b0, 0L, g, c, ce, cb, k = 6)
+    spark.read.parquet(s"$g/version=0").limit(0)
+      .write.mode("overwrite").parquet(s"$g/version=0__tmp")
+    FileUtils.deleteDirectory(new java.io.File(s"$g/version=0"))
+    new java.io.File(s"$g/version=0__tmp")
+      .renameTo(new java.io.File(s"$g/version=0"))
+    assert(spark.read.parquet(s"$g/version=0").isEmpty)
+    // next batch must rebuild over corpus ∪ arrivals, not arrivals alone
+    val b1 = docs.where(col("doc_id") >= 100 && col("doc_id") < 150)
+    IncrementalGraph.processBatch(spark, b1, 1L, g, c, ce, cb, k = 6)
+    val g1 = spark.read.parquet(s"$g/version=1")
+    assert(g1.where(col("src") < 100).select("src").distinct().count() >= 95,
+      "pre-existing corpus docs must re-enter the rebuilt graph")
+    assert(g1.select("src").distinct().count() >= 145)
   }
 }
