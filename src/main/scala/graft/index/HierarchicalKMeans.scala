@@ -171,17 +171,103 @@ object HierarchicalKMeans {
     x ^ (x >>> 33)
   }
 
-  /** Train the tree, level-synchronously: for each level, ONE
-    * `flatMapGroups` job fits every node's codebook (local seeded
-    * k-means++ over that node's `sampleCap` lowest-rank members — at
-    * fixture scale the sample is the whole node), then ONE broadcast
-    * pass assigns each doc its next code. Job count grows with DEPTH,
-    * never with node count (the fix VERDICT r3 §"What's wrong" #1 asked
-    * for). Per-node seeds derive from the node's path prefix —
+  /** Bounded-sample cap-heap: keeps the `cap` members with the smallest
+    * (scrambled-id rank, id). Max-heap so the worst kept element pops. */
+  private def newSampleHeap(): mutable.PriorityQueue[(Long, Long, Array[Float])] =
+    mutable.PriorityQueue.empty[(Long, Long, Array[Float])](
+      Ordering.by((t: (Long, Long, Array[Float])) => (t._1, t._2)))
+
+  private def heapAdd(heap: mutable.PriorityQueue[(Long, Long, Array[Float])],
+      cap: Int, r: Long, id: Long, vec: Array[Float]): Unit = {
+    if (heap.size < cap) heap.enqueue((r, id, vec))
+    else if (r < heap.head._1 || (r == heap.head._1 && id < heap.head._2)) {
+      heap.dequeue(); heap.enqueue((r, id, vec))
+    }
+  }
+
+  /** ONE distributed fit job for every node of a level: two-stage bounded
+    * sampling — each PARTITION pre-reduces to its `sampleCap` lowest-rank
+    * rows per prefix (plus the true member count), so only ~sampleCap rows
+    * per (node × partition) ever shuffle, then the per-prefix reduce merges
+    * the partial heaps. The kept set is identical to a single global heap
+    * (it is the global (rank, id)-minimum), so results are bit-equal to
+    * the unreduced form — but the root fit no longer shuffles the whole
+    * corpus into one task (every row shuffled at level 0 would put
+    * O(corpus) through a single reducer at 100 TB).
+    */
+  private def levelFit(frontier: Dataset[(String, Long, Array[Float])],
+      k: Int, minSize: Long, seed: Long, maxIter: Int,
+      sampleCap: Int): Dataset[(String, Array[Array[Float]])] = {
+    import frontier.sparkSession.implicits._
+    val partial: Dataset[(String, Long, Array[(Long, Long, Array[Float])])] =
+      frontier.mapPartitions { it =>
+        val heaps = mutable.Map.empty[String,
+          mutable.PriorityQueue[(Long, Long, Array[Float])]]
+        val counts = mutable.Map.empty[String, Long]
+        it.foreach { case (prefix, id, vec) =>
+          counts.update(prefix, counts.getOrElse(prefix, 0L) + 1L)
+          heapAdd(heaps.getOrElseUpdate(prefix, newSampleHeap()),
+            sampleCap, sampleRank(id, seed), id, vec)
+        }
+        heaps.iterator.map { case (prefix, heap) =>
+          (prefix, counts(prefix), heap.dequeueAll[(Long, Long, Array[Float])].toArray)
+        }
+      }
+    partial
+      .groupByKey(_._1)
+      .flatMapGroups { (prefix, parts) =>
+        val heap = newSampleHeap()
+        var n = 0L
+        parts.foreach { case (_, cnt, rows) =>
+          n += cnt
+          rows.foreach { case (r, id, vec) => heapAdd(heap, sampleCap, r, id, vec) }
+        }
+        if (n < minSize) Iterator.empty
+        else {
+          // sorted by doc_id so the local k-means sees a
+          // partition-order-independent input
+          val sample = heap.dequeueAll[(Long, Long, Array[Float])]
+            .sortBy(_._2).map(_._3.map(_.toDouble)).toArray
+          val nodeSeed = seed ^
+            (scala.util.hashing.MurmurHash3.stringHash("hkm:" + prefix).toLong
+              & 0xFFFFFFFFL)
+          Iterator((prefix, localKMeans(sample, k, nodeSeed, maxIter)))
+        }
+      }
+  }
+
+  /** Per-level argmin-L2 over one node's centroids (double fold, ties →
+    * lowest code) — the single step Tree.assign walks per level. */
+  private def argminCode(vec: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0; var j = 0
+      while (j < vec.length) {
+        val f = vec(j).toDouble - cent(j).toDouble; d += f * f; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train the tree, level-synchronously: for each level, ONE two-stage
+    * fit job trains every node's codebook (see [[levelFit]]), then ONE
+    * broadcast pass assigns each doc its next code. Job count grows with
+    * DEPTH, never with node count (the fix VERDICT r3 §"What's wrong" #1
+    * asked for). Per-node seeds derive from the node's path prefix —
     * deterministic and partitioning-independent. Nodes with fewer than
     * `2·k` members stop splitting (a k-means over fewer points than
     * centroids is degenerate), so paths are variable-length.
     * `docs`: (doc_id LONG, vecCol ARRAY<FLOAT>).
+    *
+    * NOTE the returned [[Tree]] is DRIVER-resident and [[assign]]
+    * broadcasts it whole: fine for bounded geometries (fixtures, small
+    * fan-outs), but at the reference's K=32/depth-4/768-d the leaf level
+    * alone is ~33k nodes × 32 × 768 floats ≈ 3 GB. At that geometry use
+    * [[fitLevels]] + [[assignByLevels]], which keep every codebook
+    * distributed end to end.
     */
   def fit(docs: DataFrame, vecCol: String, k: Int, depth: Int,
       seed: Long = 42L, maxIter: Int = 20, sampleCap: Int = 1 << 16): Tree = {
@@ -198,35 +284,9 @@ object HierarchicalKMeans {
     val levelCents = mutable.ArrayBuffer.empty[Map[String, Array[Array[Float]]]]
     for (level <- 0 until depth) {
       val minSize = if (level == 0) 1L else 2L * k
-      // one distributed fit job for ALL level nodes
-      val fitted: Map[String, Array[Array[Float]]] = frontier
-        .groupByKey(_._1)
-        .flatMapGroups { (prefix, rows) =>
-          // bounded deterministic sample: the sampleCap members with the
-          // smallest scrambled-id rank, then sorted by doc_id so the
-          // local k-means sees a partition-order-independent input
-          val heap = mutable.PriorityQueue.empty[(Long, Long, Array[Float])](
-            Ordering.by((t: (Long, Long, Array[Float])) =>
-              (t._1, t._2))) // max-heap: pop largest rank
-          var n = 0L
-          rows.foreach { case (_, id, vec) =>
-            n += 1
-            val r = sampleRank(id, seed)
-            if (heap.size < sampleCap) heap.enqueue((r, id, vec))
-            else if (r < heap.head._1 || (r == heap.head._1 && id < heap.head._2)) {
-              heap.dequeue(); heap.enqueue((r, id, vec))
-            }
-          }
-          if (n < minSize) Iterator.empty
-          else {
-            val sample = heap.dequeueAll[(Long, Long, Array[Float])]
-              .sortBy(_._2).map(_._3.map(_.toDouble)).toArray
-            val nodeSeed = seed ^
-              (scala.util.hashing.MurmurHash3.stringHash("hkm:" + prefix).toLong
-                & 0xFFFFFFFFL)
-            Iterator((prefix, localKMeans(sample, k, nodeSeed, maxIter)))
-          }
-        }.collect().toMap
+      val fitted: Map[String, Array[Array[Float]]] =
+        levelFit(frontier, k, minSize, seed, maxIter, sampleCap)
+          .collect().toMap
       levelCents += fitted
 
       if (level + 1 < depth && fitted.nonEmpty) {
@@ -234,16 +294,7 @@ object HierarchicalKMeans {
         val next = frontier.flatMap { case (prefix, id, vec) =>
           bc.value.get(prefix) match {
             case Some(cents) =>
-              var best = 0; var bestD = Double.MaxValue; var c = 0
-              while (c < cents.length) {
-                val cent = cents(c)
-                var d = 0.0; var j = 0
-                while (j < vec.length) {
-                  val f = vec(j).toDouble - cent(j).toDouble; d += f * f; j += 1
-                }
-                if (d < bestD) { bestD = d; best = c }
-                c += 1
-              }
+              val best = argminCode(vec, cents)
               val p = if (prefix.isEmpty) best.toString else s"$prefix,$best"
               Iterator.single((p, id, vec))
             case None => Iterator.empty // parent became a leaf
@@ -278,6 +329,101 @@ object HierarchicalKMeans {
     val bc = docs.sparkSession.sparkContext.broadcast(tree)
     val assignUdf = udf { (vec: Array[Float]) => bc.value.assign(vec) }
     docs.select(col(idCol), assignUdf(col(vecCol)).as("path"))
+  }
+
+  /** Reference-geometry training: the same level-synchronous fit as
+    * [[fit]], but the codebooks never land on the driver — each level's
+    * (prefix → centroids) stays a DataFrame and the frontier descends by
+    * a PREFIX JOIN instead of a broadcast map. At K=32/depth-4/768-d the
+    * full codebook set is ~3 GB; a driver Tree + whole-tree broadcast
+    * per assignment pass does not survive that, a per-level join does:
+    * low levels have a tiny codebook side (AQE broadcasts it on its
+    * own), deep levels have K^level distinct prefixes (a shuffle join
+    * distributes evenly) — both regimes stay bounded without hints.
+    *
+    * @return (level INT, prefix STRING, cents ARRAY<ARRAY<FLOAT>>), one
+    *         row per trained node — feed to [[assignByLevels]].
+    */
+  def fitLevels(docs: DataFrame, vecCol: String, k: Int, depth: Int,
+      seed: Long = 42L, maxIter: Int = 20,
+      sampleCap: Int = 1 << 16): DataFrame = {
+    require(k >= 2 && depth >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    var frontier: Dataset[(String, Long, Array[Float])] = docs
+      .select(col("doc_id").cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => ("", id, v) }
+    val kept = mutable.ArrayBuffer.empty[Dataset[_]]
+    val levels = mutable.ArrayBuffer.empty[DataFrame]
+
+    for (level <- 0 until depth) {
+      val minSize = if (level == 0) 1L else 2L * k
+      val fitted = levelFit(frontier, k, minSize, seed, maxIter, sampleCap)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      fitted.count() // materialize: used by this level's output AND the join
+      kept += fitted
+      levels += fitted.toDF("prefix", "cents")
+        .select(lit(level).as("level"), col("prefix"), col("cents"))
+
+      if (level + 1 < depth) {
+        val extendUdf = udf { (vec: Array[Float], cents: Seq[Seq[Float]]) =>
+          argminCode(vec, cents.map(_.toArray).toArray)
+        }
+        val next = frontier.toDF("prefix", "doc_id", "vec")
+          .join(fitted.toDF("prefix", "cents"), Seq("prefix")) // leaves drop
+          .select(
+            when(col("prefix") === "",
+              extendUdf(col("vec"), col("cents")).cast("string"))
+              .otherwise(concat(col("prefix"), lit(","),
+                extendUdf(col("vec"), col("cents")).cast("string")))
+              .as("prefix"),
+            col("doc_id"), col("vec"))
+          .as[(String, Long, Array[Float])]
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        kept += next
+        frontier = next
+      }
+    }
+    val out = levels.reduce(_ unionByName _).localCheckpoint()
+    kept.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Distributed trie descent over [[fitLevels]] output: per level, LEFT
+    * join the current (doc, prefix) state with that level's codebooks on
+    * prefix and extend by the argmin code; docs whose node stopped
+    * splitting keep their (shorter) path — Tree.assign semantics, with
+    * no driver-resident codebooks and nothing broadcast but what AQE
+    * chooses to. Returns (idCol, path ARRAY<INT>).
+    */
+  def assignByLevels(docs: DataFrame, levels: DataFrame, depth: Int,
+      idCol: String = "doc_id", vecCol: String = "vec"): DataFrame = {
+    val extendUdf = udf { (vec: Array[Float], cents: Seq[Seq[Float]]) =>
+      argminCode(vec, cents.map(_.toArray).toArray)
+    }
+    var state = docs.select(col(idCol), col(vecCol).cast("array<float>")
+      .as("__vec")).withColumn("__prefix", lit(""))
+    for (level <- 0 until depth) {
+      val lv = levels.where(col("level") === level)
+        .select(col("prefix").as("__prefix"), col("cents").as("__cents"))
+      state = state
+        .join(lv, Seq("__prefix"), "left")
+        .select(
+          when(col("__cents").isNull, col("__prefix")) // leaf: path ends
+            .when(col("__prefix") === "",
+              extendUdf(col("__vec"), col("__cents")).cast("string"))
+            .otherwise(concat(col("__prefix"), lit(","),
+              extendUdf(col("__vec"), col("__cents")).cast("string")))
+            .as("__prefix"),
+          col(idCol), col("__vec"))
+    }
+    state.select(col(idCol),
+      when(col("__prefix") === "", array().cast("array<int>"))
+        .otherwise(split(col("__prefix"), ",").cast("array<int>"))
+        .as("path"))
   }
 
   /** Beam search over the trie — the generation-side analog of the

@@ -245,6 +245,34 @@ class StressSpec extends SparkSpec {
       s"per-level job cost should be a small constant: depth2=$jK2 depth3=$jD3")
   }
 
+  test("hkm distributed path matches the tree at k=32 (no driver codebooks)") {
+    import graft.index.HierarchicalKMeans
+    import spark.implicits._
+    // the reference geometry direction: K=32 fan-out — the regime where
+    // the driver Tree stops scaling (33k nodes × 32 × 768 floats ≈ 3 GB
+    // at depth 4); fitLevels/assignByLevels must agree with the Tree
+    // path bit-for-bit while keeping codebooks distributed
+    val rng = new scala.util.Random(29)
+    val df = (0 until 16000).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("doc_id", "vec").repartition(16).cache()
+    df.count()
+    val t0 = System.nanoTime()
+    val levels = HierarchicalKMeans.fitLevels(df, "vec", k = 32, depth = 2,
+      seed = 2L, maxIter = 10)
+    val paths = HierarchicalKMeans.assignByLevels(df, levels, depth = 2)
+    val byLevels = paths.as[(Long, Seq[Int])].collect().toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120, s"k=32 distributed fit+assign took ${sec}s on 16k vecs")
+    // no broadcast hint pinned anywhere in the descent plan
+    assert(!paths.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 32, depth = 2,
+      seed = 2L, maxIter = 10)
+    val byTree = HierarchicalKMeans.assign(df, tree)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(byLevels == byTree, "distributed descent diverged from the tree")
+  }
+
   test("hkm fit handles the reference's fan-out (k=32) in seconds") {
     import graft.index.HierarchicalKMeans
     import spark.implicits._

@@ -109,6 +109,32 @@ class HkmSpec extends SparkSpec {
       "trees diverged across partitionings under bounded sampling")
   }
 
+  test("fitLevels/assignByLevels == fit/assign (distributed path parity)") {
+    val rng = new scala.util.Random(19)
+    // includes the variable-depth case: a far 3-point clump stays a leaf
+    val far = (0 until 3).map(i => (1000L + i, Array(50f + i, 50f, 0f, 0f)))
+    val near = (0 until 400).map(i =>
+      (i.toLong, Array.fill(4)(rng.nextGaussian().toFloat)))
+    val df = (far ++ near).toDF("doc_id", "vec").cache()
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 3, depth = 3,
+      seed = 42L, maxIter = 10)
+    val levels = HierarchicalKMeans.fitLevels(df, "vec", k = 3, depth = 3,
+      seed = 42L, maxIter = 10)
+    // identical codebooks node for node...
+    val fromTree = tree.nodesByPrefix
+      .map { case (p, n) => (p, n.cents.flatten.toSeq) }.toMap
+    val fromLevels = levels.select("prefix", "cents")
+      .as[(String, Seq[Seq[Float]])].collect()
+      .map { case (p, c) => (p, c.flatten) }.toMap
+    assert(fromLevels == fromTree, "trained codebooks diverged")
+    // ...and identical assignments doc for doc (incl. short leaf paths)
+    val a = HierarchicalKMeans.assign(df, tree)
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = HierarchicalKMeans.assignByLevels(df, levels, depth = 3)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a == b, "assignment paths diverged between tree and join descent")
+  }
+
   test("assignment is partitioning-independent given a trained tree") {
     val rng = new scala.util.Random(3)
     val df = (0 until 200).map(i =>
