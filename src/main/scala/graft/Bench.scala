@@ -30,6 +30,14 @@ object Bench {
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
+    // best-of-2 like the query loop — single shots jitter round-over-round
+    def bestOf2(f: => Unit): Double = {
+      val (_, s1) = timed(f); val (_, s2) = timed(f); math.min(s1, s2)
+    }
+    // Locale.ROOT formatting: the f"" interpolator is locale-sensitive
+    // and a comma-decimal default locale would emit invalid JSON
+    def d(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
 
     // session warmup: pay JIT/codegen/scheduler spin-up before timing
     // (cold-start otherwise lands on whichever query runs first)
@@ -94,11 +102,6 @@ object Bench {
       val (cb, index) = artifacts
 
       val k = math.min(1000, nVec.toInt)
-      // throughput sections use best-of-2 like the query loop — a single
-      // shot makes the qps lines jitter round-over-round
-      def bestOf2(f: => Unit): Double = {
-        val (_, s1) = timed(f); val (_, s2) = timed(f); math.min(s1, s2)
-      }
       val (knnRanked, knnSec) = {
         // excludeSelf: labelGroundTruth excludes the query's own doc, so
         // the preds must too — a self-hit at rank 1 would deflate every
@@ -153,10 +156,6 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
       }
 
-      // Locale.ROOT formatting: the f"" interpolator is locale-sensitive
-      // and a comma-decimal default locale would emit invalid JSON
-      def d(v: Double, digits: Int): String =
-        String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
       s"""{"index_build_sec":${d(buildSec, 3)},"knn_qps":${d(nQ / knnSec, 2)},""" +
         s""""coarse_fine_qps":${d(nQ / cfSec, 2)},""" +
         s""""coarse_fine_budgeted_qps":${d(nQ / cfbSec, 2)},""" +
@@ -176,6 +175,94 @@ object Bench {
         "{}"
     }
 
+    // ---- clustered-corpus quality block ----
+    // The fixture embeddings are near-random unit vectors: label-recall
+    // numbers there sit at chance and CANNOT detect an ANN quality
+    // regression. This block plants 80 Gaussian clusters (the KnnGraphSpec
+    // generator, distributed) and measures every approximate retriever
+    // against the exact KNN on the same corpus — recall floors live in
+    // the specs; here a drop below them flags on stderr and in the
+    // round-over-round diff.
+    val clustered = try {
+      import graft.search.{BruteForceKNN, CoarseFineRetriever, IVFIndex, KnnGraph}
+      import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
+      val nClusters = 80; val perCluster = 50; val dim = 16; val nCq = 200
+      val nDocs = nClusters * perCluster
+      val gen = udf { (id: Long) =>
+        val c = (id % nClusters).toInt
+        val rng = new scala.util.Random(id * 0x9E3779B97F4A7C15L)
+        val v = Array.tabulate(dim)(j =>
+          (math.sin((c * dim + j).toDouble) + 0.08 * rng.nextGaussian()).toFloat)
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        v.map(_ / n)
+      }
+      val cdocs = spark.range(nDocs)
+        .select(col("id").as("doc_id"), gen(col("id")).as("vec")).cache()
+      cdocs.count()
+      val cq = cdocs.where(col("doc_id") < nCq)
+        .select(col("doc_id").as("query_id"), col("vec").as("qvec")).cache()
+      // exact truth, self included — queries are corpus members, matching
+      // the graph-walk convention
+      val exact = BruteForceKNN.topK(cq, cdocs, k = 10).cache()
+      val exactSec = bestOf2 {
+        BruteForceKNN.topK(cq, cdocs, k = 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      def recallVs(approx: org.apache.spark.sql.DataFrame): Double =
+        approx.select("query_id", "doc_id")
+          .join(exact.select("query_id", "doc_id"),
+            Seq("query_id", "doc_id"), "left_semi")
+          .count().toDouble / (nCq.toDouble * 10)
+
+      // √n-scaled cell count: 16 cells over 4000 docs (250 docs/cell,
+      // ~5 planted clusters each) seeds NN-descent so poorly the graph
+      // lands at 0.38 edge recall and the walk at 0.76 — with 64 cells
+      // the same build/walk reach 0.69 / 0.96+
+      val ivf = IVFIndex.build(cdocs, k = 64)
+      ivf.cells.cache().count()
+      val ivfRecall = recallVs(IVFIndex.search(cq, ivf, cdocs, nprobe = 4, k = 10))
+
+      val ccb = RQTrainer.fit(cdocs, "vec", numLevels = 2, k = 8, seed = 42L,
+        maxIter = 10)
+      val cidx = ClusterIndexBuilder.build(CodeAssigner.assign(cdocs, ccb)).cache()
+      val cfRecall = recallVs(
+        CoarseFineRetriever.retrieve(cq, cidx, cdocs, ccb, beams = 4, k = 10))
+
+      val (graph, gBuildSec) = timed {
+        val g = KnnGraph.build(cdocs, ivf.cells, k = 8, rounds = 3)
+          .select("src", "dst").cache()
+        g.count(); g
+      }
+      val entries = KnnGraph.probeEntries(cq, ivf.cells, ivf.codebook,
+        nprobe = 4, perCell = 8)
+      val gwalk = KnnGraph.walk(cq, graph, cdocs, k = 10, beam = 16,
+        rounds = 3, entries = entries)
+      val gSec = bestOf2 {
+        gwalk.write.format("noop").mode("overwrite").save()
+      }
+      val gRecall = recallVs(gwalk)
+
+      // spec-level floors (KnnGraphSpec pins the graph path; IVF/coarse
+      // probe the same planted structure) — a breach is a red flag even
+      // though only the specs hard-fail
+      Seq(("graph", gRecall, 0.9), ("ivf", ivfRecall, 0.9),
+        ("coarse_fine", cfRecall, 0.7)).foreach { case (nm, r, floor) =>
+        if (r < floor)
+          System.err.println(f"[bench] WARNING clustered $nm recall $r%.3f below floor $floor")
+      }
+      s"""{"n_docs":$nDocs,"n_queries":$nCq,""" +
+        s""""exact_knn_qps":${d(nCq / exactSec, 2)},""" +
+        s""""ivf_recall_at_10":${d(ivfRecall, 4)},""" +
+        s""""coarse_fine_recall_at_10":${d(cfRecall, 4)},""" +
+        s""""graph_build_sec":${d(gBuildSec, 3)},""" +
+        s""""graph_ann_qps":${d(nCq / gSec, 2)},""" +
+        s""""graph_recall_at_10":${d(gRecall, 4)}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] clustered metrics failed: ${e.getMessage}")
+        "{}"
+    }
+
     // 3-decimal seconds: a full Double repr per query made the record
     // ~2.5 KB and the driver's tail-capture truncated its head
     // (BENCH_r03 "parsed: null"); ms resolution is all the diff needs
@@ -186,7 +273,7 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"engine":$engine,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"engine":$engine,"clustered":$clustered,"sf":"$sfDir"}"""
     println(line)
     // duplicate on stderr: survives even if a stdout tail-capture clips
     System.err.println(line)

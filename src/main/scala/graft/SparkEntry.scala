@@ -224,10 +224,11 @@ object SparkEntry {
     queries("v15_rerank")(s, dir)
     queries("v_opq_rotate")(s, dir)
     queries("hkm_assign")(s, dir)
-    // multiclus assignments + index + doc-proba frames, the v11 refresh
-    // codebook, the NN-descent graph and the token-containment matches —
-    // all ArtifactCache-backed, eager at construction
+    // multiclus assignments + index + doc-proba frames (T=2 and T=3), the
+    // v11 refresh codebook, the NN-descent graph and the token-containment
+    // matches — all ArtifactCache-backed, eager at construction
     queries("coarse_fine_topic")(s, dir)
+    queries("coarse_fine_topic_add_t3")(s, dir)
     queries("v11_align")(s, dir)
     knnGraphOf(s, dir): Unit
     answerMatches(s, dir): Unit
