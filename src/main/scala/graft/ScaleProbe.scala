@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe: times every catalog query at a base fixture dir AND at a
+  * 10×-replicated copy, and reports the per-query scaling exponent
+  * log10(t_10x / t_base) — direct evidence for the "survives 100×" design
+  * claim that plan-reading can only argue (VERDICT r4 next-round #7).
+  *
+  * The replica shifts every table's primary/foreign keys consistently
+  * (join graphs stay intact; replica i's orders reference replica i's
+  * customers), while the tiny dims (region, nation) and the fixed
+  * query-id slices (vec_id < 20, doc_id < 10 answers) stay shared — so
+  * CORPUS sides grow 10× while serving batches stay constant, exactly
+  * the shape a production scale-up has.
+  *
+  * Interpretation: exponent ≈ 1 → linear in corpus (expected for scans,
+  * hash aggs, bucketed joins); < 1 → overhead-bound at this size (short
+  * queries: Spark's ~0.1-0.3 s per-job floor dominates); sensibly > 1 →
+  * super-linear — a candidate-blowup or skew bug worth a look. Queries
+  * whose base time is under 0.3 s are flagged overhead-bound rather than
+  * read as scaling signal.
+  *
+  * Output: one JSON line (stdout) + SCALING.md at the repo root.
+  */
+object ScaleProbe {
+
+  private val Shift = 10000000L
+
+  def replicate(spark: SparkSession, srcDir: String, outDir: String,
+      times: Int): Unit = {
+    def rep(name: String, shiftCols: Seq[String]): Unit = {
+      val base = spark.read.parquet(s"$srcDir/$name.parquet")
+      val out = (0 until times).map { i =>
+        shiftCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i * Shift)))
+      }.reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    rep("embeddings", Seq("vec_id"))
+    rep("documents", Seq("doc_id"))
+    rep("events", Seq("event_id", "user_id"))
+    rep("orders", Seq("o_orderkey", "o_custkey"))
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rep("customer", Seq("c_custkey"))
+    rep("supplier", Seq("s_suppkey"))
+    rep("part", Seq("p_partkey"))
+    rep("region", Seq.empty)
+    rep("nation", Seq.empty)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val times = sys.env.getOrElse("SPARK_GRAFT_SCALE_TIMES", "10").toInt
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"target/tmp/scale_x$times")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val marker = new java.io.File(s"$bigDir/_REPLICATED")
+    if (!marker.exists()) {
+      System.err.println(s"[scale] replicating $baseDir ×$times → $bigDir")
+      val sec = timed(replicate(spark, baseDir, bigDir, times))
+      marker.getParentFile.mkdirs(); marker.createNewFile()
+      System.err.println(f"[scale] replication took $sec%.1f s")
+    }
+
+    spark.range(1000).select(avg(col("id"))).write
+      .format("noop").mode("overwrite").save()
+
+    def measure(dir: String): Map[String, Double] = {
+      System.err.println(s"[scale] warming artifacts for $dir")
+      val warmSec = timed(SparkEntry.warmArtifacts(spark, dir))
+      System.err.println(f"[scale] warm $warmSec%.1f s; timing catalog")
+      SparkEntry.queries.map { case (name, fn) =>
+        var best = Double.MaxValue
+        var i = 0
+        while (i < 2) {
+          val ok = try {
+            val s = timed(fn(spark, dir).write.format("noop")
+              .mode("overwrite").save())
+            best = math.min(best, s); true
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scale] $name failed at $dir: ${e.getMessage.take(120)}")
+              false
+          }
+          i += 1
+        }
+        name -> (if (best == Double.MaxValue) -1.0 else best)
+      }
+    }
+
+    val base = measure(baseDir)
+    val big = measure(bigDir)
+
+    def d(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    val logT = math.log(times.toDouble)
+    val rows = base.keys.toSeq.sorted.map { name =>
+      val t1 = base(name); val t10 = big(name)
+      val exp =
+        if (t1 <= 0 || t10 <= 0) Double.NaN
+        else math.log(t10 / t1) / logT
+      (name, t1, t10, exp)
+    }
+    val json = rows.map { case (n, t1, t10, e) =>
+      val es = if (e.isNaN) "null" else d(e, 3)
+      s""""$n":{"base_sec":${d(t1, 3)},"x${times}_sec":${d(t10, 3)},"exponent":$es}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_probe","times":$times,"base":"$baseDir","queries":$json}"""
+    println(line)
+    System.err.println(line)
+
+    val md = new StringBuilder
+    md ++= s"# SCALING — catalog at $baseDir vs ${times}× replicated corpus\n\n"
+    md ++= "Per-query scaling exponent `log10(t_10x/t_base)`: ~1.0 = linear\n"
+    md ++= "in corpus size, < 1 = overhead-bound at this scale, sensibly > 1 =\n"
+    md ++= "super-linear (candidate blowup / skew — investigate). Queries with\n"
+    md ++= "base time < 0.3 s are marked `ovh` (Spark's per-job floor dominates\n"
+    md ++= "— their exponents are not scaling signal). Serving batches\n"
+    md ++= "(vec_id < 20 query slices) stay constant while corpora grow, so\n"
+    md ++= "retrieval queries scale with the CORPUS side only.\n\n"
+    md ++= "Replication caveat: every base doc gains 9 exact replicas, so\n"
+    md ++= "near-dup PAIR queries legitimately emit ~45× more rows (C(10,2)\n"
+    md ++= "pairs per base doc) — their exponents measure output growth, not\n"
+    md ++= "a candidate blowup; the banded/bucketed candidate generation is\n"
+    md ++= "what keeps them off the quadratic cliff.\n\n"
+    md ++= "| query | base s | x" + times + " s | exponent | note |\n"
+    md ++= "|---|---|---|---|---|\n"
+    // near-dup PAIR reporters: replicas make their OUTPUT grow ~C(times,2)
+    // per base doc (see caveat above) — exponent is output-driven there
+    val pairOutput = Set("dedup_simhash_pairs", "dedup_minhash_pairs",
+      "lsh_neardup", "dedup_components", "dedup_embedding")
+    rows.sortBy { case (_, _, _, e) => -(if (e.isNaN) -99 else e) }
+      .foreach { case (n, t1, t10, e) =>
+        val note =
+          if (t1 < 0 || t10 < 0) "FAILED (see stderr)"
+          else if (pairOutput(n)) "pair output ×C(10,2)"
+          else if (t1 < 0.3) "ovh"
+          else if (e > 1.15) "SUPER-LINEAR"
+          else ""
+        val es = if (e.isNaN) "—" else d(e, 2)
+        md ++= s"| $n | ${d(t1, 3)} | ${d(t10, 3)} | $es | $note |\n"
+      }
+    val valid = rows.filter { case (_, t1, t10, e) => t1 >= 0.3 && t10 > 0 && !e.isNaN }
+    if (valid.nonEmpty) {
+      val med = valid.map(_._4).sorted.apply(valid.size / 2)
+      md ++= f"\nMedian exponent over ${valid.size} non-overhead queries: $med%.2f\n"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
+      md.toString.getBytes("UTF-8"))
+    spark.stop()
+  }
+}
