@@ -97,19 +97,22 @@ object CoarseFineRetriever {
         explode(col("doc_ids")).as("doc_id"))
 
     // J4 + V2: fetch embeddings, score against the query vector. `codes`
-    // rides along: the sum-dedup below folds in membership order.
+    // rides along: the sum-dedup below folds in membership order. The
+    // query join carries NO broadcast hint: serving batches are small
+    // (AQE broadcasts them on its own) but negative mining legitimately
+    // retrieves with a corpus-sized query set — the walk()/IVFPQ rule.
     val qd = BruteForceKNN.score(metric)(col("qvec"), col("vec"))
     val scored = topicMix match {
       case None =>
         candidates
           .join(docs, Seq("doc_id"))
-          .join(broadcast(queries), Seq("query_id"))
+          .join(queries, Seq("query_id"))
           .select(col("query_id"), col("doc_id"), col("codes"), qd.as("score"))
       case Some(mix) =>
         val r = topicRatio
         candidates
           .join(docs, Seq("doc_id"))
-          .join(broadcast(queries), Seq("query_id"))
+          .join(queries, Seq("query_id"))
           .join(mix, Seq("doc_id", "codes"))
           .select(col("query_id"), col("doc_id"), col("codes"),
             (exp(col("logprob")) *
@@ -187,7 +190,7 @@ object CoarseFineRetriever {
     val clusterMeta = clusterIndex.select("codes", "csize").distinct()
     val rescored = coarse
       .join(clusterMeta, Seq("codes"))
-      .join(broadcast(queries), Seq("query_id"))
+      .join(queries, Seq("query_id"))
       .select(col("query_id"), col("codes"), col("csize"),
         reconScore(col("qvec"), col("codes")).as("rscore"))
 
@@ -206,7 +209,7 @@ object CoarseFineRetriever {
 
     val scored = candidates
       .join(docs, Seq("doc_id"))
-      .join(broadcast(queries), Seq("query_id"))
+      .join(queries, Seq("query_id"))
       .select(col("query_id"), col("doc_id"),
         BruteForceKNN.score(metric)(col("qvec"), col("vec")).as("score"))
 
