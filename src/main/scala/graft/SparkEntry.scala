@@ -628,6 +628,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ...and the same assignment through the DISTRIBUTED path
+    // (fitLevels/assignByLevels: per-level codebook frames + prefix-join
+    // descent, no driver tree) — levelFit is bit-equal to fit, so the
+    // TREE oracle replays this too; its own hash row guards the parity
+    // in production, not just in the spec
+    "hkm_assign_dist" -> ((s, dir) => {
+      val tree = ArtifactCache.value(s"$dir/hkm4x2") {
+        graft.index.HierarchicalKMeans.fit(
+          docVecs(s, dir).select("doc_id", "vec"), "vec",
+          k = 4, depth = 2, seed = 42L, maxIter = 10)
+      }
+      dirHkmTrees.put(dir, tree)
+      lastDir = Some(dir)
+      val levels = ArtifactCache.frame(s, s"$dir/hkm4x2/levels") {
+        graft.index.HierarchicalKMeans.fitLevels(
+          docVecs(s, dir).select("doc_id", "vec"), "vec",
+          k = 4, depth = 2, seed = 42L, maxIter = 10)
+      }
+      graft.index.HierarchicalKMeans.assignByLevels(
+        docVecs(s, dir), levels, depth = 2)
+        .select(col("doc_id"),
+          concat_ws(",", col("path").cast("array<string>")).as("path"))
+        .orderBy("doc_id")
+    }),
+
     // V7's generation side over the real trie: beam search with per-node
     // log-softmax scores and structural trie masking (only existing
     // children expand; leaf beams carry) — top-4 id paths per query
@@ -1612,6 +1637,9 @@ object SparkEntry {
       dir.flatMap(d => Option(dirHkmTrees.get(d)))
         .map(tree => Map(
           "hkm_assign" -> graft.oracle.GeneratedOracles.hkmAssignSql(tree),
+          // the distributed path trains bit-identical codebooks
+          // (levelFit is shared), so the TREE replay is its oracle too
+          "hkm_assign_dist" -> graft.oracle.GeneratedOracles.hkmAssignSql(tree),
           "hkm_beam" -> graft.oracle.GeneratedOracles.hkmBeamSql(
             tree, beams = 4, maxQueryId = 20)))
         .getOrElse(Map.empty) ++
