@@ -277,6 +277,25 @@ object Bench {
     println(line)
     // duplicate on stderr: survives even if a stdout tail-capture clips
     System.err.println(line)
+    // The full line is ~3 KB — longer than the driver's 2000-char tail
+    // window, so every BENCH_r{N}.json so far has "parsed": null. Two
+    // fixes: (a) persist the full record as a file the judge can read
+    // directly; (b) end output with a COMPACT line (same "metric" shape,
+    // slowest-12 queries only) guaranteed to fit inside any tail capture.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full record -> $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
+    val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + sec3(v) }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 12 of ${results.size}; full map in BENCH_FULL.json","failed":$failedJson,"engine":$engine,"clustered":$clustered,"sf":"$sfDir"}"""
+    println(compact)
+    System.err.println(compact)
     spark.stop()
   }
 }
