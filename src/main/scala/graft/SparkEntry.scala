@@ -224,6 +224,7 @@ object SparkEntry {
     queries("v15_rerank")(s, dir)
     queries("v_opq_rotate")(s, dir)
     queries("hkm_assign")(s, dir)
+    queries("hkm_assign_dist")(s, dir)
     // multiclus assignments + index + doc-proba frames (T=2 and T=3), the
     // v11 refresh codebook, the NN-descent graph and the token-containment
     // matches — all ArtifactCache-backed, eager at construction
@@ -1302,6 +1303,27 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Layout maintenance: Z-order the hot filter keys, then 2-D range
+    // probe the laid-out copy. Values are layout-invariant (the oracle
+    // reads the original table), while LayoutSpec pins the physical win
+    // (row-group pruning on both keys). The Delta/Iceberg OPTIMIZE
+    // ZORDER job, from public Spark primitives — see io/Layout.scala.
+    "layout_zorder_probe" -> ((s, dir) => {
+      val path = s"target/tmp/zorder_li_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.io.Layout.writeZOrdered(
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey",
+          "l_returnflag", "l_extendedprice", "l_quantity"),
+        path, "l_partkey", "l_suppkey", nFiles = 8, bits = 16)
+      s.read.parquet(path)
+        .where(col("l_partkey").between(50, 250) &&
+          col("l_suppkey").between(5, 60))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("l_extendedprice"), 2).as("price_sum"),
+          sum("l_quantity").cast("long").as("qty_sum"))
+        .orderBy("l_returnflag")
+    }),
+
     // V11: codebook alignment across re-clusterings (pq.py:600-611) —
     // refresh the codebook with a different seed, Hungarian-match new
     // centroids to old, emit (level, new_code → old_code, L2² cost); the
@@ -2127,6 +2149,14 @@ object SparkEntry {
         |  array_to_string(list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 100000 + 0.5) AS BIGINT)), ',') AS vec
         |FROM embeddings WHERE vec_id < 500 ORDER BY vec_id""".stripMargin,
+
+    "layout_zorder_probe" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  round(sum(l_extendedprice), 2) AS price_sum,
+        |  CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 250 AND l_suppkey BETWEEN 5 AND 60
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "skew_join" ->
       """SELECT l_suppkey AS suppkey, s_name, count(*) AS n,
