@@ -149,4 +149,46 @@ object TextAnalysis {
       (acc, h) => pmod(acc * 1000003L + h, lit(Dedup.P)))
     docs.select(col(idCol), fp.as("fingerprint"))
   }
+
+  /** One-row approximate corpus survey — the sketch pass a 100 TB corpus
+    * gets instead of exact distinct counts (an exact count-distinct
+    * shuffles every key; the sketches here are fixed-size and merge
+    * associatively, so the whole survey is one map-side-combined pass
+    * per grain):
+    *
+    *   - `approx_distinct_texts` / `approx_distinct_tokens`: HLL++
+    *     (`approx_count_distinct`, relative error `rsd`). Register-max
+    *     merging is order- AND partition-independent, so the estimate is
+    *     reproducible across cluster layouts (pinned by spec).
+    *   - `len_p50/p90/p99`: GK quantile sketch over char lengths
+    *     (`percentile_approx`, accuracy 1/eps) — merge-order sensitive in
+    *     general, hence bounded-error asserted, not hash-pinned.
+    *   - exact cheap moments (`n_docs`, `n_tokens`, `avg_len`) ride along.
+    *
+    * Doc-grain sketches and the token-grain sketch run at different
+    * cardinalities, so they aggregate separately and join on a literal —
+    * two single-row frames, no data movement beyond the two passes.
+    */
+  def corpusStats(docs: DataFrame, textCol: String = "text",
+      rsd: Double = 0.01, quantileAccuracy: Int = 1000): DataFrame = {
+    val input = Dedup.ensureParallelism(docs)
+    val docGrain = input.agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(col(textCol), rsd).as("approx_distinct_texts"),
+      sum(size(tokens(col(textCol)))).as("n_tokens"),
+      round(avg(length(col(textCol))), 2).as("avg_len"),
+      percentile_approx(length(col(textCol)), lit(0.5),
+        lit(quantileAccuracy)).as("len_p50"),
+      percentile_approx(length(col(textCol)), lit(0.9),
+        lit(quantileAccuracy)).as("len_p90"),
+      percentile_approx(length(col(textCol)), lit(0.99),
+        lit(quantileAccuracy)).as("len_p99"))
+    val tokenGrain = input
+      .select(explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .agg(approx_count_distinct(col("token"), rsd)
+        .as("approx_distinct_tokens"))
+    docGrain.withColumn("_j", lit(1))
+      .join(tokenGrain.withColumn("_j", lit(1)), "_j").drop("_j")
+  }
 }

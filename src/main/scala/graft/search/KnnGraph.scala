@@ -152,7 +152,10 @@ object KnnGraph {
     * equivalent — every round is one join against the edge table
     * (shuffled on doc_id, the corpus's natural key) plus a bounded
     * top-k, identical work per query, fully deterministic → the oracle
-    * unrolls build AND walk.
+    * unrolls build AND walk. At serving scale, persist `edges` bucketed
+    * by src and `docs` by doc_id (graft.io.Bucketing): every round's
+    * join then reads the corpus-sized sides in place and only the
+    * frontier moves (PlanSpec pins the single-Exchange plan).
     *
     * @param queries (query_id, qvec); @param edges (src, dst) from
     * [[build]]; @param docs (doc_id, vec); @param entries

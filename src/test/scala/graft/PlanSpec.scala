@@ -139,6 +139,39 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed adjacency store: walk-round join shuffles only the frontier") {
+    import graft.io.Bucketing
+    // the KnnGraph.walk inner loop is `frontier ⋈ edges on doc_id=src`
+    // once per round. At serving scale the edge table is corpus×k rows;
+    // persisting it bucketed by src means every round's SMJ reads the
+    // graph in place and only the frontier (queries×beam rows) moves.
+    // (For small query batches AQE broadcasts the frontier instead —
+    // also shuffle-free on the graph side; insert()'s corpus-sized
+    // arrival batches are the case that needs the bucketed SMJ.)
+    val edges = spark.range(4000).select(
+      (col("id") % 500).as("src"), ((col("id") * 7 + 3) % 500).as("dst"))
+    Bucketing.writeBucketed(edges, "b_graph", "target/tmp/bucketed/graph",
+      "src", buckets = 8)
+    val frontier = spark.range(200).select(
+      (col("id") % 40).as("query_id"), (col("id") % 500).as("doc_id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val nbrs = frontier.join(
+        Bucketing.readBucketed(spark, "b_graph")
+          .select(col("src").as("doc_id"), col("dst")), Seq("doc_id"))
+      assert(nbrs.count() > 0)
+      val plan = nbrs.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // exactly ONE exchange: the frontier (which has no useful incoming
+      // partitioning) must shuffle to the bucket layout; a second would
+      // mean the graph side shuffled too and bucketing bought nothing
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"expected exactly one Exchange (frontier side), got $exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("c0-partitioned cluster index prunes partitions on probe") {
     import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
     val docs = Tables.load(spark, sf("0.001"), "embeddings")

@@ -37,4 +37,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!scrubbed.contains("@") && !scrubbed.contains("192.168"))
     assert(r(1).getLong(1) == 0L && r(1).getString(4) == "nothing sensitive here")
   }
+
+  test("corpusStats: sketch estimates track exact values within rsd bounds") {
+    val docs = graft.io.Tables.load(spark, sf("0.01"), "documents")
+    val r = TextAnalysis.corpusStats(docs, rsd = 0.01).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val nDocs = row.getAs[Long]("n_docs")
+    val exactTexts = docs.select(countDistinct(col("text"))).as[Long].head()
+    val exactTokens = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .where(length(col("t")) > 0)
+      .select(countDistinct(col("t"))).as[Long].head()
+    assert(nDocs == docs.count())
+    // HLL++ at rsd=0.01; allow 5x the nominal error for small-n slack
+    assert(math.abs(row.getAs[Long]("approx_distinct_texts") - exactTexts)
+      <= math.max(5, exactTexts * 0.05), s"texts: $row vs $exactTexts")
+    assert(math.abs(row.getAs[Long]("approx_distinct_tokens") - exactTokens)
+      <= math.max(5, exactTokens * 0.05), s"tokens: $row vs $exactTokens")
+    // quantile sketch: p50 within 2% rank error of the exact median length
+    val lens = docs.select(length(col("text")).cast("long").as("l"))
+      .orderBy("l").as[Long].collect()
+    def exactQ(q: Double) = lens(((lens.length - 1) * q).toInt)
+    val lo = lens((lens.length * 0.48).toInt)
+    val hi = lens((lens.length * 0.52).toInt)
+    val p50 = row.getAs[Int]("len_p50").toLong
+    assert(p50 >= lo && p50 <= hi, s"p50 $p50 outside [$lo,$hi]")
+    assert(row.getAs[Int]("len_p90") >= p50)
+    assert(row.getAs[Int]("len_p99") >= row.getAs[Int]("len_p90"))
+    assert(exactQ(0.99) >= exactQ(0.5)) // sanity on the exact side too
+  }
+
+  test("corpusStats HLL estimate is partition-layout invariant") {
+    val docs = graft.io.Tables.load(spark, sf("0.01"), "documents")
+    def est(parts: Int): (Long, Long) = {
+      val row = TextAnalysis.corpusStats(docs.repartition(parts)).head()
+      (row.getAs[Long]("approx_distinct_texts"),
+        row.getAs[Long]("approx_distinct_tokens"))
+    }
+    // register-max merging: the sketch is a set union, so the estimate
+    // cannot depend on how rows are split across tasks
+    assert(est(1) == est(13))
+  }
 }
