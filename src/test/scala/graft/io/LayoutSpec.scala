@@ -76,6 +76,31 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("zValue matches a reference Morton encode; quad-tree block property") {
+    // reference implementation, independent of the Column fold
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((z, i) =>
+        z | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i)))
+    val rng = new scala.util.Random(7)
+    val pairs = Seq.fill(1000)((rng.nextInt(1 << 16).toLong,
+      rng.nextInt(1 << 16).toLong))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.zValue(col("a"), col("b"), bits = 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == morton(a, b, 16), s"z($a,$b)")
+      // the property pruning rests on: equal z >> 2s  ⟹  equal a >> s
+      // AND equal b >> s — a contiguous z range is a square block in
+      // (a, b), so per-file z ranges mean narrow min/max on BOTH keys
+      for (s <- Seq(2, 5, 8)) {
+        val block = z >> (2 * s)
+        assert(block == morton(a >> s, b >> s, 16 - s),
+          s"block structure at s=$s for ($a,$b)")
+      }
+    }
+  }
+
   test("compact rewrites a fragmented directory into few full files") {
     val frag = "target/tmp/layout_frag"
     val comp = "target/tmp/layout_compact"
