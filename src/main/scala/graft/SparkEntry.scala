@@ -1071,6 +1071,34 @@ object SparkEntry {
             lit(".25 tel 0123456789")).as("text")))
         .orderBy("doc_id")),
 
+    // Composed cleaning pipeline — the end-to-end entry point a
+    // pretraining-data user actually runs: language gate (en) → quality
+    // threshold → PII scrub → exact dedup on the scrubbed text (min-id
+    // canonical). Every stage is an already-oracle-verified operator;
+    // this query pins the COMPOSITION (filter thresholds compare the
+    // unrounded doubles — bit-parity with the oracle's identical
+    // expression, the established Double-fold discipline).
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs.select(col("doc_id"), col("text"))
+        .join(TextAnalysis.qualityScore(docs)
+          .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+        .where(TextAnalysis.langId(col("text")) === "en" &&
+          col("quality_score") >= 0.75)
+      val scrubbed = TextAnalysis.piiScrub(kept)
+        .join(kept.select("doc_id", "quality_score"), Seq("doc_id"))
+      val canon = scrubbed
+        .groupBy(md5(col("scrubbed")).as("__h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      scrubbed.join(canon, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), round(col("quality_score"), 6).as("quality"),
+          (col("n_emails") + col("n_ips") + col("n_phones"))
+            .as("n_redactions"),
+          length(col("scrubbed")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // S5-analog: JSON-ish field extraction from event props
     "events_json" -> ((s, dir) =>
       t(s, dir, "events")
@@ -2479,6 +2507,38 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(after_ip, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
         |  regexp_replace(after_ip, '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
         |FROM c2 ORDER BY doc_id""".stripMargin,
+
+    "pipeline_clean_corpus" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         |m AS (SELECT doc_id, text,
+         |        CAST(len(toks) AS DOUBLE) AS nt,
+         |        CAST(length(text) AS DOUBLE) AS nc,
+         |        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS np,
+         |        len(list_filter(toks, x -> x IN ($stopwordListSql))) / greatest(len(toks), 1) AS swr
+         |      FROM t),
+         |q AS (SELECT doc_id, text, swr,
+         |        least(nt / 64.0, 1.0) * 0.4
+         |          + greatest(1.0 - np / greatest(nc, 1.0) * 10, 0.0) * 0.3
+         |          + least(swr * 10, 1.0) * 0.3 AS quality_score
+         |      FROM m),
+         |k AS (SELECT doc_id, text, quality_score FROM q
+         |      WHERE swr >= 0.03 AND quality_score >= 0.75),
+         |s1 AS (SELECT doc_id, quality_score, text,
+         |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+         |      FROM k),
+         |s2 AS (SELECT doc_id, quality_score, text, after_email,
+         |        regexp_replace(after_email, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS after_ip
+         |      FROM s1),
+         |s3 AS (SELECT doc_id, quality_score,
+         |        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |          + len(regexp_extract_all(after_email, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))
+         |          + len(regexp_extract_all(after_ip, '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS BIGINT) AS n_redactions,
+         |        regexp_replace(after_ip, '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+         |      FROM s2),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY md5(scrubbed))
+         |SELECT s3.doc_id, round(quality_score, 6) AS quality, n_redactions,
+         |  CAST(length(scrubbed) AS BIGINT) AS n_chars
+         |FROM s3 JOIN canon USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "events_json" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
