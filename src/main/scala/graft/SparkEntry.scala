@@ -673,6 +673,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ...and the same beam through the DISTRIBUTED serving path
+    // (beamSearchByLevels: per-level codebook frames + prefix-join
+    // expansion, no driver tree / no whole-tree broadcast — the path
+    // that survives the reference's K=32/depth-4/768-d ≈ 3 GB codebook
+    // geometry). levelFit is shared, so the TREE beam oracle replays
+    // this bit-exactly too; its own hash row guards the parity in
+    // production, not just in StressSpec
+    "hkm_beam_dist" -> ((s, dir) => {
+      val tree = ArtifactCache.value(s"$dir/hkm4x2") {
+        graft.index.HierarchicalKMeans.fit(
+          docVecs(s, dir).select("doc_id", "vec"), "vec",
+          k = 4, depth = 2, seed = 42L, maxIter = 10)
+      }
+      dirHkmTrees.put(dir, tree)
+      lastDir = Some(dir)
+      val levels = ArtifactCache.frame(s, s"$dir/hkm4x2/levels") {
+        graft.index.HierarchicalKMeans.fitLevels(
+          docVecs(s, dir).select("doc_id", "vec"), "vec",
+          k = 4, depth = 2, seed = 42L, maxIter = 10)
+      }
+      graft.index.HierarchicalKMeans.beamSearchByLevels(
+        queryVecs(s, dir).select("query_id", "qvec"), levels,
+        depth = 2, beams = 4)
+        .select(col("query_id"), col("rank"),
+          concat_ws(",", col("path").cast("array<string>")).as("path"),
+          microUnits(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
     // V5, pq_type=pq: plain product quantization — per-SLICE independent
     // argmin (MEVI/pq.py:249-279), no residual chain; the other half of
     // the reference's --pq_type switch (rq is the shipped default)
@@ -1691,6 +1720,11 @@ object SparkEntry {
           // (levelFit is shared), so the TREE replay is its oracle too
           "hkm_assign_dist" -> graft.oracle.GeneratedOracles.hkmAssignSql(tree),
           "hkm_beam" -> graft.oracle.GeneratedOracles.hkmBeamSql(
+            tree, beams = 4, maxQueryId = 20),
+          // the distributed beam serves off fitLevels frames whose
+          // codebooks are bit-identical to the Tree (shared levelFit),
+          // so the TREE beam replay is its oracle too
+          "hkm_beam_dist" -> graft.oracle.GeneratedOracles.hkmBeamSql(
             tree, beams = 4, maxQueryId = 20)))
         .getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirAlignments.get(d)))

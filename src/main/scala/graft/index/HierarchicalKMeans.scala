@@ -472,7 +472,13 @@ object HierarchicalKMeans {
   }
 
   /** (query_id, rank, path ARRAY<INT>, score) — top-`beams` trie paths
-    * per query vector, broadcast tree, zero shuffle. */
+    * per query vector, broadcast tree, zero shuffle.
+    *
+    * NOTE the whole driver [[Tree]] rides the broadcast: fine for bounded
+    * geometries, but at the reference's K=32/depth-4/768-d the codebook
+    * set is ~3 GB — at that geometry use [[beamSearchByLevels]], which
+    * serves the beam off the [[fitLevels]] DataFrames with no
+    * driver-resident codebooks at all. */
   def beamSearchDf(queries: DataFrame, tree: Tree, beams: Int,
       qidCol: String = "query_id", qvecCol: String = "qvec"): DataFrame = {
     val bc = queries.sparkSession.sparkContext.broadcast(tree)
@@ -484,5 +490,92 @@ object HierarchicalKMeans {
         .as(Seq("pos", "b")))
       .select(col(qidCol), (col("pos") + 1).cast("long").as("rank"),
         col("b._1").as("path"), col("b._2").as("score"))
+  }
+
+  /** Distributed trie-masked beam over [[fitLevels]] output — the serving
+    * analog of [[assignByLevels]], and the CodebookBeamSearch.search shape:
+    * `depth` rounds of (join beam state to the level's (prefix, cents)
+    * rows) → explode(≤K children, each scored by the node-local
+    * log-softmax of −‖q − child‖²) → per-query top-`beams` window. The
+    * trie mask stays structural: a beam whose prefix has no codebook at
+    * this level is a leaf and carries unchanged (competing on its
+    * shorter-path score), exactly [[beamSearch]]'s frontier rule.
+    *
+    * Bit parity with the driver beam is engineered, not hoped for: raws /
+    * max / Σexp fold in code order inside one UDF call per (beam × node),
+    * and the accumulation evaluates `(cum + r) − logz` in the driver
+    * path's association. Ties rank by path ascending (Spark array
+    * ordering is the same shorter-prefix-first lexicographic order as
+    * `seqOrdering`). StressSpec pins equality at k=32.
+    *
+    * Scale: nothing here is driver-resident — level-0 codebooks are one
+    * row, deep levels are K^level rows that join distributed (AQE
+    * broadcasts the small side on its own); beam state is
+    * |queries| × beams rows per round. Returns
+    * (qidCol, rank LONG, path ARRAY<INT>, score DOUBLE).
+    */
+  def beamSearchByLevels(queries: DataFrame, levels: DataFrame, depth: Int,
+      beams: Int, qidCol: String = "query_id",
+      qvecCol: String = "qvec"): DataFrame = {
+    require(beams >= 1 && depth >= 1)
+    import org.apache.spark.sql.expressions.Window
+    // (code, cum + r_code − logz) for every child of one node — the one
+    // frontier-expansion step of [[beamSearch]], per (beam row × node)
+    val expandUdf = udf { (qvec: Seq[Float], cents: Seq[Seq[Float]], cum: Double) =>
+      val q = qvec.toArray
+      val raws = new Array[Double](cents.length)
+      var c = 0
+      while (c < raws.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var j = 0
+        while (j < q.length) {
+          val diff = q(j).toDouble - cent(j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        raws(c) = -d
+        c += 1
+      }
+      val mx = raws.max
+      var sumExp = 0.0
+      raws.foreach(r => sumExp += math.exp(r - mx)) // code order
+      val logz = mx + math.log(sumExp)
+      raws.zipWithIndex.map { case (r, code) => (code, cum + r - logz) }.toSeq
+    }
+    var state = queries
+      .select(col(qidCol), col(qvecCol).cast("array<float>").as("__qvec"))
+      .withColumn("__path", array().cast("array<int>"))
+      .withColumn("__cum", lit(0.0))
+      .withColumn("__done", lit(false))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("__cum").desc, col("__path").asc)
+    for (level <- 0 until depth) {
+      val lv = levels.where(col("level") === level)
+        .select(col("prefix").as("__prefix"), col("cents").as("__cents"))
+      val joined = state
+        .withColumn("__prefix", array_join(col("__path"), ","))
+        .join(lv, Seq("__prefix"), "left")
+      val expanded = joined
+        .where(!col("__done") && col("__cents").isNotNull)
+        .select(col(qidCol), col("__qvec"), col("__path"),
+          explode(expandUdf(col("__qvec"), col("__cents"), col("__cum")))
+            .as("__e"))
+        .select(col(qidCol), col("__qvec"),
+          concat(col("__path"), array(col("__e._1"))).as("__path"),
+          col("__e._2").as("__cum"), lit(false).as("__done"))
+      val carried = joined
+        .where(col("__done") || col("__cents").isNull)
+        .select(col(qidCol), col("__qvec"), col("__path"), col("__cum"),
+          lit(true).as("__done"))
+      state = expanded.unionByName(carried)
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= beams)
+        .drop("__rk")
+    }
+    state
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(qidCol), col("rank"), col("__path").as("path"),
+        col("__cum").as("score"))
   }
 }

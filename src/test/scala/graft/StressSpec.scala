@@ -273,6 +273,51 @@ class StressSpec extends SparkSpec {
     assert(byLevels == byTree, "distributed descent diverged from the tree")
   }
 
+  test("hkm distributed beam matches the tree beam at k=32 (no tree broadcast)") {
+    import graft.index.HierarchicalKMeans
+    import spark.implicits._
+    // the serving-side twin of the fit/assign parity above: at the
+    // reference geometry beamSearchDf's whole-Tree broadcast is ~3 GB,
+    // so beamSearchByLevels must reproduce it bit-for-bit off the
+    // per-level codebook frames alone
+    val rng = new scala.util.Random(31)
+    val df = (0 until 8000).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("doc_id", "vec").repartition(16).cache()
+    df.count()
+    val queries = (0 until 64).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("query_id", "qvec").cache()
+    queries.count()
+
+    val levels = HierarchicalKMeans.fitLevels(df, "vec", k = 32, depth = 2,
+      seed = 2L, maxIter = 10)
+    val dist = HierarchicalKMeans.beamSearchByLevels(
+      queries, levels, depth = 2, beams = 6)
+    // the plan must not pin any broadcast hint and must never go cartesian
+    val analyzed = dist.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "distributed beam should leave join strategy to AQE")
+    assert(!dist.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    val byLevels = dist
+      .as[(Long, Long, Seq[Int], Double)].collect()
+      .map { case (q, r, p, sc) =>
+        (q, r) -> (p, java.lang.Double.doubleToLongBits(sc))
+      }.toMap
+
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 32, depth = 2,
+      seed = 2L, maxIter = 10)
+    val byTree = HierarchicalKMeans.beamSearchDf(queries, tree, beams = 6)
+      .as[(Long, Long, Seq[Int], Double)].collect()
+      .map { case (q, r, p, sc) =>
+        (q, r) -> (p, java.lang.Double.doubleToLongBits(sc))
+      }.toMap
+    assert(byLevels.size == byTree.size)
+    assert(byLevels == byTree,
+      "distributed beam diverged from the driver-tree beam (bit compare)")
+  }
+
   test("hkm fit handles the reference's fan-out (k=32) in seconds") {
     import graft.index.HierarchicalKMeans
     import spark.implicits._
