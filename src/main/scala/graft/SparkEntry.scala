@@ -74,6 +74,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.index.HierarchicalKMeans.Tree]
   private val dirAlignments =
     new java.util.concurrent.ConcurrentHashMap[String, (Codebook, Codebook, Array[Array[Int]])]
+  private val dirBpeMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]
   @volatile private var lastDir: Option[String] = None
 
   /** Session-memoized RQ artifacts per fixture dir (path-keyed caching,
@@ -1065,6 +1067,21 @@ object SparkEntry {
         .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
         .limit(20)),
 
+    // ...and step 2, the tokenizer those merges exist for: apply the
+    // TRAINED merge table to the corpus (P11's upgrade from whitespace
+    // stand-in to learned-subword tokenization — broadcast merge list,
+    // per-partition word memo; oracle replays the same merges as nested
+    // leftmost-first replaces, see GeneratedOracles.bpeTokenizeSql)
+    "text_bpe_tokenize" -> ((s, dir) => {
+      val merges = ArtifactCache.value(s"$dir/bpe24") {
+        graft.pipeline.Bpe.train(t(s, dir, "documents"), nMerges = 24)
+      }
+      dirBpeMerges.put(dir, merges)
+      lastDir = Some(dir)
+      graft.pipeline.Bpe.applyMerges(t(s, dir, "documents"), merges)
+        .orderBy("doc_id")
+    }),
+
     // Exact per-language length quantiles (corpus monitoring; interpolated
     // type-7 percentiles match DuckDB quantile_cont)
     "text_length_quantiles" -> ((s, dir) =>
@@ -1294,6 +1311,22 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.asMedia(t(s, dir, "documents"),
         mediaType = concat(lit("fake/"), col("source"))), stride = 64)
         .orderBy("doc_id", "frame_idx")),
+
+    // Multimodal: REAL header decode — deterministic real-format bytes
+    // (valid PNG IHDR w/ CRC, JPEG SOI→APP0→SOF0→SOS, GIF89a LSD) are
+    // generated per doc and parsed back by the pure-JVM codec; the
+    // oracle states the generation arithmetic, so any endianness/offset
+    // slip in the parser hash-fails
+    "multimodal_headers" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticImageBytes(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/synthetic").as("media_type"))
+      Multimodal.decode(media)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"), col("bit_depth"))
+        .orderBy("doc_id")
+    }),
 
     // S1: corpus TSV write→read roundtrip through the MEVI readers
     "s1_corpus_roundtrip" -> ((s, dir) => {
@@ -1730,6 +1763,10 @@ object SparkEntry {
       dir.flatMap(d => Option(dirAlignments.get(d)))
         .map { case (old, fresh, perms) => Map("v11_align" ->
           graft.oracle.GeneratedOracles.alignSql(old, fresh, perms)) }
+        .getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirBpeMerges.get(d)))
+        .map(merges => Map("text_bpe_tokenize" ->
+          graft.oracle.GeneratedOracles.bpeTokenizeSql(merges)))
         .getOrElse(Map.empty)
   }
 
@@ -2184,6 +2221,18 @@ object SparkEntry {
         |SELECT doc_id, frame_idx,
         |  least(CAST(64 AS BIGINT), CAST(len AS BIGINT) - frame_idx * 64) AS frame_len
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_headers" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CAST(1 + (doc_id * 7) % 2000 AS INT) AS width,
+        |  CAST(1 + (doc_id * 13) % 1500 AS INT) AS height,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END
+        |    WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END
+        |    ELSE 3 END AS INT) AS channels,
+        |  CAST(8 AS INT) AS bit_depth
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s1_corpus_roundtrip" ->
       """SELECT doc_id, source AS title, text AS content

@@ -800,4 +800,30 @@ object GeneratedOracles {
        |  FROM p JOIN e ea ON ea.id = p.a JOIN e eb ON eb.id = p.b)
        |SELECT a, b, round(dist, 6) AS dist FROM sc WHERE dist <= ${dLit(threshold)} ORDER BY a, b""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // BPE tokenizer oracle: replay the TRAINED merge table in SQL
+  // -------------------------------------------------------------------
+
+  /** Replays [[graft.pipeline.Bpe.applyMerges]] with the learned merges
+    * inlined. A word is encoded as `(h)(e)(l)(l)(o)` — token contents are
+    * `[a-z0-9]+` so parentheses never collide — and each merge (l, r)
+    * becomes one non-overlapping left-to-right `replace('(l)(r)' →
+    * '(lr)')`, which is exactly the engine's accumulator-fold pass: the
+    * scan resumes after each replacement, so a just-merged token can't be
+    * the left of another match in the same pass, and adjacent runs like
+    * `(a)(a)(a)(a)` collapse pairwise `(aa)(aa)` the way the fold does.
+    * Merges nest in rank order; symbols are `[a-z0-9]+` so no escaping. */
+  def bpeTokenizeSql(merges: Seq[(String, String)]): String = {
+    val encoded = "'(' || array_to_string(string_split(w, ''), ')(') || ')'"
+    val replayed = merges.foldLeft(encoded) { case (acc, (l, r)) =>
+      s"replace($acc, '($l)($r)', '($l$r)')"
+    }
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS words
+       |  FROM documents)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(words, w ->
+       |    trim(replace($replayed, ')(', ','), '()')), ',') AS tokens
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
 }

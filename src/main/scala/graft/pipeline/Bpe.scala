@@ -78,6 +78,60 @@ object Bpe {
         }))
   }
 
+  /** Encode one word with a learned merge list: chars → one left-to-right
+    * merge pass PER MERGE IN RANK ORDER — the Sennrich apply_bpe loop,
+    * identical pass semantics to [[applyMerge]]'s fold (a just-merged
+    * token never immediately re-merges as `prev`: it equals l+r and r is
+    * non-empty, so it can't compare equal to `l`). */
+  private[pipeline] def tokenizeWord(word: String,
+      merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    merges.foreach { case (l, r) =>
+      if (syms.length >= 2) {
+        val acc = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (acc.nonEmpty && acc.last == l && syms(i) == r)
+            acc(acc.length - 1) = l + r
+          else acc += syms(i)
+          i += 1
+        }
+        syms = acc.toArray
+      }
+    }
+    syms
+  }
+
+  /** The TOKENIZER the trainer exists for: apply a learned merge table to
+    * a corpus — `(idCol, tokens)` with every word's subword tokens
+    * flattened in document order, comma-joined. The merge list broadcasts
+    * (it is vocabulary-sized, never corpus-sized) and each partition
+    * memoizes word → tokens, so the per-row cost is a hash probe for all
+    * but the first sighting of a word — the same distinct-word leverage
+    * the trainer uses, without a join against a materialized vocab table.
+    */
+  def applyMerges(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray.toSeq)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val pat = java.util.regex.Pattern.compile("[a-z0-9]+")
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val m = pat.matcher(
+            if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+          val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (m.find())
+            toks ++= memo.getOrElseUpdate(m.group(), tokenizeWord(m.group(), ms))
+          (id, toks.mkString(","))
+        }
+      }.toDF(idCol, "tokens")
+  }
+
   /** Greedy BPE training: `nMerges` rounds of count → pick max (ties by
     * (left, right) ascending for engine-portable determinism) → merge.
     * Returns the learned merge list in order. The vocab table is

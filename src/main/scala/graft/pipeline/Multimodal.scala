@@ -42,36 +42,105 @@ object Multimodal {
 
   private val featureDim = 16
 
-  /** STUB decode + feature extraction: a real implementation calls an image
-    * codec per batch here; the stub derives `featureDim` floats and fake
-    * (width, height) deterministically from payload bytes so the plumbing
-    * is testable end-to-end. Batch shape: one partition = one iterator
-    * pass, no per-row JNI/codec setup — the layout a codec needs.
+  /** Decode + feature extraction. Dimensions/format/channels are REAL —
+    * [[ImageHeaders.parse]] reads actual PNG IHDR / JPEG SOFn / GIF LSD
+    * bytes (pure JVM, public container formats). Payloads no parser
+    * recognizes (e.g. the text-as-media fixtures) fall back to the
+    * deterministic stand-in dimensions, flagged `format = "unknown"`.
+    * Pixel-level FEATURES stay a deterministic stub (no pixel codec in
+    * this container); a real implementation replaces only the `feats`
+    * block. Batch shape: one partition = one iterator pass, no per-row
+    * JNI/codec setup — the layout a pixel codec needs.
     */
-  def decodeStub(media: DataFrame): DataFrame = {
+  def decode(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("bit_depth", IntegerType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        // ??? real codec goes here; deterministic fake below
-        val width = 1 + (math.abs(payload.length * 31 + 7) % 1024)
-        val height = 1 + (math.abs(payload.length * 17 + 3) % 1024)
+        val meta = ImageHeaders.parse(payload).getOrElse {
+          // unrecognized container: stand-in dims derived from the bytes
+          ImageHeaders.Meta("unknown",
+            1 + (math.abs(payload.length * 31 + 7) % 1024),
+            1 + (math.abs(payload.length * 17 + 3) % 1024), 1, 8)
+        }
+        // ??? real pixel codec goes here; deterministic fake below
         val feats = Array.tabulate(featureDim) { i =>
           var acc = 0L
           var j = i
           while (j < payload.length) { acc = acc * 131 + (payload(j) & 0xff); j += featureDim }
           ((acc % 1000).toFloat) / 1000.0f
         }
-        Row(id, width, height, feats.toSeq)
+        Row(id, meta.format, meta.width, meta.height, meta.channels,
+          meta.bitDepth, feats.toSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic REAL-format image bytes for certifying the header
+    * codec end-to-end: by `docId % 3` a valid PNG (signature + IHDR with
+    * a correct CRC32), a valid JPEG header stream (SOI → JFIF APP0 →
+    * SOF0 → SOS), or a GIF89a Logical Screen Descriptor. Dimensions and
+    * channel shape are arithmetic in `docId`, so a plain-SQL oracle can
+    * state what the parser must read back — the bytes themselves go
+    * through the same parser any real file would.
+    */
+  def syntheticImageBytes(docId: Long): Array[Byte] = {
+    val width = (1 + (docId * 7) % 2000).toInt
+    val height = (1 + (docId * 13) % 1500).toInt
+    (docId % 3) match {
+      case 0 => // PNG, colour type by docId % 4: grey/RGB/grey+alpha/RGBA
+        val colorType = (docId % 4) match {
+          case 0 => 0; case 1 => 2; case 2 => 4; case _ => 6
+        }
+        val out = java.nio.ByteBuffer.allocate(33)
+        out.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+          .map(_.toByte))
+        out.putInt(13)
+        val typeAndData = java.nio.ByteBuffer.allocate(17)
+        typeAndData.put("IHDR".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        typeAndData.putInt(width).putInt(height)
+        typeAndData.put(8.toByte).put(colorType.toByte) // bit depth 8
+        typeAndData.put(0.toByte).put(0.toByte).put(0.toByte)
+        val crc = new java.util.zip.CRC32
+        crc.update(typeAndData.array())
+        out.put(typeAndData.array()).putInt(crc.getValue.toInt)
+        out.array()
+      case 1 => // JPEG: SOI + JFIF APP0 + SOF0(ncomp by parity) + SOS
+        val ncomp = if (docId % 2 == 0) 3 else 1
+        val out = java.nio.ByteBuffer.allocate(2 + 18 + (10 + 3 * ncomp) + 4)
+        out.put(0xff.toByte).put(0xd8.toByte)
+        out.put(0xff.toByte).put(0xe0.toByte).putShort(16.toShort) // APP0
+        out.put("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        out.put(0.toByte).put(1.toByte).put(1.toByte) // version 1.1
+        out.put(0.toByte).putShort(1.toShort).putShort(1.toShort) // density
+        out.put(0.toByte).put(0.toByte) // no thumbnail
+        out.put(0xff.toByte).put(0xc0.toByte) // SOF0
+        out.putShort((8 + 3 * ncomp).toShort)
+        out.put(8.toByte) // precision
+        out.putShort(height.toShort).putShort(width.toShort)
+        out.put(ncomp.toByte)
+        for (c <- 0 until ncomp)
+          out.put((c + 1).toByte).put(0x11.toByte).put(0.toByte)
+        out.put(0xff.toByte).put(0xda.toByte).putShort(2.toShort) // SOS
+        out.array()
+      case _ => // GIF89a LSD: colour-resolution bits 8 (packed 0x70)
+        val out = java.nio.ByteBuffer.allocate(13)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        out.putShort(width.toShort).putShort(height.toShort)
+        out.put(0x70.toByte).put(0.toByte).put(0.toByte)
+        out.array()
+    }
   }
 
   /** STUB frame sampling: every `stride`-th chunk of the payload becomes a

@@ -63,4 +63,39 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.train(docs, nMerges = 5)
     assert(merges.isEmpty) // all words single-char: nothing to merge
   }
+
+  test("tokenizeWord applies merges in rank order with leftmost-first passes") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "s"))
+    assert(Bpe.tokenizeWord("low", merges).toSeq == Seq("low"))
+    assert(Bpe.tokenizeWord("lowest", merges).toSeq == Seq("low", "es", "t"))
+    // overlap: leftmost pair merges first within a pass, and a merged
+    // token re-merges only on the NEXT pass's pattern, never its own
+    assert(Bpe.tokenizeWord("aaa", Seq(("a", "a"))).toSeq == Seq("aa", "a"))
+    assert(Bpe.tokenizeWord("aaaa", Seq(("a", "a"))).toSeq == Seq("aa", "aa"))
+    assert(Bpe.tokenizeWord("aaaa",
+      Seq(("a", "a"), ("aa", "aa"))).toSeq == Seq("aaaa"))
+    // rank order matters: ("o","w") before ("l","o") blocks the lo merge
+    assert(Bpe.tokenizeWord("low",
+      Seq(("o", "w"), ("l", "o"))).toSeq == Seq("l", "ow"))
+    assert(Bpe.tokenizeWord("x", merges).toSeq == Seq("x"))
+  }
+
+  test("applyMerges tokenizes docs word-by-word against the trained table") {
+    val docs = corpus(Array.fill(5)("low").mkString(" "), "lowest lowest")
+    val merges = Bpe.train(docs, nMerges = 3) // (l,o), (lo,w), (e,s)
+    val out = Bpe.applyMerges(
+      Seq((0L, "low lowest"), (1L, "Low! 9lowest?"), (2L, ""))
+        .toDF("doc_id", "text"), merges)
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "low,low,es,t")
+    // lowercasing + [a-z0-9]+ word split match the trainer's wordCounts
+    assert(out(1L) == "low,9,low,es,t")
+    assert(out(2L) == "")
+    // matches a per-word replay through applyMerge's DataFrame fold
+    val vocabOut = merges.foldLeft(
+      Bpe.initSymbols(Seq(("lowest", 1L)).toDF("word", "cnt"))) {
+        case (v, (l, r)) => Bpe.applyMerge(v, l, r)
+      }.select("syms").as[Seq[String]].head()
+    assert(vocabOut == Bpe.tokenizeWord("lowest", merges).toSeq)
+  }
 }

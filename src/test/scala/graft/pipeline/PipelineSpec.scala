@@ -381,16 +381,53 @@ class PipelineSpec extends SparkSpec {
     assert(!d.contains(2L))
   }
 
-  test("multimodal decode stub produces fixed-dim features per doc") {
-    val feats = Multimodal.decodeStub(Multimodal.asMedia(docs.limit(20)))
+  test("multimodal decode: text payloads fall back, features fixed-dim, deterministic") {
+    val feats = Multimodal.decode(Multimodal.asMedia(docs.limit(20)))
     val rows = feats.collect()
     assert(rows.length == 20)
     rows.foreach { r =>
-      assert(r.getSeq[Float](3).length == 16)
-      assert(r.getInt(1) > 0 && r.getInt(2) > 0)
+      assert(r.getString(1) == "unknown") // text bytes are no image
+      assert(r.getInt(2) > 0 && r.getInt(3) > 0)
+      assert(r.getSeq[Float](6).length == 16)
     }
     // deterministic
-    val again = Multimodal.decodeStub(Multimodal.asMedia(docs.limit(20))).collect()
+    val again = Multimodal.decode(Multimodal.asMedia(docs.limit(20))).collect()
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("image header codec reads real PNG/JPEG/GIF bytes and rejects corrupt ones") {
+    // round-trip the generator through the parser for each format family
+    val png = Multimodal.syntheticImageBytes(6L) // 6%3=0 png, 6%4=2 → grey+alpha
+    assert(ImageHeaders.parse(png).contains(
+      ImageHeaders.Meta("png", (1 + 6 * 7 % 2000), (1 + 6 * 13 % 1500), 2, 8)))
+    val jpg = Multimodal.syntheticImageBytes(4L) // 4%3=1 jpeg, even → 3 comp
+    assert(ImageHeaders.parse(jpg).contains(
+      ImageHeaders.Meta("jpeg", (1 + 4 * 7 % 2000), (1 + 4 * 13 % 1500), 3, 8)))
+    val gif = Multimodal.syntheticImageBytes(5L) // 5%3=2 gif
+    assert(ImageHeaders.parse(gif).contains(
+      ImageHeaders.Meta("gif", (1 + 5 * 7 % 2000), (1 + 5 * 13 % 1500), 3, 8)))
+
+    // a real-world PNG IHDR (not our generator): 1×1 grey, header bytes
+    // from the published spec example layout
+    val ihdrData = Array[Byte]('I', 'H', 'D', 'R',
+      0, 0, 0, 1, 0, 0, 0, 1, 8, 0, 0, 0, 0)
+    val crc = new java.util.zip.CRC32; crc.update(ihdrData)
+    val real = java.nio.ByteBuffer.allocate(33)
+      .put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      .putInt(13).put(ihdrData).putInt(crc.getValue.toInt).array()
+    assert(ImageHeaders.parse(real).contains(ImageHeaders.Meta("png", 1, 1, 1, 8)))
+
+    // corrupt PNG: flip one IHDR byte → CRC mismatch → None, not garbage
+    val bad = png.clone(); bad(17) = (bad(17) ^ 0x40).toByte
+    assert(ImageHeaders.parse(bad).isEmpty)
+    // truncated payloads and wrong signatures
+    assert(ImageHeaders.parse(png.take(20)).isEmpty)
+    assert(ImageHeaders.parse(jpg.take(3)).isEmpty)
+    assert(ImageHeaders.parse("not an image at all".getBytes).isEmpty)
+    assert(ImageHeaders.parse(Array.empty[Byte]).isEmpty)
+    // JPEG with SOS before any SOFn carries no frame header
+    val headless = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xda.toByte, 0, 2)
+    assert(ImageHeaders.parse(headless).isEmpty)
   }
 }
