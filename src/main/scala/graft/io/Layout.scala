@@ -89,4 +89,29 @@ object Layout {
     val filesAfter = spark.read.parquet(outPath).inputFiles.length
     (rows, filesBefore, filesAfter)
   }
+
+  /** [[compact]] back into the SAME directory, via a tmp-write + rename
+    * swap (write `path__compacting`, swing `path` → `path__precompact`,
+    * swing tmp in, drop the old). Single-writer discipline is the
+    * caller's job — the streaming sinks run it inside `foreachBatch`,
+    * where Structured Streaming serializes batches. A crash between the
+    * renames leaves either the old or the new directory complete under
+    * one of the two names, never a partial mix; readers of a live
+    * exactly-once store should use a versioned/table layout instead
+    * (this is the small-file hygiene pass, not a transaction log).
+    */
+  def compactInPlace(spark: SparkSession, path: String, sortKey: String,
+      targetRecordsPerFile: Long): (Long, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__compacting")
+    val old = new Path(path + "__precompact")
+    val out = compact(spark, path, tmp.toString, sortKey, targetRecordsPerFile)
+    fs.delete(old, true)
+    require(fs.rename(dir, old), s"compactInPlace: could not retire $dir")
+    require(fs.rename(tmp, dir), s"compactInPlace: could not swing in $tmp")
+    fs.delete(old, true)
+    out
+  }
 }

@@ -30,7 +30,8 @@ object IncrementalGraph {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       graphDir: String, corpusDir: String, cellsDir: String,
       codebook: Codebook, k: Int, beam: Int = 16, rounds: Int = 2,
-      nprobe: Int = 2, perCell: Int = 4): Unit = {
+      nprobe: Int = 2, perCell: Int = 4, compactEvery: Int = 0,
+      targetRecordsPerFile: Long = 1L << 20): Unit = {
     import org.apache.spark.sql.types.{StructType, StructField, LongType, IntegerType}
     val arrivals = batch.select(col("doc_id"), col("vec")).localCheckpoint()
     if (arrivals.isEmpty) return
@@ -62,12 +63,48 @@ object IncrementalGraph {
         KnnGraph.insert(graph, arrivals, docs, prevCells, codebook, k,
           beam, rounds, nprobe, perCell)
       }
-    merged.write.mode("overwrite")
-      .parquet(s"$graphDir/version=$batchId")
-    docs.unionByName(arrivals).write.mode("overwrite")
-      .parquet(s"$corpusDir/version=$batchId")
-    allCells.write.mode("overwrite")
-      .parquet(s"$cellsDir/version=$batchId")
+    // every `compactEvery` batches the fresh snapshots are written
+    // key-clustered with a bounded file count (Layout.compact's write
+    // shape) and versions older than the retry horizon are vacuumed —
+    // without this the store grows one ~shuffle-partition-sized file set
+    // per micro-batch forever
+    val compactThis = compactEvery > 0 &&
+      batchId % compactEvery == (compactEvery - 1)
+    def snap(df: DataFrame, dir: String, sortKey: String): Unit = {
+      val target = s"$dir/version=$batchId"
+      if (compactThis) {
+        val rows = df.count()
+        val nFiles = math.max(1,
+          math.ceil(rows.toDouble / targetRecordsPerFile).toInt)
+        df.repartitionByRange(nFiles, col(sortKey))
+          .sortWithinPartitions(sortKey)
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", targetRecordsPerFile)
+          .parquet(target)
+      } else df.write.mode("overwrite").parquet(target)
+    }
+    snap(merged, graphDir, "src")
+    snap(docs.unionByName(arrivals), corpusDir, "doc_id")
+    snap(allCells, cellsDir, "doc_id")
+    if (compactThis)
+      Seq(graphDir, corpusDir, cellsDir).foreach(d =>
+        vacuum(spark, d, batchId))
+  }
+
+  /** Drop `version=<n>` snapshots with n < `currentBatch − 1`. The
+    * previous version stays: a RETRY of batch B (or of B+1 before its
+    * write lands) reads only versions `< B`, so the newest superseded
+    * snapshot is still inside the retry horizon — everything older is
+    * unreachable by the `latest` rule and safe to delete. */
+  private def vacuum(spark: SparkSession, dir: String,
+      currentBatch: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      fs.listStatus(path).map(_.getPath)
+        .filter(_.getName.startsWith("version="))
+        .filter(_.getName.stripPrefix("version=").toLong < currentBatch - 1)
+        .foreach(p => fs.delete(p, true))
   }
 
   /** Read the highest `version=<n>` snapshot under `dir` with
@@ -98,7 +135,8 @@ object IncrementalGraph {
       corpusDir: String, cellsDir: String, checkpointDir: String,
       codebook: Codebook, schema: org.apache.spark.sql.types.StructType,
       k: Int, beam: Int = 16, rounds: Int = 2, nprobe: Int = 2,
-      perCell: Int = 4): StreamingQuery = {
+      perCell: Int = 4, compactEvery: Int = 0,
+      targetRecordsPerFile: Long = 1L << 20): StreamingQuery = {
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .outputMode("append")
@@ -106,7 +144,8 @@ object IncrementalGraph {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, graphDir, corpusDir, cellsDir,
-          codebook, k, beam, rounds, nprobe, perCell)
+          codebook, k, beam, rounds, nprobe, perCell, compactEvery,
+          targetRecordsPerFile)
       }
       .start()
   }

@@ -24,19 +24,39 @@ object IncrementalIndexer {
   /** Run the stream, appending per-batch assignments to a parquet dir
     * (the incremental side of the cluster index; readers union it with the
     * base index — `MemmapList`-style concat, SURVEY §2.1 S6).
+    *
+    * Small-file hygiene: every `compactEvery` batches the sink rewrites
+    * the store through [[graft.io.Layout.compactInPlace]] (doc_id-
+    * clustered, ~`targetRecordsPerFile` rows per file) — an append-only
+    * micro-batch sink otherwise grows one file set per trigger forever,
+    * and at streaming cadence that is the classic millions-of-tiny-files
+    * failure. Compaction runs inside `foreachBatch`, where Structured
+    * Streaming serializes batches, so the store has a single writer.
+    * `compactEvery <= 0` keeps the plain always-append sink.
     */
   def start(spark: SparkSession, inputDir: String, outputDir: String,
       checkpointDir: String, codebook: Codebook,
-      schema: org.apache.spark.sql.types.StructType): StreamingQuery = {
+      schema: org.apache.spark.sql.types.StructType,
+      compactEvery: Int = 0,
+      targetRecordsPerFile: Long = 1L << 20): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(inputDir)
-    assignStream(stream, codebook)
+    val writer = assignStream(stream, codebook)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .option("path", outputDir)
-      .start()
+    if (compactEvery <= 0)
+      // plain file sink: keeps the _spark_metadata exactly-once log
+      writer.format("parquet").option("path", outputDir).start()
+    else
+      writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outputDir)
+        if (batchId % compactEvery == (compactEvery - 1)) {
+          graft.io.Layout.compactInPlace(spark, outputDir, "doc_id",
+            targetRecordsPerFile)
+          ()
+        }
+      }.start()
   }
 
   /** Event-time windowed aggregation with watermark over the events stream

@@ -365,4 +365,93 @@ class StreamingSpec extends SparkSpec {
       "pre-existing corpus docs must re-enter the rebuilt graph")
     assert(g1.select("src").distinct().count() >= 145)
   }
+
+  test("indexer sink compaction keeps file count bounded across cycles; stream == batch") {
+    val docs = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec")).cache()
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L)
+    val base = "target/tmp/stream_compact"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    Files.createDirectories(Paths.get(inDir))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("vec", ArrayType(FloatType))))
+    // three sequential AvailableNow drains = batchIds 0,1,2; with
+    // compactEvery=1 that is three full compaction cycles — the store
+    // must come out of EVERY cycle at the compacted file count instead
+    // of accumulating one file set per micro-batch
+    Seq((0, 100), (100, 200), (200, 300)).zipWithIndex.foreach {
+      case ((lo, hi), run) =>
+        docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .write.parquet(s"$inDir/b$run")
+        val q = IncrementalIndexer.start(spark, s"$inDir/*", outDir, ckDir,
+          cb, schema, compactEvery = 1, targetRecordsPerFile = 1L << 20)
+        q.awaitTermination(120000)
+        val nFiles = spark.read.parquet(outDir).inputFiles.length
+        assert(nFiles == 1,
+          s"cycle $run left $nFiles files; compaction should leave 1")
+    }
+    // compaction must not lose or change a single assignment
+    val streamed = spark.read.parquet(outDir).select("doc_id", "codes")
+    assert(streamed.count() == 300)
+    val batch = CodeAssigner.assign(docs.where(col("doc_id") < 300), cb)
+    assert(streamed.as("s").join(batch.as("b"), Seq("doc_id"))
+      .where(col("s.codes") =!= col("b.codes")).count() == 0)
+  }
+
+  test("graph store compaction vacuums superseded versions; parity preserved") {
+    val docs = Tables.load(spark, sf("0.001"), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding").as("vec")).cache()
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 1, k = 16, seed = 42L,
+      maxIter = 10)
+    val base = "target/tmp/stream_graph_compact"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    val batches = Seq(
+      docs.where(col("doc_id") < 200),
+      docs.where(col("doc_id") >= 200 && col("doc_id") < 300),
+      docs.where(col("doc_id") >= 300 && col("doc_id") < 350),
+      docs.where(col("doc_id") >= 350 && col("doc_id") < 400))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions(dir: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("version="))
+        .map(_.stripPrefix("version=").toLong).toSeq.sorted
+    }
+    // reference run, no compaction
+    val pg = s"$base/p_graph"; val pc = s"$base/p_corpus"; val pce = s"$base/p_cells"
+    batches.zipWithIndex.foreach { case (b, id) =>
+      IncrementalGraph.processBatch(spark, b, id.toLong, pg, pc, pce, cb, k = 6)
+    }
+    assert(versions(pg) == Seq(0L, 1L, 2L, 3L)) // grows forever
+    // compacted run: every batch clusters the snapshots and vacuums
+    val cg = s"$base/c_graph"; val cc = s"$base/c_corpus"; val cce = s"$base/c_cells"
+    batches.zipWithIndex.foreach { case (b, id) =>
+      IncrementalGraph.processBatch(spark, b, id.toLong, cg, cc, cce, cb,
+        k = 6, compactEvery = 1, targetRecordsPerFile = 1L << 20)
+      if (id >= 1)
+        Seq(cg, cc, cce).foreach { d =>
+          assert(versions(d).length <= 2, // ≥3 vacuum cycles stay bounded
+            s"$d kept ${versions(d)} — vacuum should keep current+previous")
+          // retry horizon: current AND previous snapshots both remain
+          assert(versions(d) == Seq(id.toLong - 1, id.toLong))
+        }
+    }
+    // each compacted snapshot is one clustered file at this row count
+    assert(spark.read.parquet(s"$cg/version=3").inputFiles.length == 1)
+    // compaction + vacuum change layout only, never content
+    val plainRows = spark.read.parquet(s"$pg/version=3")
+      .collect().map(_.toString).sorted.toSeq
+    val compactRows = spark.read.parquet(s"$cg/version=3")
+      .collect().map(_.toString).sorted.toSeq
+    assert(compactRows == plainRows)
+    // and the store stays serviceable after vacuum: batch 4 reads v3
+    IncrementalGraph.processBatch(spark,
+      docs.where(col("doc_id") >= 400 && col("doc_id") < 420), 4L,
+      cg, cc, cce, cb, k = 6, compactEvery = 1)
+    assert(spark.read.parquet(s"$cc/version=4").count() == 420)
+  }
 }
