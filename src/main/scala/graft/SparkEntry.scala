@@ -1618,6 +1618,30 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // ...and the α sweep the NQ ensemble was missing (the reference tunes
+    // --alphas on MARCO but pins alpha=0.4 on NQ, ensemble_nqdpr.py:261 —
+    // this is the tuned-and-checked analog of ensemble_grid against the
+    // answer-containment ground truth): MRR@10 / HitRate@10 per combo,
+    // fixed denominator = the 10 answer queries
+    "ensemble_nq_grid" -> ((s, dir) => {
+      val (ann, coarse) = annCoarseCandidates(s, dir)
+      val fused = Ensemble.fuseGrid(ann, coarse, numClusters = 5,
+        alphas = Seq(0.2, 0.4, 0.6, 0.8), betas = Seq(0.03),
+        gammas = Seq(0.02), k = 10)
+        .where(col("query_id") < 10)
+      val gt = answerMatches(s, dir)
+        .select(col("query_idx").as("query_id"), col("doc_id"))
+      fused
+        .join(gt, Seq("query_id", "doc_id"))
+        .where(col("rank") <= 10)
+        .groupBy("alpha", "beta", "gamma", "query_id")
+        .agg(min("rank").as("hr"))
+        .groupBy("alpha", "beta", "gamma")
+        .agg(round(sum(lit(1.0) / col("hr")) / lit(10.0), 6).as("mrr"),
+          round(count(lit(1)) / lit(10.0), 6).as("hitrate"))
+        .orderBy("alpha")
+    }),
+
     // V15/V19: learned reranker — LR over (score, 1/(1+crank), missing)
     // features of the aligned candidate table, labels from label ground
     // truth. The fit is MLlib; the trained 3-weight model is inlined into
@@ -2684,6 +2708,45 @@ object SparkEntry {
          |SELECT k, round(avg(recall), 6) AS recall, round(avg(rr), 6) AS mrr,
          |  round(avg(hit), 6) AS hitrate, count(*) AS n_queries
          |FROM perq GROUP BY k ORDER BY k""".stripMargin,
+
+    "ensemble_nq_grid" ->
+      s"""WITH ${graft.oracle.GeneratedOracles.ensembleBaseSql(20)},
+         |combos AS (SELECT CAST(c[1] AS DOUBLE) AS alpha, CAST(c[2] AS DOUBLE) AS beta, CAST(c[3] AS DOUBLE) AS gamma
+         |           FROM (SELECT unnest([[0.2, 0.03, 0.02], [0.4, 0.03, 0.02], [0.6, 0.03, 0.02], [0.8, 0.03, 0.02]]) AS c)),
+         |fused AS (
+         |  SELECT cb.alpha, cb.beta, cb.gamma, a.query_id, a.doc_id,
+         |    CASE WHEN a.crank IS NOT NULL
+         |         THEN a.score + cb.alpha / (cb.beta * (a.crank - 1) + 1)
+         |         ELSE (a.score + cb.alpha / (cb.beta * 5 + 1)) * (1 - cb.gamma * cb.alpha) END AS fused_score
+         |  FROM al a CROSS JOIN combos cb
+         |  WHERE a.query_id < 10),
+         |ranked AS (SELECT alpha, beta, gamma, query_id, doc_id,
+         |             row_number() OVER (PARTITION BY alpha, beta, gamma, query_id
+         |                                ORDER BY fused_score DESC, doc_id ASC) AS rank
+         |           FROM fused),
+         |answers AS (
+         |  SELECT doc_id AS query_idx,
+         |    regexp_extract_all(lower(array_to_string(string_split_regex(text, '\\s+')[5:6], ' ')),
+         |      '[\\p{L}\\p{N}\\p{M}]+|[^\\p{Z}\\p{C}]') AS atoks
+         |  FROM documents WHERE doc_id < 10),
+         |dt AS (
+         |  SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[\\p{L}\\p{N}\\p{M}]+|[^\\p{Z}\\p{C}]') AS dtoks
+         |  FROM documents),
+         |matches AS (
+         |  SELECT DISTINCT a.query_idx, d.doc_id
+         |  FROM dt d JOIN answers a
+         |    ON len(a.atoks) > 0 AND len(a.atoks) <= len(d.dtoks)
+         |   AND len(list_filter(range(1, len(d.dtoks) - len(a.atoks) + 2),
+         |         p -> list_slice(d.dtoks, p, p + len(a.atoks) - 1) = a.atoks)) > 0),
+         |hits AS (SELECT r.alpha, r.beta, r.gamma, r.query_id, min(r.rank) AS hr
+         |         FROM ranked r
+         |         JOIN matches m ON m.doc_id = r.doc_id AND m.query_idx = r.query_id
+         |         WHERE r.rank <= 10
+         |         GROUP BY r.alpha, r.beta, r.gamma, r.query_id)
+         |SELECT alpha, beta, gamma, round(sum(1.0 / hr) / 10.0, 6) AS mrr,
+         |  round(count(*) / 10.0, 6) AS hitrate
+         |FROM hits GROUP BY alpha, beta, gamma ORDER BY alpha""".stripMargin,
 
     "ensemble_grid" ->
       s"""WITH ${graft.oracle.GeneratedOracles.ensembleBaseSql(20)},
