@@ -242,6 +242,32 @@ object Bench {
       }
       val gRecall = recallVs(gwalk)
 
+      // bucketed serving, measured (PlanSpec pins the plan shape; this
+      // times it): the same walk over the adjacency store persisted (a)
+      // as plain parquet and (b) src-bucketed via io.Bucketing — the
+      // apples-to-apples pair for "does the bucketed layout pay", both
+      // sides reading from disk. The cached-graph walk above stays the
+      // in-memory headline.
+      val (plainWalkSec, bucketedWalkSec) = {
+        val pDir = "target/tmp/bench_graph_plain"
+        graph.write.mode("overwrite").parquet(pDir)
+        val pGraph = spark.read.parquet(pDir)
+        val pSec = bestOf2 {
+          KnnGraph.walk(cq, pGraph, cdocs, k = 10, beam = 16,
+            rounds = 3, entries = entries)
+            .write.format("noop").mode("overwrite").save()
+        }
+        graft.io.Bucketing.writeBucketed(graph, "bench_graph_bucketed",
+          "target/tmp/bench_graph_bucketed", "src", buckets = 8)
+        val bGraph = graft.io.Bucketing.readBucketed(spark, "bench_graph_bucketed")
+        val bSec = bestOf2 {
+          KnnGraph.walk(cq, bGraph, cdocs, k = 10, beam = 16,
+            rounds = 3, entries = entries)
+            .write.format("noop").mode("overwrite").save()
+        }
+        (pSec, bSec)
+      }
+
       // spec-level floors (KnnGraphSpec pins the graph path; IVF/coarse
       // probe the same planted structure) — a breach is a red flag even
       // though only the specs hard-fail
@@ -256,6 +282,8 @@ object Bench {
         s""""coarse_fine_recall_at_10":${d(cfRecall, 4)},""" +
         s""""graph_build_sec":${d(gBuildSec, 3)},""" +
         s""""graph_ann_qps":${d(nCq / gSec, 2)},""" +
+        s""""walk_parquet_qps":${d(nCq / plainWalkSec, 2)},""" +
+        s""""bucketed_walk_qps":${d(nCq / bucketedWalkSec, 2)},""" +
         s""""graph_recall_at_10":${d(gRecall, 4)}}"""
     } catch {
       case e: Throwable =>
