@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale probe: times every catalog query at a base fixture dir AND at a
@@ -28,18 +28,47 @@ object ScaleProbe {
 
   private val Shift = 10000000L
 
+  /** `perturb = false`: exact replicas (keys shifted). With it TRUE each
+    * replica is made DISSIMILAR to every other: every whitespace token
+    * gains a per-replica suffix (an injective token remap — shingle/
+    * minhash/simhash similarity WITHIN a replica is preserved exactly,
+    * across replicas it drops to ~0) and embeddings get a per-replica
+    * cyclic coordinate shift + sign flip — an L2 ISOMETRY (intra-replica
+    * distances exact) whose images of random vectors are again random
+    * vectors, so hyperplane-LSH bucket distributions stay healthy.
+    * (A translation along one axis is also an isometry but saturates
+    * every hyperplane sign at large offsets — each replica collapses
+    * into ONE bucket and the candidate join goes quadratic; tried,
+    * produced a 35-minute single-reducer task, rejected.) Exact
+    * replication makes near-dup PAIR outputs grow C(times,2)-fold — a
+    * fixture artifact that swamps the timing at 100×; perturbed
+    * replication keeps outputs ~linear so the exponent measures the
+    * candidate-generation machinery, which is the actual 100 TB
+    * question. */
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
-      times: Int): Unit = {
-    def rep(name: String, shiftCols: Seq[String]): Unit = {
+      times: Int, perturb: Boolean = false): Unit = {
+    def rep(name: String, shiftCols: Seq[String],
+        also: Int => DataFrame => DataFrame = _ => identity): Unit = {
       val base = spark.read.parquet(s"$srcDir/$name.parquet")
       val out = (0 until times).map { i =>
-        shiftCols.foldLeft(base)((df, c) =>
-          df.withColumn(c, col(c) + lit(i * Shift)))
+        also(i)(shiftCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i * Shift))))
       }.reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
-    rep("embeddings", Seq("vec_id"))
-    rep("documents", Seq("doc_id"))
+    rep("embeddings", Seq("vec_id"), i => df =>
+      if (perturb && i > 0) {
+        val dim = size(col("embedding"))
+        val sign = lit(if (i >= 64) -1.0f else 1.0f)
+        df.withColumn("embedding", transform(col("embedding"),
+          (_, idx) => element_at(col("embedding"),
+            ((idx + lit(i % 64)) % dim) + 1) * sign))
+      } else df)
+    rep("documents", Seq("doc_id"), i => df =>
+      if (perturb && i > 0)
+        df.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1" + s"zq$i"))
+      else df)
     rep("events", Seq("event_id", "user_id"))
     rep("orders", Seq("o_orderkey", "o_custkey"))
     rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
@@ -70,10 +99,16 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    val perturb = sys.env.get("SPARK_GRAFT_SCALE_PERTURB").contains("1")
+    val subset: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val appendMd = sys.env.get("SPARK_GRAFT_SCALE_APPEND").contains("1")
+
     val marker = new java.io.File(s"$bigDir/_REPLICATED")
     if (!marker.exists()) {
-      System.err.println(s"[scale] replicating $baseDir ×$times → $bigDir")
-      val sec = timed(replicate(spark, baseDir, bigDir, times))
+      System.err.println(
+        s"[scale] replicating $baseDir ×$times (perturb=$perturb) → $bigDir")
+      val sec = timed(replicate(spark, baseDir, bigDir, times, perturb))
       marker.getParentFile.mkdirs(); marker.createNewFile()
       System.err.println(f"[scale] replication took $sec%.1f s")
     }
@@ -82,10 +117,18 @@ object ScaleProbe {
       .format("noop").mode("overwrite").save()
 
     def measure(dir: String): Map[String, Double] = {
-      System.err.println(s"[scale] warming artifacts for $dir")
-      val warmSec = timed(SparkEntry.warmArtifacts(spark, dir))
-      System.err.println(f"[scale] warm $warmSec%.1f s; timing catalog")
-      SparkEntry.queries.map { case (name, fn) =>
+      // subset runs time self-contained families (the dedup/pair queries
+      // train nothing) — skip the full-artifact warm; iteration 1 of the
+      // best-of-2 loop is the warm pass
+      if (subset.isEmpty) {
+        System.err.println(s"[scale] warming artifacts for $dir")
+        val warmSec = timed(SparkEntry.warmArtifacts(spark, dir))
+        System.err.println(f"[scale] warm $warmSec%.1f s; timing catalog")
+      } else System.err.println(
+        s"[scale] subset ${subset.get.toSeq.sorted.mkString(",")} at $dir")
+      SparkEntry.queries
+        .filter { case (name, _) => subset.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         var best = Double.MaxValue
         var i = 0
         while (i < 2) {
@@ -126,19 +169,34 @@ object ScaleProbe {
     System.err.println(line)
 
     val md = new StringBuilder
-    md ++= s"# SCALING — catalog at $baseDir vs ${times}× replicated corpus\n\n"
-    md ++= "Per-query scaling exponent `log10(t_10x/t_base)`: ~1.0 = linear\n"
-    md ++= "in corpus size, < 1 = overhead-bound at this scale, sensibly > 1 =\n"
-    md ++= "super-linear (candidate blowup / skew — investigate). Queries with\n"
-    md ++= "base time < 0.3 s are marked `ovh` (Spark's per-job floor dominates\n"
-    md ++= "— their exponents are not scaling signal). Serving batches\n"
-    md ++= "(vec_id < 20 query slices) stay constant while corpora grow, so\n"
-    md ++= "retrieval queries scale with the CORPUS side only.\n\n"
-    md ++= "Replication caveat: every base doc gains 9 exact replicas, so\n"
-    md ++= "near-dup PAIR queries legitimately emit ~45× more rows (C(10,2)\n"
-    md ++= "pairs per base doc) — their exponents measure output growth, not\n"
-    md ++= "a candidate blowup; the banded/bucketed candidate generation is\n"
-    md ++= "what keeps them off the quadratic cliff.\n\n"
+    if (appendMd) {
+      md ++= s"\n## ${times}× probe — ${
+        if (perturb) "PERTURBED replicas" else "exact replicas"} at $baseDir\n\n"
+      if (perturb) {
+        md ++= "Replicas here are made mutually DISSIMILAR (per-replica token\n"
+        md ++= "suffix on every word; embeddings cyclically coordinate-shifted +\n"
+        md ++= "sign-flipped — an L2 isometry that keeps LSH hash distributions\n"
+        md ++= "healthy), so near-dup pair outputs stay ~linear and the exponent\n"
+        md ++= "measures the banded/bucketed candidate machinery itself — the\n"
+        md ++= "exact-replica runs above conflate it with C(times,2) output\n"
+        md ++= "growth, which at 100× would be ~4950 pairs per base doc.\n\n"
+      }
+    } else
+      md ++= s"# SCALING — catalog at $baseDir vs ${times}× replicated corpus\n\n"
+    if (!appendMd) {
+      md ++= "Per-query scaling exponent `log10(t_10x/t_base)`: ~1.0 = linear\n"
+      md ++= "in corpus size, < 1 = overhead-bound at this scale, sensibly > 1 =\n"
+      md ++= "super-linear (candidate blowup / skew — investigate). Queries with\n"
+      md ++= "base time < 0.3 s are marked `ovh` (Spark's per-job floor dominates\n"
+      md ++= "— their exponents are not scaling signal). Serving batches\n"
+      md ++= "(vec_id < 20 query slices) stay constant while corpora grow, so\n"
+      md ++= "retrieval queries scale with the CORPUS side only.\n\n"
+      md ++= "Replication caveat: every base doc gains 9 exact replicas, so\n"
+      md ++= "near-dup PAIR queries legitimately emit ~45× more rows (C(10,2)\n"
+      md ++= "pairs per base doc) — their exponents measure output growth, not\n"
+      md ++= "a candidate blowup; the banded/bucketed candidate generation is\n"
+      md ++= "what keeps them off the quadratic cliff.\n\n"
+    }
     md ++= "| query | base s | x" + times + " s | exponent | note |\n"
     md ++= "|---|---|---|---|---|\n"
     // near-dup PAIR reporters: replicas make their OUTPUT grow ~C(times,2)
@@ -149,7 +207,7 @@ object ScaleProbe {
       .foreach { case (n, t1, t10, e) =>
         val note =
           if (t1 < 0 || t10 < 0) "FAILED (see stderr)"
-          else if (pairOutput(n)) "pair output ×C(10,2)"
+          else if (pairOutput(n) && !perturb) s"pair output ×C($times,2)"
           else if (t1 < 0.3) "ovh"
           else if (e > 1.15) "SUPER-LINEAR"
           else ""
@@ -161,8 +219,13 @@ object ScaleProbe {
       val med = valid.map(_._4).sorted.apply(valid.size / 2)
       md ++= f"\nMedian exponent over ${valid.size} non-overhead queries: $med%.2f\n"
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.md"),
-      md.toString.getBytes("UTF-8"))
+    val mdPath = java.nio.file.Paths.get("SCALING.md")
+    if (appendMd)
+      java.nio.file.Files.write(mdPath, md.toString.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    else
+      java.nio.file.Files.write(mdPath, md.toString.getBytes("UTF-8"))
     spark.stop()
   }
 }
