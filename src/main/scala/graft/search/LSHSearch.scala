@@ -70,11 +70,25 @@ object LSHSearch {
     * buckets a pairwise confirm could never afford anyway. The generated
     * oracle replays the uncapped regime (fixture buckets sit far below
     * the cap). Shuffled input is (bucket, doc) rows — tables·n.
+    *
+    * The cap default is 4096 — ~8M candidate pairs per degenerate
+    * bucket, the most a confirm stage should pay for one sign pattern.
+    * (The 100× scale probe planted a worked counterexample: replicas
+    * translated along one axis saturate every hyperplane sign, each
+    * replica collapses into ONE bucket, and with the old 100 000 cap
+    * the candidate join ran quadratic into a single spilling reducer
+    * for 35 minutes. A cap only guards what it actually bounds.)
+    *
+    * Fixed `bits` also means a FIXED 2^bits·tables pattern space: bucket
+    * occupancy — and with it total candidates — grows quadratically with
+    * corpus size once n ≫ tables·2^bits. For a growing corpus use
+    * [[seededNearDupPairsScaled]], which sizes bits ~ log2(n) so
+    * occupancy stays constant.
     */
   def seededNearDupPairs(emb: DataFrame, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 1.2, tables: Int = 4, bits: Int = 8,
-      seed: Long = 42L, maxBucket: Int = 100000): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
     val planes = seededPlanes(tables, bits, dim, seed)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // narrow (id, bkey) table materialized once: it feeds the bucket
@@ -102,6 +116,33 @@ object LSHSearch {
           }),
           lit(0.0), (acc, v) => acc + v)).as("dist"))
       .where(col("dist") <= threshold)
+  }
+
+  /** Hyperplane count that keeps expected bucket occupancy near
+    * `targetBucket` for a corpus of `n` vectors: 2^bits ≈ n/targetBucket
+    * (floored at `minBits` so tiny corpora keep useful recall). */
+  def autoBits(n: Long, targetBucket: Int = 64, minBits: Int = 8): Int =
+    math.max(minBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt)
+
+  /** [[seededNearDupPairs]] with `bits` derived from the corpus COUNT via
+    * [[autoBits]] — the log2(n) plane growth that keeps per-bucket
+    * occupancy (and total candidate pairs, ≈ n·targetBucket·tables/2)
+    * LINEAR in corpus size instead of quadratic. The count is one cheap
+    * aggregation over the id column; everything downstream is the same
+    * banding. This is the variant a growing 100 TB corpus runs — fixed
+    * bits are only right when n is known and static (the fixtures, and
+    * the oracle replay, which needs the plane set to be a function of
+    * the SEED alone).
+    */
+  def seededNearDupPairsScaled(emb: DataFrame, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 1.2, tables: Int = 4, targetBucket: Int = 64,
+      seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
+    val n = emb.select(idCol).count()
+    seededNearDupPairs(emb, dim, idCol, vecCol, threshold, tables,
+      autoBits(n, targetBucket), seed, maxBucket)
   }
 
   /** Top-k nearest neighbors for one query vector via LSH candidates. */
