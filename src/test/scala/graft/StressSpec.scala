@@ -318,6 +318,59 @@ class StressSpec extends SparkSpec {
       "distributed beam diverged from the driver-tree beam (bit compare)")
   }
 
+  test("hkm distributed beam: leaf beams carry and compete (variable-depth trie)") {
+    import graft.index.HierarchicalKMeans
+    import spark.implicits._
+    // the uniform corpora above split every node, so the carried-leaf
+    // branch (a beam whose node stopped splitting keeps its shorter path
+    // and competes on its shorter-path score) never engages there. Skew
+    // the corpus: 4 dense clusters + a thin scatter, k=32 → most root
+    // cells hold < 2k=64 members and become leaves at level 1.
+    val rng = new scala.util.Random(37)
+    val dense = (0 until 4000).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(8)(j =>
+        (math.sin(c * 8 + j) + 0.02 * rng.nextGaussian()).toFloat))
+    }
+    val scatter = (4000 until 4100).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val df = (dense ++ scatter).toDF("doc_id", "vec").repartition(16).cache()
+    df.count()
+    val queries = (0 until 48).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("query_id", "qvec").cache()
+    queries.count()
+
+    val levels = HierarchicalKMeans.fitLevels(df, "vec", k = 32, depth = 2,
+      seed = 5L, maxIter = 10)
+    // precondition: the trie really is variable-depth (some root cells
+    // trained no child codebook)
+    val trained = levels.where(col("level") === 1).count()
+    assert(trained < 32 && trained >= 1,
+      s"fixture should leave SOME root cells leaves, got $trained/32 trained")
+
+    val dist = HierarchicalKMeans.beamSearchByLevels(
+      queries, levels, depth = 2, beams = 8)
+      .as[(Long, Long, Seq[Int], Double)].collect()
+    // the carried branch must actually appear in results
+    assert(dist.exists(_._3.length == 1),
+      "no length-1 path survived — the leaf-carry branch never engaged")
+    assert(dist.exists(_._3.length == 2))
+
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 32, depth = 2,
+      seed = 5L, maxIter = 10)
+    val byTree = HierarchicalKMeans.beamSearchDf(queries, tree, beams = 8)
+      .as[(Long, Long, Seq[Int], Double)].collect()
+      .map { case (q, r, p, sc) =>
+        (q, r) -> (p, java.lang.Double.doubleToLongBits(sc))
+      }.toMap
+    val byLevels = dist.map { case (q, r, p, sc) =>
+      (q, r) -> (p, java.lang.Double.doubleToLongBits(sc))
+    }.toMap
+    assert(byLevels == byTree,
+      "distributed beam diverged from the tree beam on a variable-depth trie")
+  }
+
   test("hkm fit handles the reference's fan-out (k=32) in seconds") {
     import graft.index.HierarchicalKMeans
     import spark.implicits._
