@@ -915,6 +915,27 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // Dedup #3b: the SCALE path for jaccard top-k — the all-pairs form
+    // above guards itself at 10k docs; this one draws candidates from
+    // the minhash bands (shared sig artifact) and confirms with the
+    // hash-join jaccard, so work is ∝ candidates at any corpus size.
+    // Approximate by construction (a top pair the bands never co-bucket
+    // is missed — for TOP pairs band-collision probability is highest,
+    // the standard LSH argument); the oracle replays the same bands, so
+    // the approximation itself is what's checked
+    "dedup_jaccard_topk_banded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sigs = ArtifactCache.frame(s, s"$dir/dedup/sig8", persist = false) {
+        Dedup.minhashSignatures(docs, numPerms = 8).localCheckpoint()
+      }
+      val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
+        .localCheckpoint()
+      Dedup.jaccardPairsByHash(docs, cands)
+        .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+        .limit(20)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // Dedup #4: 32-bit SimHash signatures
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
@@ -2363,6 +2384,11 @@ object SparkEntry {
         |ORDER BY len(list_intersect(sa.shingles, sb.shingles))
         |  / len(list_distinct(list_concat(sa.shingles, sb.shingles))) DESC, a, b
         |LIMIT 20""".stripMargin,
+
+    "dedup_jaccard_topk_banded" ->
+      s"""WITH $minhashPairsCte
+         |SELECT a, b, round(jaccard, 6) AS jaccard FROM jac
+         |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashCte
