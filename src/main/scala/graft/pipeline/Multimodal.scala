@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * metadata, processed in batch-shaped `mapPartitions` stages (the JVM
   * analog of Arrow-batched pandas UDFs).
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * container): `decodeStub` derives a deterministic fake feature vector and
-  * fake dimensions from the payload bytes. Everything around it — schema,
-  * batch iteration, partitioning, output shape — is the real scale path: on
-  * a cluster the stub body is replaced by a codec call, nothing else moves.
+  * Decode is REAL where public formats allow pure-JVM parsing:
+  * [[ImageHeaders]] reads PNG/JPEG/GIF headers (format, dimensions,
+  * channels, bit depth) and [[PngCodec]] fully decodes 8-bit PNG pixel
+  * data (IDAT inflate + scanline unfilter — zlib ships with the JVM).
+  * Only the generic FEATURE vector in [[decode]] remains a deterministic
+  * stand-in for payloads outside those formats (no JPEG entropy decoder /
+  * audio codec in this container); schema, batch iteration, partitioning
+  * and output shape are the real scale path either way.
   */
 object Multimodal {
 
@@ -84,6 +87,70 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** PIXEL-level decode — REAL, not stubbed, for PNG payloads:
+    * [[PngCodec.decode]] inflates the IDAT stream and unfilters every
+    * scanline in pure JVM, and the per-channel means here are computed
+    * over the actual reconstructed samples. Payloads that are not
+    * decodable 8-bit PNGs are dropped (this is the typed pixel-stats
+    * pass; [[decode]] is the metadata pass that keeps every row).
+    * Sample sums are integers ≤ 255·w·h — exact in Long — so the mean
+    * is the same double under any summation order, which is what lets
+    * a SQL oracle replay it. Batch shape: one partition = one iterator
+    * pass, the layout the inflater wants (no per-row codec setup).
+    */
+  def decodePixels(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("means", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        PngCodec.decode(r.getAs[Array[Byte]](1)).map { img =>
+          val n = img.width * img.height
+          val sums = new Array[Long](img.channels)
+          var i = 0
+          while (i < img.pixels.length) {
+            sums(i % img.channels) += img.pixels(i) & 0xff
+            i += 1
+          }
+          Row(r.getLong(0), img.width, img.height, img.channels,
+            sums.map(_.toDouble / n).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic REAL PNG (compressed IDAT, per-row filter cycling
+    * through all five types) whose pixel values are arithmetic in
+    * (x, y, channel, docId) — so a plain-SQL oracle can state the
+    * per-channel means the decoder must reconstruct. Small dims keep
+    * the SQL replay's pixel expansion bounded. */
+  def syntheticPixelPng(docId: Long): Array[Byte] = {
+    val w = (1 + docId % 16).toInt
+    val h = (1 + docId % 8).toInt
+    val ch = (docId % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+    val px = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          px((y * w + x) * ch + c) =
+            (((x * 7 + y * 13 + docId * 3 + c * 31) % 256) & 0xff).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.encode(w, h, ch, px, y => ((y + docId) % 5).toInt)
   }
 
   /** Deterministic REAL-format image bytes for certifying the header

@@ -430,4 +430,51 @@ class PipelineSpec extends SparkSpec {
       0xff.toByte, 0xda.toByte, 0, 2)
     assert(ImageHeaders.parse(headless).isEmpty)
   }
+
+  test("PNG pixel codec: encode/decode roundtrip across all filters and channel counts") {
+    val rng = new scala.util.Random(41)
+    for (ch <- Seq(1, 2, 3, 4); filter <- 0 to 4) {
+      val (w, h) = (13, 7)
+      val px = Array.fill(w * h * ch)(rng.nextInt(256).toByte)
+      val bytes = PngCodec.encode(w, h, ch, px, _ => filter)
+      val img = PngCodec.decode(bytes).getOrElse(
+        fail(s"decode failed for ch=$ch filter=$filter"))
+      assert(img.width == w && img.height == h && img.channels == ch)
+      assert(img.pixels.toSeq == px.toSeq,
+        s"pixel mismatch at ch=$ch filter=$filter")
+      // the metadata parser agrees with the pixel decoder on the header
+      val meta = ImageHeaders.parse(bytes).get
+      assert((meta.width, meta.height, meta.channels) == (w, h, ch))
+    }
+    // per-row filter mix (the synthetic generator's shape)
+    val px = Array.tabulate(16 * 8 * 3)(i => (i * 37 % 256).toByte)
+    val mixed = PngCodec.encode(16, 8, 3, px, y => y % 5)
+    assert(PngCodec.decode(mixed).get.pixels.toSeq == px.toSeq)
+
+    // corrupt IDAT byte → chunk CRC mismatch → None, never garbage pixels
+    val bad = mixed.clone()
+    bad(mixed.length - 20) = (bad(mixed.length - 20) ^ 0x11).toByte
+    assert(PngCodec.decode(bad).isEmpty)
+    // truncated stream and non-PNG input
+    assert(PngCodec.decode(mixed.take(40)).isEmpty)
+    assert(PngCodec.decode("plain text".getBytes).isEmpty)
+    // 16-bit depth is out of scope: reject instead of misreading samples
+    val ihdrData = java.nio.ByteBuffer.allocate(17)
+      .put("IHDR".getBytes).putInt(4).putInt(4)
+      .put(16.toByte).put(0.toByte) // bitDepth 16, grey
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val crc = new java.util.zip.CRC32; crc.update(ihdrData)
+    val deep = java.nio.ByteBuffer.allocate(33)
+      .put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      .putInt(13).put(ihdrData).putInt(crc.getValue.toInt).array()
+    assert(PngCodec.decode(deep).isEmpty)
+
+    // the synthetic query generator roundtrips with the stated means
+    val img6 = PngCodec.decode(Multimodal.syntheticPixelPng(6L)).get
+    assert((img6.width, img6.height, img6.channels) == (7, 7, 1)) // 6%16+1, 6%8+1, 6%3=0→1ch
+    val expected = (for (y <- 0 until 7; x <- 0 until 7)
+      yield (x * 7 + y * 13 + 6 * 3) % 256).sum.toDouble / 49
+    val sums = img6.pixels.map(_ & 0xff).sum.toDouble / 49
+    assert(sums == expected)
+  }
 }
