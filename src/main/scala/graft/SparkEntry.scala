@@ -1367,6 +1367,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal: REAL resize — nearest-neighbor 8×8 thumbnail over the
+    // decoded PNG pixels (the image-dedup normalization step), means
+    // over the thumbnail; oracle replays the ⌊x'·w/tw⌋ sampling
+    "multimodal_resize" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticPixelPng(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/png").as("media_type"))
+      Multimodal.resizeStats(media, tw = 8, th = 8)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          concat_ws(",", transform(col("means"),
+            m => microUnits(m, 6)).cast("array<string>")).as("means"))
+        .orderBy("doc_id")
+    }),
+
     // S1: corpus TSV write→read roundtrip through the MEVI readers
     "s1_corpus_roundtrip" -> ((s, dir) => {
       val path = s"target/tmp/corpus_tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -2308,6 +2323,25 @@ object SparkEntry {
         |       FROM d
         |       JOIN (SELECT unnest(range(0, 16)) AS x) x ON x.x < d.width
         |       JOIN (SELECT unnest(range(0, 8)) AS y) y ON y.y < d.height
+        |       JOIN (SELECT unnest(range(0, 4)) AS c) c ON c.c < d.channels),
+        |m AS (SELECT doc_id, width, height, channels, ch, avg(v) AS mean
+        |      FROM px GROUP BY doc_id, width, height, channels, ch)
+        |SELECT doc_id, width, height, channels,
+        |  array_to_string(list(CAST(floor(mean * 1000000 + 0.5) AS BIGINT) ORDER BY ch), ',') AS means
+        |FROM m GROUP BY doc_id, width, height, channels ORDER BY doc_id""".stripMargin,
+
+    "multimodal_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 16 AS INT) AS width,
+        |    CAST(1 + doc_id % 8 AS INT) AS height,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.width, d.height, d.channels, c.c AS ch,
+        |         CAST(((tx.x * d.width) // 8 * 7 + (ty.y * d.height) // 8 * 13
+        |               + d.doc_id * 3 + c.c * 31) % 256 AS DOUBLE) AS v
+        |       FROM d
+        |       JOIN (SELECT unnest(range(0, 8)) AS x) tx ON true
+        |       JOIN (SELECT unnest(range(0, 8)) AS y) ty ON true
         |       JOIN (SELECT unnest(range(0, 4)) AS c) c ON c.c < d.channels),
         |m AS (SELECT doc_id, width, height, channels, ch, avg(v) AS mean
         |      FROM px GROUP BY doc_id, width, height, channels, ch)

@@ -126,6 +126,50 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Resize over REAL decoded pixels: nearest-neighbor sample of each
+    * PNG payload down to a `tw`×`th` thumbnail (source index
+    * `⌊x'·w/tw⌋` — the standard image-dedup normalization step) and
+    * per-channel means over the thumbnail. Undecodable payloads drop,
+    * like [[decodePixels]]. Thumbnail sums are integers in Long, so the
+    * means are order-independent doubles a SQL oracle can replay.
+    */
+  def resizeStats(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    require(tw > 0 && th > 0)
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("means", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        PngCodec.decode(r.getAs[Array[Byte]](1)).map { img =>
+          val sums = new Array[Long](img.channels)
+          var ty = 0
+          while (ty < th) {
+            val sy = ty * img.height / th
+            var tx = 0
+            while (tx < tw) {
+              val sx = tx * img.width / tw
+              val base = (sy * img.width + sx) * img.channels
+              var c = 0
+              while (c < img.channels) {
+                sums(c) += img.pixels(base + c) & 0xff
+                c += 1
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          Row(r.getLong(0), img.width, img.height, img.channels,
+            sums.map(_.toDouble / (tw.toLong * th)).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic REAL PNG (compressed IDAT, per-row filter cycling
     * through all five types) whose pixel values are arithmetic in
     * (x, y, channel, docId) — so a plain-SQL oracle can state the

@@ -477,4 +477,23 @@ class PipelineSpec extends SparkSpec {
     val sums = img6.pixels.map(_ & 0xff).sum.toDouble / 49
     assert(sums == expected)
   }
+
+  test("resizeStats samples nearest-neighbor over decoded pixels") {
+    import spark.implicits._
+    // 2×2 grey image upscaled to 8×8: each source pixel repeats 16× —
+    // the thumbnail mean equals the plain 4-pixel mean
+    val quad = PngCodec.encode(2, 2, 1,
+      Array[Byte](10, 20, 30, 40), _ => 4) // Paeth rows, why not
+    // 16×1 image to 8×8: ⌊x'·16/8⌋ samples the even columns only
+    val wide = PngCodec.encode(16, 1, 1,
+      Array.tabulate(16)(i => (i * 10).toByte), _ => 1)
+    val media = Seq((1L, quad), (2L, wide), (3L, "not a png".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeStats(media, tw = 8, th = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getSeq[Double](4).head)).toMap
+    assert(out.keySet == Set(1L, 2L)) // undecodable payload drops
+    assert(out(1L) == ((2, 2, 25.0)))
+    assert(out(2L) == ((16, 1, (0 until 16 by 2).map(_ * 10).sum / 8.0)))
+  }
 }
