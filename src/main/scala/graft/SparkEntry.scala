@@ -1382,6 +1382,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal: REAL audio decode — valid PCM WAVs (RIFF container,
+    // mono/stereo, 8-bit unsigned / 16-bit LE storage, four sample
+    // rates) generated per doc, decoded by the pure-JVM codec,
+    // per-channel mean / peak / zero-crossing stats over the actual
+    // waveform. The oracle recomputes the stats from the generation
+    // arithmetic — any slip in chunk walk, endianness, sign extension,
+    // or 8-bit re-centering hash-fails
+    "multimodal_audio" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticWav(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("audio/wav").as("media_type"))
+      Multimodal.decodeAudio(media)
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_frames"),
+          concat_ws(",", transform(col("means"),
+            m => microUnits(m, 6)).cast("array<string>")).as("means"),
+          concat_ws(",", col("peaks").cast("array<string>")).as("peaks"),
+          concat_ws(",", col("zero_crossings").cast("array<string>"))
+            .as("zcrs"))
+        .orderBy("doc_id")
+    }),
+
     // S1: corpus TSV write→read roundtrip through the MEVI readers
     "s1_corpus_roundtrip" -> ((s, dir) => {
       val path = s"target/tmp/corpus_tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -2348,6 +2371,39 @@ object SparkEntry {
         |SELECT doc_id, width, height, channels,
         |  array_to_string(list(CAST(floor(mean * 1000000 + 0.5) AS BIGINT) ORDER BY ch), ',') AS means
         |FROM m GROUP BY doc_id, width, height, channels ORDER BY doc_id""".stripMargin,
+
+    "multimodal_audio" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+        |    CAST(40 + doc_id % 60 AS INT) AS n_frames
+        |  FROM documents),
+        |s AS (SELECT d.doc_id, d.sample_rate, d.channels, d.bits, d.n_frames,
+        |         c.c AS ch, i.i AS i,
+        |         CASE WHEN d.bits = 8
+        |           THEN (i.i * 17 + c.c * 29 + d.doc_id * 13) % 241 - 120
+        |           ELSE (i.i * 131 + c.c * 37 + d.doc_id * 11) % 16001 - 8000
+        |         END AS v,
+        |         CASE WHEN i.i = 0 THEN NULL
+        |           WHEN d.bits = 8
+        |           THEN ((i.i - 1) * 17 + c.c * 29 + d.doc_id * 13) % 241 - 120
+        |           ELSE ((i.i - 1) * 131 + c.c * 37 + d.doc_id * 11) % 16001 - 8000
+        |         END AS prev
+        |       FROM d
+        |       JOIN (SELECT unnest(range(0, 100)) AS i) i ON i.i < d.n_frames
+        |       JOIN (SELECT unnest(range(0, 2)) AS c) c ON c.c < d.channels),
+        |m AS (SELECT doc_id, sample_rate, channels, bits, n_frames, ch,
+        |        avg(CAST(v AS DOUBLE)) AS mean, max(abs(v)) AS peak,
+        |        sum(CASE WHEN prev IS NOT NULL AND (prev < 0) <> (v < 0)
+        |              THEN 1 ELSE 0 END) AS zcr
+        |      FROM s GROUP BY doc_id, sample_rate, channels, bits, n_frames, ch)
+        |SELECT doc_id, sample_rate, channels, bits, n_frames,
+        |  array_to_string(list(CAST(floor(mean * 1000000 + 0.5) AS BIGINT) ORDER BY ch), ',') AS means,
+        |  array_to_string(list(peak ORDER BY ch), ',') AS peaks,
+        |  array_to_string(list(zcr ORDER BY ch), ',') AS zcrs
+        |FROM m GROUP BY doc_id, sample_rate, channels, bits, n_frames
+        |ORDER BY doc_id""".stripMargin,
 
     "s1_corpus_roundtrip" ->
       """SELECT doc_id, source AS title, text AS content

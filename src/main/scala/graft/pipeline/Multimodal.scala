@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   * Decode is REAL where public formats allow pure-JVM parsing:
   * [[ImageHeaders]] reads PNG/JPEG/GIF headers (format, dimensions,
   * channels, bit depth) and [[PngCodec]] fully decodes 8-bit PNG pixel
-  * data (IDAT inflate + scanline unfilter — zlib ships with the JVM).
-  * Only the generic FEATURE vector in [[decode]] remains a deterministic
-  * stand-in for payloads outside those formats (no JPEG entropy decoder /
-  * audio codec in this container); schema, batch iteration, partitioning
-  * and output shape are the real scale path either way.
+  * data (IDAT inflate + scanline unfilter — zlib ships with the JVM),
+  * and [[WavCodec]] decodes PCM WAV audio (RIFF chunk walk + 8/16-bit
+  * sample decode). Only the generic FEATURE vector in [[decode]] remains
+  * a deterministic stand-in for payloads outside those formats (no JPEG
+  * entropy decoder in this container); schema, batch iteration,
+  * partitioning and output shape are the real scale path either way.
   */
 object Multimodal {
 
@@ -168,6 +169,156 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** AUDIO decode — REAL, not stubbed, for PCM WAV payloads:
+    * [[WavCodec.decode]] walks the RIFF container and decodes 8/16-bit
+    * PCM samples in pure JVM; the per-channel stats here are computed
+    * over the actual decoded waveform. Non-WAV payloads drop (typed
+    * audio pass, same contract as [[decodePixels]]).
+    *
+    * Stats are chosen to be integer-exact so a SQL oracle can replay
+    * them: the sample sum fits in Long (|s| ≤ 32768, frames bounded),
+    * so `mean` is the same double under any order; `peak` (max |s|)
+    * and `zero_crossings` (count of sign flips between consecutive
+    * frames, per channel) are integers. Batch shape: one partition =
+    * one iterator pass.
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("bits", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("means", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("peaks", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("zero_crossings", ArrayType(LongType, containsNull = false), nullable = false)))
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        WavCodec.decode(r.getAs[Array[Byte]](1)).map { audio =>
+          val ch = audio.channels
+          val frames = audio.frames
+          val sums = new Array[Long](ch)
+          val peaks = new Array[Long](ch)
+          val zcr = new Array[Long](ch)
+          var i = 0
+          while (i < audio.samples.length) {
+            val c = i % ch
+            val v = audio.samples(i)
+            sums(c) += v
+            if (math.abs(v.toLong) > peaks(c)) peaks(c) = math.abs(v.toLong)
+            if (i >= ch && ((audio.samples(i - ch) < 0) != (v < 0))) zcr(c) += 1
+            i += 1
+          }
+          Row(r.getLong(0), audio.sampleRate, ch, audio.bitsPerSample, frames,
+            sums.map(_.toDouble / frames).toSeq, peaks.toSeq, zcr.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** VIDEO-shaped decode — REAL animated-GIF frame extraction:
+    * [[GifCodec.decode]] walks the GIF89a block stream and LZW-decodes
+    * every frame in pure JVM; each payload explodes into one row per
+    * frame with the frame's delay and per-channel RGB means over the
+    * palette-mapped pixels (integer sums ≤ 255·w·h — exact in Long, so
+    * the means are order-independent doubles a SQL oracle can replay).
+    * Non-GIF payloads drop. This upgrades the [[frameSample]] explode
+    * SHAPE into an explode with a real codec behind it. */
+  def decodeGifFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("delay_cs", IntegerType, nullable = false),
+      StructField("means", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        GifCodec.decode(r.getAs[Array[Byte]](1)).toSeq.flatMap { gif =>
+          gif.frames.zipWithIndex.map { case (f, idx) =>
+            val n = f.width * f.height
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < f.indices.length) {
+              val p = (f.indices(i) & 0xff) * 3
+              sums(0) += gif.palette(p) & 0xff
+              sums(1) += gif.palette(p + 1) & 0xff
+              sums(2) += gif.palette(p + 2) & 0xff
+              i += 1
+            }
+            Row(id, idx, f.width, f.height, f.delayCs,
+              sums.map(_.toDouble / n).toSeq)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic REAL animated GIF whose palette colours and frame
+    * pixels are arithmetic in (x, y, frame, docId) — so a plain-SQL
+    * oracle can state the per-frame per-channel means the LZW decoder
+    * must reconstruct. Repeating index patterns give the LZW dictionary
+    * genuine matches, so the streams exercise real compression. */
+  def syntheticGif(docId: Long): Array[Byte] = {
+    val w = (3 + docId % 6).toInt
+    val h = (2 + docId % 5).toInt
+    val nFrames = (1 + docId % 4).toInt
+    val palette = new Array[Byte](4 * 3)
+    var j = 0
+    while (j < 4) {
+      palette(j * 3) = (((j * 53 + docId * 7) % 256) & 0xff).toByte
+      palette(j * 3 + 1) = (((j * 101 + docId * 11) % 256) & 0xff).toByte
+      palette(j * 3 + 2) = (((j * 29 + docId * 13) % 256) & 0xff).toByte
+      j += 1
+    }
+    val frames = (0 until nFrames).map { f =>
+      val indices = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          indices(y * w + x) = (((x * 3 + y * 5 + f * 7 + docId) % 4) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      ((5 + f * 3 + docId % 7).toInt, indices)
+    }
+    GifCodec.encode(w, h, palette, frames)
+  }
+
+  /** Deterministic REAL PCM WAV whose sample values are arithmetic in
+    * (frame, channel, docId) — so a plain-SQL oracle can state the
+    * per-channel mean / peak / zero-crossing stats the decoder must
+    * reconstruct. Mixes the container's axes: mono/stereo by parity,
+    * 8-bit (unsigned storage, re-centered) every third doc, 16-bit LE
+    * otherwise, four sample rates. Bounded frame counts keep the SQL
+    * replay's expansion small. */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val channels = (1 + docId % 2).toInt
+    val bits = if (docId % 3 == 0) 8 else 16
+    val sampleRate = (8000 + (docId % 4) * 4000).toInt
+    val nFrames = (40 + docId % 60).toInt
+    val samples = new Array[Int](nFrames * channels)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        samples(i * channels + c) =
+          if (bits == 8) ((i * 17 + c * 29 + docId * 13) % 241).toInt - 120
+          else ((i * 131 + c * 37 + docId * 11) % 16001).toInt - 8000
+        c += 1
+      }
+      i += 1
+    }
+    WavCodec.encode(sampleRate, channels, bits, samples)
   }
 
   /** Deterministic REAL PNG (compressed IDAT, per-row filter cycling

@@ -478,6 +478,83 @@ class PipelineSpec extends SparkSpec {
     assert(sums == expected)
   }
 
+  test("WAV codec: encode/decode roundtrip across bit depths and channel layouts") {
+    val rng = new scala.util.Random(43)
+    for (ch <- Seq(1, 2); bits <- Seq(8, 16)) {
+      val lim = if (bits == 8) 128 else 32768
+      val samples = Array.fill(37 * ch)(rng.nextInt(2 * lim) - lim)
+      val bytes = WavCodec.encode(22050, ch, bits, samples)
+      val audio = WavCodec.decode(bytes).getOrElse(
+        fail(s"decode failed for ch=$ch bits=$bits"))
+      assert(audio.sampleRate == 22050 && audio.channels == ch &&
+        audio.bitsPerSample == bits && audio.frames == 37)
+      assert(audio.samples.toSeq == samples.toSeq,
+        s"sample mismatch at ch=$ch bits=$bits")
+    }
+
+    // unknown chunks before data are skipped like any RIFF reader's,
+    // including the odd-length word-alignment pad
+    val samples = Array(100, -200, 300)
+    val plain = WavCodec.encode(8000, 1, 16, samples)
+    val fmtAndRest = plain.drop(12)
+    val listChunk = java.nio.ByteBuffer.allocate(8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes).putInt(5)
+      .put(Array[Byte](1, 2, 3, 4, 5)).put(0.toByte).array()
+    val withList = java.nio.ByteBuffer
+      .allocate(12 + listChunk.length + fmtAndRest.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(4 + listChunk.length + fmtAndRest.length)
+      .put("WAVE".getBytes).put(listChunk).put(fmtAndRest).array()
+    assert(WavCodec.decode(withList).get.samples.toSeq == samples.toSeq)
+
+    // rejections: never garbage samples
+    assert(WavCodec.decode("RIFFxxxxAVI ".getBytes).isEmpty) // not WAVE
+    assert(WavCodec.decode(plain.take(30)).isEmpty)          // truncated chunk
+    assert(WavCodec.decode(Array.empty[Byte]).isEmpty)
+    val nonPcm = plain.clone(); nonPcm(20) = 3 // format code 3 = IEEE float
+    assert(WavCodec.decode(nonPcm).isEmpty)
+    val deep = plain.clone(); deep(34) = 24 // 24-bit: out of scope
+    assert(WavCodec.decode(deep).isEmpty)
+    // stereo data chunk with a dangling half-frame: refuse
+    val stereo = WavCodec.encode(8000, 2, 16, Array(1, 2, 3, 4))
+    val partial = stereo.dropRight(2)
+    val fixed = java.nio.ByteBuffer.wrap(partial)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fixed.putInt(4, partial.length - 8)  // RIFF size
+    fixed.putInt(40, 6)                  // data size = 1.5 frames
+    assert(WavCodec.decode(fixed.array()).isEmpty)
+  }
+
+  test("decodeAudio computes waveform stats over decoded samples") {
+    import spark.implicits._
+    // stereo 16-bit: L = +10,−10,+10,−10 (3 sign flips), R = 5,6,7,8 (0)
+    val wav = WavCodec.encode(16000, 2, 16,
+      Array(10, 5, -10, 6, 10, 7, -10, 8))
+    val media = Seq((1L, wav), (2L, "not audio".getBytes))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeAudio(media).collect()
+    assert(rows.length == 1) // non-WAV payload drops
+    val r = rows.head
+    assert((r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4)) == ((1L, 16000, 2, 16, 4)))
+    assert(r.getSeq[Double](5) == Seq(0.0, 6.5))
+    assert(r.getSeq[Long](6) == Seq(10L, 8L))
+    assert(r.getSeq[Long](7) == Seq(3L, 0L))
+
+    // the synthetic query generator roundtrips with the stated formula
+    val audio7 = WavCodec.decode(Multimodal.syntheticWav(7L)).get
+    assert((audio7.sampleRate, audio7.channels, audio7.bitsPerSample,
+      audio7.frames) == ((20000, 2, 16, 47)))
+    for (i <- 0 until 47; c <- 0 until 2)
+      assert(audio7.samples(i * 2 + c) ==
+        (i * 131 + c * 37 + 7 * 11) % 16001 - 8000)
+    val audio6 = WavCodec.decode(Multimodal.syntheticWav(6L)).get // 8-bit mono
+    assert((audio6.channels, audio6.bitsPerSample) == ((1, 8)))
+    for (i <- 0 until audio6.frames)
+      assert(audio6.samples(i) == (i * 17 + 6 * 13) % 241 - 120)
+  }
+
   test("resizeStats samples nearest-neighbor over decoded pixels") {
     import spark.implicits._
     // 2×2 grey image upscaled to 8×8: each source pixel repeats 16× —
