@@ -1405,6 +1405,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal: REAL animated-GIF frame decode — valid GIF89a payloads
+    // (global palette, GCE delays, LZW-compressed frames with genuine
+    // dictionary growth) generated per doc, block-walked + LZW-decoded
+    // by the pure-JVM codec, per-frame per-channel RGB means over the
+    // palette-mapped pixels. The oracle recomputes frames from the
+    // generation arithmetic — any slip in the bit-unpacking, dictionary
+    // sync, palette indexing, or frame ordering hash-fails
+    "multimodal_gif_frames" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticGif(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/gif").as("media_type"))
+      Multimodal.decodeGifFrames(media)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("delay_cs"),
+          concat_ws(",", transform(col("means"),
+            m => microUnits(m, 6)).cast("array<string>")).as("means"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // S1: corpus TSV write→read roundtrip through the MEVI readers
     "s1_corpus_roundtrip" -> ((s, dir) => {
       val path = s"target/tmp/corpus_tsv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -2404,6 +2424,30 @@ object SparkEntry {
         |  array_to_string(list(zcr ORDER BY ch), ',') AS zcrs
         |FROM m GROUP BY doc_id, sample_rate, channels, bits, n_frames
         |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_gif_frames" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(3 + doc_id % 6 AS INT) AS width,
+        |    CAST(2 + doc_id % 5 AS INT) AS height,
+        |    CAST(1 + doc_id % 4 AS INT) AS n_frames
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.width, d.height, f.f AS frame_idx,
+        |         (x.x * 3 + y.y * 5 + f.f * 7 + d.doc_id) % 4 AS idx
+        |       FROM d
+        |       JOIN (SELECT unnest(range(0, 4)) AS f) f ON f.f < d.n_frames
+        |       JOIN (SELECT unnest(range(0, 9)) AS x) x ON x.x < d.width
+        |       JOIN (SELECT unnest(range(0, 7)) AS y) y ON y.y < d.height),
+        |m AS (SELECT doc_id, width, height, frame_idx,
+        |        avg(CAST((idx * 53 + doc_id * 7) % 256 AS DOUBLE)) AS mr,
+        |        avg(CAST((idx * 101 + doc_id * 11) % 256 AS DOUBLE)) AS mg,
+        |        avg(CAST((idx * 29 + doc_id * 13) % 256 AS DOUBLE)) AS mb
+        |      FROM px GROUP BY doc_id, width, height, frame_idx)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, width, height,
+        |  CAST(5 + frame_idx * 3 + doc_id % 7 AS INT) AS delay_cs,
+        |  CAST(floor(mr * 1000000 + 0.5) AS BIGINT) || ',' ||
+        |  CAST(floor(mg * 1000000 + 0.5) AS BIGINT) || ',' ||
+        |  CAST(floor(mb * 1000000 + 0.5) AS BIGINT) AS means
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
 
     "s1_corpus_roundtrip" ->
       """SELECT doc_id, source AS title, text AS content

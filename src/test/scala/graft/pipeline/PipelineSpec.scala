@@ -555,6 +555,88 @@ class PipelineSpec extends SparkSpec {
       assert(audio6.samples(i) == (i * 17 + 6 * 13) % 241 - 120)
   }
 
+  test("GIF LZW codec: roundtrip with dictionary growth, resets, and KwKwK runs") {
+    val rng = new scala.util.Random(47)
+    // long random stream over 16 symbols: the dictionary grows through
+    // every code width and past 4096 (clear-code reset exercised)
+    val big = Array.fill(30000)((rng.nextInt(16)).toByte)
+    assert(GifCodec.lzwDecode(4, GifCodec.lzwEncode(4, big), big.length)
+      .get.toSeq == big.toSeq)
+    // single-symbol run: the classic KwKwK self-reference stream
+    val run = Array.fill(500)(1.toByte)
+    assert(GifCodec.lzwDecode(2, GifCodec.lzwEncode(2, run), run.length)
+      .get.toSeq == run.toSeq)
+    // repetitive text-like data (dense dictionary hits)
+    val rep = Array.tabulate(5000)(i => ((i % 7) ^ (i / 11 % 3)).toByte)
+    assert(GifCodec.lzwDecode(3, GifCodec.lzwEncode(3, rep), rep.length)
+      .get.toSeq == rep.toSeq)
+    // tiny edge cases
+    assert(GifCodec.lzwDecode(2, GifCodec.lzwEncode(2, Array[Byte](3)), 1)
+      .get.toSeq == Seq(3.toByte))
+    assert(GifCodec.lzwDecode(2, GifCodec.lzwEncode(2, Array.empty[Byte]), 0)
+      .get.isEmpty)
+    // corrupt stream: a code pointing past the table refuses
+    assert(GifCodec.lzwDecode(2, Array[Byte](0xFF.toByte, 0xFF.toByte), 10).isEmpty)
+  }
+
+  test("GIF container: animated encode/decode roundtrip and strict rejections") {
+    val palette = Array.tabulate(4 * 3)(i => (i * 19 % 256).toByte)
+    val f0 = Array.tabulate(6 * 4)(i => (i % 4).toByte)
+    val f1 = Array.tabulate(6 * 4)(i => ((i + 1) % 4).toByte)
+    val bytes = GifCodec.encode(6, 4, palette, Seq((10, f0), (25, f1)))
+    val gif = GifCodec.decode(bytes).getOrElse(fail("decode failed"))
+    assert(gif.width == 6 && gif.height == 4)
+    assert(gif.palette.toSeq == palette.toSeq)
+    assert(gif.frames.map(_.delayCs) == Seq(10, 25))
+    assert(gif.frames(0).indices.toSeq == f0.toSeq)
+    assert(gif.frames(1).indices.toSeq == f1.toSeq)
+    // the header parser agrees on the screen descriptor
+    assert(ImageHeaders.parse(bytes).contains(
+      ImageHeaders.Meta("gif", 6, 4, 3, 8)))
+
+    // rejections: never garbage frames
+    assert(GifCodec.decode(bytes.take(20)).isEmpty)    // truncated mid-palette
+    assert(GifCodec.decode(bytes.dropRight(2)).isEmpty) // no trailer
+    assert(GifCodec.decode("GIF89a but not really".getBytes).isEmpty)
+    assert(GifCodec.decode(Array.empty[Byte]).isEmpty)
+    val interlaced = bytes.clone()
+    // image descriptor of frame 0 starts after 13-byte header + 12-byte
+    // GCT + 8-byte GCE block; packed byte is at +9 within it
+    val idPos = 13 + 12 + 8
+    assert((interlaced(idPos) & 0xff) == 0x2c)
+    interlaced(idPos + 9) = 0x40.toByte // interlace flag: out of scope
+    assert(GifCodec.decode(interlaced).isEmpty)
+  }
+
+  test("decodeGifFrames maps palette-indexed frames to per-frame RGB means") {
+    import spark.implicits._
+    // 2×1 frame, palette: color0=(0,100,200), color1=(50,150,250);
+    // indices [0,1] → means (25, 125, 225)
+    val palette = Array[Byte](0, 100, (200 & 0xff).toByte,
+      50, (150 & 0xff).toByte, (250 & 0xff).toByte)
+    val gif = GifCodec.encode(2, 1, palette,
+      Seq((7, Array[Byte](0, 1))))
+    val media = Seq((1L, gif), (2L, "not a gif".getBytes))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeGifFrames(media).collect()
+    assert(rows.length == 1) // non-GIF payload drops
+    val r = rows.head
+    assert((r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4)) == ((1L, 0, 2, 1, 7)))
+    assert(r.getSeq[Double](5) == Seq(25.0, 125.0, 225.0))
+
+    // the synthetic query generator roundtrips with the stated formulas
+    val g7 = GifCodec.decode(Multimodal.syntheticGif(7L)).get
+    assert((g7.width, g7.height, g7.frames.length) == ((4, 4, 4))) // 3+7%6, 2+7%5, 1+7%4
+    for ((f, fi) <- g7.frames.zipWithIndex) {
+      assert(f.delayCs == 5 + fi * 3 + 7 % 7)
+      for (y <- 0 until 4; x <- 0 until 4)
+        assert((f.indices(y * 4 + x) & 0xff) == (x * 3 + y * 5 + fi * 7 + 7) % 4)
+    }
+    for (j <- 0 until 4)
+      assert((g7.palette(j * 3) & 0xff) == (j * 53 + 7 * 7) % 256)
+  }
+
   test("resizeStats samples nearest-neighbor over decoded pixels") {
     import spark.implicits._
     // 2×2 grey image upscaled to 8×8: each source pixel repeats 16× —
