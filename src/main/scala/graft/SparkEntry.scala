@@ -1405,6 +1405,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal: REAL spectral features — the same PCM WAVs decoded by
+    // the codec, channel 0 through the pure-JVM radix-2 FFT; dominant
+    // bin / DC / spectral centroid per doc. Cross-implementation check:
+    // the oracle replays a direct O(N^2) DFT in SQL from the generation
+    // arithmetic — any slip in bit-reversal, twiddle recurrence,
+    // truncation, or channel de-interleave hash-fails
+    "multimodal_fft" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticWav(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("audio/wav").as("media_type"))
+      Multimodal.spectralFeatures(media, nFft = 64)
+        .orderBy("doc_id")
+    }),
+
     // Multimodal: REAL animated-GIF frame decode — valid GIF89a payloads
     // (global palette, GCE delays, LZW-compressed frames with genuine
     // dictionary growth) generated per doc, block-walked + LZW-decoded
@@ -2424,6 +2439,41 @@ object SparkEntry {
         |  array_to_string(list(zcr ORDER BY ch), ',') AS zcrs
         |FROM m GROUP BY doc_id, sample_rate, channels, bits, n_frames
         |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_fft" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+        |    CAST(40 + doc_id % 60 AS INT) AS n_frames
+        |  FROM documents),
+        |s AS (SELECT d.doc_id, i.i AS i,
+        |         CASE WHEN d.bits = 8
+        |           THEN (i.i * 17 + d.doc_id * 13) % 241 - 120
+        |           ELSE (i.i * 131 + d.doc_id * 11) % 16001 - 8000
+        |         END AS v
+        |       FROM d
+        |       JOIN (SELECT unnest(range(0, 64)) AS i) i
+        |         ON i.i < least(d.n_frames, 64)),
+        |b AS (SELECT s.doc_id, k.k AS k,
+        |         sqrt(pow(sum(s.v * cos(2 * pi() * k.k * s.i / 64)), 2) +
+        |              pow(sum(s.v * sin(2 * pi() * k.k * s.i / 64)), 2)) AS mag
+        |       FROM s JOIN (SELECT unnest(range(0, 33)) AS k) k ON TRUE
+        |       GROUP BY s.doc_id, k.k),
+        |dc AS (SELECT doc_id, CAST(floor(mag + 0.5) AS BIGINT) AS dc_mag
+        |       FROM b WHERE k = 0),
+        |dom AS (SELECT doc_id, k, CAST(floor(mag + 0.5) AS BIGINT) AS rmag,
+        |          row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY CAST(floor(mag + 0.5) AS BIGINT) DESC, k ASC) AS rn
+        |        FROM b WHERE k >= 1),
+        |cen AS (SELECT doc_id,
+        |          CAST(floor(sum(k * mag) / sum(mag) * 1000 + 0.5) AS BIGINT)
+        |            AS centroid_milli
+        |        FROM b WHERE k >= 1 GROUP BY doc_id)
+        |SELECT dc.doc_id, CAST(64 AS INT) AS n_fft, dc.dc_mag,
+        |  CAST(dom.k AS INT) AS dom_bin, dom.rmag AS dom_mag,
+        |  cen.centroid_milli
+        |FROM dc JOIN dom ON dc.doc_id = dom.doc_id AND dom.rn = 1
+        |JOIN cen ON dc.doc_id = cen.doc_id
+        |ORDER BY dc.doc_id""".stripMargin,
 
     "multimodal_gif_frames" ->
       """WITH d AS (SELECT doc_id,

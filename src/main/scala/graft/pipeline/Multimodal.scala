@@ -220,6 +220,54 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Spectral audio features — REAL decode + REAL DSP: [[WavCodec]]
+    * parses the RIFF/PCM payload, channel 0 goes through [[Dsp]]'s
+    * radix-2 FFT (truncated/zero-padded to `nFft`), and the row carries
+    * the classic audio-fingerprint features: DC magnitude, dominant
+    * non-DC bin, its magnitude, and the spectral centroid over bins
+    * 1..nFft/2. Magnitudes are rounded to whole units and the centroid
+    * to milli-units BEFORE comparison-bearing use (the dominant-bin
+    * argmax runs over the rounded values, lowest bin on ties) so a
+    * direct O(N²) DFT replayed in SQL lands on identical integers —
+    * the 1e-13-relative FFT-vs-DFT float divergence sits ~9 orders of
+    * magnitude under the rounding grid. Cross-implementation oracle:
+    * an indexing, twiddle-recurrence, bit-reversal, or truncation slip
+    * in the FFT hash-fails against the DFT. */
+  def spectralFeatures(media: DataFrame, nFft: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_fft", IntegerType, nullable = false),
+      StructField("dc_mag", LongType, nullable = false),
+      StructField("dom_bin", IntegerType, nullable = false),
+      StructField("dom_mag", LongType, nullable = false),
+      StructField("centroid_milli", LongType, nullable = false)))
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        WavCodec.decode(r.getAs[Array[Byte]](1)).map { audio =>
+          val ch = audio.channels
+          val mono = Array.tabulate(audio.frames)(i => audio.samples(i * ch))
+          val mags = Dsp.magnitudeSpectrum(mono, nFft)
+          val rounded = mags.map(m => math.floor(m + 0.5).toLong)
+          var best = 1
+          var k = 2
+          while (k < rounded.length) {
+            if (rounded(k) > rounded(best)) best = k
+            k += 1
+          }
+          var num = 0.0
+          var den = 0.0
+          k = 1
+          while (k < mags.length) { num += k * mags(k); den += mags(k); k += 1 }
+          val centroid = if (den == 0.0) 0.0 else num / den
+          Row(r.getLong(0), nFft, rounded(0), best, rounded(best),
+            math.floor(centroid * 1000 + 0.5).toLong)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** VIDEO-shaped decode — REAL animated-GIF frame extraction:
     * [[GifCodec.decode]] walks the GIF89a block stream and LZW-decodes
     * every frame in pure JVM; each payload explodes into one row per
