@@ -19,16 +19,19 @@ object Sessionize {
     * — session_id is the 0-based per-user session ordinal. */
   def batch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // own every parquet timestamp encoding, not just the one the current
+    // fixture happens to use — NTZ would reject the gap arithmetic below
+    val ev = graft.io.Tables.normalizeTs(events, "ts")
     val byUser = Window.partitionBy("user_id").orderBy("ts")
-    events
+    ev
       .withColumn("__prev", lag(col("ts"), 1).over(byUser))
       .withColumn("__new",
-        // fractional-seconds diff (cast keeps microseconds; unix_timestamp
-        // would truncate and disagree with the oracle's epoch() on
-        // borderline gaps)
+        // integer-microsecond diff (exact; unix_timestamp would truncate
+        // to seconds and disagree with the oracle's epoch() on borderline
+        // gaps, TIMESTAMP→DOUBLE casts are NTZ-hostile in Spark 4)
         when(col("__prev").isNull, 0)
-          .when(col("ts").cast("double") - col("__prev").cast("double") >
-            gapMinutes * 60.0, 1)
+          .when(unix_micros(col("ts")) - unix_micros(col("__prev")) >
+            gapMinutes * 60L * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_id",
         sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
