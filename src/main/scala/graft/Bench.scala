@@ -49,13 +49,23 @@ object Bench {
     val (_, warmSec) = timed(SparkEntry.warmArtifacts(spark, sfDir))
     System.err.println(f"[bench] artifact warmup ${warmSec}%.1f s")
 
+    // machine-load fingerprint: BENCH_r06's 163 s record was a loaded-box
+    // artifact (18× single-query outliers) that read as a 3× regression —
+    // the record must carry enough context to self-identify as noise
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    val nCpus = Runtime.getRuntime.availableProcessors
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // best-of-N per query (default 2): single-shot timings at this scale
     // carry multi-second GC/scheduler noise, which round-over-round diffs
     // would misread as regressions; min-of-iters is the stable statistic
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    // (best, worst) per query — the spread across iterations is the
+    // per-query noise witness the suspect flag below reads
     val results = SparkEntry.queries.map { case (name, fn) =>
       var best = Double.MaxValue
+      var worst = 0.0
       var i = 0
       while (i < iters) {
         val (okRun, sec) = timed {
@@ -67,17 +77,31 @@ object Bench {
             false
           }
         }
-        if (okRun) best = math.min(best, sec)
+        if (okRun) { best = math.min(best, sec); worst = math.max(worst, sec) }
         i += 1
       }
       // a query only counts as failed when NO iteration succeeded — a
       // transient flake on a later iteration must not discard a valid
       // earlier measurement
       if (best == Double.MaxValue) failed += name
-      name -> (if (best == Double.MaxValue) -1.0 else best)
+      name -> (if (best == Double.MaxValue) (-1.0, -1.0) else (best, worst))
     }
+    // a >3× iteration spread that costs real time means something other
+    // than this query had the machine — name the suspects in the record
+    val suspects = results.collect {
+      case (name, (best, worst))
+          if best > 0.0 && worst - best > 0.5 && worst / best > 3.0 => name
+    }.toSeq
+    if (suspects.nonEmpty)
+      System.err.println(s"[bench] WARNING load-suspect queries (spread >3x): ${suspects.mkString(", ")}")
 
     // ---- engine metrics (BASELINE.md protocol) ----
+    // drop every cached plan the catalog loop left behind (ArtifactCache
+    // values, memoized HKM levels, bucketed stores): the engine block's
+    // qps lines must measure a clean state, not compete for executor
+    // memory with whatever the newest catalog queries happened to pin —
+    // r6's knn_qps drop tracked exactly that growing residue
+    spark.catalog.clearCache()
     val engine = try {
       import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
       import graft.search.{BruteForceKNN, CoarseFineRetriever}
@@ -306,12 +330,23 @@ object Bench {
     // (BENCH_r03 "parsed: null"); ms resolution is all the diff needs
     def sec3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec3(v) }
+    val qs = results.map { case (k, (best, _)) => "\"" + k + "\":" + sec3(best) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // spreads only for the flagged queries — the full map would double
+    // the record for numbers that only matter when they're anomalous
+    val spreadJson = suspects.map { name =>
+      val (best, worst) = results(name)
+      "\"" + name + "\":[" + sec3(best) + "," + sec3(worst) + "]"
+    }.mkString("{", ",", "}")
+    val loadEnd = osBean.getSystemLoadAverage
+    val loadJson =
+      s"""{"cpus":$nCpus,"loadavg_start":${d(loadStart, 2)},""" +
+        s""""loadavg_end":${d(loadEnd, 2)},"iters":$iters,""" +
+        s""""suspect_spread":$spreadJson}"""
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"engine":$engine,"clustered":$clustered,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"load":$loadJson,"engine":$engine,"clustered":$clustered,"sf":"$sfDir"}"""
     println(line)
     // duplicate on stderr: survives even if a stdout tail-capture clips
     System.err.println(line)
@@ -328,10 +363,11 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }
-    val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(12)
-      .map { case (k, v) => "\"" + k + "\":" + sec3(v) }.mkString("{", ",", "}")
+    val slow = results.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(12)
+      .map { case (k, (best, _)) => "\"" + k + "\":" + sec3(best) }
+      .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 12 of ${results.size}; full map in BENCH_FULL.json","failed":$failedJson,"engine":$engine,"clustered":$clustered,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_note":"slowest 12 of ${results.size}; full map in BENCH_FULL.json","failed":$failedJson,"load":$loadJson,"engine":$engine,"clustered":$clustered,"sf":"$sfDir"}"""
     println(compact)
     System.err.println(compact)
     spark.stop()

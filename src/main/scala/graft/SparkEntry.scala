@@ -1344,9 +1344,63 @@ object SparkEntry {
         .select(col("doc_id"), gen(col("doc_id")).as("payload"),
           lit("image/synthetic").as("media_type"))
       Multimodal.decode(media)
-        .select(col("doc_id"), col("format"), col("width"), col("height"),
-          col("channels"), col("bit_depth"))
+        .select(col("doc_id"), col("decoded"), col("format"), col("width"),
+          col("height"), col("channels"), col("bit_depth"))
         .orderBy("doc_id")
+    }),
+
+    // Multimodal: unknown containers must surface as decoded=false with
+    // NULL metadata — never fabricated dimensions (nulls stringified so
+    // the hash compare is null-representation-proof)
+    "multimodal_unknown" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.asMedia(t(s, dir, "documents")))
+        .select(col("doc_id"), col("decoded"),
+          coalesce(col("format"), lit("none")).as("format"),
+          coalesce(col("width"), lit(-1)).as("width"),
+          coalesce(col("height"), lit(-1)).as("height"),
+          coalesce(col("channels"), lit(-1)).as("channels"),
+          coalesce(col("bit_depth"), lit(-1)).as("bit_depth"))
+        .orderBy("doc_id")),
+
+    // Multimodal: REAL indexed-colour PNG decode — PLTE palette + filtered
+    // index scanlines generated per doc, unfiltered + palette-expanded to
+    // RGB by the codec; per-channel means over the expanded samples. The
+    // oracle replays palette arithmetic through the index raster — any
+    // slip in PLTE parsing, bpp-1 unfiltering, or index→RGB expansion
+    // hash-fails
+    "multimodal_palette" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticPalettePng(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/png").as("media_type"))
+      Multimodal.decodePixels(media)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          concat_ws(",", transform(col("means"),
+            m => microUnits(m, 6)).cast("array<string>")).as("means"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: drop ACCOUNTING — what the pixel pass refuses, counted
+    // by named reason (bit_depth / interlaced / not_png / truncated) next
+    // to the decodable "ok" rows; the refusals are correct, their
+    // invisibility wasn't. Oracle restates the fixture mix arithmetic
+    "multimodal_pixel_skips" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticSkipPng(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/mixed").as("media_type"))
+      Multimodal.pixelDecodeStats(media).orderBy("reason")
+    }),
+
+    // Multimodal: GIF drop accounting — local-color-table / interlaced /
+    // non-GIF / truncated payloads counted by named reason next to the
+    // decodable rows
+    "multimodal_gif_skips" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticSkipGif(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/mixed").as("media_type"))
+      Multimodal.gifDecodeStats(media).orderBy("reason")
     }),
 
     // Multimodal: REAL pixel decode — valid compressed PNGs (deflated
@@ -2359,7 +2413,7 @@ object SparkEntry {
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "multimodal_headers" ->
-      """SELECT doc_id,
+      """SELECT doc_id, TRUE AS decoded,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
         |  CAST(1 + (doc_id * 7) % 2000 AS INT) AS width,
         |  CAST(1 + (doc_id * 13) % 1500 AS INT) AS height,
@@ -2369,6 +2423,45 @@ object SparkEntry {
         |    ELSE 3 END AS INT) AS channels,
         |  CAST(8 AS INT) AS bit_depth
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_unknown" ->
+      """SELECT doc_id, FALSE AS decoded, 'none' AS format,
+        |  CAST(-1 AS INT) AS width, CAST(-1 AS INT) AS height,
+        |  CAST(-1 AS INT) AS channels, CAST(-1 AS INT) AS bit_depth
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_palette" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(2 + doc_id % 9 AS INT) AS width,
+        |    CAST(1 + doc_id % 6 AS INT) AS height,
+        |    CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 16 END AS entries
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.width, d.height, c.c AS ch,
+        |         CAST((((x.x * 3 + y.y * 7 + d.doc_id) % d.entries) * 41
+        |               + c.c * 17 + d.doc_id * 5) % 256 AS DOUBLE) AS v
+        |       FROM d
+        |       JOIN (SELECT unnest(range(0, 11)) AS x) x ON x.x < d.width
+        |       JOIN (SELECT unnest(range(0, 6)) AS y) y ON y.y < d.height
+        |       JOIN (SELECT unnest(range(0, 3)) AS c) c ON TRUE),
+        |m AS (SELECT doc_id, width, height, ch, avg(v) AS mean
+        |      FROM px GROUP BY doc_id, width, height, ch)
+        |SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+        |  array_to_string(list(CAST(floor(mean * 1000000 + 0.5) AS BIGINT) ORDER BY ch), ',') AS means
+        |FROM m GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+
+    "multimodal_pixel_skips" ->
+      """SELECT CASE doc_id % 6 WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+        |    WHEN 2 THEN 'bit_depth' WHEN 3 THEN 'interlaced'
+        |    WHEN 4 THEN 'not_png' ELSE 'truncated' END AS reason,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY reason""".stripMargin,
+
+    "multimodal_gif_skips" ->
+      """SELECT CASE doc_id % 5 WHEN 0 THEN 'ok'
+        |    WHEN 1 THEN 'local_color_table' WHEN 2 THEN 'interlaced'
+        |    WHEN 3 THEN 'not_gif' ELSE 'truncated' END AS reason,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY reason""".stripMargin,
 
     "multimodal_pixels" ->
       """WITH d AS (SELECT doc_id,

@@ -556,19 +556,24 @@ object HierarchicalKMeans {
       val joined = state
         .withColumn("__prefix", array_join(col("__path"), ","))
         .join(lv, Seq("__prefix"), "left")
-      val expanded = joined
-        .where(!col("__done") && col("__cents").isNotNull)
-        .select(col(qidCol), col("__qvec"), col("__path"),
-          explode(expandUdf(col("__qvec"), col("__cents"), col("__cum")))
-            .as("__e"))
+      // ONE conditional expand instead of an expanded/carried two-branch
+      // union: referencing `joined` twice doubled the logical subtree per
+      // level (~2^depth plan nodes); a single select keeps the plan —
+      // and its optimization time — linear in depth. A leaf/done beam
+      // explodes into its own 1-element carry, an interior beam into its
+      // ≤K scored children; semantics (and bit parity) are unchanged.
+      val carry = array(struct(col("__path").as("p"), col("__cum").as("c"),
+        lit(true).as("d")))
+      val expand = transform(
+        expandUdf(col("__qvec"), col("__cents"), col("__cum")),
+        e => struct(concat(col("__path"), array(e.getField("_1"))).as("p"),
+          e.getField("_2").as("c"), lit(false).as("d")))
+      state = joined
         .select(col(qidCol), col("__qvec"),
-          concat(col("__path"), array(col("__e._1"))).as("__path"),
-          col("__e._2").as("__cum"), lit(false).as("__done"))
-      val carried = joined
-        .where(col("__done") || col("__cents").isNull)
-        .select(col(qidCol), col("__qvec"), col("__path"), col("__cum"),
-          lit(true).as("__done"))
-      state = expanded.unionByName(carried)
+          explode(when(col("__done") || col("__cents").isNull, carry)
+            .otherwise(expand)).as("__e"))
+        .select(col(qidCol), col("__qvec"), col("__e.p").as("__path"),
+          col("__e.c").as("__cum"), col("__e.d").as("__done"))
         .withColumn("__rk", row_number().over(w))
         .where(col("__rk") <= beams)
         .drop("__rk")

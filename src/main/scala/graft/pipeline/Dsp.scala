@@ -87,14 +87,19 @@ object Dsp {
     out
   }
 
-  /** Dominant non-DC bin: argmax of magnitude over bins 1..n/2, lowest
-    * bin on a tie (deterministic and replayable in SQL).
+  /** Dominant non-DC bin: argmax over bins 1..n/2, lowest bin on a tie.
+    * Takes the ROUNDED integer magnitudes, not raw doubles — production
+    * ([[Multimodal.spectralFeatures]]) must run the argmax on the same
+    * rounding grid the SQL oracle replays, or tie-breaks diverge on
+    * magnitudes the grid considers equal. This is the only argmax; keep
+    * it that way (a raw-double twin once sat here with subtly different
+    * tie semantics).
     */
-  def dominantBin(mags: Array[Double]): Int = {
+  def dominantBin(roundedMags: Array[Long]): Int = {
     var best = 1
     var k = 2
-    while (k < mags.length) {
-      if (mags(k) > mags(best)) best = k
+    while (k < roundedMags.length) {
+      if (roundedMags(k) > roundedMags(best)) best = k
       k += 1
     }
     best

@@ -179,19 +179,26 @@ object GifCodec {
 
   // ---------------------------------------------------------- container
 
-  def decode(bytes: Array[Byte]): Option[Gif] = {
-    if (bytes.length < 13) return None
+  def decode(bytes: Array[Byte]): Option[Gif] = decodeEx(bytes).toOption
+
+  /** Decode with a NAMED refusal reason on the Left, so a pipeline can
+    * count its drops ([[Multimodal.gifDecodeStats]]) instead of losing
+    * rows invisibly. Closed reason vocabulary: not_gif, bad_dims, no_gct,
+    * truncated, local_color_table, interlaced, bad_frame, bad_lzw,
+    * palette_oob, bad_block, no_frames. */
+  def decodeEx(bytes: Array[Byte]): Either[String, Gif] = {
+    if (bytes.length < 13) return Left("not_gif")
     val sig = new String(bytes, 0, 6, US_ASCII)
-    if (sig != "GIF87a" && sig != "GIF89a") return None
+    if (sig != "GIF87a" && sig != "GIF89a") return Left("not_gif")
     val width = le16(bytes, 6)
     val height = le16(bytes, 8)
-    if (width <= 0 || height <= 0) return None
+    if (width <= 0 || height <= 0) return Left("bad_dims")
     val packed = bytes(10) & 0xff
     val hasGct = (packed & 0x80) != 0
     val gctSize = 2 << (packed & 0x7) // 2^(n+1) entries
     var pos = 13
-    if (!hasGct) return None // palette-less GIFs carry no pixel meaning
-    if (pos + gctSize * 3 > bytes.length) return None
+    if (!hasGct) return Left("no_gct") // palette-less: no pixel meaning
+    if (pos + gctSize * 3 > bytes.length) return Left("truncated")
     val palette = java.util.Arrays.copyOfRange(bytes, pos, pos + gctSize * 3)
     pos += gctSize * 3
 
@@ -201,61 +208,63 @@ object GifCodec {
       (bytes(pos) & 0xff) match {
         case 0x3b => // trailer
           return if (frames.nonEmpty)
-            Some(Gif(width, height, palette, frames.toSeq)) else None
+            Right(Gif(width, height, palette, frames.toSeq))
+          else Left("no_frames")
         case 0x21 => // extension: label + sub-blocks
-          if (pos + 2 > bytes.length) return None
+          if (pos + 2 > bytes.length) return Left("truncated")
           val label = bytes(pos + 1) & 0xff
           var p = pos + 2
           // GCE payload: packed(1) delay(2 LE) transparent(1)
           if (label == 0xf9) {
-            if (p + 5 > bytes.length || (bytes(p) & 0xff) != 4) return None
+            if (p + 5 > bytes.length) return Left("truncated")
+            if ((bytes(p) & 0xff) != 4) return Left("bad_block")
             pendingDelay = le16(bytes, p + 2)
           }
           while (p < bytes.length && (bytes(p) & 0xff) != 0) {
             p += 1 + (bytes(p) & 0xff)
-            if (p > bytes.length) return None
+            if (p > bytes.length) return Left("truncated")
           }
-          if (p >= bytes.length) return None
+          if (p >= bytes.length) return Left("truncated")
           pos = p + 1
         case 0x2c => // image descriptor
-          if (pos + 10 > bytes.length) return None
+          if (pos + 10 > bytes.length) return Left("truncated")
           val left = le16(bytes, pos + 1)
           val top = le16(bytes, pos + 3)
           val fw = le16(bytes, pos + 5)
           val fh = le16(bytes, pos + 7)
           val fpacked = bytes(pos + 9) & 0xff
-          if ((fpacked & 0x80) != 0) return None // local color table: scope
-          if ((fpacked & 0x40) != 0) return None // interlaced: scope
+          if ((fpacked & 0x80) != 0) return Left("local_color_table") // scope
+          if ((fpacked & 0x40) != 0) return Left("interlaced") // scope
           if (fw <= 0 || fh <= 0 || left + fw > width || top + fh > height)
-            return None
+            return Left("bad_frame")
           var p = pos + 10
-          if (p >= bytes.length) return None
+          if (p >= bytes.length) return Left("truncated")
           val minCodeSize = bytes(p) & 0xff
           p += 1
           val lzw = new java.io.ByteArrayOutputStream()
           while (p < bytes.length && (bytes(p) & 0xff) != 0) {
             val n = bytes(p) & 0xff
-            if (p + 1 + n > bytes.length) return None
+            if (p + 1 + n > bytes.length) return Left("truncated")
             lzw.write(bytes, p + 1, n)
             p += 1 + n
           }
-          if (p >= bytes.length) return None
+          if (p >= bytes.length) return Left("truncated")
           pos = p + 1
           val indices = lzwDecode(minCodeSize, lzw.toByteArray, fw * fh)
-            .getOrElse(return None)
-          if (indices.length != fw * fh) return None
+            .getOrElse(return Left("bad_lzw"))
+          if (indices.length != fw * fh) return Left("bad_lzw")
           var i = 0
           val maxIdx = palette.length / 3
           while (i < indices.length) {
-            if ((indices(i) & 0xff) >= maxIdx) return None
+            if ((indices(i) & 0xff) >= maxIdx) return Left("palette_oob")
             i += 1
           }
           frames += Frame(left, top, fw, fh, pendingDelay, indices)
           pendingDelay = 0
-        case _ => return None
+        case _ => return Left("bad_block")
       }
     }
-    None // ran off the end without a trailer
+    Left("truncated") // ran off the end without a trailer
   }
 
   /** Emit a valid animated GIF89a: global palette (`rgb` triples, entry

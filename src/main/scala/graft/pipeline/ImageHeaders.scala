@@ -5,8 +5,8 @@ package graft.pipeline
   * library. These are public container formats (PNG: RFC 2083 §4.1.1 IHDR;
   * JPEG: ITU-T T.81 §B.2.2 SOFn frame header; GIF: GIF89a spec §18 Logical
   * Screen Descriptor), so a 100 TB multimodal pipeline can run the
-  * metadata/stats pass with zero codec dependencies; only pixel-level ops
-  * need a real decoder (still stubbed in [[Multimodal.decode]]).
+  * metadata/stats pass with zero codec dependencies; pixel-level ops sit
+  * behind the real decoders ([[PngCodec]], [[GifCodec]], [[WavCodec]]).
   *
   * Parsing is strict: wrong signature, truncated header, or a corrupt PNG
   * IHDR CRC returns None rather than garbage dimensions.

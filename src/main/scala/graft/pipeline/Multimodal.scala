@@ -46,48 +46,82 @@ object Multimodal {
 
   private val featureDim = 16
 
-  /** Decode + feature extraction. Dimensions/format/channels are REAL —
+  /** Header decode. Dimensions/format/channels are REAL —
     * [[ImageHeaders.parse]] reads actual PNG IHDR / JPEG SOFn / GIF LSD
     * bytes (pure JVM, public container formats). Payloads no parser
-    * recognizes (e.g. the text-as-media fixtures) fall back to the
-    * deterministic stand-in dimensions, flagged `format = "unknown"`.
-    * Pixel-level FEATURES stay a deterministic stub (no pixel codec in
-    * this container); a real implementation replaces only the `feats`
-    * block. Batch shape: one partition = one iterator pass, no per-row
-    * JNI/codec setup — the layout a pixel codec needs.
+    * recognizes (e.g. the text-as-media fixtures) come back with
+    * `decoded = false` and NULL metadata — a dedup/filter pipeline must
+    * never route real data on fabricated dimensions, so unknown means
+    * null, not a plausible-looking number. Batch shape: one partition =
+    * one iterator pass, no per-row codec setup.
     */
   def decode(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("format", StringType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("channels", IntegerType, nullable = false),
-      StructField("bit_depth", IntegerType, nullable = false),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("bit_depth", IntegerType, nullable = true)))
     val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val meta = ImageHeaders.parse(payload).getOrElse {
-          // unrecognized container: stand-in dims derived from the bytes
-          ImageHeaders.Meta("unknown",
-            1 + (math.abs(payload.length * 31 + 7) % 1024),
-            1 + (math.abs(payload.length * 17 + 3) % 1024), 1, 8)
+        ImageHeaders.parse(r.getAs[Array[Byte]](1)) match {
+          case Some(meta) => Row(id, true, meta.format, meta.width,
+            meta.height, meta.channels, meta.bitDepth)
+          case None => Row(id, false, null, null, null, null, null)
         }
-        // ??? real pixel codec goes here; deterministic fake below
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** TEST HELPER — explicitly fake: deterministic strided-byte-hash
+    * "features" standing in for a learned embedding where a test needs a
+    * stable vector per payload. Never part of a production decode path —
+    * real feature extraction decodes pixels ([[decodePixels]]) or
+    * waveforms ([[decodeAudio]]) first. */
+  def fakeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
         val feats = Array.tabulate(featureDim) { i =>
           var acc = 0L
           var j = i
           while (j < payload.length) { acc = acc * 131 + (payload(j) & 0xff); j += featureDim }
           ((acc % 1000).toFloat) / 1000.0f
         }
-        Row(id, meta.format, meta.width, meta.height, meta.channels,
-          meta.bitDepth, feats.toSeq)
+        Row(r.getLong(0), feats.toSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** What [[decodePixels]] would DROP, counted by refusal reason — the
+    * honest companion to a flatMap that silently loses undecodable rows.
+    * One row per [[PngCodec.decodeEx]] outcome ("ok" for decodable) with
+    * the row count; a 100 TB crawl pass reads this to see its coverage
+    * hole instead of inferring it from missing output. Partial counts
+    * aggregate map-side (hash groupBy on ≤14 reason keys — no skew). */
+  def pixelDecodeStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("reason", StringType, nullable = false)))
+    val rdd = media.select("payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(PngCodec.decodeEx(r.getAs[Array[Byte]](0))
+          .fold(identity, _ => "ok"))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .groupBy("reason").agg(count(lit(1)).as("n"))
   }
 
   /** PIXEL-level decode — REAL, not stubbed, for PNG payloads:
@@ -249,15 +283,10 @@ object Multimodal {
           val mono = Array.tabulate(audio.frames)(i => audio.samples(i * ch))
           val mags = Dsp.magnitudeSpectrum(mono, nFft)
           val rounded = mags.map(m => math.floor(m + 0.5).toLong)
-          var best = 1
-          var k = 2
-          while (k < rounded.length) {
-            if (rounded(k) > rounded(best)) best = k
-            k += 1
-          }
+          val best = Dsp.dominantBin(rounded)
           var num = 0.0
           var den = 0.0
-          k = 1
+          var k = 1
           while (k < mags.length) { num += k * mags(k); den += mags(k); k += 1 }
           val centroid = if (den == 0.0) 0.0 else num / den
           Row(r.getLong(0), nFft, rounded(0), best, rounded(best),
@@ -394,6 +423,106 @@ object Multimodal {
       y += 1
     }
     PngCodec.encode(w, h, ch, px, y => ((y + docId) % 5).toInt)
+  }
+
+  /** GIF twin of [[pixelDecodeStats]]: what [[decodeGifFrames]] would
+    * drop, counted by [[GifCodec.decodeEx]] refusal reason ("ok" for
+    * decodable payloads). Same shape: tiny-key hash groupBy, map-side
+    * partials, no skew. */
+  def gifDecodeStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("reason", StringType, nullable = false)))
+    val rdd = media.select("payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(GifCodec.decodeEx(r.getAs[Array[Byte]](0))
+          .fold(identity, _ => "ok"))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+  }
+
+  /** Deterministic GIF payload MIX for the drop accounting: by
+    * `docId % 5` a decodable animated GIF, one with a local colour table
+    * flagged on its first frame (refused: local_color_table), an
+    * interlaced one (refused: interlaced), plain text (refused: not_gif),
+    * or one with the trailer cut off (refused: truncated). The flag
+    * variants patch the REAL encoder's bytes, so the refusal exercises
+    * the actual classification point in the block walk. */
+  def syntheticSkipGif(docId: Long): Array[Byte] = {
+    // syntheticGif layout: 13-byte header+LSD, 4-entry GCT (12 bytes),
+    // 8-byte GCE, image descriptor at 33 with its packed byte at 42
+    def withDescriptorFlag(flag: Int): Array[Byte] = {
+      val b = syntheticGif(docId)
+      b(42) = (b(42) | flag).toByte
+      b
+    }
+    (docId % 5) match {
+      case 0 => syntheticGif(docId)
+      case 1 => withDescriptorFlag(0x80)
+      case 2 => withDescriptorFlag(0x40)
+      case 3 => s"doc $docId is plain text, not a gif".getBytes("UTF-8")
+      case _ => syntheticGif(docId).dropRight(1) // no trailer
+    }
+  }
+
+  /** Deterministic REAL indexed-colour PNG (PLTE palette + filtered
+    * index scanlines, filters cycling through all five types) whose
+    * palette entries and index raster are arithmetic in (x, y, entry,
+    * docId) — so a plain-SQL oracle can state the per-channel RGB means
+    * the palette-expanding decoder must reconstruct. */
+  def syntheticPalettePng(docId: Long): Array[Byte] = {
+    val w = (2 + docId % 9).toInt
+    val h = (1 + docId % 6).toInt
+    val entries = 2 << (docId % 4).toInt // 2/4/8/16 colours
+    val palette = new Array[Byte](entries * 3)
+    var e = 0
+    while (e < entries) {
+      var c = 0
+      while (c < 3) {
+        palette(e * 3 + c) = (((e * 41 + c * 17 + docId * 5) % 256) & 0xff).toByte
+        c += 1
+      }
+      e += 1
+    }
+    val indices = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        indices(y * w + x) = (((x * 3 + y * 7 + docId) % entries) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.encodePalette(w, h, palette, indices, y => ((y + docId) % 5).toInt)
+  }
+
+  /** Deterministic payload MIX for certifying the drop accounting: by
+    * `docId % 6` a decodable greyscale/RGB(A) PNG, a decodable palette
+    * PNG, a 16-bit PNG (refused: bit_depth), an interlaced PNG (refused:
+    * interlaced), plain text (refused: not_png), or a valid PNG with the
+    * tail cut off (refused: truncated). Every refusal variant carries
+    * structurally-valid chunk CRCs up to its defect, so the named reason
+    * is the real classification path, not a byte-length shortcut. */
+  def syntheticSkipPng(docId: Long): Array[Byte] = (docId % 6) match {
+    case 0 => syntheticPixelPng(docId)
+    case 1 => syntheticPalettePng(docId)
+    case 2 | 3 => // valid-CRC IHDR with bit depth 16 / interlace 1
+      val interlaced = docId % 6 == 3
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(4).putInt(4)
+      ihdr.put((if (interlaced) 8 else 16).toByte).put(2.toByte)
+      ihdr.put(0.toByte).put(0.toByte).put(if (interlaced) 1.toByte else 0.toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      out.write(PngCodec.chunk("IHDR", ihdr.array()))
+      out.write(PngCodec.chunk("IEND", Array.empty[Byte]))
+      out.toByteArray
+    case 4 => s"doc $docId is plain text, not an image".getBytes("UTF-8")
+    case _ => syntheticPixelPng(docId).dropRight(8) // cuts into IEND
   }
 
   /** Deterministic REAL-format image bytes for certifying the header

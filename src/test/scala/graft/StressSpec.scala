@@ -371,6 +371,54 @@ class StressSpec extends SparkSpec {
       "distributed beam diverged from the tree beam on a variable-depth trie")
   }
 
+  test("hkm distributed beam: plan grows linearly in depth, parity holds at depth 4") {
+    import graft.index.HierarchicalKMeans
+    import spark.implicits._
+    // the expanded/carried two-branch union referenced each level's plan
+    // twice → ~2^depth logical nodes; the single conditional expand must
+    // keep the per-level increment CONSTANT. Depth 4 at k=32 also drives
+    // the carry branch hard (level-2+ cells are mostly leaves here).
+    val rng = new scala.util.Random(41)
+    val df = (0 until 8000).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("doc_id", "vec").repartition(16).cache()
+    df.count()
+    val queries = (0 until 48).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("query_id", "qvec").cache()
+    queries.count()
+
+    val levels = HierarchicalKMeans.fitLevels(df, "vec", k = 32, depth = 4,
+      seed = 7L, maxIter = 5).cache()
+    levels.count()
+
+    def planNodes(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      1 + p.children.map(planNodes).sum
+    val counts = (1 to 4).map { d =>
+      planNodes(HierarchicalKMeans.beamSearchByLevels(
+        queries, levels, depth = d, beams = 6).queryExecution.analyzed)
+    }
+    val increments = counts.sliding(2).map(w => w(1) - w(0)).toSeq
+    assert(increments.distinct.size == 1,
+      s"plan growth must be linear in depth, got node counts $counts")
+
+    val dist = HierarchicalKMeans.beamSearchByLevels(
+      queries, levels, depth = 4, beams = 6)
+      .as[(Long, Long, Seq[Int], Double)].collect()
+      .map { case (q, r, p, sc) =>
+        (q, r) -> (p, java.lang.Double.doubleToLongBits(sc))
+      }.toMap
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 32, depth = 4,
+      seed = 7L, maxIter = 5)
+    val byTree = HierarchicalKMeans.beamSearchDf(queries, tree, beams = 6)
+      .as[(Long, Long, Seq[Int], Double)].collect()
+      .map { case (q, r, p, sc) =>
+        (q, r) -> (p, java.lang.Double.doubleToLongBits(sc))
+      }.toMap
+    assert(dist == byTree,
+      "depth-4 distributed beam diverged from the driver-tree beam (bit compare)")
+  }
+
   test("hkm fit handles the reference's fan-out (k=32) in seconds") {
     import graft.index.HierarchicalKMeans
     import spark.implicits._

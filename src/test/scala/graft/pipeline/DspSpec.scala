@@ -65,9 +65,10 @@ class DspSpec extends SparkSpec {
   }
 
   test("dominantBin takes the lowest bin on a tie and skips DC") {
-    // DC huge; bins 2 and 5 tie — the lowest wins.
-    assert(Dsp.dominantBin(Array(1e9, 3.0, 7.0, 2.0, 1.0, 7.0)) == 2)
-    assert(Dsp.dominantBin(Array(0.0, 5.0)) == 1)
+    // DC huge; bins 2 and 5 tie — the lowest wins. Rounded-magnitude
+    // domain: the production argmax runs on the oracle's rounding grid.
+    assert(Dsp.dominantBin(Array(1000000000L, 3L, 7L, 2L, 1L, 7L)) == 2)
+    assert(Dsp.dominantBin(Array(0L, 5L)) == 1)
   }
 
   test("spectralFeatures decodes channel 0 and lands on the DFT integers") {

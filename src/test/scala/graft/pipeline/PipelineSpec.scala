@@ -381,17 +381,29 @@ class PipelineSpec extends SparkSpec {
     assert(!d.contains(2L))
   }
 
-  test("multimodal decode: text payloads fall back, features fixed-dim, deterministic") {
-    val feats = Multimodal.decode(Multimodal.asMedia(docs.limit(20)))
-    val rows = feats.collect()
+  test("multimodal decode: unknown containers get NULL metadata, never fabricated dims") {
+    val rows = Multimodal.decode(Multimodal.asMedia(docs.limit(20))).collect()
     assert(rows.length == 20)
     rows.foreach { r =>
-      assert(r.getString(1) == "unknown") // text bytes are no image
-      assert(r.getInt(2) > 0 && r.getInt(3) > 0)
-      assert(r.getSeq[Float](6).length == 16)
+      assert(!r.getBoolean(1)) // text bytes are no image → decoded = false
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) &&
+        r.isNullAt(5) && r.isNullAt(6)) // no plausible-looking numbers
     }
-    // deterministic
-    val again = Multimodal.decode(Multimodal.asMedia(docs.limit(20))).collect()
+    // recognizable containers still decode with real metadata
+    val gen = org.apache.spark.sql.functions.udf(
+      (id: Long) => Multimodal.syntheticImageBytes(id))
+    val media = docs.limit(20).select(col("doc_id"),
+      gen(col("doc_id")).as("payload"), lit("image/x").as("media_type"))
+    Multimodal.decode(media).collect().foreach { r =>
+      assert(r.getBoolean(1) && !r.isNullAt(2) && r.getInt(3) > 0)
+    }
+  }
+
+  test("fakeFeatures (explicit test helper): fixed-dim and deterministic") {
+    val rows = Multimodal.fakeFeatures(Multimodal.asMedia(docs.limit(20))).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getSeq[Float](1).length == 16))
+    val again = Multimodal.fakeFeatures(Multimodal.asMedia(docs.limit(20))).collect()
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
@@ -476,6 +488,65 @@ class PipelineSpec extends SparkSpec {
       yield (x * 7 + y * 13 + 6 * 3) % 256).sum.toDouble / 49
     val sums = img6.pixels.map(_ & 0xff).sum.toDouble / 49
     assert(sums == expected)
+  }
+
+  test("PNG palette codec: PLTE roundtrip expands indices to RGB; corrupt palette refuses") {
+    val rng = new scala.util.Random(47)
+    for (entries <- Seq(2, 16, 256); filter <- 0 to 4) {
+      val (w, h) = (9, 5)
+      val palette = Array.fill(entries * 3)(rng.nextInt(256).toByte)
+      val indices = Array.fill(w * h)(rng.nextInt(entries).toByte)
+      val bytes = PngCodec.encodePalette(w, h, palette, indices, _ => filter)
+      val img = PngCodec.decode(bytes).getOrElse(
+        fail(s"palette decode failed entries=$entries filter=$filter"))
+      assert((img.width, img.height, img.channels) == (w, h, 3))
+      val expected = indices.flatMap { ib =>
+        val i = ib & 0xff
+        Seq(palette(i * 3), palette(i * 3 + 1), palette(i * 3 + 2))
+      }
+      assert(img.pixels.toSeq == expected.toSeq,
+        s"rgb mismatch entries=$entries filter=$filter")
+    }
+    // index pointing past the palette: refuse, never read garbage colours
+    val shortPal = Array.fill(2 * 3)(7.toByte)
+    val oob = PngCodec.encodePalette(2, 2, shortPal, Array[Byte](0, 1, 3, 0))
+    assert(PngCodec.decodeEx(oob) == Left("palette_oob"))
+    // corrupt PLTE byte → chunk CRC mismatch
+    val good = PngCodec.encodePalette(2, 2, shortPal, Array[Byte](0, 1, 1, 0))
+    val bad = good.clone(); bad(45) = (bad(45) ^ 0x20).toByte
+    assert(PngCodec.decode(bad).isEmpty)
+    // the synthetic generator decodes to its stated palette arithmetic
+    val img7 = PngCodec.decode(Multimodal.syntheticPalettePng(7L)).get
+    assert((img7.width, img7.height, img7.channels) == (9, 2, 3)) // 2+7%9, 1+7%6, rgb
+    val entries7 = 2 << (7 % 4) // 16
+    for (y <- 0 until 2; x <- 0 until 9; c <- 0 until 3) {
+      val idx = (x * 3 + y * 7 + 7) % entries7
+      val want = (idx * 41 + c * 17 + 7 * 5) % 256
+      assert((img7.pixels((y * 9 + x) * 3 + c) & 0xff) == want)
+    }
+  }
+
+  test("decodeEx names every refusal; the skip fixtures hit their stated reasons") {
+    assert(PngCodec.decodeEx("plain text".getBytes) == Left("not_png"))
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(2L)) == Left("bit_depth"))
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(3L)) == Left("interlaced"))
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(4L)) == Left("not_png"))
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(5L)) == Left("truncated"))
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(6L)).isRight)
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(7L)).isRight)
+    // CRC corruption is classified as bad_crc, not a generic failure
+    val good = Multimodal.syntheticPixelPng(12L)
+    val bad = good.clone(); bad(good.length - 20) = (bad(good.length - 20) ^ 0x11).toByte
+    assert(PngCodec.decodeEx(bad) == Left("bad_crc"))
+    // pixelDecodeStats: counted reasons match the fixture mix over a range
+    val gen = org.apache.spark.sql.functions.udf(
+      (id: Long) => Multimodal.syntheticSkipPng(id))
+    val media = spark.range(0, 60).select(col("id").as("doc_id"),
+      gen(col("id")).as("payload"), lit("image/mixed").as("media_type"))
+    val counts = Multimodal.pixelDecodeStats(media).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("ok" -> 20L, "bit_depth" -> 10L,
+      "interlaced" -> 10L, "not_png" -> 10L, "truncated" -> 10L))
   }
 
   test("WAV codec: encode/decode roundtrip across bit depths and channel layouts") {
