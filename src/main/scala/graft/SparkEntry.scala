@@ -1392,15 +1392,35 @@ object SparkEntry {
       Multimodal.pixelDecodeStats(media).orderBy("reason")
     }),
 
-    // Multimodal: GIF drop accounting — local-color-table / interlaced /
-    // non-GIF / truncated payloads counted by named reason next to the
-    // decodable rows
+    // Multimodal: GIF drop accounting — non-GIF / truncated / corrupt-LZW
+    // payloads counted by named reason next to the decodable rows (which
+    // include local-colour-table and interlaced variants: the codec owns
+    // those)
     "multimodal_gif_skips" -> ((s, dir) => {
       val gen = udf { (id: Long) => Multimodal.syntheticSkipGif(id) }
       val media = t(s, dir, "documents")
         .select(col("doc_id"), gen(col("doc_id")).as("payload"),
           lit("image/mixed").as("media_type"))
       Multimodal.gifDecodeStats(media).orderBy("reason")
+    }),
+
+    // Multimodal: GIF local-colour-table + interlace decode — per-frame
+    // LCT palettes override the global table and interlaced frames store
+    // rows in GIF89a four-pass order. Means alone are row-permutation
+    // invariant, so the query also emits the row-weighted red moment —
+    // a wrong de-interleave hash-fails on it while means stay green
+    "multimodal_gif_lct" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticGifExt(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/gif").as("media_type"))
+      Multimodal.decodeGifFrames(media)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("delay_cs"),
+          concat_ws(",", transform(col("means"),
+            m => microUnits(m, 6)).cast("array<string>")).as("means"),
+          col("row_moment"))
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // Multimodal: REAL pixel decode — valid compressed PNGs (deflated
@@ -2457,11 +2477,46 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY reason""".stripMargin,
 
     "multimodal_gif_skips" ->
-      """SELECT CASE doc_id % 5 WHEN 0 THEN 'ok'
-        |    WHEN 1 THEN 'local_color_table' WHEN 2 THEN 'interlaced'
-        |    WHEN 3 THEN 'not_gif' ELSE 'truncated' END AS reason,
+      """SELECT CASE doc_id % 6 WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+        |    WHEN 2 THEN 'ok' WHEN 3 THEN 'not_gif'
+        |    WHEN 4 THEN 'truncated' ELSE 'bad_lzw' END AS reason,
         |  count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY reason""".stripMargin,
+
+    "multimodal_gif_lct" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(3 + doc_id % 6 AS INT) AS width,
+        |    CAST(2 + doc_id % 5 AS INT) AS height,
+        |    CAST(1 + doc_id % 3 AS INT) AS n_frames
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.width, d.height, f.f AS frame_idx, y.y AS y,
+        |         (x.x * 3 + y.y * 5 + f.f * 7 + d.doc_id) %
+        |           (CASE WHEN (d.doc_id + f.f) % 2 = 0 THEN 8 ELSE 4 END) AS idx,
+        |         CASE WHEN (d.doc_id + f.f) % 2 = 0 THEN 1 ELSE 0 END AS lct
+        |       FROM d
+        |       JOIN (SELECT unnest(range(0, 3)) AS f) f ON f.f < d.n_frames
+        |       JOIN (SELECT unnest(range(0, 9)) AS x) x ON x.x < d.width
+        |       JOIN (SELECT unnest(range(0, 7)) AS y) y ON y.y < d.height),
+        |v AS (SELECT doc_id, width, height, frame_idx, y,
+        |        CASE WHEN lct = 1 THEN (idx*47 + doc_id*3 + frame_idx*11) % 256
+        |             ELSE (idx*53 + doc_id*7) % 256 END AS r,
+        |        CASE WHEN lct = 1 THEN (idx*47 + 19 + doc_id*3 + frame_idx*11) % 256
+        |             ELSE (idx*53 + 31 + doc_id*7) % 256 END AS g,
+        |        CASE WHEN lct = 1 THEN (idx*47 + 38 + doc_id*3 + frame_idx*11) % 256
+        |             ELSE (idx*53 + 62 + doc_id*7) % 256 END AS b
+        |      FROM px),
+        |m AS (SELECT doc_id, width, height, frame_idx,
+        |        avg(CAST(r AS DOUBLE)) AS mr, avg(CAST(g AS DOUBLE)) AS mg,
+        |        avg(CAST(b AS DOUBLE)) AS mb,
+        |        sum(y * r) AS row_moment
+        |      FROM v GROUP BY doc_id, width, height, frame_idx)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, width, height,
+        |  CAST(4 + frame_idx * 2 + doc_id % 5 AS INT) AS delay_cs,
+        |  CAST(floor(mr * 1000000 + 0.5) AS BIGINT) || ',' ||
+        |  CAST(floor(mg * 1000000 + 0.5) AS BIGINT) || ',' ||
+        |  CAST(floor(mb * 1000000 + 0.5) AS BIGINT) AS means,
+        |  CAST(row_moment AS BIGINT) AS row_moment
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
 
     "multimodal_pixels" ->
       """WITH d AS (SELECT doc_id,

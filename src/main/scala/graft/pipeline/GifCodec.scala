@@ -17,21 +17,43 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * fills), so a decode(encode(frames)) roundtrip certifies the decoder
   * on streams with genuine dictionary growth — not just literal codes.
   *
-  * Strictness: wrong signature, truncated blocks, interlaced frames,
-  * local color tables (out of scope), out-of-range pixel codes, or a
-  * frame that does not decode to exactly width·height indices all
-  * return None rather than garbage pixels.
+  * Strictness: wrong signature, truncated blocks, out-of-range pixel
+  * codes, or a frame that does not decode to exactly width·height
+  * indices all return None rather than garbage pixels. Local colour
+  * tables (per-frame palette override) and interlaced frames (GIF89a
+  * §20 four-pass row order) decode — both are common in crawl data.
   */
 object GifCodec {
 
   /** One decoded frame: full palette-index raster (row-major,
-    * `width·height` bytes) plus the RGB palette to map through.
+    * `width·height` bytes, already DE-interlaced if the frame was
+    * stored interlaced) plus the RGB `palette` that applies to THIS
+    * frame — its local colour table when present, else the global one.
     * `delayCs` is the GCE delay in centiseconds (0 if none given). */
   final case class Frame(left: Int, top: Int, width: Int, height: Int,
-      delayCs: Int, indices: Array[Byte])
+      delayCs: Int, indices: Array[Byte], palette: Array[Byte])
 
   final case class Gif(width: Int, height: Int, palette: Array[Byte],
       frames: Seq[Frame])
+
+  /** Encoder-side frame description for [[encodeEx]]: optional local
+    * colour table (RGB triples, power-of-two entry count) and interlaced
+    * row storage. */
+  final case class FrameSpec(delayCs: Int, indices: Array[Byte],
+      localPalette: Option[Array[Byte]] = None, interlaced: Boolean = false)
+
+  /** GIF89a §20 interlace pass structure: rows are stored pass 1
+    * (0,8,16,…), pass 2 (4,12,…), pass 3 (2,6,10,…), pass 4 (1,3,5,…).
+    * Returns the storage order of row indices for a `height`-row frame. */
+  private[pipeline] def interlaceRowOrder(height: Int): Array[Int] = {
+    val out = new Array[Int](height)
+    var n = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var y = start
+      while (y < height) { out(n) = y; n += 1; y += step }
+    }
+    out
+  }
 
   private def le16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -184,8 +206,10 @@ object GifCodec {
   /** Decode with a NAMED refusal reason on the Left, so a pipeline can
     * count its drops ([[Multimodal.gifDecodeStats]]) instead of losing
     * rows invisibly. Closed reason vocabulary: not_gif, bad_dims, no_gct,
-    * truncated, local_color_table, interlaced, bad_frame, bad_lzw,
-    * palette_oob, bad_block, no_frames. */
+    * truncated, bad_frame, bad_lzw, palette_oob, bad_block, no_frames.
+    * Local colour tables and interlaced frames DECODE (per-frame palette
+    * override; four-pass row de-interleave) — they are too common in
+    * crawl data to refuse. */
   def decodeEx(bytes: Array[Byte]): Either[String, Gif] = {
     if (bytes.length < 13) return Left("not_gif")
     val sig = new String(bytes, 0, 6, US_ASCII)
@@ -233,11 +257,20 @@ object GifCodec {
           val fw = le16(bytes, pos + 5)
           val fh = le16(bytes, pos + 7)
           val fpacked = bytes(pos + 9) & 0xff
-          if ((fpacked & 0x80) != 0) return Left("local_color_table") // scope
-          if ((fpacked & 0x40) != 0) return Left("interlaced") // scope
+          val interlaced = (fpacked & 0x40) != 0
           if (fw <= 0 || fh <= 0 || left + fw > width || top + fh > height)
             return Left("bad_frame")
           var p = pos + 10
+          // local colour table: overrides the global palette for this
+          // frame only (common in crawl-data GIFs — a refusal here would
+          // silently drop a large real-world slice)
+          val framePalette = if ((fpacked & 0x80) != 0) {
+            val lctSize = 2 << (fpacked & 0x7)
+            if (p + lctSize * 3 > bytes.length) return Left("truncated")
+            val lct = java.util.Arrays.copyOfRange(bytes, p, p + lctSize * 3)
+            p += lctSize * 3
+            lct
+          } else palette
           if (p >= bytes.length) return Left("truncated")
           val minCodeSize = bytes(p) & 0xff
           p += 1
@@ -250,16 +283,28 @@ object GifCodec {
           }
           if (p >= bytes.length) return Left("truncated")
           pos = p + 1
-          val indices = lzwDecode(minCodeSize, lzw.toByteArray, fw * fh)
+          val stored = lzwDecode(minCodeSize, lzw.toByteArray, fw * fh)
             .getOrElse(return Left("bad_lzw"))
-          if (indices.length != fw * fh) return Left("bad_lzw")
+          if (stored.length != fw * fh) return Left("bad_lzw")
+          // de-interlace: stored row k belongs at interlaceRowOrder(k)
+          val indices = if (interlaced) {
+            val order = interlaceRowOrder(fh)
+            val out = new Array[Byte](fw * fh)
+            var k = 0
+            while (k < fh) {
+              System.arraycopy(stored, k * fw, out, order(k) * fw, fw)
+              k += 1
+            }
+            out
+          } else stored
           var i = 0
-          val maxIdx = palette.length / 3
+          val maxIdx = framePalette.length / 3
           while (i < indices.length) {
             if ((indices(i) & 0xff) >= maxIdx) return Left("palette_oob")
             i += 1
           }
-          frames += Frame(left, top, fw, fh, pendingDelay, indices)
+          frames += Frame(left, top, fw, fh, pendingDelay, indices,
+            framePalette)
           pendingDelay = 0
         case _ => return Left("bad_block")
       }
@@ -271,13 +316,23 @@ object GifCodec {
     * count a power of two ≥ 2), one GCE + full-canvas image per frame.
     * `frames` are (delayCs, row-major palette indices of width·height). */
   def encode(width: Int, height: Int, palette: Array[Byte],
-      frames: Seq[(Int, Array[Byte])]): Array[Byte] = {
-    require(palette.length % 3 == 0 && palette.length >= 6)
-    val entries = palette.length / 3
-    require((entries & (entries - 1)) == 0, "palette entries: power of two")
+      frames: Seq[(Int, Array[Byte])]): Array[Byte] =
+    encodeEx(width, height, palette,
+      frames.map { case (d, ix) => FrameSpec(d, ix) })
+
+  /** Full-control encoder: per-frame local colour tables and interlaced
+    * row storage, so the decoder's LCT/de-interlace paths can be
+    * certified on real bytes end-to-end. */
+  def encodeEx(width: Int, height: Int, palette: Array[Byte],
+      frames: Seq[FrameSpec]): Array[Byte] = {
+    def paletteBits(p: Array[Byte]): Int = {
+      require(p.length % 3 == 0 && p.length >= 6)
+      val entries = p.length / 3
+      require((entries & (entries - 1)) == 0, "palette entries: power of two")
+      31 - Integer.numberOfLeadingZeros(entries) // log2
+    }
+    val sizeBits = paletteBits(palette)
     require(frames.nonEmpty)
-    val sizeBits = 31 - Integer.numberOfLeadingZeros(entries) // log2
-    val minCodeSize = math.max(2, sizeBits)
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes(US_ASCII))
     out.write(width & 0xff); out.write((width >> 8) & 0xff)
@@ -285,19 +340,37 @@ object GifCodec {
     out.write(0x80 | 0x70 | (sizeBits - 1)) // GCT, 8-bit colour res
     out.write(0); out.write(0) // bg index, aspect
     out.write(palette, 0, palette.length)
-    frames.foreach { case (delayCs, indices) =>
-      require(indices.length == width * height, "full-canvas frames only")
+    frames.foreach { f =>
+      require(f.indices.length == width * height, "full-canvas frames only")
       out.write(0x21); out.write(0xf9); out.write(4) // GCE
       out.write(0) // packed: no disposal/transparency
-      out.write(delayCs & 0xff); out.write((delayCs >> 8) & 0xff)
+      out.write(f.delayCs & 0xff); out.write((f.delayCs >> 8) & 0xff)
       out.write(0); out.write(0) // transparent idx, terminator
       out.write(0x2c) // image descriptor: full canvas
       out.write(0); out.write(0); out.write(0); out.write(0)
       out.write(width & 0xff); out.write((width >> 8) & 0xff)
       out.write(height & 0xff); out.write((height >> 8) & 0xff)
-      out.write(0) // no LCT, not interlaced
+      val lctBits = f.localPalette.map(paletteBits)
+      out.write((if (lctBits.isDefined) 0x80 else 0) |
+        (if (f.interlaced) 0x40 else 0) |
+        lctBits.map(_ - 1).getOrElse(0))
+      f.localPalette.foreach(p => out.write(p, 0, p.length))
+      val effBits = lctBits.getOrElse(sizeBits)
+      val minCodeSize = math.max(2, effBits)
+      // interlaced storage: rows written in the four-pass order the
+      // decoder will undo
+      val stored = if (f.interlaced) {
+        val order = interlaceRowOrder(height)
+        val s = new Array[Byte](width * height)
+        var k = 0
+        while (k < height) {
+          System.arraycopy(f.indices, order(k) * width, s, k * width, width)
+          k += 1
+        }
+        s
+      } else f.indices
       out.write(minCodeSize)
-      val lzw = lzwEncode(minCodeSize, indices)
+      val lzw = lzwEncode(minCodeSize, stored)
       var off = 0
       while (off < lzw.length) {
         val n = math.min(255, lzw.length - off)

@@ -313,24 +313,31 @@ object Multimodal {
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("delay_cs", IntegerType, nullable = false),
-      StructField("means", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      StructField("means", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("row_moment", LongType, nullable = false)))
     val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(0)
         GifCodec.decode(r.getAs[Array[Byte]](1)).toSeq.flatMap { gif =>
           gif.frames.zipWithIndex.map { case (f, idx) =>
             val n = f.width * f.height
+            // f.palette: the frame's effective table (LCT override or GCT)
             val sums = new Array[Long](3)
+            // row-weighted red sum Σ y·R(x,y): per-frame means are a row
+            // PERMUTATION invariant, so they alone cannot catch a wrong
+            // de-interlace — this moment can (integer-exact in Long)
+            var rowMoment = 0L
             var i = 0
             while (i < f.indices.length) {
               val p = (f.indices(i) & 0xff) * 3
-              sums(0) += gif.palette(p) & 0xff
-              sums(1) += gif.palette(p + 1) & 0xff
-              sums(2) += gif.palette(p + 2) & 0xff
+              sums(0) += f.palette(p) & 0xff
+              sums(1) += f.palette(p + 1) & 0xff
+              sums(2) += f.palette(p + 2) & 0xff
+              rowMoment += (i / f.width).toLong * (f.palette(p) & 0xff)
               i += 1
             }
             Row(id, idx, f.width, f.height, f.delayCs,
-              sums.map(_.toDouble / n).toSeq)
+              sums.map(_.toDouble / n).toSeq, rowMoment)
           }
         }
       }
@@ -444,27 +451,80 @@ object Multimodal {
   }
 
   /** Deterministic GIF payload MIX for the drop accounting: by
-    * `docId % 5` a decodable animated GIF, one with a local colour table
-    * flagged on its first frame (refused: local_color_table), an
-    * interlaced one (refused: interlaced), plain text (refused: not_gif),
-    * or one with the trailer cut off (refused: truncated). The flag
-    * variants patch the REAL encoder's bytes, so the refusal exercises
-    * the actual classification point in the block walk. */
-  def syntheticSkipGif(docId: Long): Array[Byte] = {
-    // syntheticGif layout: 13-byte header+LSD, 4-entry GCT (12 bytes),
-    // 8-byte GCE, image descriptor at 33 with its packed byte at 42
-    def withDescriptorFlag(flag: Int): Array[Byte] = {
+    * `docId % 6` a plain decodable animated GIF, one whose frames carry
+    * local colour tables, an interlaced one (both DECODE — the codec
+    * owns LCT and interlace), plain text (refused: not_gif), one with
+    * the trailer cut off (refused: truncated), or one whose LZW
+    * min-code-size byte is corrupted to an illegal value (refused:
+    * bad_lzw). The refusal variants patch the REAL encoder's bytes, so
+    * each named reason exercises its actual classification point. */
+  def syntheticSkipGif(docId: Long): Array[Byte] = (docId % 6) match {
+    case 0 => syntheticGif(docId)
+    case 1 | 2 => syntheticGifExt(docId)
+    case 3 => s"doc $docId is plain text, not a gif".getBytes("UTF-8")
+    case 4 => syntheticGif(docId).dropRight(1) // no trailer
+    case _ =>
+      // syntheticGif layout: 13-byte header+LSD, 4-entry GCT (12 bytes),
+      // 8-byte GCE, 10-byte image descriptor → minCodeSize byte at 43;
+      // GIF LZW requires 2 ≤ minCodeSize ≤ 8
       val b = syntheticGif(docId)
-      b(42) = (b(42) | flag).toByte
+      b(43) = 1.toByte
       b
+  }
+
+  /** Deterministic REAL animated GIF exercising the codec's local-
+    * colour-table and interlace paths: every even (docId+f) frame
+    * carries an 8-entry LCT overriding the 4-entry global table, every
+    * (docId+f) % 3 == 0 frame is stored in GIF89a four-pass interlaced
+    * row order. All palette/index values are arithmetic in (x, y, f,
+    * docId), so a plain-SQL oracle states the per-frame means AND the
+    * row-weighted moment the de-interleave must land on. */
+  def syntheticGifExt(docId: Long): Array[Byte] = {
+    val w = (3 + docId % 6).toInt
+    val h = (2 + docId % 5).toInt
+    val nFrames = (1 + docId % 3).toInt
+    val global = new Array[Byte](4 * 3)
+    var j = 0
+    while (j < 4) {
+      var c = 0
+      while (c < 3) {
+        global(j * 3 + c) = (((j * 53 + c * 31 + docId * 7) % 256) & 0xff).toByte
+        c += 1
+      }
+      j += 1
     }
-    (docId % 5) match {
-      case 0 => syntheticGif(docId)
-      case 1 => withDescriptorFlag(0x80)
-      case 2 => withDescriptorFlag(0x40)
-      case 3 => s"doc $docId is plain text, not a gif".getBytes("UTF-8")
-      case _ => syntheticGif(docId).dropRight(1) // no trailer
+    val frames = (0 until nFrames).map { f =>
+      val hasLct = (docId + f) % 2 == 0
+      val entries = if (hasLct) 8 else 4
+      val lct = if (hasLct) {
+        val p = new Array[Byte](8 * 3)
+        var e = 0
+        while (e < 8) {
+          var c = 0
+          while (c < 3) {
+            p(e * 3 + c) =
+              (((e * 47 + c * 19 + docId * 3 + f * 11) % 256) & 0xff).toByte
+            c += 1
+          }
+          e += 1
+        }
+        Some(p)
+      } else None
+      val indices = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          indices(y * w + x) =
+            (((x * 3 + y * 5 + f * 7 + docId) % entries) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      GifCodec.FrameSpec((4 + f * 2 + docId % 5).toInt, indices,
+        localPalette = lct, interlaced = (docId + f) % 3 == 0)
     }
+    GifCodec.encodeEx(w, h, global, frames)
   }
 
   /** Deterministic REAL indexed-colour PNG (PLTE palette + filtered

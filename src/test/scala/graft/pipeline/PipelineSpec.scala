@@ -666,17 +666,78 @@ class PipelineSpec extends SparkSpec {
       ImageHeaders.Meta("gif", 6, 4, 3, 8)))
 
     // rejections: never garbage frames
-    assert(GifCodec.decode(bytes.take(20)).isEmpty)    // truncated mid-palette
-    assert(GifCodec.decode(bytes.dropRight(2)).isEmpty) // no trailer
-    assert(GifCodec.decode("GIF89a but not really".getBytes).isEmpty)
-    assert(GifCodec.decode(Array.empty[Byte]).isEmpty)
-    val interlaced = bytes.clone()
-    // image descriptor of frame 0 starts after 13-byte header + 12-byte
-    // GCT + 8-byte GCE block; packed byte is at +9 within it
-    val idPos = 13 + 12 + 8
-    assert((interlaced(idPos) & 0xff) == 0x2c)
-    interlaced(idPos + 9) = 0x40.toByte // interlace flag: out of scope
-    assert(GifCodec.decode(interlaced).isEmpty)
+    assert(GifCodec.decodeEx(bytes.take(20)) == Left("truncated")) // mid-palette
+    assert(GifCodec.decodeEx(bytes.dropRight(2)) == Left("truncated")) // no trailer
+    assert(GifCodec.decodeEx("GIF89a but not really".getBytes).isLeft)
+    assert(GifCodec.decodeEx(Array.empty[Byte]) == Left("not_gif"))
+  }
+
+  test("GIF LCT + interlace: per-frame palettes override, four-pass rows de-interleave") {
+    val global = Array.tabulate(4 * 3)(i => (i * 19 % 256).toByte)
+    val lct = Array.tabulate(8 * 3)(i => (i * 37 % 256).toByte)
+    val rng = new scala.util.Random(53)
+    val (w, h) = (7, 11) // odd height exercises every interlace pass
+    val plain = Array.fill(w * h)(rng.nextInt(4).toByte)
+    val withLct = Array.fill(w * h)(rng.nextInt(8).toByte)
+    val inter = Array.tabulate(w * h)(i => ((i / w) % 4).toByte) // row-coded
+    val bytes = GifCodec.encodeEx(w, h, global, Seq(
+      GifCodec.FrameSpec(5, plain),
+      GifCodec.FrameSpec(6, withLct, localPalette = Some(lct)),
+      GifCodec.FrameSpec(7, inter, interlaced = true),
+      GifCodec.FrameSpec(8, withLct, localPalette = Some(lct),
+        interlaced = true)))
+    val gif = GifCodec.decode(bytes).getOrElse(fail("decode failed"))
+    assert(gif.frames.map(_.delayCs) == Seq(5, 6, 7, 8))
+    // frame 0: global palette, plain rows
+    assert(gif.frames(0).indices.toSeq == plain.toSeq)
+    assert(gif.frames(0).palette.toSeq == global.toSeq)
+    // frame 1: the LCT overrides (8 entries — indices 4..7 are legal
+    // here and would be palette_oob against the 4-entry global table)
+    assert(gif.frames(1).indices.toSeq == withLct.toSeq)
+    assert(gif.frames(1).palette.toSeq == lct.toSeq)
+    // frame 2: stored in four-pass order, decoded back to raster order —
+    // the row-coded pattern makes any row-order slip visible
+    assert(gif.frames(2).indices.toSeq == inter.toSeq)
+    // frame 3: both at once
+    assert(gif.frames(3).indices.toSeq == withLct.toSeq)
+    assert(gif.frames(3).palette.toSeq == lct.toSeq)
+    // interlaceRowOrder is the published GIF89a §20 pass structure
+    assert(GifCodec.interlaceRowOrder(11).toSeq ==
+      Seq(0, 8, 4, 2, 6, 10, 1, 3, 5, 7, 9))
+    // an index past the effective table still refuses: hand-assemble a
+    // stream whose LZW min-code-size (3) exceeds the 4-entry palette —
+    // the one layout where a well-formed LZW stream can carry an index
+    // the palette cannot map
+    val oob = new java.io.ByteArrayOutputStream()
+    oob.write("GIF89a".getBytes)
+    oob.write(Array[Byte](2, 0, 1, 0)) // 2×1 canvas
+    oob.write(0x80 | 0x70 | 1) // GCT, 4 entries
+    oob.write(0); oob.write(0)
+    oob.write(Array.tabulate(4 * 3)(i => (i * 11).toByte)) // GCT
+    oob.write(0x2c) // descriptor: full canvas, no LCT
+    oob.write(Array[Byte](0, 0, 0, 0, 2, 0, 1, 0, 0))
+    oob.write(3) // minCodeSize 3: literals 0..7 against a 4-entry palette
+    val lzwOob = GifCodec.lzwEncode(3, Array[Byte](0, 5)) // index 5 → oob
+    oob.write(lzwOob.length); oob.write(lzwOob); oob.write(0)
+    oob.write(0x3b)
+    assert(GifCodec.decodeEx(oob.toByteArray) == Left("palette_oob"))
+  }
+
+  test("GIF skip fixtures hit their stated reasons; gifDecodeStats counts them") {
+    assert(GifCodec.decodeEx(Multimodal.syntheticSkipGif(6L)).isRight)  // plain
+    assert(GifCodec.decodeEx(Multimodal.syntheticSkipGif(7L)).isRight)  // ext
+    assert(GifCodec.decodeEx(Multimodal.syntheticSkipGif(8L)).isRight)  // ext
+    assert(GifCodec.decodeEx(Multimodal.syntheticSkipGif(9L)) == Left("not_gif"))
+    assert(GifCodec.decodeEx(Multimodal.syntheticSkipGif(10L)) == Left("truncated"))
+    assert(GifCodec.decodeEx(Multimodal.syntheticSkipGif(11L)) == Left("bad_lzw"))
+    val gen = org.apache.spark.sql.functions.udf(
+      (id: Long) => Multimodal.syntheticSkipGif(id))
+    val media = spark.range(0, 60).select(col("id").as("doc_id"),
+      gen(col("id")).as("payload"), lit("image/mixed").as("media_type"))
+    val counts = Multimodal.gifDecodeStats(media).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("ok" -> 30L, "not_gif" -> 10L,
+      "truncated" -> 10L, "bad_lzw" -> 10L))
   }
 
   test("decodeGifFrames maps palette-indexed frames to per-frame RGB means") {
