@@ -172,6 +172,13 @@ object Bench {
         queries = Some(queries.select("query_id")))
         .head.getAs[Double]("ndoc_per_query")
 
+      // r6→r7 drift note: coarse_fine_budgeted_qps 82 (r5 record) →
+      // ~45-47 was bisected with a standalone probe (BudgetedProbe) —
+      // the r5 CODE run against the current fixtures on the same machine
+      // lands on the same ~30 qps standalone / ~47 in-bench, so the r5
+      // record reflected machine/fixture state, not a code change. At 20
+      // fixture queries this metric is planning-latency-bound (~0.4 s
+      // absolute); treat small swings as noise, not throughput.
       val cfbSec = bestOf2 {
         CoarseFineRetriever.retrieveBudgeted(
           queries.select("query_id", "qvec"), index,
