@@ -1380,10 +1380,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal: REAL 16-bit decode — big-endian samples unfiltered at
+    // bpp = channels·2 and strip-16-reduced to the high byte; the oracle
+    // states means over floor(v/256) from the generation arithmetic, so
+    // an endianness or bpp slip in the 16-bit path hash-fails
+    "multimodal_png16" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticPng16(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/png").as("media_type"))
+      Multimodal.decodePixels(media)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          concat_ws(",", transform(col("means"),
+            m => microUnits(m, 6)).cast("array<string>")).as("means"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: Adam7 interlace decode — the same raster stored as
+    // seven filtered passes; per-channel means are pixel-permutation
+    // invariant so the query also emits decodePixels' ordinal-weighted
+    // position moment, which a wrong scatter cannot fake
+    "multimodal_interlaced" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticInterlacedPng(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/png").as("media_type"))
+      Multimodal.decodePixels(media)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          concat_ws(",", transform(col("means"),
+            m => microUnits(m, 6)).cast("array<string>")).as("means"),
+          col("pos_moment"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal: drop ACCOUNTING — what the pixel pass refuses, counted
-    // by named reason (bit_depth / interlaced / not_png / truncated) next
-    // to the decodable "ok" rows; the refusals are correct, their
-    // invisibility wasn't. Oracle restates the fixture mix arithmetic
+    // by named reason (not_png / truncated / bad_crc / bit_depth) next
+    // to the decodable "ok" rows (plain, palette, 16-bit, interlaced);
+    // the refusals are correct, their invisibility wasn't. Oracle
+    // restates the fixture mix arithmetic
     "multimodal_pixel_skips" -> ((s, dir) => {
       val gen = udf { (id: Long) => Multimodal.syntheticSkipPng(id) }
       val media = t(s, dir, "documents")
@@ -2470,11 +2504,52 @@ object SparkEntry {
         |FROM m GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
 
     "multimodal_pixel_skips" ->
-      """SELECT CASE doc_id % 6 WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
-        |    WHEN 2 THEN 'bit_depth' WHEN 3 THEN 'interlaced'
-        |    WHEN 4 THEN 'not_png' ELSE 'truncated' END AS reason,
+      """SELECT CASE doc_id % 8 WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
+        |    WHEN 2 THEN 'ok' WHEN 3 THEN 'ok' WHEN 4 THEN 'not_png'
+        |    WHEN 5 THEN 'truncated' WHEN 6 THEN 'bad_crc'
+        |    ELSE 'bit_depth' END AS reason,
         |  count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY reason""".stripMargin,
+
+    "multimodal_png16" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 8 AS INT) AS width,
+        |    CAST(1 + doc_id % 5 AS INT) AS height,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.width, d.height, d.channels, c.c AS ch,
+        |         CAST(((x.x * 131 + y.y * 241 + c.c * 89 + d.doc_id * 7) % 65536)
+        |              // 256 AS DOUBLE) AS v
+        |       FROM d
+        |       JOIN (SELECT unnest(range(0, 8)) AS x) x ON x.x < d.width
+        |       JOIN (SELECT unnest(range(0, 5)) AS y) y ON y.y < d.height
+        |       JOIN (SELECT unnest(range(0, 4)) AS c) c ON c.c < d.channels),
+        |m AS (SELECT doc_id, width, height, channels, ch, avg(v) AS mean
+        |      FROM px GROUP BY doc_id, width, height, channels, ch)
+        |SELECT doc_id, width, height, channels,
+        |  array_to_string(list(CAST(floor(mean * 1000000 + 0.5) AS BIGINT) ORDER BY ch), ',') AS means
+        |FROM m GROUP BY doc_id, width, height, channels ORDER BY doc_id""".stripMargin,
+
+    "multimodal_interlaced" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 16 AS INT) AS width,
+        |    CAST(1 + doc_id % 8 AS INT) AS height,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS INT) AS channels
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.width, d.height, d.channels, c.c AS ch,
+        |         y.y * d.width + x.x AS ord,
+        |         CAST((x.x * 7 + y.y * 13 + d.doc_id * 3 + c.c * 31) % 256 AS DOUBLE) AS v
+        |       FROM d
+        |       JOIN (SELECT unnest(range(0, 16)) AS x) x ON x.x < d.width
+        |       JOIN (SELECT unnest(range(0, 8)) AS y) y ON y.y < d.height
+        |       JOIN (SELECT unnest(range(0, 4)) AS c) c ON c.c < d.channels),
+        |m AS (SELECT doc_id, width, height, channels, ch, avg(v) AS mean,
+        |        sum(CASE WHEN ch = 0 THEN ord * CAST(v AS BIGINT) ELSE 0 END) AS pm
+        |      FROM px GROUP BY doc_id, width, height, channels, ch)
+        |SELECT doc_id, width, height, channels,
+        |  array_to_string(list(CAST(floor(mean * 1000000 + 0.5) AS BIGINT) ORDER BY ch), ',') AS means,
+        |  CAST(sum(pm) AS BIGINT) AS pos_moment
+        |FROM m GROUP BY doc_id, width, height, channels ORDER BY doc_id""".stripMargin,
 
     "multimodal_gif_skips" ->
       """SELECT CASE doc_id % 6 WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'

@@ -142,19 +142,26 @@ object Multimodal {
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("channels", IntegerType, nullable = false),
-      StructField("means", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      StructField("means", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("pos_moment", LongType, nullable = false)))
     val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
       it.flatMap { r =>
         PngCodec.decode(r.getAs[Array[Byte]](1)).map { img =>
           val n = img.width * img.height
           val sums = new Array[Long](img.channels)
+          // ordinal-weighted channel-0 sum Σ (y·w+x)·v: means are pixel-
+          // permutation invariant, so they alone cannot catch a wrong
+          // Adam7 scatter — this moment can (integer-exact in Long)
+          var posMoment = 0L
           var i = 0
           while (i < img.pixels.length) {
             sums(i % img.channels) += img.pixels(i) & 0xff
+            if (i % img.channels == 0)
+              posMoment += (i / img.channels).toLong * (img.pixels(i) & 0xff)
             i += 1
           }
           Row(r.getLong(0), img.width, img.height, img.channels,
-            sums.map(_.toDouble / n).toSeq)
+            sums.map(_.toDouble / n).toSeq, posMoment)
         }
       }
     }
@@ -560,29 +567,89 @@ object Multimodal {
   }
 
   /** Deterministic payload MIX for certifying the drop accounting: by
-    * `docId % 6` a decodable greyscale/RGB(A) PNG, a decodable palette
-    * PNG, a 16-bit PNG (refused: bit_depth), an interlaced PNG (refused:
-    * interlaced), plain text (refused: not_png), or a valid PNG with the
-    * tail cut off (refused: truncated). Every refusal variant carries
-    * structurally-valid chunk CRCs up to its defect, so the named reason
-    * is the real classification path, not a byte-length shortcut. */
-  def syntheticSkipPng(docId: Long): Array[Byte] = (docId % 6) match {
+    * `docId % 8` a decodable greyscale/RGB(A) PNG, a palette PNG, a
+    * 16-bit PNG, an Adam7-interlaced PNG (all four DECODE — the codec
+    * owns those layouts), plain text (refused: not_png), a valid PNG
+    * with the tail cut off (refused: truncated), one with a flipped
+    * IDAT byte (refused: bad_crc), or a 4-bit packed-depth IHDR
+    * (refused: bit_depth). Every refusal variant carries structurally-
+    * valid chunk CRCs up to its defect, so the named reason is the real
+    * classification path, not a byte-length shortcut. */
+  def syntheticSkipPng(docId: Long): Array[Byte] = (docId % 8) match {
     case 0 => syntheticPixelPng(docId)
     case 1 => syntheticPalettePng(docId)
-    case 2 | 3 => // valid-CRC IHDR with bit depth 16 / interlace 1
-      val interlaced = docId % 6 == 3
+    case 2 => syntheticPng16(docId)
+    case 3 => syntheticInterlacedPng(docId)
+    case 4 => s"doc $docId is plain text, not an image".getBytes("UTF-8")
+    case 5 => syntheticPixelPng(docId).dropRight(8) // cuts into IEND
+    case 6 =>
+      val b = syntheticPixelPng(docId)
+      b(b.length - 20) = (b(b.length - 20) ^ 0x11).toByte // IDAT bit rot
+      b
+    case _ => // valid-CRC IHDR with sub-byte depth 4: genuinely refused
       val ihdr = java.nio.ByteBuffer.allocate(13)
       ihdr.putInt(4).putInt(4)
-      ihdr.put((if (interlaced) 8 else 16).toByte).put(2.toByte)
-      ihdr.put(0.toByte).put(0.toByte).put(if (interlaced) 1.toByte else 0.toByte)
+      ihdr.put(4.toByte).put(0.toByte) // depth 4, greyscale
+      ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
       val out = new java.io.ByteArrayOutputStream()
       out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
         .map(_.toByte))
       out.write(PngCodec.chunk("IHDR", ihdr.array()))
       out.write(PngCodec.chunk("IEND", Array.empty[Byte]))
       out.toByteArray
-    case 4 => s"doc $docId is plain text, not an image".getBytes("UTF-8")
-    case _ => syntheticPixelPng(docId).dropRight(8) // cuts into IEND
+  }
+
+  /** Deterministic REAL 16-bit PNG whose big-endian samples are
+    * arithmetic in (x, y, channel, docId) — the decoder's strip-16
+    * reduction must land on means over ⌊v/256⌋, which a plain-SQL
+    * oracle states directly. */
+  def syntheticPng16(docId: Long): Array[Byte] = {
+    val w = (1 + docId % 8).toInt
+    val h = (1 + docId % 5).toInt
+    val ch = (docId % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+    val samples = new Array[Int](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          samples((y * w + x) * ch + c) =
+            ((x * 131 + y * 241 + c * 89 + docId * 7) % 65536).toInt
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.encode16(w, h, ch, samples, y => ((y + docId) % 5).toInt)
+  }
+
+  /** The [[syntheticPixelPng]] raster stored Adam7-interlaced: same
+    * pixels, seven-pass storage — the decoder's scatter must reproduce
+    * the identical raster (pinned by decodePixels' position moment, not
+    * just the permutation-invariant means). */
+  def syntheticInterlacedPng(docId: Long): Array[Byte] = {
+    val w = (1 + docId % 16).toInt
+    val h = (1 + docId % 8).toInt
+    val ch = (docId % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+    val px = new Array[Byte](w * h * ch)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < ch) {
+          px((y * w + x) * ch + c) =
+            (((x * 7 + y * 13 + docId * 3 + c * 31) % 256) & 0xff).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.encode(w, h, ch, px, y => ((y + docId) % 5).toInt,
+      interlaced = true)
   }
 
   /** Deterministic REAL-format image bytes for certifying the header

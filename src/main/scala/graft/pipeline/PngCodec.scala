@@ -7,12 +7,15 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * inflate (`java.util.zip.Inflater`) → per-scanline unfilter (None /
   * Sub / Up / Average / Paeth) → row-major 8-bit samples. No native
   * library, no dependency — zlib ships with the JVM and the five filter
-  * predictors are ~30 lines of arithmetic. Supports every non-interlaced
-  * 8-bit-depth color type: greyscale 1ch / truecolour 3ch / grey+alpha
-  * 2ch / RGBA 4ch raw layouts, plus indexed-colour (type 3) expanded
-  * through the PLTE chunk to RGB; 16-bit and interlaced images refuse
-  * rather than emit wrong pixels, and [[decodeEx]] names the refusal so
-  * a pipeline can COUNT what it drops instead of silently losing rows.
+  * predictors are ~30 lines of arithmetic. Supports every colour type:
+  * greyscale 1ch / truecolour 3ch / grey+alpha 2ch / RGBA 4ch raw
+  * layouts, indexed-colour (type 3) expanded through the PLTE chunk to
+  * RGB, 16-bit samples (reduced to their high byte, the libpng strip-16
+  * convention), and Adam7 interlacing (seven filtered sub-images
+  * scattered back onto the canvas). Sub-byte packed depths refuse
+  * rather than emit wrong pixels, and [[decodeEx]] names every refusal
+  * so a pipeline can COUNT what it drops instead of silently losing
+  * rows.
   *
   * The encoder exists so the decoder can be certified on REAL
   * compressed bytes end-to-end: it applies a caller-chosen filter per
@@ -47,14 +50,56 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
+  /** Adam7 pass grid (RFC 2083 §2.6): (xStart, yStart, xStep, yStep) for
+    * each of the seven passes, in storage order. */
+  private[pipeline] val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Unfilter `h` scanlines of `rowBytes` bytes each from `raw` at
+    * `rawOff` (each prefixed by its filter byte) into `out` at `outOff`.
+    * Returns false on an unknown filter type. Shared by the sequential
+    * and per-Adam7-pass reconstruction paths — a pass is just a smaller
+    * image. */
+  private def unfilterInto(raw: Array[Byte], rawOff: Int, out: Array[Byte],
+      outOff: Int, rowBytes: Int, h: Int, bpp: Int): Boolean = {
+    var y = 0
+    while (y < h) {
+      val filter = raw(rawOff + y * (1 + rowBytes)) & 0xff
+      val src = rawOff + y * (1 + rowBytes) + 1
+      val dst = outOff + y * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val cur = raw(src + x) & 0xff
+        val left = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
+        val up = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= bpp) out(dst - rowBytes + x - bpp) & 0xff else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, upLeft)
+          case _ => return false
+        }
+        out(dst + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    true
+  }
+
   def decode(bytes: Array[Byte]): Option[Image] = decodeEx(bytes).toOption
 
   /** Decode with a NAMED refusal reason on the Left — the per-reason
     * currency [[graft.pipeline.Multimodal.pixelDecodeStats]] aggregates so
     * dropped rows are counted, not invisible. Reasons are a closed
     * vocabulary: not_png, truncated, bad_crc, bad_chunk, bad_dims,
-    * bit_depth, interlaced, color_type, missing_palette, bad_palette,
-    * palette_oob, no_pixel_data, bad_deflate, bad_filter. */
+    * bit_depth (sub-byte packed depths only — 16-bit decodes),
+    * bad_interlace (method > 1 — Adam7 decodes), color_type,
+    * missing_palette, bad_palette, palette_oob, no_pixel_data,
+    * bad_deflate, bad_filter. */
   def decodeEx(bytes: Array[Byte]): Either[String, Image] = {
     if (bytes.length < Signature.length + 12) return Left("not_png")
     var i = 0
@@ -64,6 +109,7 @@ object PngCodec {
     }
     var pos = Signature.length
     var width = 0; var height = 0; var channels = 0; var colorType = 0
+    var bitDepth = 0; var interlaced = false
     var sawIhdr = false
     var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -81,11 +127,15 @@ object PngCodec {
           if (len != 13) return Left("bad_chunk")
           width = be32(bytes, pos + 8)
           height = be32(bytes, pos + 12)
-          val bitDepth = bytes(pos + 16) & 0xff
+          bitDepth = bytes(pos + 16) & 0xff
           colorType = bytes(pos + 17) & 0xff
           val interlace = bytes(pos + 20) & 0xff
-          if (interlace != 0) return Left("interlaced")
-          if (bitDepth != 8) return Left("bit_depth")
+          if (interlace > 1) return Left("bad_interlace")
+          interlaced = interlace == 1
+          // 8-bit everywhere; 16-bit for the raw-sample layouts (the
+          // spec forbids 16-bit palette); sub-byte packed depths refuse
+          if (bitDepth != 8 && !(bitDepth == 16 && colorType != 3))
+            return Left("bit_depth")
           channels = channelsOf(colorType).getOrElse(return Left("color_type"))
           if (width <= 0 || height <= 0) return Left("bad_dims")
           sawIhdr = true
@@ -103,8 +153,21 @@ object PngCodec {
     if (!sawIhdr || idat.size() == 0) return Left("no_pixel_data")
     if (colorType == 3 && palette == null) return Left("missing_palette")
 
-    val rowBytes = width * channels
-    val raw = new Array[Byte]((1 + rowBytes) * height)
+    val sampleBytes = bitDepth / 8
+    val bpp = channels * sampleBytes
+    val rowBytes = width * bpp
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (xs, ys, xStep, yStep) = p
+      (if (width > xs) (width - xs + xStep - 1) / xStep else 0,
+        if (height > ys) (height - ys + yStep - 1) / yStep else 0)
+    }
+    val rawLen =
+      if (!interlaced) (1 + rowBytes) * height
+      else Adam7.map { p =>
+        val (pw, ph) = passDims(p)
+        if (pw > 0 && ph > 0) ph * (1 + pw * bpp) else 0
+      }.sum
+    val raw = new Array[Byte](rawLen)
     val inflater = new Inflater()
     inflater.setInput(idat.toByteArray)
     var off = 0
@@ -121,30 +184,49 @@ object PngCodec {
     if (off != raw.length) return Left("bad_deflate")
 
     val out = new Array[Byte](rowBytes * height)
-    val bpp = channels
-    var y = 0
-    while (y < height) {
-      val filter = raw(y * (1 + rowBytes)) & 0xff
-      val src = y * (1 + rowBytes) + 1
-      val dst = y * rowBytes
-      var x = 0
-      while (x < rowBytes) {
-        val cur = raw(src + x) & 0xff
-        val left = if (x >= bpp) out(dst + x - bpp) & 0xff else 0
-        val up = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
-        val upLeft = if (y > 0 && x >= bpp) out(dst - rowBytes + x - bpp) & 0xff else 0
-        val recon = filter match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + (left + up) / 2
-          case 4 => cur + paeth(left, up, upLeft)
-          case _ => return Left("bad_filter")
+    if (!interlaced) {
+      if (!unfilterInto(raw, 0, out, 0, rowBytes, height, bpp))
+        return Left("bad_filter")
+    } else {
+      // Adam7: each pass is an independent filtered sub-image; unfilter
+      // it in its own coordinate space, then scatter its pixels onto the
+      // full-canvas grid (RFC 2083 §2.6)
+      var rawOff = 0
+      var pi = 0
+      while (pi < Adam7.length) {
+        val (xs, ys, xStep, yStep) = Adam7(pi)
+        val (pw, ph) = passDims(Adam7(pi))
+        if (pw > 0 && ph > 0) {
+          val pRow = pw * bpp
+          val pass = new Array[Byte](pRow * ph)
+          if (!unfilterInto(raw, rawOff, pass, 0, pRow, ph, bpp))
+            return Left("bad_filter")
+          var py = 0
+          while (py < ph) {
+            var px = 0
+            while (px < pw) {
+              val dst = ((ys + py * yStep) * width + (xs + px * xStep)) * bpp
+              val src = (py * pw + px) * bpp
+              var c = 0
+              while (c < bpp) { out(dst + c) = pass(src + c); c += 1 }
+              px += 1
+            }
+            py += 1
+          }
+          rawOff += ph * (1 + pRow)
         }
-        out(dst + x) = (recon & 0xff).toByte
-        x += 1
+        pi += 1
       }
-      y += 1
+    }
+    if (bitDepth == 16) {
+      // 16-bit samples are big-endian; reduce to the high byte for the
+      // 8-bit stats surface — the libpng strip-16 convention (the low
+      // byte carries < 0.4% of the value and no structure our per-
+      // channel means care about)
+      val reduced = new Array[Byte](width * height * channels)
+      var j = 0
+      while (j < reduced.length) { reduced(j) = out(j * 2); j += 1 }
+      return Right(Image(width, height, channels, reduced))
     }
     if (colorType == 3) {
       // expand PLTE indices to RGB; an index past the palette is corrupt
@@ -173,33 +255,27 @@ object PngCodec {
     out.array()
   }
 
-  /** Valid non-interlaced 8-bit PNG from raw samples; `filterFor(y)`
-    * picks the per-scanline filter (0–4), so tests can force every
-    * unfilter path through real deflate bytes. */
-  def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
-      filterFor: Int => Int = _ => 0): Array[Byte] = {
-    require(pixels.length == width * height * channels,
-      s"pixel buffer ${pixels.length} != $width*$height*$channels")
-    val colorType = channels match {
-      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
-      case c => throw new IllegalArgumentException(s"channels=$c")
-    }
-    val rowBytes = width * channels
-    val bpp = channels
-    val raw = new Array[Byte]((1 + rowBytes) * height)
+  /** Forward-filter `h` scanlines of a `w`×`h` sub-image (`bpp` bytes
+    * per pixel) into (filterByte ‖ filtered row) form. `filterAt` maps a
+    * RUNNING scanline counter (starting at `yBase`) to a filter type so
+    * callers can cycle all five filters across passes. */
+  private def filterRows(pix: Array[Byte], w: Int, h: Int, bpp: Int,
+      yBase: Int, filterAt: Int => Int): Array[Byte] = {
+    val rowBytes = w * bpp
+    val raw = new Array[Byte]((1 + rowBytes) * h)
     var y = 0
-    while (y < height) {
-      val f = filterFor(y)
+    while (y < h) {
+      val f = filterAt(yBase + y)
       require(f >= 0 && f <= 4, s"filter $f")
       raw(y * (1 + rowBytes)) = f.toByte
       val dst = y * (1 + rowBytes) + 1
       val src = y * rowBytes
       var x = 0
       while (x < rowBytes) {
-        val cur = pixels(src + x) & 0xff
-        val left = if (x >= bpp) pixels(src + x - bpp) & 0xff else 0
-        val up = if (y > 0) pixels(src - rowBytes + x) & 0xff else 0
-        val upLeft = if (y > 0 && x >= bpp) pixels(src - rowBytes + x - bpp) & 0xff else 0
+        val cur = pix(src + x) & 0xff
+        val left = if (x >= bpp) pix(src + x - bpp) & 0xff else 0
+        val up = if (y > 0) pix(src - rowBytes + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= bpp) pix(src - rowBytes + x - bpp) & 0xff else 0
         val filtered = f match {
           case 0 => cur
           case 1 => cur - left
@@ -212,6 +288,10 @@ object PngCodec {
       }
       y += 1
     }
+    raw
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
     val deflater = new Deflater()
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](raw.length + 64)
@@ -219,17 +299,102 @@ object PngCodec {
     while (!deflater.finished())
       zout.write(buf, 0, deflater.deflate(buf))
     deflater.end()
+    zout.toByteArray
+  }
 
+  private def assemble(width: Int, height: Int, bitDepth: Int,
+      colorType: Int, interlace: Int, idat: Array[Byte],
+      plte: Option[Array[Byte]] = None): Array[Byte] = {
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(width).putInt(height)
-    ihdr.put(8.toByte).put(colorType.toByte)
-    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    ihdr.put(bitDepth.toByte).put(colorType.toByte)
+    ihdr.put(0.toByte).put(0.toByte).put(interlace.toByte)
     val out = new java.io.ByteArrayOutputStream()
     out.write(Signature)
     out.write(chunk("IHDR", ihdr.array()))
-    out.write(chunk("IDAT", zout.toByteArray))
+    plte.foreach(p => out.write(chunk("PLTE", p)))
+    out.write(chunk("IDAT", idat))
     out.write(chunk("IEND", Array.empty[Byte]))
     out.toByteArray
+  }
+
+  /** Gather-then-filter the seven Adam7 passes of a raw sample buffer;
+    * the running scanline counter feeds `filterFor` across passes. */
+  private def adam7Raw(pixels: Array[Byte], width: Int, height: Int,
+      bpp: Int, filterFor: Int => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var yBase = 0
+    for ((xs, ys, xStep, yStep) <- Adam7) {
+      val pw = if (width > xs) (width - xs + xStep - 1) / xStep else 0
+      val ph = if (height > ys) (height - ys + yStep - 1) / yStep else 0
+      if (pw > 0 && ph > 0) {
+        val pass = new Array[Byte](pw * ph * bpp)
+        var py = 0
+        while (py < ph) {
+          var px = 0
+          while (px < pw) {
+            val src = ((ys + py * yStep) * width + (xs + px * xStep)) * bpp
+            val dst = (py * pw + px) * bpp
+            var c = 0
+            while (c < bpp) { pass(dst + c) = pixels(src + c); c += 1 }
+            px += 1
+          }
+          py += 1
+        }
+        out.write(filterRows(pass, pw, ph, bpp, yBase, filterFor))
+        yBase += ph
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Valid 8-bit PNG from raw samples; `filterFor(y)` picks the
+    * per-scanline filter (0–4), so tests can force every unfilter path
+    * through real deflate bytes. `interlaced` stores the seven Adam7
+    * passes (scanline counter runs across passes). */
+  def encode(width: Int, height: Int, channels: Int, pixels: Array[Byte],
+      filterFor: Int => Int = _ => 0,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(pixels.length == width * height * channels,
+      s"pixel buffer ${pixels.length} != $width*$height*$channels")
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case c => throw new IllegalArgumentException(s"channels=$c")
+    }
+    val raw =
+      if (interlaced) adam7Raw(pixels, width, height, channels, filterFor)
+      else filterRows(pixels, width, height, channels, 0, filterFor)
+    assemble(width, height, 8, colorType, if (interlaced) 1 else 0,
+      deflate(raw))
+  }
+
+  /** Valid 16-bit PNG from raw samples (0..65535, row-major, stored
+    * big-endian per the spec); filters run bytewise with bpp =
+    * channels·2 exactly as the decoder unfilters them. */
+  def encode16(width: Int, height: Int, channels: Int, samples: Array[Int],
+      filterFor: Int => Int = _ => 0,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(samples.length == width * height * channels,
+      s"sample buffer ${samples.length} != $width*$height*$channels")
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case c => throw new IllegalArgumentException(s"channels=$c")
+    }
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      require(v >= 0 && v <= 0xffff, s"sample $v out of 16-bit range")
+      bytes(i * 2) = ((v >> 8) & 0xff).toByte
+      bytes(i * 2 + 1) = (v & 0xff).toByte
+      i += 1
+    }
+    val bpp = channels * 2
+    val raw =
+      if (interlaced) adam7Raw(bytes, width, height, bpp, filterFor)
+      else filterRows(bytes, width, height, bpp, 0, filterFor)
+    assemble(width, height, 16, colorType, if (interlaced) 1 else 0,
+      deflate(raw))
   }
 
   /** Valid indexed-colour (type 3) PNG: PLTE triples + filtered 8-bit
@@ -237,53 +402,16 @@ object PngCodec {
     * over index bytes with bpp = 1, exactly what the decoder unfilters
     * before palette expansion. */
   def encodePalette(width: Int, height: Int, palette: Array[Byte],
-      indices: Array[Byte], filterFor: Int => Int = _ => 0): Array[Byte] = {
+      indices: Array[Byte], filterFor: Int => Int = _ => 0,
+      interlaced: Boolean = false): Array[Byte] = {
     require(palette.length % 3 == 0 && palette.length >= 3 &&
       palette.length <= 256 * 3, s"palette bytes ${palette.length}")
     require(indices.length == width * height,
       s"index buffer ${indices.length} != $width*$height")
-    val raw = new Array[Byte]((1 + width) * height)
-    var y = 0
-    while (y < height) {
-      val f = filterFor(y)
-      require(f >= 0 && f <= 4, s"filter $f")
-      raw(y * (1 + width)) = f.toByte
-      var x = 0
-      while (x < width) {
-        val cur = indices(y * width + x) & 0xff
-        val left = if (x >= 1) indices(y * width + x - 1) & 0xff else 0
-        val up = if (y > 0) indices((y - 1) * width + x) & 0xff else 0
-        val upLeft = if (y > 0 && x >= 1) indices((y - 1) * width + x - 1) & 0xff else 0
-        val filtered = f match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - (left + up) / 2
-          case 4 => cur - paeth(left, up, upLeft)
-        }
-        raw(y * (1 + width) + 1 + x) = (filtered & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
-    val deflater = new Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val zout = new java.io.ByteArrayOutputStream()
-    while (!deflater.finished())
-      zout.write(buf, 0, deflater.deflate(buf))
-    deflater.end()
-
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-    ihdr.putInt(width).putInt(height)
-    ihdr.put(8.toByte).put(3.toByte) // bit depth 8, indexed colour
-    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(Signature)
-    out.write(chunk("IHDR", ihdr.array()))
-    out.write(chunk("PLTE", palette))
-    out.write(chunk("IDAT", zout.toByteArray))
-    out.write(chunk("IEND", Array.empty[Byte]))
-    out.toByteArray
+    val raw =
+      if (interlaced) adam7Raw(indices, width, height, 1, filterFor)
+      else filterRows(indices, width, height, 1, 0, filterFor)
+    assemble(width, height, 8, 3, if (interlaced) 1 else 0,
+      deflate(raw), plte = Some(palette))
   }
 }

@@ -470,7 +470,8 @@ class PipelineSpec extends SparkSpec {
     // truncated stream and non-PNG input
     assert(PngCodec.decode(mixed.take(40)).isEmpty)
     assert(PngCodec.decode("plain text".getBytes).isEmpty)
-    // 16-bit depth is out of scope: reject instead of misreading samples
+    // a bare 16-bit header (no IDAT, no IEND) is still refused — the
+    // 16-bit PATH itself roundtrips in its own spec below
     val ihdrData = java.nio.ByteBuffer.allocate(17)
       .put("IHDR".getBytes).putInt(4).putInt(4)
       .put(16.toByte).put(0.toByte) // bitDepth 16, grey
@@ -479,7 +480,7 @@ class PipelineSpec extends SparkSpec {
     val deep = java.nio.ByteBuffer.allocate(33)
       .put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
       .putInt(13).put(ihdrData).putInt(crc.getValue.toInt).array()
-    assert(PngCodec.decode(deep).isEmpty)
+    assert(PngCodec.decodeEx(deep) == Left("truncated"))
 
     // the synthetic query generator roundtrips with the stated means
     val img6 = PngCodec.decode(Multimodal.syntheticPixelPng(6L)).get
@@ -528,25 +529,81 @@ class PipelineSpec extends SparkSpec {
 
   test("decodeEx names every refusal; the skip fixtures hit their stated reasons") {
     assert(PngCodec.decodeEx("plain text".getBytes) == Left("not_png"))
-    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(2L)) == Left("bit_depth"))
-    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(3L)) == Left("interlaced"))
-    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(4L)) == Left("not_png"))
-    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(5L)) == Left("truncated"))
-    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(6L)).isRight)
-    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(7L)).isRight)
-    // CRC corruption is classified as bad_crc, not a generic failure
-    val good = Multimodal.syntheticPixelPng(12L)
-    val bad = good.clone(); bad(good.length - 20) = (bad(good.length - 20) ^ 0x11).toByte
-    assert(PngCodec.decodeEx(bad) == Left("bad_crc"))
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(8L)).isRight)  // plain
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(9L)).isRight)  // palette
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(10L)).isRight) // 16-bit
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(11L)).isRight) // Adam7
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(12L)) == Left("not_png"))
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(13L)) == Left("truncated"))
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(14L)) == Left("bad_crc"))
+    assert(PngCodec.decodeEx(Multimodal.syntheticSkipPng(15L)) == Left("bit_depth"))
     // pixelDecodeStats: counted reasons match the fixture mix over a range
     val gen = org.apache.spark.sql.functions.udf(
       (id: Long) => Multimodal.syntheticSkipPng(id))
-    val media = spark.range(0, 60).select(col("id").as("doc_id"),
+    val media = spark.range(0, 80).select(col("id").as("doc_id"),
       gen(col("id")).as("payload"), lit("image/mixed").as("media_type"))
     val counts = Multimodal.pixelDecodeStats(media).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(counts == Map("ok" -> 20L, "bit_depth" -> 10L,
-      "interlaced" -> 10L, "not_png" -> 10L, "truncated" -> 10L))
+    assert(counts == Map("ok" -> 40L, "not_png" -> 10L,
+      "truncated" -> 10L, "bad_crc" -> 10L, "bit_depth" -> 10L))
+  }
+
+  test("PNG Adam7 interlace: seven-pass storage decodes to the identical raster") {
+    val rng = new scala.util.Random(59)
+    // dims straddling the pass grid: singletons, sub-8, and >8 in both
+    // axes (empty passes must contribute zero scanlines)
+    for ((w, h) <- Seq((1, 1), (3, 2), (8, 8), (13, 7), (17, 10), (5, 9));
+         ch <- Seq(1, 3, 4)) {
+      val px = Array.fill(w * h * ch)(rng.nextInt(256).toByte)
+      val bytes = PngCodec.encode(w, h, ch, px, y => y % 5, interlaced = true)
+      val img = PngCodec.decode(bytes).getOrElse(
+        fail(s"interlaced decode failed w=$w h=$h ch=$ch"))
+      assert(img.pixels.toSeq == px.toSeq, s"raster mismatch w=$w h=$h ch=$ch")
+    }
+    // interlaced + palette compose
+    val pal = Array.tabulate(8 * 3)(i => (i * 23 % 256).toByte)
+    val idx = Array.fill(11 * 6)(rng.nextInt(8).toByte)
+    val pBytes = PngCodec.encodePalette(11, 6, pal, idx, y => (y + 1) % 5,
+      interlaced = true)
+    val pImg = PngCodec.decode(pBytes).get
+    assert(pImg.channels == 3)
+    val expected = idx.flatMap { ib =>
+      val i = ib & 0xff
+      Seq(pal(i * 3), pal(i * 3 + 1), pal(i * 3 + 2))
+    }
+    assert(pImg.pixels.toSeq == expected.toSeq)
+    // interlace method > 1 refuses by name
+    val weird = PngCodec.encode(4, 4, 1, new Array[Byte](16))
+    // patch IHDR interlace byte (offset 8+8+4+4+4+1+1+1+1 = 28) and re-CRC
+    val patched = weird.clone()
+    patched(28) = 2.toByte
+    val crc = new java.util.zip.CRC32
+    crc.update(patched, 12, 17)
+    val cv = crc.getValue.toInt
+    patched(29) = (cv >> 24).toByte; patched(30) = (cv >> 16).toByte
+    patched(31) = (cv >> 8).toByte; patched(32) = cv.toByte
+    assert(PngCodec.decodeEx(patched) == Left("bad_interlace"))
+  }
+
+  test("PNG 16-bit: big-endian samples reduce to high bytes (strip-16)") {
+    val rng = new scala.util.Random(61)
+    for (ch <- Seq(1, 3, 4); interlaced <- Seq(false, true)) {
+      val (w, h) = (9, 6)
+      val samples = Array.fill(w * h * ch)(rng.nextInt(65536))
+      val bytes = PngCodec.encode16(w, h, ch, samples, y => y % 5, interlaced)
+      val img = PngCodec.decode(bytes).getOrElse(
+        fail(s"16-bit decode failed ch=$ch interlaced=$interlaced"))
+      assert((img.width, img.height, img.channels) == (w, h, ch))
+      assert(img.pixels.toSeq == samples.map(v => (v >> 8).toByte).toSeq,
+        s"strip-16 mismatch ch=$ch interlaced=$interlaced")
+    }
+    // the synthetic generator decodes to its stated high-byte arithmetic
+    val img5 = PngCodec.decode(Multimodal.syntheticPng16(5L)).get
+    assert((img5.width, img5.height, img5.channels) == (6, 1, 4)) // 1+5%8, 1+5%5, 5%3=2→4
+    for (x <- 0 until 6; c <- 0 until 4) {
+      val v = (x * 131 + c * 89 + 5 * 7) % 65536
+      assert((img5.pixels(x * 4 + c) & 0xff) == v / 256)
+    }
   }
 
   test("WAV codec: encode/decode roundtrip across bit depths and channel layouts") {
