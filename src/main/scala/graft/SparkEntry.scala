@@ -1413,6 +1413,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal: REAL baseline JPEG decode — DC-constant blocks make
+    // the lossy pipeline exact (FDCT leaves only DC; the quantizer
+    // divides it), so the oracle states every decoded pixel while the
+    // bytes still cross real Huffman coding, DC prediction, byte
+    // stuffing, and the IDCT. Means + the position moment, as for PNG
+    "multimodal_jpeg" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticJpeg(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/jpeg").as("media_type"))
+      Multimodal.decodeJpegPixels(media)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          concat_ws(",", transform(col("means"),
+            m => microUnits(m, 6)).cast("array<string>")).as("means"),
+          col("pos_moment"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal: drop ACCOUNTING — what the pixel pass refuses, counted
     // by named reason (not_png / truncated / bad_crc / bit_depth) next
     // to the decodable "ok" rows (plain, palette, 16-bit, interlaced);
@@ -2502,6 +2520,22 @@ object SparkEntry {
         |SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
         |  array_to_string(list(CAST(floor(mean * 1000000 + 0.5) AS BIGINT) ORDER BY ch), ',') AS means
         |FROM m GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+
+    "multimodal_jpeg" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+        |    CAST(8 * (1 + doc_id % 2) AS INT) AS height
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.width, d.height,
+        |         y.y * d.width + x.x AS ord,
+        |         CAST(((x.x // 8) * 29 + (y.y // 8) * 41 + d.doc_id * 13) % 256 AS DOUBLE) AS v
+        |       FROM d
+        |       JOIN (SELECT unnest(range(0, 24)) AS x) x ON x.x < d.width
+        |       JOIN (SELECT unnest(range(0, 16)) AS y) y ON y.y < d.height)
+        |SELECT doc_id, width, height, CAST(1 AS INT) AS channels,
+        |  CAST(CAST(floor(avg(v) * 1000000 + 0.5) AS BIGINT) AS VARCHAR) AS means,
+        |  CAST(sum(ord * CAST(v AS BIGINT)) AS BIGINT) AS pos_moment
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
 
     "multimodal_pixel_skips" ->
       """SELECT CASE doc_id % 8 WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'

@@ -8,15 +8,17 @@ import org.apache.spark.sql.types._
   * metadata, processed in batch-shaped `mapPartitions` stages (the JVM
   * analog of Arrow-batched pandas UDFs).
   *
-  * Decode is REAL where public formats allow pure-JVM parsing:
-  * [[ImageHeaders]] reads PNG/JPEG/GIF headers (format, dimensions,
-  * channels, bit depth) and [[PngCodec]] fully decodes 8-bit PNG pixel
-  * data (IDAT inflate + scanline unfilter — zlib ships with the JVM),
-  * and [[WavCodec]] decodes PCM WAV audio (RIFF chunk walk + 8/16-bit
-  * sample decode). Only the generic FEATURE vector in [[decode]] remains
-  * a deterministic stand-in for payloads outside those formats (no JPEG
-  * entropy decoder in this container); schema, batch iteration,
-  * partitioning and output shape are the real scale path either way.
+  * Decode is REAL across all four container families, pure JVM, zero
+  * codec dependencies: [[ImageHeaders]] reads PNG/JPEG/GIF headers;
+  * [[PngCodec]] fully decodes PNG pixels (8/16-bit, palette, Adam7);
+  * [[JpegCodec]] decodes baseline JPEG (general-DHT Huffman, dequant,
+  * IDCT, YCbCr); [[GifCodec]] decodes animated GIF frames (LZW, LCT,
+  * interlace); [[WavCodec]] decodes PCM WAV audio. Undecodable payloads
+  * surface as `decoded = false` with NULL metadata — never fabricated
+  * numbers — and every pixel pass has a named-reason drop counter
+  * ([[pixelDecodeStats]]/[[jpegDecodeStats]]/[[gifDecodeStats]]) so
+  * refused rows are counted, not invisible. The only remaining stand-in
+  * is the explicitly-named [[fakeFeatures]] TEST helper.
   */
 object Multimodal {
 
@@ -437,6 +439,80 @@ object Multimodal {
       y += 1
     }
     PngCodec.encode(w, h, ch, px, y => ((y + docId) % 5).toInt)
+  }
+
+  /** JPEG pixel pass — REAL baseline decode ([[JpegCodec]]: marker walk,
+    * general-DHT Huffman, dequant, IDCT, colour transform). Same contract
+    * as [[decodePixels]]: per-channel means + the ordinal-weighted
+    * position moment over the actual reconstructed samples; payloads the
+    * decoder refuses drop (count them with [[jpegDecodeStats]]). */
+  def decodeJpegPixels(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("means", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("pos_moment", LongType, nullable = false)))
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        JpegCodec.decode(r.getAs[Array[Byte]](1)).map { img =>
+          val n = img.width * img.height
+          val sums = new Array[Long](img.channels)
+          var posMoment = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            sums(i % img.channels) += img.pixels(i) & 0xff
+            if (i % img.channels == 0)
+              posMoment += (i / img.channels).toLong * (img.pixels(i) & 0xff)
+            i += 1
+          }
+          Row(r.getLong(0), img.width, img.height, img.channels,
+            sums.map(_.toDouble / n).toSeq, posMoment)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** JPEG twin of [[pixelDecodeStats]]: [[JpegCodec.decodeEx]] refusal
+    * reasons counted next to the decodable "ok" rows. */
+  def jpegDecodeStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("reason", StringType, nullable = false)))
+    val rdd = media.select("payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(JpegCodec.decodeEx(r.getAs[Array[Byte]](0))
+          .fold(identity, _ => "ok"))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+  }
+
+  /** Deterministic REAL baseline JPEG built from CONSTANT 8×8 blocks —
+    * the layout the lossy pipeline reproduces EXACTLY (only DC survives
+    * the FDCT and the quantizer divides it), so a plain-SQL oracle can
+    * state every decoded pixel: v(x,y) = (⌊x/8⌋·29 + ⌊y/8⌋·41 +
+    * docId·13) mod 256. The bytes still cross real Huffman coding, DC
+    * prediction, byte stuffing, and the IDCT. */
+  def syntheticJpeg(docId: Long): Array[Byte] = {
+    val w = 8 * (1 + docId % 3).toInt
+    val h = 8 * (1 + docId % 2).toInt
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) =
+          ((((x / 8) * 29 + (y / 8) * 41 + docId * 13) % 256) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    JpegCodec.encode(w, h, 1, px)
   }
 
   /** GIF twin of [[pixelDecodeStats]]: what [[decodeGifFrames]] would
