@@ -1431,6 +1431,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal: JPEG drop accounting — non-JPEG / progressive-SOF2 /
+    // truncated payloads counted by named reason next to the decodable
+    // rows
+    "multimodal_jpeg_skips" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticSkipJpeg(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/mixed").as("media_type"))
+      Multimodal.jpegDecodeStats(media).orderBy("reason")
+    }),
+
     // Multimodal: drop ACCOUNTING — what the pixel pass refuses, counted
     // by named reason (not_png / truncated / bad_crc / bit_depth) next
     // to the decodable "ok" rows (plain, palette, 16-bit, interlaced);
@@ -2536,6 +2547,12 @@ object SparkEntry {
         |  CAST(CAST(floor(avg(v) * 1000000 + 0.5) AS BIGINT) AS VARCHAR) AS means,
         |  CAST(sum(ord * CAST(v AS BIGINT)) AS BIGINT) AS pos_moment
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+
+    "multimodal_jpeg_skips" ->
+      """SELECT CASE doc_id % 4 WHEN 0 THEN 'ok' WHEN 1 THEN 'not_jpeg'
+        |    WHEN 2 THEN 'unsupported' ELSE 'truncated' END AS reason,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY reason""".stripMargin,
 
     "multimodal_pixel_skips" ->
       """SELECT CASE doc_id % 8 WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'

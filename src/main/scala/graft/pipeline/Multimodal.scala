@@ -515,6 +515,22 @@ object Multimodal {
     JpegCodec.encode(w, h, 1, px)
   }
 
+  /** Deterministic JPEG payload MIX for the drop accounting: by
+    * `docId % 4` a decodable baseline JPEG, plain text (refused:
+    * not_jpeg), one whose SOF0 marker is patched to progressive SOF2
+    * (refused: unsupported — the [[syntheticJpeg]] layout puts the SOF
+    * marker at byte 71 regardless of dims), or one cut mid-DQT
+    * (refused: truncated). */
+  def syntheticSkipJpeg(docId: Long): Array[Byte] = (docId % 4) match {
+    case 0 => syntheticJpeg(docId)
+    case 1 => s"doc $docId is plain text, not a jpeg".getBytes("UTF-8")
+    case 2 =>
+      val b = syntheticJpeg(docId)
+      b(72) = 0xc2.toByte // SOF0 → SOF2 (progressive)
+      b
+    case _ => syntheticJpeg(docId).take(40) // inside the DQT segment
+  }
+
   /** GIF twin of [[pixelDecodeStats]]: what [[decodeGifFrames]] would
     * drop, counted by [[GifCodec.decodeEx]] refusal reason ("ok" for
     * decodable payloads). Same shape: tiny-key hash groupBy, map-side

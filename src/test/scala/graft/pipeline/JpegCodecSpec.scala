@@ -106,6 +106,19 @@ class JpegCodecSpec extends SparkSpec {
     assert(JpegCodec.decodeEx(noisy.dropRight(12)) == Left("bad_scan"))
     // segment length pointing past the payload
     assert(JpegCodec.decodeEx(good.take(40)) == Left("truncated"))
+    // the skip-fixture mix hits its stated reasons
+    assert(JpegCodec.decodeEx(Multimodal.syntheticSkipJpeg(4L)).isRight)
+    assert(JpegCodec.decodeEx(Multimodal.syntheticSkipJpeg(5L)) == Left("not_jpeg"))
+    assert(JpegCodec.decodeEx(Multimodal.syntheticSkipJpeg(6L)) == Left("unsupported"))
+    assert(JpegCodec.decodeEx(Multimodal.syntheticSkipJpeg(7L)) == Left("truncated"))
+    val gen = org.apache.spark.sql.functions.udf(
+      (id: Long) => Multimodal.syntheticSkipJpeg(id))
+    val media = spark.range(0, 40).select(col("id").as("doc_id"),
+      gen(col("id")).as("payload"), lit("image/mixed").as("media_type"))
+    val counts = Multimodal.jpegDecodeStats(media).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("ok" -> 10L, "not_jpeg" -> 10L,
+      "unsupported" -> 10L, "truncated" -> 10L))
   }
 
   test("multimodal_jpeg pass: decodeJpegPixels means + moment match the generator") {
