@@ -1431,6 +1431,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal: 4:2:0 subsampled JPEG decode — the dominant real-world
+    // layout (4Y+Cb+Cr MCUs, chroma at half resolution). Constant 16×16
+    // macroblocks make subsampling exact, so the oracle replays the
+    // JFIF forward+inverse transform term-for-term per pixel
+    "multimodal_jpeg420" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticJpeg420(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/jpeg").as("media_type"))
+      Multimodal.decodeJpegPixels(media)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          concat_ws(",", transform(col("means"),
+            m => microUnits(m, 6)).cast("array<string>")).as("means"),
+          col("pos_moment"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal: JPEG drop accounting — non-JPEG / progressive-SOF2 /
     // truncated payloads counted by named reason next to the decodable
     // rows
@@ -2546,6 +2563,40 @@ object SparkEntry {
         |SELECT doc_id, width, height, CAST(1 AS INT) AS channels,
         |  CAST(CAST(floor(avg(v) * 1000000 + 0.5) AS BIGINT) AS VARCHAR) AS means,
         |  CAST(sum(ord * CAST(v AS BIGINT)) AS BIGINT) AS pos_moment
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+
+    "multimodal_jpeg420" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(16 * (1 + doc_id % 2) AS INT) AS width,
+        |    CAST(16 AS INT) AS height
+        |  FROM documents),
+        |mb AS (SELECT d.doc_id, d.width, d.height, m.m AS mx,
+        |         16 + (m.m * 23 + d.doc_id * 7) % 224 AS r,
+        |         16 + (m.m * 41 + d.doc_id * 3) % 224 AS g,
+        |         16 + (m.m * 59 + d.doc_id * 13) % 224 AS b
+        |       FROM d JOIN (SELECT unnest(range(0, 2)) AS m) m
+        |         ON m.m * 16 < d.width),
+        |t AS (SELECT doc_id, width, height, mx,
+        |        floor(0.299*r + 0.587*g + 0.114*b + 0.5) AS yv,
+        |        floor(-0.168736*r - 0.331264*g + 0.5*b + 128.0 + 0.5) AS cb,
+        |        floor(0.5*r - 0.418688*g - 0.081312*b + 128.0 + 0.5) AS cr
+        |      FROM mb),
+        |rgb AS (SELECT doc_id, width, height, mx,
+        |          floor(yv + 1.402*(cr - 128) + 0.5) AS r2,
+        |          floor(yv - 0.344136*(cb - 128) - 0.714136*(cr - 128) + 0.5) AS g2,
+        |          floor(yv + 1.772*(cb - 128) + 0.5) AS b2
+        |        FROM t),
+        |px AS (SELECT rgb.doc_id, rgb.width, rgb.height,
+        |         y.y * rgb.width + x.x AS ord, r2, g2, b2
+        |       FROM rgb
+        |       JOIN (SELECT unnest(range(0, 32)) AS x) x
+        |         ON x.x < rgb.width AND x.x // 16 = rgb.mx
+        |       JOIN (SELECT unnest(range(0, 16)) AS y) y ON TRUE)
+        |SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+        |  CAST(floor(avg(r2) * 1000000 + 0.5) AS BIGINT) || ',' ||
+        |  CAST(floor(avg(g2) * 1000000 + 0.5) AS BIGINT) || ',' ||
+        |  CAST(floor(avg(b2) * 1000000 + 0.5) AS BIGINT) AS means,
+        |  CAST(sum(ord * CAST(r2 AS BIGINT)) AS BIGINT) AS pos_moment
         |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
 
     "multimodal_jpeg_skips" ->

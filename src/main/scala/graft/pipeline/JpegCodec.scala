@@ -135,6 +135,7 @@ object JpegCodec {
     val acTables = new Array[HuffTable](4)
     var width = 0; var height = 0; var nComp = 0
     var compId: Array[Int] = null; var compQ: Array[Int] = null
+    var compH: Array[Int] = null; var compV: Array[Int] = null
     var sawFrame = false
 
     def be16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
@@ -201,11 +202,17 @@ object JpegCodec {
             if (nComp != 1 && nComp != 3) return Left("unsupported")
             if (dataEnd - dataStart < 6 + 3 * nComp) return Left("truncated")
             compId = new Array[Int](nComp); compQ = new Array[Int](nComp)
+            compH = new Array[Int](nComp); compV = new Array[Int](nComp)
             var c = 0
             while (c < nComp) {
               compId(c) = bytes(dataStart + 6 + 3 * c) & 0xff
               val hv = bytes(dataStart + 7 + 3 * c) & 0xff
-              if (hv != 0x11) return Left("unsupported_sampling")
+              val h = (hv >> 4) & 0xf
+              val v = hv & 0xf
+              // 4:4:4, 4:2:2, 4:2:0 layouts: factors 1 or 2 per axis
+              if (h < 1 || h > 2 || v < 1 || v > 2)
+                return Left("unsupported_sampling")
+              compH(c) = h; compV(c) = v
               compQ(c) = bytes(dataStart + 8 + 3 * c) & 0xf
               c += 1
             }
@@ -239,7 +246,7 @@ object JpegCodec {
               c += 1
             }
             return decodeScan(bytes, dataEnd, width, height, nComp,
-              compDc, compAc, compQ.map(quant))
+              compDc, compAc, compQ.map(quant), compH, compV)
           case _ => () // APPn / COM / other: skip
         }
         pos = p + 1 + segLen
@@ -248,11 +255,14 @@ object JpegCodec {
     Left(if (sawFrame) "truncated" else "no_frame")
   }
 
-  /** Entropy-coded scan: bit reader with 0xFF00 unstuffing; per MCU one
-    * block per component (4:4:4); DC prediction per component. */
+  /** Entropy-coded scan: bit reader with 0xFF00 unstuffing; per MCU
+    * h_c·v_c blocks per component in raster order (§A.2.3 interleaving
+    * — one block for 4:4:4, the 4Y+Cb+Cr macroblock for 4:2:0); DC
+    * prediction per component; chroma upsampled by replication. */
   private def decodeScan(bytes: Array[Byte], start: Int, width: Int,
       height: Int, nComp: Int, dcT: Array[HuffTable], acT: Array[HuffTable],
-      qT: Array[Array[Int]]): Either[String, Image] = {
+      qT: Array[Array[Int]], compH: Array[Int],
+      compV: Array[Int]): Either[String, Image] = {
     var bitBuf = 0L; var bitCnt = 0; var p = start; var hitEoi = false
 
     def fill(): Boolean = {
@@ -304,88 +314,110 @@ object JpegCodec {
       else if (v < (1 << (size - 1))) v - (1 << size) + 1
       else v
 
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
-    val planes = Array.ofDim[Byte](nComp, bw * 8 * bh * 8)
+    val maxH = compH.max
+    val maxV = compV.max
+    val mcuW = 8 * maxH
+    val mcuH = 8 * maxV
+    val mcuCols = (width + mcuW - 1) / mcuW
+    val mcuRows = (height + mcuH - 1) / mcuH
+    // per-component plane dims in component-resolution pixels
+    val planeW = Array.tabulate(nComp)(c => mcuCols * compH(c) * 8)
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](
+      planeW(c) * mcuRows * compV(c) * 8))
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
-    val blk = new Array[Double](64)
 
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
         var c = 0
         while (c < nComp) {
-          java.util.Arrays.fill(coef, 0)
-          val tSym = decodeSym(dcT(c))
-          if (tSym < 0 || tSym > 11) return Left("bad_scan")
-          val diffBits = if (tSym == 0) 0 else readBits(tSym)
-          if (diffBits < 0) return Left("bad_scan")
-          pred(c) += extend(diffBits, tSym)
-          coef(0) = pred(c) * qT(c)(0)
-          var k = 1
-          var open = true
-          while (open && k < 64) {
-            val rs = decodeSym(acT(c))
-            if (rs < 0) return Left("bad_scan")
-            val run = rs >> 4
-            val size = rs & 0xf
-            if (size == 0) {
-              if (rs == 0x00) open = false // EOB
-              else if (rs == 0xf0) k += 16 // ZRL
-              else return Left("bad_scan")
-            } else {
-              k += run
-              if (k > 63) return Left("bad_scan")
-              val v = readBits(size)
-              if (v < 0) return Left("bad_scan")
-              coef(Zigzag(k)) = extend(v, size) * qT(c)(Zigzag(k))
-              k += 1
-            }
-          }
-          // IDCT (§A.3.3) on the dequantized block
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var s = 0.0
-              var u = 0
-              while (u < 8) {
-                var v = 0
-                while (v < 8) {
-                  val f = coef(v * 8 + u)
-                  if (f != 0) s += C(u) * C(v) * f * Cos(u)(x) * Cos(v)(y)
-                  v += 1
+          var vb = 0
+          while (vb < compV(c)) {
+            var hb = 0
+            while (hb < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val tSym = decodeSym(dcT(c))
+              if (tSym < 0 || tSym > 11) return Left("bad_scan")
+              val diffBits = if (tSym == 0) 0 else readBits(tSym)
+              if (diffBits < 0) return Left("bad_scan")
+              pred(c) += extend(diffBits, tSym)
+              coef(0) = pred(c) * qT(c)(0)
+              var k = 1
+              var open = true
+              while (open && k < 64) {
+                val rs = decodeSym(acT(c))
+                if (rs < 0) return Left("bad_scan")
+                val run = rs >> 4
+                val size = rs & 0xf
+                if (size == 0) {
+                  if (rs == 0x00) open = false // EOB
+                  else if (rs == 0xf0) k += 16 // ZRL
+                  else return Left("bad_scan")
+                } else {
+                  k += run
+                  if (k > 63) return Left("bad_scan")
+                  val v = readBits(size)
+                  if (v < 0) return Left("bad_scan")
+                  coef(Zigzag(k)) = extend(v, size) * qT(c)(Zigzag(k))
+                  k += 1
                 }
-                u += 1
               }
-              val px = StrictMath.floor(s / 4.0 + 128.0 + 0.5).toInt
-              planes(c)((by * 8 + y) * bw * 8 + bx * 8 + x) =
-                (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-              x += 1
+              // IDCT (§A.3.3) on the dequantized block
+              val bx0 = (mx * compH(c) + hb) * 8
+              val by0 = (my * compV(c) + vb) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    var v = 0
+                    while (v < 8) {
+                      val f = coef(v * 8 + u)
+                      if (f != 0) s += C(u) * C(v) * f * Cos(u)(x) * Cos(v)(y)
+                      v += 1
+                    }
+                    u += 1
+                  }
+                  val px = StrictMath.floor(s / 4.0 + 128.0 + 0.5).toInt
+                  planes(c)((by0 + y) * planeW(c) + bx0 + x) =
+                    (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              hb += 1
             }
-            y += 1
+            vb += 1
           }
           c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
 
-    // crop the block grid to the stated dims; 3 components are YCbCr
+    // crop to the stated dims, upsampling subsampled components by
+    // replication (image pixel → component pixel x·h_c/maxH, y·v_c/maxV);
+    // 3 components are YCbCr
     val out = new Array[Byte](width * height * (if (nComp == 3) 3 else 1))
     var yy = 0
     while (yy < height) {
       var xx = 0
       while (xx < width) {
-        val src = yy * bw * 8 + xx
-        if (nComp == 1) out(yy * width + xx) = planes(0)(src)
+        if (nComp == 1) out(yy * width + xx) = planes(0)(yy * planeW(0) + xx)
         else {
-          val yv = planes(0)(src) & 0xff
-          val cb = (planes(1)(src) & 0xff) - 128
-          val cr = (planes(2)(src) & 0xff) - 128
+          def at(c: Int): Int = {
+            val cx = xx * compH(c) / maxH
+            val cy = yy * compV(c) / maxV
+            planes(c)(cy * planeW(c) + cx) & 0xff
+          }
+          val yv = at(0)
+          val cb = at(1) - 128
+          val cr = at(2) - 128
           // JFIF inverse transform, rounded and clamped
           val r = StrictMath.floor(yv + 1.402 * cr + 0.5).toInt
           val g = StrictMath.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5).toInt
@@ -404,6 +436,139 @@ object JpegCodec {
 
   // ------------------------------------------------------------ encode
 
+  /** Entropy bit writer with 0xFF00 byte stuffing (§F.1.2.3). */
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var bitBuf = 0L
+    private var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
+      bitCnt += len
+      while (bitCnt >= 8) {
+        val b = ((bitBuf >>> (bitCnt - 8)) & 0xff).toInt
+        buf.write(b)
+        if (b == 0xff) buf.write(0x00)
+        bitCnt -= 8
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (bitCnt > 0) { val pad = 8 - bitCnt; putBits((1 << pad) - 1, pad) }
+      buf.toByteArray
+    }
+  }
+
+  private def sizeBits(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** FDCT (§A.3.3) + uniform quantization of the 8×8 block of `plane`
+    * at (bx0, by0), then DC-diff + run/size entropy coding into `bw`.
+    * Returns the block's DC coefficient (the next prediction). */
+  private def encodeBlock(plane: Array[Int], planeW: Int, bx0: Int,
+      by0: Int, prevDc: Int, bw: BitWriter,
+      dcCodes: Array[(Int, Int)], acCodes: Array[(Int, Int)]): Int = {
+    val coef = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var xx = 0
+        while (xx < 8) {
+          var yy = 0
+          while (yy < 8) {
+            s += (plane((by0 + yy) * planeW + bx0 + xx) - 128) *
+              Cos(u)(xx) * Cos(v)(yy)
+            yy += 1
+          }
+          xx += 1
+        }
+        val f = 0.25 * C(u) * C(v) * s
+        coef(v * 8 + u) = StrictMath.floor(f / EncQuant(0) + 0.5).toInt
+        v += 1
+      }
+      u += 1
+    }
+    // DC: category + diff bits (§F.1.2.1)
+    val diff = coef(0) - prevDc
+    val dSize = sizeBits(diff)
+    require(dSize <= 11)
+    val (dCode, dLen) = dcCodes(dSize)
+    bw.putBits(dCode, dLen)
+    if (dSize > 0)
+      bw.putBits(if (diff < 0) diff + (1 << dSize) - 1 else diff, dSize)
+    // AC: run/size with EOB and ZRL (§F.1.2.2)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val v = coef(Zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { val (zc, zl) = acCodes(0xf0); bw.putBits(zc, zl); run -= 16 }
+        val aSize = sizeBits(v)
+        require(aSize <= 10)
+        val (aCode, aLen) = acCodes((run << 4) | aSize)
+        bw.putBits(aCode, aLen)
+        bw.putBits(if (v < 0) v + (1 << aSize) - 1 else v, aSize)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = acCodes(0x00); bw.putBits(ec, el) }
+    coef(0)
+  }
+
+  /** JFIF forward transform, rounded (the inverse lives in decodeScan). */
+  private def toYcbcr(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    val yv = StrictMath.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5).toInt
+    val cb = StrictMath.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5).toInt
+    val cr = StrictMath.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5).toInt
+    (math.max(0, math.min(255, yv)), math.max(0, math.min(255, cb)),
+      math.max(0, math.min(255, cr)))
+  }
+
+  /** SOI + DQT + SOF0 (per-component sampling factors) + DHT + SOS +
+    * scan + EOI. */
+  private def container(width: Int, height: Int, hvs: Seq[Int],
+      scan: Array[Byte]): Array[Byte] = {
+    val nComp = hvs.length
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    marker(0xd8) // SOI
+    val dqt = new Array[Byte](1 + 64)
+    dqt(0) = 0
+    var i = 0
+    while (i < 64) { dqt(1 + i) = EncQuant(i).toByte; i += 1 }
+    seg(0xdb, dqt)
+    val sof = new java.io.ByteArrayOutputStream()
+    sof.write(8)
+    sof.write((height >> 8) & 0xff); sof.write(height & 0xff)
+    sof.write((width >> 8) & 0xff); sof.write(width & 0xff)
+    sof.write(nComp)
+    for (c <- 0 until nComp) { sof.write(c + 1); sof.write(hvs(c)); sof.write(0) }
+    seg(0xc0, sof.toByteArray)
+    val dht = new java.io.ByteArrayOutputStream()
+    dht.write(0x00); EncDcBits.foreach(dht.write); EncDcVals.foreach(b => dht.write(b & 0xff))
+    dht.write(0x10); EncAcBits.foreach(dht.write); EncAcVals.foreach(b => dht.write(b & 0xff))
+    seg(0xc4, dht.toByteArray)
+    val sos = new java.io.ByteArrayOutputStream()
+    sos.write(nComp)
+    for (c <- 0 until nComp) { sos.write(c + 1); sos.write(0x00) }
+    sos.write(0); sos.write(63); sos.write(0) // spectral selection (baseline)
+    seg(0xda, sos.toByteArray)
+    out.write(scan)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Valid baseline JPEG from raw samples (1 = grey, 3 = RGB via the
     * JFIF forward transform), 4:4:4, quant step 8 everywhere, fixed-
     * length canonical Huffman tables carried in DHT. Dims need not be
@@ -413,7 +578,6 @@ object JpegCodec {
     require(channels == 1 || channels == 3, s"channels=$channels")
     require(pixels.length == width * height * channels)
     val nComp = channels
-    // component planes, level-shifted later; 3ch converts RGB→YCbCr
     val bw = (width + 7) / 8
     val bh = (height + 7) / 8
     val planes = Array.ofDim[Int](nComp, bw * 8 * bh * 8)
@@ -427,150 +591,112 @@ object JpegCodec {
           planes(0)(y * bw * 8 + x) = pixels(sy * width + sx) & 0xff
         else {
           val o = (sy * width + sx) * 3
-          val r = pixels(o) & 0xff
-          val g = pixels(o + 1) & 0xff
-          val b = pixels(o + 2) & 0xff
-          // JFIF forward transform, rounded
-          val yv = StrictMath.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5).toInt
-          val cb = StrictMath.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5).toInt
-          val cr = StrictMath.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5).toInt
-          planes(0)(y * bw * 8 + x) = math.max(0, math.min(255, yv))
-          planes(1)(y * bw * 8 + x) = math.max(0, math.min(255, cb))
-          planes(2)(y * bw * 8 + x) = math.max(0, math.min(255, cr))
+          val (yv, cb, cr) = toYcbcr(pixels(o) & 0xff, pixels(o + 1) & 0xff,
+            pixels(o + 2) & 0xff)
+          planes(0)(y * bw * 8 + x) = yv
+          planes(1)(y * bw * 8 + x) = cb
+          planes(2)(y * bw * 8 + x) = cr
         }
         x += 1
       }
       y += 1
     }
-
     val dcCodes = codesOf(EncDcBits, EncDcVals)
     val acCodes = codesOf(EncAcBits, EncAcVals)
-    val scan = new java.io.ByteArrayOutputStream()
-    var bitBuf = 0L; var bitCnt = 0
-    def putBits(code: Int, len: Int): Unit = {
-      bitBuf = (bitBuf << len) | (code & ((1L << len) - 1))
-      bitCnt += len
-      while (bitCnt >= 8) {
-        val b = ((bitBuf >>> (bitCnt - 8)) & 0xff).toInt
-        scan.write(b)
-        if (b == 0xff) scan.write(0x00) // byte stuffing (§F.1.2.3)
-        bitCnt -= 8
-      }
-    }
-    def sizeOf(v: Int): Int = {
-      var a = math.abs(v); var s = 0
-      while (a != 0) { a >>= 1; s += 1 }
-      s
-    }
-
+    val writer = new BitWriter
     val pred = new Array[Int](nComp)
-    val coef = new Array[Int](64)
     var by = 0
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
         var c = 0
         while (c < nComp) {
-          // FDCT (§A.3.3) of the level-shifted block, quantized
-          var u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              var s = 0.0
-              var xx = 0
-              while (xx < 8) {
-                var yy = 0
-                while (yy < 8) {
-                  s += (planes(c)((by * 8 + yy) * bw * 8 + bx * 8 + xx) - 128) *
-                    Cos(u)(xx) * Cos(v)(yy)
-                  yy += 1
-                }
-                xx += 1
-              }
-              val f = 0.25 * C(u) * C(v) * s
-              val q = EncQuant(0) // uniform table
-              coef(v * 8 + u) = StrictMath.floor(f / q + 0.5).toInt
-              v += 1
-            }
-            u += 1
-          }
-          // DC: category + diff bits (§F.1.2.1)
-          val diff = coef(0) - pred(c)
-          pred(c) = coef(0)
-          val dSize = sizeOf(diff)
-          require(dSize <= 11)
-          val (dCode, dLen) = dcCodes(dSize)
-          putBits(dCode, dLen)
-          if (dSize > 0) {
-            val bitsVal = if (diff < 0) diff + (1 << dSize) - 1 else diff
-            putBits(bitsVal, dSize)
-          }
-          // AC: run/size with EOB and ZRL (§F.1.2.2)
-          var k = 1
-          var run = 0
-          while (k < 64) {
-            val v = coef(Zigzag(k))
-            if (v == 0) run += 1
-            else {
-              while (run > 15) { val (zc, zl) = acCodes(0xf0); putBits(zc, zl); run -= 16 }
-              val aSize = sizeOf(v)
-              require(aSize <= 10)
-              val (aCode, aLen) = acCodes((run << 4) | aSize)
-              putBits(aCode, aLen)
-              val bitsVal = if (v < 0) v + (1 << aSize) - 1 else v
-              putBits(bitsVal, aSize)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) { val (ec, el) = acCodes(0x00); putBits(ec, el) }
+          pred(c) = encodeBlock(planes(c), bw * 8, bx * 8, by * 8, pred(c),
+            writer, dcCodes, acCodes)
           c += 1
         }
         bx += 1
       }
       by += 1
     }
-    if (bitCnt > 0) { // pad the final byte with 1-bits (§F.1.2.3)
-      val pad = 8 - bitCnt
-      putBits((1 << pad) - 1, pad)
-    }
+    container(width, height, Seq.fill(nComp)(0x11), writer.finish())
+  }
 
-    val out = new java.io.ByteArrayOutputStream()
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    def seg(m: Int, payload: Array[Byte]): Unit = {
-      marker(m)
-      val len = payload.length + 2
-      out.write((len >> 8) & 0xff); out.write(len & 0xff)
-      out.write(payload, 0, payload.length)
+  /** Valid 4:2:0 baseline JPEG from RGB samples — the dominant real-
+    * world layout: Y at full resolution (factors 2,2), Cb/Cr averaged
+    * over 2×2 neighborhoods at half resolution (factors 1,1), MCU =
+    * 4 Y blocks + Cb + Cr. The chroma average is integer-exact
+    * ((a+b+c+d+2)/4), so constant 16×16 macroblocks still roundtrip
+    * EXACTLY through subsampling + replication upsampling. */
+  def encode420(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3)
+    val mcuCols = (width + 15) / 16
+    val mcuRows = (height + 15) / 16
+    val pw = mcuCols * 16
+    val ph = mcuRows * 16
+    val yPlane = new Array[Int](pw * ph)
+    val cbFull = new Array[Int](pw * ph)
+    val crFull = new Array[Int](pw * ph)
+    var y = 0
+    while (y < ph) {
+      val sy = if (y < height) y else height - 1
+      var x = 0
+      while (x < pw) {
+        val sx = if (x < width) x else width - 1
+        val o = (sy * width + sx) * 3
+        val (yv, cb, cr) = toYcbcr(pixels(o) & 0xff, pixels(o + 1) & 0xff,
+          pixels(o + 2) & 0xff)
+        yPlane(y * pw + x) = yv
+        cbFull(y * pw + x) = cb
+        crFull(y * pw + x) = cr
+        x += 1
+      }
+      y += 1
     }
-    marker(0xd8) // SOI
-    // DQT: table 0, zigzag order
-    val dqt = new Array[Byte](1 + 64)
-    dqt(0) = 0
-    var i = 0
-    while (i < 64) { dqt(1 + i) = EncQuant(i).toByte; i += 1 }
-    seg(0xdb, dqt)
-    // SOF0
-    val sof = new java.io.ByteArrayOutputStream()
-    sof.write(8)
-    sof.write((height >> 8) & 0xff); sof.write(height & 0xff)
-    sof.write((width >> 8) & 0xff); sof.write(width & 0xff)
-    sof.write(nComp)
-    for (c <- 0 until nComp) { sof.write(c + 1); sof.write(0x11); sof.write(0) }
-    seg(0xc0, sof.toByteArray)
-    // DHT: DC table 0 + AC table 0
-    val dht = new java.io.ByteArrayOutputStream()
-    dht.write(0x00); EncDcBits.foreach(dht.write); EncDcVals.foreach(b => dht.write(b & 0xff))
-    dht.write(0x10); EncAcBits.foreach(dht.write); EncAcVals.foreach(b => dht.write(b & 0xff))
-    seg(0xc4, dht.toByteArray)
-    // SOS
-    val sos = new java.io.ByteArrayOutputStream()
-    sos.write(nComp)
-    for (c <- 0 until nComp) { sos.write(c + 1); sos.write(0x00) }
-    sos.write(0); sos.write(63); sos.write(0) // spectral selection (baseline)
-    seg(0xda, sos.toByteArray)
-    out.write(scan.toByteArray)
-    marker(0xd9) // EOI
-    out.toByteArray
+    val cw = pw / 2
+    val ch = ph / 2
+    val cbPlane = new Array[Int](cw * ch)
+    val crPlane = new Array[Int](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        val o = 2 * cy * pw + 2 * cx
+        cbPlane(cy * cw + cx) =
+          (cbFull(o) + cbFull(o + 1) + cbFull(o + pw) + cbFull(o + pw + 1) + 2) / 4
+        crPlane(cy * cw + cx) =
+          (crFull(o) + crFull(o + 1) + crFull(o + pw) + crFull(o + pw + 1) + 2) / 4
+        cx += 1
+      }
+      cy += 1
+    }
+    val dcCodes = codesOf(EncDcBits, EncDcVals)
+    val acCodes = codesOf(EncAcBits, EncAcVals)
+    val writer = new BitWriter
+    val pred = new Array[Int](3)
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        // 4 Y blocks in raster order, then Cb, then Cr (§A.2.3)
+        var vb = 0
+        while (vb < 2) {
+          var hb = 0
+          while (hb < 2) {
+            pred(0) = encodeBlock(yPlane, pw, (mx * 2 + hb) * 8,
+              (my * 2 + vb) * 8, pred(0), writer, dcCodes, acCodes)
+            hb += 1
+          }
+          vb += 1
+        }
+        pred(1) = encodeBlock(cbPlane, cw, mx * 8, my * 8, pred(1),
+          writer, dcCodes, acCodes)
+        pred(2) = encodeBlock(crPlane, cw, mx * 8, my * 8, pred(2),
+          writer, dcCodes, acCodes)
+        mx += 1
+      }
+      my += 1
+    }
+    container(width, height, Seq(0x22, 0x11, 0x11), writer.finish())
   }
 }

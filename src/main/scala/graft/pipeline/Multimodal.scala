@@ -515,6 +515,32 @@ object Multimodal {
     JpegCodec.encode(w, h, 1, px)
   }
 
+  /** Deterministic REAL 4:2:0 JPEG from CONSTANT 16×16 macroblocks with
+    * colours kept inside [16, 240) so no clamp engages: the chroma 2×2
+    * average of equal values is exact and replication upsampling is
+    * exact, so every decoded pixel is the deterministic
+    * forward+inverse JFIF transform of its macroblock colour — which a
+    * plain-SQL oracle restates term-for-term. */
+  def syntheticJpeg420(docId: Long): Array[Byte] = {
+    val w = 16 * (1 + docId % 2).toInt
+    val h = 16
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mx = x / 16
+        val o = (y * w + x) * 3
+        px(o) = ((16 + (mx * 23 + docId * 7) % 224) & 0xff).toByte
+        px(o + 1) = ((16 + (mx * 41 + docId * 3) % 224) & 0xff).toByte
+        px(o + 2) = ((16 + (mx * 59 + docId * 13) % 224) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    JpegCodec.encode420(w, h, px)
+  }
+
   /** Deterministic JPEG payload MIX for the drop accounting: by
     * `docId % 4` a decodable baseline JPEG, plain text (refused:
     * not_jpeg), one whose SOF0 marker is patched to progressive SOF2

@@ -68,6 +68,64 @@ class JpegCodecSpec extends SparkSpec {
     }
   }
 
+  test("4:2:0 subsampled: constant 16x16 macroblocks roundtrip exactly") {
+    // constant macroblocks survive chroma averaging exactly (mean of
+    // equals) and replication upsampling exactly — full-pipeline bit
+    // equality through the 4Y+Cb+Cr MCU layout
+    val colors = Seq((40, 180, 90), (200, 30, 160), (17, 17, 200), (90, 240, 20))
+    val (w, h) = (32, 32)
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = colors((y / 16) * 2 + (x / 16))
+      val o = (y * w + x) * 3
+      px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
+    }
+    val bytes = JpegCodec.encode420(w, h, px)
+    val img = JpegCodec.decode(bytes).getOrElse(fail("420 decode failed"))
+    assert((img.width, img.height, img.channels) == (w, h, 3))
+    def expect(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+      val yv = StrictMath.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5).toInt
+      val cb = StrictMath.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5).toInt
+      val cr = StrictMath.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5).toInt
+      def cl(v: Int) = math.max(0, math.min(255, v))
+      (cl(StrictMath.floor(yv + 1.402 * (cr - 128) + 0.5).toInt),
+        cl(StrictMath.floor(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt),
+        cl(StrictMath.floor(yv + 1.772 * (cb - 128) + 0.5).toInt))
+    }
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = colors((y / 16) * 2 + (x / 16))
+      val (er, eg, eb) = expect(r, g, b)
+      val o = (y * w + x) * 3
+      assert((img.pixels(o) & 0xff, img.pixels(o + 1) & 0xff,
+        img.pixels(o + 2) & 0xff) == ((er, eg, eb)), s"at ($x,$y)")
+    }
+    // non-macroblock-aligned dims crop correctly
+    val odd = JpegCodec.decode(JpegCodec.encode420(19, 11,
+      Array.fill(19 * 11 * 3)(77.toByte))).get
+    assert((odd.width, odd.height) == ((19, 11)))
+  }
+
+  test("4:2:0 full-AC content stays inside a subsampling-tolerant envelope") {
+    val rng = new scala.util.Random(71)
+    // smooth content (random per 4x4 cell, not per pixel): chroma
+    // averaging over hard noise is information loss, not codec error
+    val (w, h) = (32, 16)
+    val px = new Array[Byte](w * h * 3)
+    val cells = Array.fill((w / 4) * (h / 4) * 3)(rng.nextInt(256))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      px((y * w + x) * 3 + c) = cells(((y / 4) * (w / 4) + (x / 4)) * 3 + c).toByte
+    val img = JpegCodec.decode(JpegCodec.encode420(w, h, px)).get
+    var worst = 0
+    for (i <- px.indices) {
+      val d = math.abs((img.pixels(i) & 0xff) - (px(i) & 0xff))
+      if (d > worst) worst = d
+    }
+    // chroma edges blur across 2-pixel boundaries; luma stays tight —
+    // a real codec slip (wrong MCU order, bad upsample indexing) lands
+    // hundreds off, not tens
+    assert(worst <= 96, s"worst-case 4:2:0 error $worst")
+  }
+
   test("full-AC content roundtrips within the quantization error envelope") {
     val rng = new scala.util.Random(67)
     for (ch <- Seq(1, 3); (w, h) <- Seq((24, 16), (13, 9))) { // non-aligned too
@@ -97,7 +155,7 @@ class JpegCodecSpec extends SparkSpec {
     assert((good(71) & 0xff) == 0xff && (good(72) & 0xff) == 0xc0)
     val prog = good.clone(); prog(72) = 0xc2.toByte // progressive SOF2
     assert(JpegCodec.decodeEx(prog) == Left("unsupported"))
-    val sub = good.clone(); sub(82) = 0x22.toByte // 2x2 sampling factors
+    val sub = good.clone(); sub(82) = 0x33.toByte // 3x3 sampling factors
     assert(JpegCodec.decodeEx(sub) == Left("unsupported_sampling"))
     // scan cut mid-MCU: the bit reader runs dry inside a block (use a
     // noisy image so the entropy stream is long and the cut lands in it)
