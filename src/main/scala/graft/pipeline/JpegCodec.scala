@@ -364,23 +364,39 @@ object JpegCodec {
                   k += 1
                 }
               }
-              // IDCT (§A.3.3) on the dequantized block
+              // separable IDCT (§A.3.3): column pass then row pass —
+              // 2·8³ multiplies per block instead of the direct 8⁴,
+              // with zero coefficients skipped in the column pass
+              // (sparse blocks — the common case — cost almost nothing)
               val bx0 = (mx * compH(c) + hb) * 8
               val by0 = (my * compV(c) + vb) * 8
+              val colSum = new Array[Double](64) // [u][y]
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val f = coef(v * 8 + u)
+                  if (f != 0) {
+                    val cf = C(v) * f
+                    var y = 0
+                    while (y < 8) {
+                      colSum(u * 8 + y) += cf * Cos(v)(y)
+                      y += 1
+                    }
+                  }
+                  v += 1
+                }
+                u += 1
+              }
               var y = 0
               while (y < 8) {
                 var x = 0
                 while (x < 8) {
                   var s = 0.0
-                  var u = 0
-                  while (u < 8) {
-                    var v = 0
-                    while (v < 8) {
-                      val f = coef(v * 8 + u)
-                      if (f != 0) s += C(u) * C(v) * f * Cos(u)(x) * Cos(v)(y)
-                      v += 1
-                    }
-                    u += 1
+                  var uu = 0
+                  while (uu < 8) {
+                    s += C(uu) * colSum(uu * 8 + y) * Cos(uu)(x)
+                    uu += 1
                   }
                   val px = StrictMath.floor(s / 4.0 + 128.0 + 0.5).toInt
                   planes(c)((by0 + y) * planeW(c) + bx0 + x) =
@@ -470,20 +486,32 @@ object JpegCodec {
       by0: Int, prevDc: Int, bw: BitWriter,
       dcCodes: Array[(Int, Int)], acCodes: Array[(Int, Int)]): Int = {
     val coef = new Array[Int](64)
+    // separable FDCT: row pass then column pass (2·8³ multiplies)
+    val rowSum = new Array[Double](64) // [u][yy]
     var u = 0
+    while (u < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var xx = 0
+        while (xx < 8) {
+          s += (plane((by0 + yy) * planeW + bx0 + xx) - 128) * Cos(u)(xx)
+          xx += 1
+        }
+        rowSum(u * 8 + yy) = s
+        yy += 1
+      }
+      u += 1
+    }
+    u = 0
     while (u < 8) {
       var v = 0
       while (v < 8) {
         var s = 0.0
-        var xx = 0
-        while (xx < 8) {
-          var yy = 0
-          while (yy < 8) {
-            s += (plane((by0 + yy) * planeW + bx0 + xx) - 128) *
-              Cos(u)(xx) * Cos(v)(yy)
-            yy += 1
-          }
-          xx += 1
+        var yy = 0
+        while (yy < 8) {
+          s += rowSum(u * 8 + yy) * Cos(v)(yy)
+          yy += 1
         }
         val f = 0.25 * C(u) * C(v) * s
         coef(v * 8 + u) = StrictMath.floor(f / EncQuant(0) + 0.5).toInt
