@@ -904,6 +904,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Dedup: exact-substring duplicate SPANS (the suffix-level pass of
+    // published LLM-data pipelines, n-gram-anchored for the distributed
+    // shape): every maximal token span whose every 8-gram repeats
+    // corpus-wide, merged per doc by one windowed interval pass. The
+    // oracle replays gram extraction, the corpus-wide count, and the
+    // running-reach merge in plain SQL
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), n = 8)
+        .orderBy("doc_id", "span_id")),
+
+    // Dedup: exact-substring TRIM — non-first occurrences (global
+    // (doc_id, pos) order per gram content) are cut from the token
+    // stream; one canonical copy of every duplicated substring survives
+    "dedup_span_trim" -> ((s, dir) =>
+      Dedup.trimDuplicateSpans(t(s, dir, "documents"), n = 8)
+        .orderBy("doc_id")),
+
     // Dedup #3: exhaustive n-gram Jaccard, top-20 most similar pairs
     // (bounded scan: the exhaustive form is the small-scale oracle; the
     // scale path is the LSH variant above)
@@ -1457,6 +1474,45 @@ object SparkEntry {
         .select(col("doc_id"), gen(col("doc_id")).as("payload"),
           lit("image/mixed").as("media_type"))
       Multimodal.jpegDecodeStats(media).orderBy("reason")
+    }),
+
+    // Multimodal: REAL video frame decode — a valid MJPEG AVI (RIFF
+    // container walk, one `00dc` JPEG chunk per frame) is generated per
+    // doc and every frame entropy-decoded back through the baseline
+    // JPEG path; one row per frame with the exact per-frame mean and
+    // position moment (DC-constant blocks decode exactly, so the
+    // oracle replays the generation arithmetic per frame)
+    "multimodal_video_frames" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticAvi(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("video/avi").as("media_type"))
+      Multimodal.decodeVideoFrames(media)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Multimodal: frame SAMPLING over real video — keep every 2nd frame
+    // (frame 0 always kept); the container walk skips the dropped
+    // `00dc` chunks without JPEG-decoding them, which is the shape that
+    // matters at scale (decode cost ∝ kept frames, not stored frames)
+    "multimodal_video_sample" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticAvi(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("video/avi").as("media_type"))
+      Multimodal.decodeVideoFrames(media, sampleStride = 2)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Multimodal: video drop accounting — non-AVI / wrong-codec /
+    // truncated containers and undecodable frames counted by named
+    // reason next to the decodable rows
+    "multimodal_video_skips" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticSkipAvi(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("video/mixed").as("media_type"))
+      Multimodal.videoDecodeStats(media).orderBy("reason")
     }),
 
     // Multimodal: drop ACCOUNTING — what the pixel pass refuses, counted
@@ -2605,6 +2661,62 @@ object SparkEntry {
         |  count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY reason""".stripMargin,
 
+    "multimodal_video_frames" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+        |    CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+        |    CAST(1 + doc_id % 3 AS INT) AS n_frames,
+        |    CAST(33000 + (doc_id % 5) * 1000 AS INT) AS usec_per_frame
+        |  FROM documents),
+        |f AS (SELECT d.*, fr.f AS frame_idx FROM d
+        |      JOIN (SELECT unnest(range(0, 3)) AS f) fr ON fr.f < d.n_frames),
+        |px AS (SELECT f.doc_id, f.frame_idx, f.width, f.height,
+        |         f.usec_per_frame, y.y * f.width + x.x AS ord,
+        |         CAST(((x.x // 8) * 29 + (y.y // 8) * 41 + f.doc_id * 13
+        |               + f.frame_idx * 57) % 256 AS DOUBLE) AS v
+        |       FROM f
+        |       JOIN (SELECT unnest(range(0, 24)) AS x) x ON x.x < f.width
+        |       JOIN (SELECT unnest(range(0, 16)) AS y) y ON y.y < f.height)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, width, height,
+        |  usec_per_frame,
+        |  CAST(floor(avg(v) * 1000000 + 0.5) AS BIGINT) AS mean_micro,
+        |  CAST(sum(ord * CAST(v AS BIGINT)) AS BIGINT) AS pos_moment
+        |FROM px
+        |GROUP BY doc_id, frame_idx, width, height, usec_per_frame
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_video_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+        |    CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+        |    CAST(1 + doc_id % 3 AS INT) AS n_frames,
+        |    CAST(33000 + (doc_id % 5) * 1000 AS INT) AS usec_per_frame
+        |  FROM documents),
+        |f AS (SELECT d.*, fr.f AS frame_idx FROM d
+        |      JOIN (SELECT unnest(range(0, 3)) AS f) fr
+        |      ON fr.f < d.n_frames AND fr.f % 2 = 0),
+        |px AS (SELECT f.doc_id, f.frame_idx, f.width, f.height,
+        |         f.usec_per_frame, y.y * f.width + x.x AS ord,
+        |         CAST(((x.x // 8) * 29 + (y.y // 8) * 41 + f.doc_id * 13
+        |               + f.frame_idx * 57) % 256 AS DOUBLE) AS v
+        |       FROM f
+        |       JOIN (SELECT unnest(range(0, 24)) AS x) x ON x.x < f.width
+        |       JOIN (SELECT unnest(range(0, 16)) AS y) y ON y.y < f.height)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, width, height,
+        |  usec_per_frame,
+        |  CAST(floor(avg(v) * 1000000 + 0.5) AS BIGINT) AS mean_micro,
+        |  CAST(sum(ord * CAST(v AS BIGINT)) AS BIGINT) AS pos_moment
+        |FROM px
+        |GROUP BY doc_id, frame_idx, width, height, usec_per_frame
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_video_skips" ->
+      """SELECT CASE doc_id % 5 WHEN 0 THEN 'ok' WHEN 1 THEN 'not_avi'
+        |    WHEN 2 THEN 'unsupported_codec' WHEN 3 THEN 'truncated'
+        |    ELSE 'frame_unsupported' END AS reason,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY reason""".stripMargin,
+
     "multimodal_pixel_skips" ->
       """SELECT CASE doc_id % 8 WHEN 0 THEN 'ok' WHEN 1 THEN 'ok'
         |    WHEN 2 THEN 'ok' WHEN 3 THEN 'ok' WHEN 4 THEN 'not_png'
@@ -2917,6 +3029,63 @@ object SparkEntry {
          |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
          |SELECT c.doc_id, c.component, s.cluster_size
          |FROM comp c JOIN sz s USING (component) ORDER BY doc_id""".stripMargin,
+
+    "dedup_spans" -> {
+      val gram8 = (0 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos, $gram8 AS gram
+         |      FROM t, LATERAL unnest(range(1, len(toks) - 6)) AS u(i)),
+         |f AS (SELECT doc_id, pos FROM g
+         |      QUALIFY count(*) OVER (PARTITION BY gram) >= 2),
+         |m AS (SELECT doc_id, pos,
+         |        CASE WHEN pos > coalesce(max(pos + 8) OVER (
+         |               PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |             THEN 1 ELSE 0 END AS is_new
+         |      FROM f),
+         |s AS (SELECT doc_id, pos,
+         |        sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+         |      FROM m)
+         |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+         |  CAST(min(pos) AS INT) AS span_start,
+         |  CAST(max(pos) + 8 AS INT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_dup_grams,
+         |  CAST(max(pos) + 8 - min(pos) AS INT) AS span_tokens
+         |FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_id""".stripMargin
+    },
+
+    "dedup_span_trim" -> {
+      val gram8 = (0 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos, $gram8 AS gram
+         |      FROM t, LATERAL unnest(range(1, len(toks) - 6)) AS u(i)),
+         |f AS (SELECT doc_id, pos FROM g
+         |      QUALIFY row_number() OVER (PARTITION BY gram
+         |        ORDER BY doc_id, pos) >= 2),
+         |m AS (SELECT doc_id, pos,
+         |        CASE WHEN pos > coalesce(max(pos + 8) OVER (
+         |               PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |             THEN 1 ELSE 0 END AS is_new
+         |      FROM f),
+         |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+         |       FROM (SELECT doc_id, pos, sum(is_new) OVER (
+         |               PARTITION BY doc_id ORDER BY pos) AS span_id FROM m)
+         |       GROUP BY doc_id, span_id),
+         |tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |        FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
+         |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+         |         WHERE NOT EXISTS (SELECT 1 FROM sp s
+         |           WHERE s.doc_id = k.doc_id
+         |             AND k.pos >= s.span_start AND k.pos < s.span_end)),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY pos) AS text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+         |  CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+         |  coalesce(a.text, '') AS text
+         |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+    },
 
     "dedup_jaccard_topk" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents WHERE doc_id < 200),

@@ -426,4 +426,109 @@ object Dedup {
       ivf.cells.withColumnRenamed("doc_id", idCol), Seq(idCol))
     embeddingNearDup(blocked, idCol, vecCol, blockCol = "cell", tau = tau)
   }
+
+  // -------------------------------------------------------------------
+  // Exact-substring duplicate spans (suffix-level dedup, the "50-token
+  // repeated substring" pass of published LLM-data pipelines — e.g.
+  // Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  // Better"). The distributed shape replaces the suffix array with
+  // fixed-width n-gram anchors: a token run of length ≥ L that repeats
+  // is covered by repeating n-grams for every n ≤ L, so flagging
+  // duplicated n-grams and merging overlapping flagged positions
+  // recovers every maximal duplicated span of length ≥ n exactly.
+  // -------------------------------------------------------------------
+
+  /** One row per (doc, position) whose n-gram content appears ≥ minOcc
+    * times corpus-wide (in-document self-repeats count — repetition is
+    * duplication). Internal only: positions are merged by the span ops
+    * below. Shape: one groupBy on the gram hash (map-side partial
+    * count), one semi-join back — never a pair join. */
+  /** (doc_id, pos, gh) for every n-gram position. The token array is
+    * materialized in its own projection BELOW the generator: handing
+    * `shingles(tokens(text))` to posexplode as one expression inlines
+    * the regex split into all n `element_at` calls (no CSE inside a
+    * Generate), re-tokenizing the full document n times per gram —
+    * measured 40× slower at sf0.1. */
+  private def gramTable(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        posexplode(shingles(col("__toks"), n)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5Hash60(col("gram")).as("gh"))
+
+  private def duplicatedPositions(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minOcc: Int): DataFrame = {
+    val grams = gramTable(docs, idCol, textCol, n)
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minOcc).select("gh")
+    grams.join(dup, Seq("gh"), "left_semi")
+  }
+
+  /** Merge flagged positions into maximal spans: position p covers
+    * tokens [p, p+n); a new span starts where p exceeds the furthest
+    * end reached by earlier flagged positions in the doc. One window
+    * pass partitioned by doc — no cross-doc data movement. */
+  private def mergeSpans(flagged: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val reach = max(col("pos") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__new",
+        when(reach.isNull || col("pos") > reach, 1).otherwise(0))
+      .withColumn("span_id", sum(col("__new")).over(w))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + n).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+  }
+
+  /** Duplicate-span REPORT: every maximal token span of length ≥ n whose
+    * every n-gram appears ≥ minOcc times corpus-wide. `span_end` is
+    * exclusive. The per-doc output is bounded by len/n spans, so the
+    * result is strictly smaller than the corpus — safe to materialize
+    * at any scale. */
+  def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8, minOcc: Int = 2): DataFrame =
+    mergeSpans(duplicatedPositions(docs, idCol, textCol, n, minOcc), n)
+
+  /** Trim NON-FIRST occurrences (Lee et al. semantics: one canonical
+    * copy of every duplicated substring survives). An occurrence is
+    * "first" in global (doc_id, pos) order per gram content; later
+    * occurrences are flagged, merged into spans, and cut from the
+    * token stream. Output: the doc with its surviving tokens
+    * re-joined, plus kept/cut counts. Shape: the per-gram first/later
+    * split is one window over the gram hash (same shuffle key as the
+    * count); the cut is a per-row higher-order filter against the
+    * doc's own (collected) span list — no token-level join. */
+  def trimDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramTable(docs, idCol, textCol, n)
+    // rank occurrences of each gram content in global (doc_id, pos)
+    // order; rank 1 is the canonical copy and survives
+    val later = grams
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("gh").orderBy("doc_id", "pos")))
+      .where(col("__rk") >= 2).select("doc_id", "pos")
+    val spans = mergeSpans(later, n)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__toks"),
+        coalesce(col("__spans"),
+          array().cast("array<struct<span_start:int,span_end:int>>"))
+          .as("__spans"))
+      .select(col("doc_id"),
+        size(col("__toks")).as("n_tokens"),
+        filter(col("__toks"), (_, i) =>
+          !exists(col("__spans"),
+            s => i >= s("span_start") && i < s("span_end"))).as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kept")).as("n_kept"),
+        concat_ws(" ", col("__kept")).as("text"))
+  }
 }

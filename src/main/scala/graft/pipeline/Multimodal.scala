@@ -846,4 +846,141 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         least(lit(stride.toLong),
           col("__len").cast("long") - col("frame_idx") * stride).as("frame_len"))
+
+  /** REAL video frame decode: [[AviCodec]] walks the RIFF/AVI container
+    * and [[JpegCodec]] entropy-decodes every MJPEG frame; one output
+    * row per frame with the per-frame grey mean and ordinal-weighted
+    * position moment over the actual reconstructed samples. Payloads
+    * the container or any frame refuses drop (count them with
+    * [[videoDecodeStats]]). Batch shape: one iterator pass per
+    * partition, frames of one video stay local — no shuffle is needed
+    * to explode a video into frames, only the final presentation sort.
+    * `sampleStride` keeps every stride-th frame (frame 0 always kept):
+    * real frame-sampling decodes only what it keeps — the container
+    * walk skips the other `00dc` chunks without JPEG-decoding them. */
+  def decodeVideoFrames(media: DataFrame, sampleStride: Int = 1): DataFrame = {
+    require(sampleStride >= 1, s"sampleStride=$sampleStride")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("usec_per_frame", IntegerType, nullable = false),
+      StructField("mean_micro", LongType, nullable = false),
+      StructField("pos_moment", LongType, nullable = false)))
+    val stride = sampleStride
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        AviCodec.decodeEx(r.getAs[Array[Byte]](1)).toOption.toSeq.flatMap { v =>
+          v.frames.indices.by(stride).flatMap { f =>
+            JpegCodec.decode(v.frames(f)).toSeq.map { img =>
+              val n = img.width * img.height
+              var sum = 0L; var posMoment = 0L
+              var i = 0
+              while (i < img.pixels.length) {
+                val px = img.pixels(i) & 0xff
+                if (i % img.channels == 0) {
+                  sum += px
+                  posMoment += (i / img.channels).toLong * px
+                }
+                i += 1
+              }
+              // micro-units of the mean, round-half-up — matches the
+              // SQL oracle's floor(avg·1e6 + 0.5) exactly in integers
+              val meanMicro = (sum * 1000000L + n / 2) / n
+              Row(r.getLong(0), f, img.width, img.height,
+                v.microSecPerFrame, meanMicro, posMoment)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Video twin of [[pixelDecodeStats]]: [[AviCodec.decodeFrames]]
+    * refusal reasons (container-level or `frame_`-prefixed per-frame
+    * JPEG reasons) counted next to the decodable "ok" rows. */
+  def videoDecodeStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("reason", StringType, nullable = false)))
+    val rdd = media.select("payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(AviCodec.decodeFrames(r.getAs[Array[Byte]](0))
+          .fold(identity, _ => "ok"))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+  }
+
+  /** Deterministic REAL MJPEG AVI: 1–3 grey frames of CONSTANT 8×8
+    * blocks (the layout baseline JPEG reproduces EXACTLY, see
+    * [[syntheticJpeg]]), each carried as a real `00dc` JPEG chunk in a
+    * real RIFF walk. Every decoded pixel of frame f is
+    * v(x,y,f) = (⌊x/8⌋·29 + ⌊y/8⌋·41 + docId·13 + f·57) mod 256, which
+    * a plain-SQL oracle restates per frame. */
+  def syntheticAvi(docId: Long): Array[Byte] = {
+    val w = 8 * (1 + docId % 3).toInt
+    val h = 8 * (1 + docId % 2).toInt
+    val nFrames = (1 + docId % 3).toInt
+    val frames = (0 until nFrames).map { f =>
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = ((((x / 8) * 29 + (y / 8) * 41 + docId * 13 +
+            f * 57) % 256) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      JpegCodec.encode(w, h, 1, px)
+    }
+    AviCodec.encode(w, h, (33000 + (docId % 5) * 1000).toInt, frames)
+  }
+
+  /** Deterministic AVI payload MIX for the drop accounting: by
+    * `docId % 5` a decodable MJPEG AVI, plain text (refused: not_avi),
+    * one whose stream handler is patched MJPG→XVID (refused:
+    * unsupported_codec), one cut mid-movi (refused: truncated), or one
+    * whose first frame's SOF0 marker is patched to progressive SOF2
+    * (refused: frame_unsupported — the container walk succeeds, the
+    * per-frame JPEG decode refuses). Each refusal patches the REAL
+    * encoder's bytes at its actual classification point. */
+  def syntheticSkipAvi(docId: Long): Array[Byte] = (docId % 5) match {
+    case 0 => syntheticAvi(docId)
+    case 1 => s"doc $docId is plain text, not a video".getBytes("UTF-8")
+    case 2 =>
+      val b = syntheticAvi(docId)
+      patchFourcc(b, "MJPG", "XVID")
+    case 3 => syntheticAvi(docId).dropRight(9) // inside the last frame
+    case _ =>
+      val b = syntheticAvi(docId)
+      // first frame starts after RIFF hdr(12) + hdrl LIST(8+192) +
+      // movi LIST hdr(12) + 00dc chunk hdr(8) = byte 232; the
+      // syntheticJpeg layout puts the SOF marker at frame byte 71
+      // (0xFF C0 at 71–72) regardless of dims
+      b(232 + 72) = 0xc2.toByte // SOF0 → SOF2 (progressive)
+      b
+  }
+
+  /** Patch every occurrence of a fourcc in place (test/fixture helper:
+    * corrupts real encoder output at a named classification point). */
+  private def patchFourcc(b: Array[Byte], from: String, to: String): Array[Byte] = {
+    val f = from.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val t = to.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var i = 0
+    while (i + 4 <= b.length) {
+      if (b(i) == f(0) && b(i + 1) == f(1) && b(i + 2) == f(2) &&
+        b(i + 3) == f(3)) {
+        b(i) = t(0); b(i + 1) = t(1); b(i + 2) = t(2); b(i + 3) = t(3)
+        i += 4
+      } else i += 1
+    }
+    b
+  }
 }

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exact-substring duplicate-span detection and trimming, pinned on a
+  * hand-computable corpus: shared runs between docs, an in-document
+  * repeat, and a doc with no duplication. n = 3 keeps the arithmetic
+  * small; the catalog queries run the production n = 8.
+  */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 0: "a b c d e f g h"            — tokens 0..7
+  // doc 1: "x y a b c d e z"            — shares run a..e (len 5) with doc 0
+  // doc 2: "p q r p q r p q r s"        — self-repeating period 3
+  // doc 3: "unique tokens only here"    — no duplication
+  private lazy val docs = Seq(
+    (0L, "a b c d e f g h"),
+    (1L, "x y a b c d e z"),
+    (2L, "p q r p q r p q r s"),
+    (3L, "unique tokens only here")
+  ).toDF("doc_id", "text")
+
+  test("duplicateSpans finds the maximal shared run in both docs") {
+    val spans = Dedup.duplicateSpans(docs, n = 3)
+      .orderBy("doc_id", "span_id")
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    // doc 0: a..e at tokens 0..4 → 3-grams at pos 0,1,2 → span [0,5)
+    // doc 1: a..e at tokens 2..6 → span [2,7)
+    // doc 2: "p q r" repeats: 3-grams at 0..6 all repeat (pqr/qrp/rpq
+    //        content each ≥2 occurrences) → one merged span [0,9)
+    assert(spans == Seq((0L, 0, 5, 5), (1L, 2, 7, 5), (2L, 0, 9, 9)))
+  }
+
+  test("minOcc raises the duplication bar") {
+    // with minOcc=3 only doc 2's period-3 content (3 occurrences of
+    // each gram) survives; the cross-doc run (2 occurrences) does not
+    val spans = Dedup.duplicateSpans(docs, n = 3, minOcc = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(spans == Seq(2L))
+  }
+
+  test("trimDuplicateSpans keeps the canonical first copy") {
+    val out = Dedup.trimDuplicateSpans(docs, n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "text")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    // doc 0 owns the first occurrence of a..e → untouched
+    assert(out(0) == ((0L, 8, 8, "a b c d e f g h")))
+    // doc 1's copy of the run (pos 2..6) is cut
+    assert(out(1) == ((1L, 8, 3, "x y z")))
+    // doc 2: first 3-gram occurrences at pos 0 (pqr), 1 (qrp), 2 (rpq)
+    // survive; later positions 3..6 are flagged → span [3,9) cut
+    assert(out(2) == ((2L, 10, 4, "p q r s")))
+    // doc 3 untouched
+    assert(out(3) == ((3L, 4, 4, "unique tokens only here")))
+  }
+
+  test("span report is deterministic across runs and partitionings") {
+    val a = Dedup.duplicateSpans(docs.repartition(7), n = 3)
+      .orderBy("doc_id", "span_id").collect().toSeq
+    val b = Dedup.duplicateSpans(docs.repartition(2), n = 3)
+      .orderBy("doc_id", "span_id").collect().toSeq
+    assert(a == b)
+  }
+}
