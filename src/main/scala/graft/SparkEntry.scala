@@ -1448,6 +1448,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multimodal: JPEG with DRI restart intervals — same pixels as
+    // multimodal_jpeg but the scan byte-aligns at RSTm markers with DC
+    // predictor resets on both encode and decode; the plain-baseline
+    // oracle applies verbatim, so any restart slip (missed reset, eaten
+    // marker, mis-aligned resume) hash-fails
+    "multimodal_jpeg_dri" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticJpegDri(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/jpeg").as("media_type"))
+      Multimodal.decodeJpegPixels(media)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          concat_ws(",", transform(col("means"),
+            m => microUnits(m, 6)).cast("array<string>")).as("means"),
+          col("pos_moment"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal: 4:2:0 subsampled JPEG decode — the dominant real-world
     // layout (4Y+Cb+Cr MCUs, chroma at half resolution). Constant 16×16
     // macroblocks make subsampling exact, so the oracle replays the
@@ -2606,6 +2624,23 @@ object SparkEntry {
         |FROM m GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
 
     "multimodal_jpeg" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+        |    CAST(8 * (1 + doc_id % 2) AS INT) AS height
+        |  FROM documents),
+        |px AS (SELECT d.doc_id, d.width, d.height,
+        |         y.y * d.width + x.x AS ord,
+        |         CAST(((x.x // 8) * 29 + (y.y // 8) * 41 + d.doc_id * 13) % 256 AS DOUBLE) AS v
+        |       FROM d
+        |       JOIN (SELECT unnest(range(0, 24)) AS x) x ON x.x < d.width
+        |       JOIN (SELECT unnest(range(0, 16)) AS y) y ON y.y < d.height)
+        |SELECT doc_id, width, height, CAST(1 AS INT) AS channels,
+        |  CAST(CAST(floor(avg(v) * 1000000 + 0.5) AS BIGINT) AS VARCHAR) AS means,
+        |  CAST(sum(ord * CAST(v AS BIGINT)) AS BIGINT) AS pos_moment
+        |FROM px GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin,
+
+    // restart markers change the BYTES, not the pixels: identical oracle
+    "multimodal_jpeg_dri" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(8 * (1 + doc_id % 3) AS INT) AS width,
         |    CAST(8 * (1 + doc_id % 2) AS INT) AS height

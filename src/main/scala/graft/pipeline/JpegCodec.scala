@@ -123,9 +123,10 @@ object JpegCodec {
   def decode(bytes: Array[Byte]): Option[Image] = decodeEx(bytes).toOption
 
   /** Closed reason vocabulary: not_jpeg, truncated, unsupported
-    * (progressive/arithmetic/hierarchical SOFs, DRI restarts),
-    * unsupported_sampling (h,v ≠ 1), bad_marker, bad_table, bad_scan,
-    * bad_dims, no_frame. */
+    * (progressive/arithmetic/hierarchical SOFs),
+    * unsupported_sampling (factors outside 1..2), bad_marker,
+    * bad_table, bad_scan, bad_dims, bad_restart (missing or
+    * out-of-sequence RSTm at a DRI boundary), no_frame. */
   def decodeEx(bytes: Array[Byte]): Either[String, Image] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
       (bytes(1) & 0xff) != 0xd8) return Left("not_jpeg")
@@ -137,6 +138,7 @@ object JpegCodec {
     var compId: Array[Int] = null; var compQ: Array[Int] = null
     var compH: Array[Int] = null; var compV: Array[Int] = null
     var sawFrame = false
+    var restartInterval = 0
 
     def be16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
 
@@ -220,7 +222,9 @@ object JpegCodec {
           case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
             return Left("unsupported") // progressive/arithmetic/lossless
-          case 0xdd => return Left("unsupported") // DRI (restart intervals)
+          case 0xdd => // DRI: MCUs between restart markers (0 disables)
+            if (dataEnd - dataStart < 2) return Left("truncated")
+            restartInterval = be16(dataStart)
           case 0xda => // SOS: decode the scan, then we are done
             if (!sawFrame) return Left("no_frame")
             val ns = bytes(dataStart) & 0xff
@@ -246,7 +250,8 @@ object JpegCodec {
               c += 1
             }
             return decodeScan(bytes, dataEnd, width, height, nComp,
-              compDc, compAc, compQ.map(quant), compH, compV)
+              compDc, compAc, compQ.map(quant), compH, compV,
+              restartInterval)
           case _ => () // APPn / COM / other: skip
         }
         pos = p + 1 + segLen
@@ -262,7 +267,7 @@ object JpegCodec {
   private def decodeScan(bytes: Array[Byte], start: Int, width: Int,
       height: Int, nComp: Int, dcT: Array[HuffTable], acT: Array[HuffTable],
       qT: Array[Array[Int]], compH: Array[Int],
-      compV: Array[Int]): Either[String, Image] = {
+      compV: Array[Int], restartInterval: Int): Either[String, Image] = {
     var bitBuf = 0L; var bitCnt = 0; var p = start; var hitEoi = false
 
     def fill(): Boolean = {
@@ -326,6 +331,8 @@ object JpegCodec {
       planeW(c) * mcuRows * compV(c) * 8))
     val pred = new Array[Int](nComp)
     val coef = new Array[Int](64)
+    var mcuCount = 0
+    var rstExpect = 0
 
     var my = 0
     while (my < mcuRows) {
@@ -411,6 +418,23 @@ object JpegCodec {
           }
           c += 1
         }
+        // §E.2.4 restart processing: after every restartInterval MCUs
+        // (except the final one), the stream byte-aligns and carries an
+        // RSTm marker with m cycling 0..7; DC predictions reset. Any
+        // bits still buffered here are exactly the 1-bit padding before
+        // the marker (fill() never buffers past a marker), so they drop.
+        mcuCount += 1
+        if (restartInterval > 0 && mcuCount % restartInterval == 0 &&
+          !(my == mcuRows - 1 && mx == mcuCols - 1)) {
+          bitBuf = 0L; bitCnt = 0; hitEoi = false
+          if (p + 1 >= bytes.length) return Left("truncated")
+          val m1 = bytes(p) & 0xff; val m2 = bytes(p + 1) & 0xff
+          if (m1 != 0xff || (m2 & 0xf8) != 0xd0 || (m2 & 0x07) != rstExpect)
+            return Left("bad_restart")
+          p += 2
+          rstExpect = (rstExpect + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+        }
         mx += 1
       }
       my += 1
@@ -470,6 +494,13 @@ object JpegCodec {
     def finish(): Array[Byte] = {
       if (bitCnt > 0) { val pad = 8 - bitCnt; putBits((1 << pad) - 1, pad) }
       buf.toByteArray
+    }
+    /** §F.1.2.3 restart: pad to byte boundary with 1-bits (stuffing
+      * applies if the pad byte lands on 0xFF), then the RSTm marker
+      * raw — markers are never byte-stuffed. */
+    def restartMarker(m: Int): Unit = {
+      if (bitCnt > 0) { val pad = 8 - bitCnt; putBits((1 << pad) - 1, pad) }
+      buf.write(0xff); buf.write(0xd0 + m)
     }
   }
 
@@ -560,7 +591,7 @@ object JpegCodec {
   /** SOI + DQT + SOF0 (per-component sampling factors) + DHT + SOS +
     * scan + EOI. */
   private def container(width: Int, height: Int, hvs: Seq[Int],
-      scan: Array[Byte]): Array[Byte] = {
+      scan: Array[Byte], driInterval: Int = 0): Array[Byte] = {
     val nComp = hvs.length
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -591,6 +622,9 @@ object JpegCodec {
     sos.write(nComp)
     for (c <- 0 until nComp) { sos.write(c + 1); sos.write(0x00) }
     sos.write(0); sos.write(63); sos.write(0) // spectral selection (baseline)
+    if (driInterval > 0)
+      seg(0xdd, Array(((driInterval >> 8) & 0xff).toByte,
+        (driInterval & 0xff).toByte))
     seg(0xda, sos.toByteArray)
     out.write(scan)
     marker(0xd9) // EOI
@@ -602,9 +636,18 @@ object JpegCodec {
     * length canonical Huffman tables carried in DHT. Dims need not be
     * block-aligned (edge replication pads the last blocks). */
   def encode(width: Int, height: Int, channels: Int,
-      pixels: Array[Byte]): Array[Byte] = {
+      pixels: Array[Byte]): Array[Byte] =
+    encode(width, height, channels, pixels, restartInterval = 0)
+
+  /** As [[encode]], with a DRI restart interval: after every
+    * `restartInterval` MCUs the scan byte-aligns, emits RSTm (m
+    * cycling 0..7), and DC predictions reset — the layout real camera
+    * streams use for error resilience. 0 disables. */
+  def encode(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte], restartInterval: Int): Array[Byte] = {
     require(channels == 1 || channels == 3, s"channels=$channels")
     require(pixels.length == width * height * channels)
+    require(restartInterval >= 0)
     val nComp = channels
     val bw = (width + 7) / 8
     val bh = (height + 7) / 8
@@ -633,6 +676,8 @@ object JpegCodec {
     val acCodes = codesOf(EncAcBits, EncAcVals)
     val writer = new BitWriter
     val pred = new Array[Int](nComp)
+    var mcuCount = 0
+    var rstNext = 0
     var by = 0
     while (by < bh) {
       var bx = 0
@@ -643,11 +688,20 @@ object JpegCodec {
             writer, dcCodes, acCodes)
           c += 1
         }
+        // 4:4:4 MCU = one block per component → MCU index = by·bw + bx
+        mcuCount += 1
+        if (restartInterval > 0 && mcuCount % restartInterval == 0 &&
+          mcuCount < bw * bh) {
+          writer.restartMarker(rstNext)
+          rstNext = (rstNext + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+        }
         bx += 1
       }
       by += 1
     }
-    container(width, height, Seq.fill(nComp)(0x11), writer.finish())
+    container(width, height, Seq.fill(nComp)(0x11), writer.finish(),
+      restartInterval)
   }
 
   /** Valid 4:2:0 baseline JPEG from RGB samples — the dominant real-

@@ -515,6 +515,29 @@ object Multimodal {
     JpegCodec.encode(w, h, 1, px)
   }
 
+  /** [[syntheticJpeg]]'s exact pixel arithmetic, encoded WITH DRI
+    * restart intervals (1–3 MCUs between RSTm markers — the
+    * error-resilience layout real camera streams emit). Decoded pixels
+    * are identical to the plain baseline, so the multimodal_jpeg oracle
+    * applies verbatim — what changes is that the scan crosses RSTm
+    * byte-alignment and DC-predictor resets on both sides. */
+  def syntheticJpegDri(docId: Long): Array[Byte] = {
+    val w = 8 * (1 + docId % 3).toInt
+    val h = 8 * (1 + docId % 2).toInt
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) =
+          ((((x / 8) * 29 + (y / 8) * 41 + docId * 13) % 256) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    JpegCodec.encode(w, h, 1, px, restartInterval = 1 + (docId % 3).toInt)
+  }
+
   /** Deterministic REAL 4:2:0 JPEG from CONSTANT 16×16 macroblocks with
     * colours kept inside [16, 240) so no clamp engages: the chroma 2×2
     * average of equal values is exact and replication upsampling is

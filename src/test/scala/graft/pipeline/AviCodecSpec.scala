@@ -50,6 +50,13 @@ class AviCodecSpec extends SparkSpec {
     assert(imgs.length == 2)
     for (f <- 0 until 2)
       assert(imgs(f).pixels.toSeq == pixels(f).toSeq, s"frame $f pixels")
+    // camera-style MJPEG: frames carry DRI restart intervals — the
+    // per-frame JPEG path owns RSTm, so the container needs no changes
+    val driAvi = AviCodec.encode(w, h, 33000,
+      pixels.map(JpegCodec.encode(w, h, 1, _, restartInterval = 1)))
+    val driImgs = AviCodec.decodeFrames(driAvi).getOrElse(fail("DRI frames"))
+    for (f <- 0 until 2)
+      assert(driImgs(f).pixels.toSeq == pixels(f).toSeq, s"DRI frame $f")
   }
 
   test("named refusals fire at their classification points") {

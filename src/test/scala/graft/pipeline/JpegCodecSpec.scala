@@ -179,6 +179,47 @@ class JpegCodecSpec extends SparkSpec {
       "unsupported" -> 10L, "truncated" -> 10L))
   }
 
+  test("DRI restart intervals: encode+decode roundtrip, markers verified") {
+    // DC-constant blocks stay exact through restarts: the DC predictor
+    // resets at each RSTm on BOTH sides, so a predictor-reset slip on
+    // either side shifts every later block's value
+    val (bw, bh) = (4, 3) // 12 MCUs
+    val px = constBlocks(bw, bh, (bx, by) => (bx * 29 + by * 41 + 13) % 256)
+    for (ri <- Seq(1, 2, 5, 11, 12, 99)) {
+      val bytes = JpegCodec.encode(bw * 8, bh * 8, 1, px, restartInterval = ri)
+      val img = JpegCodec.decode(bytes)
+        .getOrElse(fail(s"decode failed at ri=$ri"))
+      assert(img.pixels.toSeq == px.toSeq, s"ri=$ri")
+    }
+    // interval ≥ MCU count → DRI header but no RSTm in the scan
+    val noRst = JpegCodec.encode(bw * 8, bh * 8, 1, px, restartInterval = 12)
+    assert(!noRst.sliding(2).exists(p => (p(0) & 0xff) == 0xff &&
+      ((p(1) & 0xff) & 0xf8) == 0xd0 && (p(1) & 0xff) != 0xd8))
+    // ri=1 emits RST0..RST7 cycling then RST0,RST1,RST2 (11 boundaries)
+    val bytes1 = JpegCodec.encode(bw * 8, bh * 8, 1, px, restartInterval = 1)
+    val rsts = bytes1.sliding(2).collect {
+      case Array(a, b) if (a & 0xff) == 0xff &&
+        ((b & 0xff) & 0xf8) == 0xd0 && (b & 0xff) != 0xd8 => (b & 0x07)
+    }.toSeq
+    assert(rsts == (0 until 11).map(_ % 8))
+    // RGB and full-AC content also survive restarts (envelope check)
+    val rng = new scala.util.Random(41)
+    val noisy = Array.fill(24 * 16 * 3)(rng.nextInt(256).toByte)
+    val nImg = JpegCodec.decode(
+      JpegCodec.encode(24, 16, 3, noisy, restartInterval = 2)).get
+    var worst = 0
+    for (i <- noisy.indices)
+      worst = math.max(worst, math.abs((nImg.pixels(i) & 0xff) - (noisy(i) & 0xff)))
+    assert(worst <= 64, s"worst DRI roundtrip error $worst")
+    // a corrupted restart marker refuses with bad_restart: patch the
+    // first RSTm's low nibble out of sequence
+    val b2 = JpegCodec.encode(bw * 8, bh * 8, 1, px, restartInterval = 1)
+    val iRst = b2.indices.drop(2).find(i => (b2(i) & 0xff) == 0xff &&
+      (b2(i + 1) & 0xff) == 0xd0).get
+    val badSeq = b2.clone(); badSeq(iRst + 1) = 0xd5.toByte
+    assert(JpegCodec.decodeEx(badSeq) == Left("bad_restart"))
+  }
+
   test("multimodal_jpeg pass: decodeJpegPixels means + moment match the generator") {
     import spark.implicits._
     val media = Seq(5L, 6L, 7L).map(id => (id, Multimodal.syntheticJpeg(id)))
