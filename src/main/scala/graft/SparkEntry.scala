@@ -606,6 +606,32 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // Range (interval) join: clicks/views landing inside the hour after
+    // a same-user purchase — the attribution join. Bucketed formulation
+    // (pipeline.RangeJoin): bin the time axis at the interval width,
+    // explode intervals to covered bins (≤2 here), equi-join on
+    // (user, bin), exact BETWEEN residual — work ∝ matches, not per-key
+    // cross products. Oracle states the naive BETWEEN theta join; the
+    // hash match certifies the bucketing is lossless
+    "events_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourUs = 3600L * 1000000L
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + hourUs).as("hi"))
+      val points = ev.where(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("pt"))
+      graft.pipeline.RangeJoin.pointInInterval(points, purchases,
+          on = Seq("user_id"), pointCol = "pt", loCol = "lo", hiCol = "hi",
+          binWidth = hourUs)
+        .select(col("range.purchase_id").as("purchase_id"), col("event_id"),
+          col("user_id"), col("event_type"),
+          (col("pt") - col("range.lo")).as("delta_us"))
+        .orderBy("purchase_id", "event_id")
+    }),
+
     // V5: RQ assignments partition the corpus (oracle replays the greedy
     // argmin with trained centroid literals inlined — see rqOracles)
     "rq_assign" -> ((s, dir) =>
@@ -1522,6 +1548,35 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Multimodal: scene-cut detection over REAL decoded video — per-frame
+    // grey means through a lag window per video; cut where the
+    // consecutive-frame mean moves more than 100 grey-units. The decode
+    // is the codec pass already certified by multimodal_video_frames;
+    // the oracle replays the temporal lag + threshold on the generation
+    // arithmetic, so the declarative scene logic is what's checked
+    "multimodal_video_scenes" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticAvi(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("video/avi").as("media_type"))
+      Multimodal.sceneCuts(media, thresholdMicro = 100000000L)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Multimodal: short-time spectrogram over REAL decoded audio — the
+    // WAV corpus framed at nFft=32/hop=16 through the radix-2 FFT, one
+    // row per (doc, frame) with DC / dominant-bin features. The oracle
+    // replays a per-frame O(N²) DFT from the generation arithmetic —
+    // any slip in the framing offsets, zero-padding, or FFT hash-fails
+    "multimodal_spectrogram" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticWav(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("audio/wav").as("media_type"))
+      Multimodal.spectrogram(media, nFft = 32, hop = 16)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Multimodal: video drop accounting — non-AVI / wrong-codec /
     // truncated containers and undecodable frames counted by named
     // reason next to the decodable rows
@@ -2324,6 +2379,17 @@ object SparkEntry {
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    "events_range_join" ->
+      """SELECT r.event_id AS purchase_id, l.event_id, l.user_id,
+        |  l.event_type, epoch_us(l.ts) - epoch_us(r.ts) AS delta_us
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.event_type = 'purchase'
+        | AND l.event_type IN ('click', 'view')
+        | AND epoch_us(l.ts) >= epoch_us(r.ts)
+        | AND epoch_us(l.ts) <= epoch_us(r.ts) + 3600000000
+        |ORDER BY purchase_id, l.event_id""".stripMargin,
+
     "v1_hash_embed" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
         |           FROM documents WHERE doc_id < 100),
@@ -2744,6 +2810,63 @@ object SparkEntry {
         |FROM px
         |GROUP BY doc_id, frame_idx, width, height, usec_per_frame
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_video_scenes" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+        |    CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+        |    CAST(1 + doc_id % 3 AS INT) AS n_frames
+        |  FROM documents),
+        |f AS (SELECT d.*, fr.f AS frame_idx FROM d
+        |      JOIN (SELECT unnest(range(0, 3)) AS f) fr ON fr.f < d.n_frames),
+        |px AS (SELECT f.doc_id, f.frame_idx,
+        |         CAST(((x.x // 8) * 29 + (y.y // 8) * 41 + f.doc_id * 13
+        |               + f.frame_idx * 57) % 256 AS DOUBLE) AS v
+        |       FROM f
+        |       JOIN (SELECT unnest(range(0, 24)) AS x) x ON x.x < f.width
+        |       JOIN (SELECT unnest(range(0, 16)) AS y) y ON y.y < f.height),
+        |m AS (SELECT doc_id, frame_idx,
+        |        CAST(floor(avg(v) * 1000000 + 0.5) AS BIGINT) AS mean_micro
+        |      FROM px GROUP BY doc_id, frame_idx),
+        |sc AS (SELECT doc_id, frame_idx, mean_micro,
+        |         abs(mean_micro - lag(mean_micro) OVER
+        |           (PARTITION BY doc_id ORDER BY frame_idx)) AS score_micro
+        |       FROM m)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, mean_micro,
+        |  score_micro, coalesce(score_micro > 100000000, TRUE) AS is_cut
+        |FROM sc ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_spectrogram" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits,
+        |    CAST(40 + doc_id % 60 AS INT) AS n
+        |  FROM documents),
+        |w AS (SELECT d.*, f.f AS frame_idx FROM d
+        |      JOIN (SELECT unnest(range(0, 7)) AS f) f ON f.f * 16 < d.n),
+        |s AS (SELECT w.doc_id, w.frame_idx, j.j AS j,
+        |        CASE WHEN w.bits = 8
+        |          THEN ((w.frame_idx * 16 + j.j) * 17 + w.doc_id * 13) % 241 - 120
+        |          ELSE ((w.frame_idx * 16 + j.j) * 131 + w.doc_id * 11) % 16001 - 8000
+        |        END AS v
+        |      FROM w JOIN (SELECT unnest(range(0, 32)) AS j) j
+        |        ON w.frame_idx * 16 + j.j < w.n),
+        |b AS (SELECT s.doc_id, s.frame_idx, k.k AS k,
+        |        sqrt(pow(sum(s.v * cos(2 * pi() * k.k * s.j / 32)), 2) +
+        |             pow(sum(s.v * sin(2 * pi() * k.k * s.j / 32)), 2)) AS mag
+        |      FROM s JOIN (SELECT unnest(range(0, 17)) AS k) k ON TRUE
+        |      GROUP BY s.doc_id, s.frame_idx, k.k),
+        |dc AS (SELECT doc_id, frame_idx, CAST(floor(mag + 0.5) AS BIGINT) AS dc_mag
+        |       FROM b WHERE k = 0),
+        |dom AS (SELECT doc_id, frame_idx, k, CAST(floor(mag + 0.5) AS BIGINT) AS rmag,
+        |          row_number() OVER (PARTITION BY doc_id, frame_idx
+        |            ORDER BY CAST(floor(mag + 0.5) AS BIGINT) DESC, k ASC) AS rn
+        |        FROM b WHERE k >= 1)
+        |SELECT dc.doc_id, CAST(dc.frame_idx AS INT) AS frame_idx,
+        |  CAST(32 AS INT) AS n_fft, dc.dc_mag,
+        |  CAST(dom.k AS INT) AS dom_bin, dom.rmag AS dom_mag
+        |FROM dc JOIN dom ON dc.doc_id = dom.doc_id
+        |  AND dc.frame_idx = dom.frame_idx AND dom.rn = 1
+        |ORDER BY dc.doc_id, frame_idx""".stripMargin,
 
     "multimodal_video_skips" ->
       """SELECT CASE doc_id % 5 WHEN 0 THEN 'ok' WHEN 1 THEN 'not_avi'

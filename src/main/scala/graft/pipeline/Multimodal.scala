@@ -306,6 +306,46 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Short-time spectrogram — REAL decode + REAL DSP, framed: channel 0
+    * of the [[WavCodec]]-decoded waveform is cut into `nFft`-sample
+    * analysis windows every `hop` samples (rectangular window, final
+    * frames zero-padded), each through [[Dsp]]'s radix-2 FFT; one output
+    * row per (doc, frame) with the frame's DC magnitude, dominant non-DC
+    * bin and its magnitude — the time-frequency feature grid an audio
+    * dedup/quality stage consumes. Same rounding contract as
+    * [[spectralFeatures]]: magnitudes round to whole units before any
+    * comparison-bearing use, so the SQL oracle's per-frame O(N²) DFT
+    * lands on identical integers. Frames of one doc stay inside the
+    * mapPartitions pass — no shuffle to explode audio into frames. */
+  def spectrogram(media: DataFrame, nFft: Int, hop: Int): DataFrame = {
+    require(hop > 0 && nFft > 0, s"nFft=$nFft hop=$hop")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_fft", IntegerType, nullable = false),
+      StructField("dc_mag", LongType, nullable = false),
+      StructField("dom_bin", IntegerType, nullable = false),
+      StructField("dom_mag", LongType, nullable = false)))
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        WavCodec.decode(r.getAs[Array[Byte]](1)).toSeq.flatMap { audio =>
+          val ch = audio.channels
+          val mono = Array.tabulate(audio.frames)(i => audio.samples(i * ch))
+          val nWin = (mono.length + hop - 1) / hop
+          (0 until nWin).map { f =>
+            val win = mono.slice(f * hop, math.min(f * hop + nFft, mono.length))
+            val mags = Dsp.magnitudeSpectrum(win, nFft)
+            val rounded = mags.map(m => math.floor(m + 0.5).toLong)
+            val best = Dsp.dominantBin(rounded)
+            Row(r.getLong(0), f, nFft, rounded(0), best, rounded(best))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** VIDEO-shaped decode — REAL animated-GIF frame extraction:
     * [[GifCodec.decode]] walks the GIF89a block stream and LZW-decodes
     * every frame in pure JVM; each payload explodes into one row per
@@ -920,6 +960,28 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Scene-cut detection over REAL decoded video: per-frame grey means
+    * from [[decodeVideoFrames]], consecutive-frame absolute mean
+    * difference as the change score, cut where the score clears
+    * `thresholdMicro` (micro grey-units). The decode is the per-partition
+    * codec pass; the temporal logic is deliberately DECLARATIVE — a
+    * `lag` window per video — so Catalyst owns it and the only shuffle
+    * is the per-video window partition (frames of one video are few;
+    * the key is `doc_id`, so skew is bounded by the longest single
+    * video, not by corpus size). Frame 0 of each video starts a scene
+    * by definition (`is_cut` true, score null). Downstream keyframe
+    * sampling = `where(is_cut)`. */
+  def sceneCuts(media: DataFrame, thresholdMicro: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    decodeVideoFrames(media)
+      .withColumn("score_micro",
+        abs(col("mean_micro") - lag(col("mean_micro"), 1).over(w)))
+      .withColumn("is_cut",
+        coalesce(col("score_micro") > thresholdMicro, lit(true)))
+      .select("doc_id", "frame_idx", "mean_micro", "score_micro", "is_cut")
   }
 
   /** Video twin of [[pixelDecodeStats]]: [[AviCodec.decodeFrames]]
