@@ -632,6 +632,57 @@ object SparkEntry {
         .orderBy("purchase_id", "event_id")
     }),
 
+    // Interval×interval overlap join: purchase follow-up hours crossed
+    // with same-user error half-hours. The bucketed scheme emits each
+    // pair only in its canonical bin (the overlap's start) — no dedup
+    // shuffle; the oracle is the naive overlap theta join
+    "events_overlap_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hourUs = 3600L * 1000000L
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_lo"),
+          (unix_micros(col("ts")) + hourUs).as("p_hi"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          unix_micros(col("ts")).as("e_lo"),
+          (unix_micros(col("ts")) + hourUs / 2).as("e_hi"))
+      graft.pipeline.RangeJoin.intervalOverlap(purchases, errors,
+          on = Seq("user_id"), lLoCol = "p_lo", lHiCol = "p_hi",
+          rLoCol = "e_lo", rHiCol = "e_hi", binWidth = hourUs)
+        .select(col("purchase_id"), col("range.error_id").as("error_id"),
+          col("user_id"),
+          (least(col("p_hi"), col("range.e_hi")) -
+            greatest(col("p_lo"), col("range.e_lo"))).as("overlap_us"))
+        .orderBy("purchase_id", "error_id")
+    }),
+
+    // Per-key running EWMA (the batch form of online EMA-stats
+    // maintenance, A4 family): inherently sequential recurrence as a
+    // per-key sorted fold — one shuffle, O(1) state per key. The oracle
+    // replays the identical Double fold with DuckDB list_reduce, so the
+    // hash certifies order and arithmetic bit-for-bit
+    "events_ewma" -> ((s, dir) =>
+      graft.pipeline.TimeSeries.ewma(t(s, dir, "events"),
+          keyCol = "user_id", orderCol = "ts", tieCol = "event_id",
+          valueCol = "value", alpha = 0.25)
+        .orderBy("key", "tie")),
+
+    // Ordered funnel: signup → view → click → purchase per user, each
+    // step's earliest event at-or-after the previous step's time; a
+    // chain of per-key MIN aggregates, never a per-key event blowup
+    "events_funnel" -> ((s, dir) =>
+      graft.pipeline.TimeSeries.funnel(t(s, dir, "events"),
+          keyCol = "user_id", timeCol = "ts", stepCol = "event_type",
+          steps = Seq("signup", "view", "click", "purchase"))
+        .select(col("user_id"),
+          date_format(col("step1_ts"), "yyyy-MM-dd HH:mm:ss").as("step1_ts"),
+          date_format(col("step2_ts"), "yyyy-MM-dd HH:mm:ss").as("step2_ts"),
+          date_format(col("step3_ts"), "yyyy-MM-dd HH:mm:ss").as("step3_ts"),
+          date_format(col("step4_ts"), "yyyy-MM-dd HH:mm:ss").as("step4_ts"),
+          col("steps_completed"))
+        .orderBy("user_id")),
+
     // V5: RQ assignments partition the corpus (oracle replays the greedy
     // argmin with trained centroid literals inlined — see rqOracles)
     "rq_assign" -> ((s, dir) =>
@@ -2389,6 +2440,54 @@ object SparkEntry {
         | AND epoch_us(l.ts) >= epoch_us(r.ts)
         | AND epoch_us(l.ts) <= epoch_us(r.ts) + 3600000000
         |ORDER BY purchase_id, l.event_id""".stripMargin,
+
+    "events_overlap_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+        |  p.user_id,
+        |  least(epoch_us(p.ts) + 3600000000, epoch_us(e.ts) + 1800000000) -
+        |    greatest(epoch_us(p.ts), epoch_us(e.ts)) AS overlap_us
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND epoch_us(p.ts) <= epoch_us(e.ts) + 1800000000
+        | AND epoch_us(e.ts) <= epoch_us(p.ts) + 3600000000
+        |ORDER BY purchase_id, error_id""".stripMargin,
+
+    "events_ewma" ->
+      """WITH w AS (SELECT user_id, event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS vs
+        |  FROM events)
+        |SELECT user_id AS key, event_id AS tie,
+        |  CAST(floor(list_reduce(vs,
+        |    (acc, x) -> 0.25e0 * x + 0.75e0 * acc) * 1000000 + 0.5) AS BIGINT)
+        |    AS ewma_micro
+        |FROM w ORDER BY key, tie""".stripMargin,
+
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT s1.user_id, s1.t1, min(e.ts) AS t2 FROM s1
+        |       LEFT JOIN events e ON e.user_id = s1.user_id
+        |         AND e.event_type = 'view' AND e.ts >= s1.t1
+        |       GROUP BY s1.user_id, s1.t1),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3 FROM s2
+        |       LEFT JOIN events e ON e.user_id = s2.user_id
+        |         AND e.event_type = 'click' AND e.ts >= s2.t2
+        |       GROUP BY s2.user_id, s2.t1, s2.t2),
+        |s4 AS (SELECT s3.user_id, s3.t1, s3.t2, s3.t3, min(e.ts) AS t4 FROM s3
+        |       LEFT JOIN events e ON e.user_id = s3.user_id
+        |         AND e.event_type = 'purchase' AND e.ts >= s3.t3
+        |       GROUP BY s3.user_id, s3.t1, s3.t2, s3.t3)
+        |SELECT user_id,
+        |  strftime(t1, '%Y-%m-%d %H:%M:%S') AS step1_ts,
+        |  strftime(t2, '%Y-%m-%d %H:%M:%S') AS step2_ts,
+        |  strftime(t3, '%Y-%m-%d %H:%M:%S') AS step3_ts,
+        |  strftime(t4, '%Y-%m-%d %H:%M:%S') AS step4_ts,
+        |  CAST((t1 IS NOT NULL) AS INT) + CAST((t2 IS NOT NULL) AS INT) +
+        |    CAST((t3 IS NOT NULL) AS INT) + CAST((t4 IS NOT NULL) AS INT)
+        |    AS steps_completed
+        |FROM s4 ORDER BY user_id""".stripMargin,
 
     "v1_hash_embed" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

@@ -75,4 +75,44 @@ object RangeJoin {
       .drop("__bin", "__lo", "__hi")
       .withColumnRenamed("__r", "range")
   }
+
+  /** Interval × interval OVERLAP join: left `[lLo, lHi]` rows matched to
+    * right `[rLo, rHi]` rows with `lLo <= rHi && rLo <= lHi`, equi on
+    * `on`. Same bucketed scheme, with the duplicate problem intervals
+    * introduce (a pair shares every bin both cover) solved WITHOUT a
+    * dedup shuffle: a pair is emitted only in its canonical bin — the
+    * bin of `greatest(lLo, rLo)`, the overlap's start, which both sides
+    * cover by definition. Output: left columns + the right row as a
+    * `range` struct.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, on: Seq[String],
+      lLoCol: String, lHiCol: String, rLoCol: String, rHiCol: String,
+      binWidth: Long, maxBinsPerInterval: Int = 10000): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth")
+    require(maxBinsPerInterval > 0, s"maxBinsPerInterval=$maxBinsPerInterval")
+
+    def bin(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / binWidth).cast("long")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val guard = bin(col(hi)) - bin(col(lo)) < maxBinsPerInterval
+      df.where(col(hi) >= col(lo))
+        .withColumn("__bin",
+          explode(when(guard, sequence(bin(col(lo)), bin(col(hi))))
+            .otherwise(raise_error(concat(
+              lit(s"RangeJoin: interval wider than $maxBinsPerInterval bins of $binWidth at key "),
+              concat_ws(",", on.map(col): _*))).cast("array<long>"))))
+    }
+
+    val rPayload = struct(right.columns.map(col): _*)
+    val rBinned = binned(right, rLoCol, rHiCol)
+      .select(on.map(col) ++ Seq(col("__bin"),
+        col(rLoCol).as("__rlo"), col(rHiCol).as("__rhi"),
+        rPayload.as("__r")): _*)
+    binned(left, lLoCol, lHiCol)
+      .join(rBinned, on :+ "__bin", "inner")
+      .where(col(lLoCol) <= col("__rhi") && col("__rlo") <= col(lHiCol) &&
+        col("__bin") === bin(greatest(col(lLoCol), col("__rlo"))))
+      .drop("__bin", "__rlo", "__rhi")
+      .withColumnRenamed("__r", "range")
+  }
 }
