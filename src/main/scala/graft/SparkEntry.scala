@@ -683,6 +683,58 @@ object SparkEntry {
           col("steps_completed"))
         .orderBy("user_id")),
 
+    // Mergeable-sketch family (Sketches): the 100 TB pre-aggregation
+    // pattern — scan once, keep a tiny sketch per grain, merge sketches
+    // instead of re-reading raw data. Everything integer-deterministic
+    // (md5-prefix hash + trailing-zero ranks), so plain SQL replays the
+    // whole sketch pipeline and the hash match certifies it.
+
+    // Per-source HLL registers over document tokens
+    "sketch_hll_registers" -> ((s, dir) =>
+      graft.pipeline.Sketches.hllRegisters(
+          t(s, dir, "documents").select(col("source"),
+            explode(graft.pipeline.Dedup.tokens(col("text"))).as("token")),
+          keyCol = "token", groupCols = Seq("source"), m = 64)
+        .orderBy("source", "bucket")),
+
+    // Per-source estimates + the mergeability certificate: the global
+    // estimate from MERGED per-source registers (max per bucket) must
+    // equal the estimate from directly-built global registers
+    "sketch_hll_merge" -> ((s, dir) => {
+      val items = t(s, dir, "documents").select(col("source"),
+        explode(graft.pipeline.Dedup.tokens(col("text"))).as("token"))
+      val perSrc = graft.pipeline.Sketches.hllRegisters(
+        items, "token", Seq("source"), m = 64)
+      val ests = graft.pipeline.Sketches.hllEstimate(
+        perSrc, Seq("source"), m = 64, alphaM = 0.709)
+      val merged = graft.pipeline.Sketches.hllEstimate(
+        graft.pipeline.Sketches.hllMerge(perSrc, Seq("bucket")),
+        Seq.empty, m = 64, alphaM = 0.709)
+        .select(lit("__merged__").as("source"), col("est_micro"))
+      val direct = graft.pipeline.Sketches.hllEstimate(
+        graft.pipeline.Sketches.hllRegisters(items, "token", Seq.empty, m = 64),
+        Seq.empty, m = 64, alphaM = 0.709)
+        .select(lit("__direct__").as("source"), col("est_micro"))
+      ests.unionByName(merged).unionByName(direct).orderBy("source")
+    }),
+
+    // Count-min heavy hitters: CMS estimates next to exact counts for
+    // the top-20 tokens (estimate ≥ exact by construction; the oracle
+    // replays counters and lookups, certifying the salt-hash rows)
+    "sketch_cms_topk" -> ((s, dir) => {
+      val items = t(s, dir, "documents")
+        .select(explode(graft.pipeline.Dedup.tokens(col("text"))).as("token"))
+      val counters = graft.pipeline.Sketches.cmsCounters(
+        items, "token", depth = 4, width = 256)
+      val top = items.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token").asc).limit(20)
+      graft.pipeline.Sketches.cmsLookup(counters, top, "token",
+          depth = 4, width = 256)
+        .join(top, Seq("token"))
+        .select(col("token"), col("exact_n"), col("cms_n"))
+        .orderBy("token")
+    }),
+
     // V5: RQ assignments partition the corpus (oracle replays the greedy
     // argmin with trained centroid literals inlined — see rqOracles)
     "rq_assign" -> ((s, dir) =>
@@ -2488,6 +2540,84 @@ object SparkEntry {
         |    CAST((t3 IS NOT NULL) AS INT) + CAST((t4 IS NOT NULL) AS INT)
         |    AS steps_completed
         |FROM s4 ORDER BY user_id""".stripMargin,
+
+    "sketch_hll_registers" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |h AS (SELECT source,
+        |        CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+        |      FROM toks),
+        |r AS (SELECT source, h % 64 AS bucket,
+        |        CASE WHEN h // 64 = 0 THEN 27
+        |          ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1 END AS rk
+        |      FROM h)
+        |SELECT source, bucket, CAST(max(rk) AS BIGINT) AS register
+        |FROM r GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+
+    "sketch_hll_merge" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |h AS (SELECT source,
+        |        CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+        |      FROM toks),
+        |r AS (SELECT source, h % 64 AS bucket,
+        |        CASE WHEN h // 64 = 0 THEN 27
+        |          ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1 END AS rk
+        |      FROM h),
+        |reg AS (SELECT source, bucket, max(rk) AS register
+        |        FROM r GROUP BY source, bucket),
+        |ez AS (SELECT source,
+        |         sum(pow(2.0e0, -register)) + (64 - count(*)) * 1.0e0 AS z,
+        |         64 - count(*) AS v
+        |       FROM reg GROUP BY source),
+        |est AS (SELECT source, CAST(floor(
+        |          CASE WHEN 0.709e0 * 64 * 64 / z <= 160.0e0 AND v > 0
+        |            THEN 64.0e0 * ln(64.0e0 / v)
+        |            ELSE 0.709e0 * 64 * 64 / z END * 1000000 + 0.5)
+        |          AS BIGINT) AS est_micro
+        |        FROM ez),
+        |mreg AS (SELECT bucket, max(register) AS register
+        |         FROM reg GROUP BY bucket),
+        |mz AS (SELECT sum(pow(2.0e0, -register)) + (64 - count(*)) * 1.0e0 AS z,
+        |         64 - count(*) AS v FROM mreg),
+        |mest AS (SELECT '__merged__' AS source, CAST(floor(
+        |           CASE WHEN 0.709e0 * 64 * 64 / z <= 160.0e0 AND v > 0
+        |             THEN 64.0e0 * ln(64.0e0 / v)
+        |             ELSE 0.709e0 * 64 * 64 / z END * 1000000 + 0.5)
+        |           AS BIGINT) AS est_micro
+        |         FROM mz),
+        |dreg AS (SELECT bucket, max(rk) AS register FROM r GROUP BY bucket),
+        |dz AS (SELECT sum(pow(2.0e0, -register)) + (64 - count(*)) * 1.0e0 AS z,
+        |         64 - count(*) AS v FROM dreg),
+        |dest AS (SELECT '__direct__' AS source, CAST(floor(
+        |           CASE WHEN 0.709e0 * 64 * 64 / z <= 160.0e0 AND v > 0
+        |             THEN 64.0e0 * ln(64.0e0 / v)
+        |             ELSE 0.709e0 * 64 * 64 / z END * 1000000 + 0.5)
+        |           AS BIGINT) AS est_micro
+        |         FROM dz)
+        |SELECT * FROM est UNION ALL SELECT * FROM mest
+        |UNION ALL SELECT * FROM dest ORDER BY source""".stripMargin,
+
+    "sketch_cms_topk" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
+        |    AS token FROM documents),
+        |cnt AS (SELECT rw.r AS row,
+        |          CAST('0x' || substr(md5(rw.r || ':' || token), 1, 8)
+        |            AS BIGINT) % 256 AS col,
+        |          count(*) AS n
+        |        FROM toks JOIN (SELECT unnest(range(0, 4)) AS r) rw ON TRUE
+        |        GROUP BY 1, 2),
+        |top AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY token
+        |        ORDER BY exact_n DESC, token ASC LIMIT 20),
+        |probe AS (SELECT t.token, t.exact_n, rw.r AS row,
+        |            CAST('0x' || substr(md5(rw.r || ':' || t.token), 1, 8)
+        |              AS BIGINT) % 256 AS col
+        |          FROM top t JOIN (SELECT unnest(range(0, 4)) AS r) rw ON TRUE)
+        |SELECT p.token, p.exact_n, min(coalesce(c.n, 0)) AS cms_n
+        |FROM probe p LEFT JOIN cnt c ON p.row = c.row AND p.col = c.col
+        |GROUP BY p.token, p.exact_n ORDER BY p.token""".stripMargin,
 
     "v1_hash_embed" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

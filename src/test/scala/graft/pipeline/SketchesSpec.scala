@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sketch properties that the SQL oracles cannot state: estimate
+  * accuracy against exact ground truth, the CMS upper-bias invariant,
+  * and shard-merge associativity on arbitrary (non-source) splits.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def items = graft.io.Tables
+    .load(spark, sf("0.001"), "documents")
+    .select(col("doc_id"), col("source"),
+      explode(Dedup.tokens(col("text"))).as("token"))
+
+  test("HLL estimate lands within the expected error band of exact") {
+    // small-range regime: 31 distinct tokens at m=64 → linear counting
+    val exactTokens = items.select("token").distinct().count().toDouble
+    val estTokens = Sketches.hllEstimate(
+        Sketches.hllRegisters(items, "token", Seq.empty, m = 64),
+        Seq.empty, m = 64, alphaM = 0.709)
+      .as[Long].head() / 1e6
+    assert(math.abs(estTokens - exactTokens) / exactTokens < 0.4,
+      s"tokens est=$estTokens exact=$exactTokens")
+    // plain regime: 500 distinct texts at m=64 → raw αm estimator
+    val texts = graft.io.Tables.load(spark, sf("0.001"), "documents")
+      .select(col("text"))
+    val exactTexts = texts.distinct().count().toDouble
+    val estTexts = Sketches.hllEstimate(
+        Sketches.hllRegisters(texts, "text", Seq.empty, m = 64),
+        Seq.empty, m = 64, alphaM = 0.709)
+      .as[Long].head() / 1e6
+    // 1.04/sqrt(64) ≈ 13% rsd; allow 3σ
+    assert(math.abs(estTexts - exactTexts) / exactTexts < 0.4,
+      s"texts est=$estTexts exact=$exactTexts")
+  }
+
+  test("register merge over arbitrary shards == registers of the union") {
+    val shards = (0 until 4).map(i =>
+      Sketches.hllRegisters(items.where(pmod(col("doc_id"), lit(4)) === i),
+        "token", Seq.empty, m = 64))
+    val merged = Sketches.hllMerge(shards.reduce(_ unionByName _), Seq("bucket"))
+      .as[(Long, Long)].collect().toMap
+    val direct = Sketches.hllRegisters(items, "token", Seq.empty, m = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(merged === direct)
+  }
+
+  test("CMS estimates are upper-biased and tight for heavy hitters") {
+    val counters = Sketches.cmsCounters(items, "token", depth = 4, width = 256)
+    val exact = items.groupBy("token").agg(count(lit(1)).as("exact_n"))
+    val vocab = exact.count()
+    val top = exact.orderBy(col("exact_n").desc, col("token")).limit(50)
+    val got = Sketches.cmsLookup(counters, top, "token", depth = 4, width = 256)
+      .join(top, Seq("token"))
+      .select($"token", $"exact_n", $"cms_n")
+      .as[(String, Long, Long)].collect()
+    assert(got.length === math.min(50L, vocab))
+    got.foreach { case (t, ex, cms) =>
+      assert(cms >= ex, s"token=$t CMS must never underestimate")
+    }
+    // total corpus mass / width bounds the expected collision inflation;
+    // heavy hitters should sit well inside 3 rows' worth of noise
+    val mass = items.count()
+    val bound = 3.0 * mass / 256
+    got.foreach { case (t, ex, cms) =>
+      assert(cms - ex <= bound, s"token=$t inflation ${cms - ex} > $bound")
+    }
+  }
+
+  test("CMS counter merge across shards == counters of the union") {
+    val shards = (0 until 3).map(i =>
+      Sketches.cmsCounters(items.where(pmod(col("doc_id"), lit(3)) === i),
+        "token", depth = 4, width = 256))
+    val merged = shards.reduce(_ unionByName _)
+      .groupBy("row", "col").agg(sum("n").as("n"))
+      .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val direct = Sketches.cmsCounters(items, "token", depth = 4, width = 256)
+      .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(merged === direct)
+  }
+}
