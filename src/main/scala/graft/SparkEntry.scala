@@ -735,6 +735,21 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // Iterative graph computation: integer-deterministic PageRank over
+    // the part↔supplier bipartite graph (both directions, so no
+    // danglers). All-Long arithmetic → five distributed rounds equal
+    // five unrolled SQL CTEs bit-for-bit; the hash certifies the
+    // join+agg iteration machinery itself
+    "graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("sk"),
+          col("l_partkey").cast("long").as("pk"))
+      val fwd = li.select((col("sk") + 1000000L).as("src"), col("pk").as("dst"))
+      val rev = li.select(col("pk").as("src"), (col("sk") + 1000000L).as("dst"))
+      graft.pipeline.PageRank.run(fwd.union(rev), "src", "dst", iters = 5)
+        .orderBy("node")
+    }),
+
     // V5: RQ assignments partition the corpus (oracle replays the greedy
     // argmin with trained centroid literals inlined — see rqOracles)
     "rq_assign" -> ((s, dir) =>
@@ -2540,6 +2555,41 @@ object SparkEntry {
         |    CAST((t3 IS NOT NULL) AS INT) + CAST((t4 IS NOT NULL) AS INT)
         |    AS steps_completed
         |FROM s4 ORDER BY user_id""".stripMargin,
+
+    "graph_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
+        |  FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM lineitem),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
+        |        JOIN r0 r ON r.node = ed.src GROUP BY ed.dst),
+        |r1 AS (SELECT n.node, 150000 + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |        FROM nodes n LEFT JOIN c1 c ON c.dst = n.node),
+        |c2 AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
+        |        JOIN r1 r ON r.node = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT n.node, 150000 + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |        FROM nodes n LEFT JOIN c2 c ON c.dst = n.node),
+        |c3 AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
+        |        JOIN r2 r ON r.node = ed.src GROUP BY ed.dst),
+        |r3 AS (SELECT n.node, 150000 + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |        FROM nodes n LEFT JOIN c3 c ON c.dst = n.node),
+        |c4 AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
+        |        JOIN r3 r ON r.node = ed.src GROUP BY ed.dst),
+        |r4 AS (SELECT n.node, 150000 + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |        FROM nodes n LEFT JOIN c4 c ON c.dst = n.node),
+        |c5 AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
+        |        JOIN r4 r ON r.node = ed.src GROUP BY ed.dst),
+        |r5 AS (SELECT n.node, 150000 + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |        FROM nodes n LEFT JOIN c5 c ON c.dst = n.node),
+        |fin AS (SELECT node, rank FROM r5)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_micro
+        |FROM fin ORDER BY node""".stripMargin,
 
     "sketch_hll_registers" ->
       """WITH toks AS (SELECT source,
