@@ -750,6 +750,19 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Fuzzy similarity self-join: edit-distance-1 pairs over the token
+    // + source vocabulary via deletion-neighborhood (SymSpell)
+    // bucketing — candidates from a variant equi-join, exact
+    // levenshtein confirm; never the all-pairs cross join
+    "fuzzy_token_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val strs = docs
+        .select(explode(graft.pipeline.Dedup.tokens(col("text"))).as("s"))
+        .unionByName(docs.select(col("source").as("s")))
+      graft.pipeline.FuzzyJoin.distance1Pairs(strs, "s")
+        .orderBy("t1", "t2")
+    }),
+
     // V5: RQ assignments partition the corpus (oracle replays the greedy
     // argmin with trained centroid literals inlined — see rqOracles)
     "rq_assign" -> ((s, dir) =>
@@ -2590,6 +2603,26 @@ object SparkEntry {
         |fin AS (SELECT node, rank FROM r5)
         |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_micro
         |FROM fin ORDER BY node""".stripMargin,
+
+    "fuzzy_token_pairs" ->
+      """WITH strs AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |  UNION SELECT source FROM documents),
+        |t AS (SELECT DISTINCT tok FROM strs
+        |      WHERE tok IS NOT NULL AND length(tok) BETWEEN 1 AND 40),
+        |v0 AS (SELECT tok, tok AS var FROM t
+        |       UNION
+        |       SELECT tok, substr(tok, 1, i.i - 1) || substr(tok, i.i + 1)
+        |         AS var
+        |       FROM t JOIN (SELECT unnest(range(1, 41)) AS i) i
+        |         ON i.i <= length(tok)),
+        |cold AS (SELECT var FROM v0 GROUP BY var HAVING count(*) <= 1000),
+        |v AS (SELECT v0.tok, v0.var FROM v0 JOIN cold USING (var)),
+        |cand AS (SELECT DISTINCT a.tok AS t1, b.tok AS t2
+        |         FROM v a JOIN v b ON a.var = b.var AND a.tok < b.tok)
+        |SELECT t1, t2 FROM cand WHERE levenshtein(t1, t2) = 1
+        |ORDER BY t1, t2""".stripMargin,
 
     "sketch_hll_registers" ->
       """WITH toks AS (SELECT source,

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deletion-neighborhood fuzzy join: must equal the all-pairs
+  * levenshtein-1 join on a vocabulary small enough to brute-force, and
+  * must keep the bucket guard semantics explicit.
+  */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deletion-neighborhood candidates reproduce the brute-force pairs") {
+    val docs = graft.io.Tables.load(spark, sf("0.001"), "documents")
+    val strs = docs.select(explode(Dedup.tokens(col("text"))).as("s"))
+      .unionByName(docs.select(col("source").as("s")))
+
+    val vocab = strs.select(col("s")).where(length(col("s")) > 0)
+      .distinct().as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture should contain distance-1 pairs")
+
+    val got = FuzzyJoin.distance1Pairs(strs, "s")
+      .as[(String, String)].collect()
+    assert(got.length === got.toSet.size, "no duplicate pairs")
+    assert(got.toSet === expected)
+  }
+
+  test("distance-2 variant collisions are confirmed away, not emitted") {
+    val strs = Seq("ab", "ba", "abc").toDF("s")
+    val got = FuzzyJoin.distance1Pairs(strs, "s")
+      .as[(String, String)].collect().toSet
+    // "ab"/"ba" share deletion variants {a, b} but are distance 2
+    assert(got === Set(("ab", "abc")))
+  }
+
+  test("hot variant buckets are capped, cold pairs survive") {
+    // 30 single chars all share the "" variant (bucket of 30) plus
+    // pairwise substitution variants; with the cap below 30 the ""
+    // bucket is dropped but single-char pairs still meet via identity
+    // variants? They don't — so the cap visibly suppresses them
+    val chars = ('a' to 'z').map(_.toString) ++ Seq("xx", "xy")
+    val all = FuzzyJoin.distance1Pairs(chars.toDF("s"), "s",
+      maxBucket = 1000).as[(String, String)].collect().toSet
+    assert(all.contains(("a", "b")) && all.contains(("xx", "xy")))
+    val capped = FuzzyJoin.distance1Pairs(chars.toDF("s"), "s",
+      maxBucket = 10).as[(String, String)].collect().toSet
+    assert(!capped.contains(("a", "b")),
+      "the empty-string bucket must be capped away")
+    assert(capped.contains(("xx", "xy")), "cold buckets are unaffected")
+  }
+}
