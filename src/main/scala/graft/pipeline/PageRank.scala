@@ -34,16 +34,28 @@ object PageRank {
     // every iteration re-reads the degree-annotated edges and the node
     // list — materialize them ONCE (localCheckpoint truncates lineage;
     // without it iteration i re-runs the distinct+join i times and the
-    // loop goes quadratic in rounds)
+    // loop goes quadratic in rounds), PRE-PARTITIONED on their join
+    // keys: localCheckpoint preserves partitioning, so every round's
+    // contrib join reuses hash(src) and only the nodes-sized ranks side
+    // exchanges — the edge set (the big side; never broadcast it)
+    // shuffles zero times after the build
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").localCheckpoint()
+    val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).localCheckpoint()
     val basePart = (100 - dampingPct) * 10000L
 
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 0 until iters) {
-      val contrib = ed.join(ranks, col("src") === col("node"))
+      // shuffle-hash with RANKS as build side: ranks is nodes-sized (the
+      // small side of any real graph round) while ed is edges-sized —
+      // without the hint the planner broadcasts the checkpointed edge
+      // table, which is exactly the side that cannot be broadcast at
+      // scale; ed's hash(src) partitioning is reused, so the edge set
+      // never re-shuffles across rounds
+      val contrib = ed.join(ranks.hint("shuffle_hash"),
+          col("src") === col("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
       ranks = nodes.join(contrib, col("node") === col("dst"), "left")
