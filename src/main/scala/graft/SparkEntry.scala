@@ -763,6 +763,14 @@ object SparkEntry {
         .orderBy("t1", "t2")
     }),
 
+    // Compression-ratio quality gate (Gopher-family entropy signal) —
+    // deliberately no SQL oracle (a deflate bitstream has no SQL twin):
+    // the driver records the rows-only check; determinism and
+    // monotonicity are spec-pinned in TextAnalysisSpec
+    "text_compress_ratio" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.compressionRatio(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // V5: RQ assignments partition the corpus (oracle replays the greedy
     // argmin with trained centroid literals inlined — see rqOracles)
     "rq_assign" -> ((s, dir) =>

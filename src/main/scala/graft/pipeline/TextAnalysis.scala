@@ -123,6 +123,47 @@ object TextAnalysis {
       regexp_replace(afterIp, PhoneRe, "<PHONE>").as("scrubbed"))
   }
 
+  /** Compression-ratio quality signal (the Gopher-family "entropy"
+    * gate): deflate each document with a fixed level and report
+    * compressed/original size — highly compressible text is boilerplate
+    * or repetition, incompressible text is noise/binary soup; prose
+    * sits in a mid band. Runs as a per-partition pass with ONE reused
+    * Deflater (codec setup amortized across the batch, the same
+    * batch-shape discipline as the media codecs); no shuffle. This is
+    * the one text signal that is deliberately NOT SQL-replayable — the
+    * deflate bitstream has no oracle twin — so it is spec-certified
+    * (determinism, monotonicity on constructed inputs) and the catalog
+    * entry carries a rows-only check.
+    */
+  def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", level: Int = 6): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("orig_len", LongType, nullable = false),
+      StructField("comp_len", LongType, nullable = false),
+      StructField("ratio_micro", LongType, nullable = false)))
+    val rdd = docs.select(col(idCol).cast("long"), col(textCol))
+      .na.drop().rdd.mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var comp = 0L
+          while (!deflater.finished()) comp += deflater.deflate(buf)
+          val orig = math.max(bytes.length.toLong, 1L)
+          Row(r.getLong(0), bytes.length.toLong, comp,
+            comp * 1000000L / orig)
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Corpus vocabulary heavy hitters: top-k tokens by frequency.
     * explode → hash-agg with map-side combine → TakeOrdered (Spark's
     * `orderBy.limit` never sorts the full vocab globally — each partition

@@ -79,4 +79,31 @@ class TextAnalysisSpec extends SparkSpec {
     // cannot depend on how rows are split across tasks
     assert(est(1) == est(13))
   }
+
+  test("compression ratio separates repetition from noise, deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the " * 500),                                   // pure repetition
+      (2L, (0 until 500).map(i =>                           // prose-ish variety
+        s"word${i % 97} term${(i * 7) % 89}").mkString(" ")),
+      (3L, {                                                // entropy soup
+        var x = 88172645463325252L
+        (0 until 2000).map { _ =>
+          x = x * 6364136223846793005L + 1442695040888963407L
+          ((x >>> 59) & 31).toHexString
+        }.mkString("")
+      }))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.compressionRatio(docs)
+      .select($"doc_id", $"ratio_micro").as[(Long, Long)].collect().toMap
+    assert(r(1L) < r(2L) && r(2L) < r(3L),
+      s"repetition ${r(1L)} < prose ${r(2L)} < noise ${r(3L)} expected")
+    // deterministic across partition layouts (one Deflater per partition,
+    // reset per doc — no cross-doc state leaks into the bitstream)
+    val a = TextAnalysis.compressionRatio(docs.repartition(1))
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.compressionRatio(docs.repartition(7))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
