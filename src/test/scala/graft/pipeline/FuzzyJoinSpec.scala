@@ -37,6 +37,31 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("randomized vocabularies: operator == brute force") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc"
+    val vocab = (0 until 120).map { _ =>
+      val len = 1 + rnd.nextInt(5)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(expected.size > 50, s"dense vocab should give many pairs, got ${expected.size}")
+    val got = FuzzyJoin.distance1Pairs(vocab.toDF("s"), "s")
+      .as[(String, String)].collect().toSet
+    assert(got === expected)
+  }
+
   test("distance-2 variant collisions are confirmed away, not emitted") {
     val strs = Seq("ab", "ba", "abc").toDF("s")
     val got = FuzzyJoin.distance1Pairs(strs, "s")

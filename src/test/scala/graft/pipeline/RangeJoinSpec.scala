@@ -75,6 +75,41 @@ class RangeJoinSpec extends SparkSpec {
     assert(ok === 1L)
   }
 
+  test("randomized instances: bucketed == naive in one keyed sweep") {
+    // 40 seeded random instances ride one DataFrame (instance id joins
+    // the equi keys), so the whole sweep is a single pair of Spark jobs
+    val rnd = new scala.util.Random(42)
+    val lefts = for {
+      inst <- 0 until 40; i <- 0 until rnd.nextInt(12)
+    } yield (inst, (inst.toLong << 32) | i, "k" + rnd.nextInt(3),
+      rnd.nextLong() % 1000L)
+    val rights = for {
+      inst <- 0 until 40; j <- 0 until rnd.nextInt(8)
+    } yield {
+      val lo = rnd.nextLong() % 1000L
+      (inst, (inst.toLong << 32) | j, "k" + rnd.nextInt(3),
+        lo, lo + rnd.nextInt(300) - 20) // some empty (hi < lo)
+    }
+    val lDf = lefts.toDF("inst", "event_id", "user_id", "pt")
+    val rDf = rights.toDF("inst", "purchase_id", "user_id", "lo", "hi")
+
+    val expected = lDf.as("l").join(rDf.as("r"),
+        $"l.inst" === $"r.inst" && $"l.user_id" === $"r.user_id" &&
+          $"l.pt" >= $"r.lo" && $"l.pt" <= $"r.hi")
+      .select($"l.event_id", $"r.purchase_id").as[(Long, Long)]
+      .collect().toSet
+    assert(expected.nonEmpty)
+
+    for (bin <- Seq(7L, 64L, 1000L)) {
+      val got = RangeJoin.pointInInterval(lDf, rDf,
+          Seq("inst", "user_id"), "pt", "lo", "hi", binWidth = bin)
+        .select($"event_id", $"range.purchase_id").as[(Long, Long)]
+        .collect()
+      assert(got.length === got.toSet.size, s"bin=$bin duplicates")
+      assert(got.toSet === expected, s"bin=$bin diverged")
+    }
+  }
+
   test("plan shape: equi join on (key, bin), no cartesian") {
     val hourUs = 3600L * 1000000L
     val right = events.where($"event_type" === "purchase")
