@@ -763,6 +763,17 @@ object SparkEntry {
         .orderBy("t1", "t2")
     }),
 
+    // Gaps-and-islands interval coalescing: per-user 30-minute activity
+    // windows merged into coverage islands — two window passes + one
+    // agg on one per-key shuffle
+    "events_interval_merge" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + 1800000000L).as("hi"))
+      graft.pipeline.TimeSeries.mergeIntervals(iv, "user_id", "lo", "hi")
+        .orderBy("user_id", "island")
+    }),
+
     // Compression-ratio quality gate (Gopher-family entropy signal) —
     // deliberately no SQL oracle (a deflate bitstream has no SQL twin):
     // the driver records the rows-only check; determinism and
@@ -2611,6 +2622,23 @@ object SparkEntry {
         |fin AS (SELECT node, rank FROM r5)
         |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_micro
         |FROM fin ORDER BY node""".stripMargin,
+
+    "events_interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,
+        |    epoch_us(ts) + 1800000000 AS hi FROM events),
+        |f AS (SELECT user_id, lo, hi,
+        |        CASE WHEN max(hi) OVER w IS NULL OR lo > max(hi) OVER w
+        |          THEN 1 ELSE 0 END AS newf
+        |      FROM iv WINDOW w AS (PARTITION BY user_id ORDER BY lo, hi
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (SELECT user_id, lo, hi,
+        |        sum(newf) OVER (PARTITION BY user_id ORDER BY lo, hi
+        |          ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM f)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  min(lo) AS lo, max(hi) AS hi, count(*) AS n
+        |FROM s GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
 
     "fuzzy_token_pairs" ->
       """WITH strs AS (

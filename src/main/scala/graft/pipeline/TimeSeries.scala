@@ -69,6 +69,33 @@ object TimeSeries {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Merge overlapping/touching intervals per key into coverage islands
+    * (gaps-and-islands): sort per key by `lo`, flag starts that clear
+    * the running max of `hi` seen so far, cumulative-sum the flags into
+    * island ids, aggregate. Two window passes + one aggregation over
+    * the SAME per-key partitioning — one shuffle total. The building
+    * block under span-dedup trimming, redaction-span coalescing, and
+    * session coverage; intervals touching end-to-end (next.lo ≤ prev.hi)
+    * merge, a gap of ≥1 unit splits. Output: (key, island, lo, hi, n).
+    */
+  def mergeIntervals(intervals: DataFrame, keyCol: String,
+      loCol: String, hiCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(keyCol)
+      .orderBy(col(loCol), col(hiCol))
+    val runningMaxPrev = max(col(hiCol))
+      .over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    intervals
+      .withColumn("__new",
+        when(runningMaxPrev.isNull || col(loCol) > runningMaxPrev, 1)
+          .otherwise(0))
+      .withColumn("island",
+        sum(col("__new")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(loCol)).as("lo"), max(col(hiCol)).as("hi"),
+        count(lit(1)).as("n"))
+  }
+
   /** Ordered funnel: for each key, the earliest time of step 1, then the
     * earliest step-2 event AT OR AFTER it, then the earliest step 3
     * after that, etc. Output one row per key that completed at least

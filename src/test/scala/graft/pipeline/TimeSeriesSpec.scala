@@ -76,6 +76,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.size === usersWithStep1)
   }
 
+  test("interval merge: islands cover exactly the union, gaps split") {
+    // hand case: [0,10],[5,20] merge; [21,30] touches nothing ([20]<[21]
+    // is a gap of 1); [30,30] touches [21,30]
+    val iv = Seq((1L, 0L, 10L), (1L, 5L, 20L), (1L, 21L, 30L),
+      (1L, 30L, 30L), (2L, 0L, 1L)).toDF("user_id", "lo", "hi")
+    val got = TimeSeries.mergeIntervals(iv, "user_id", "lo", "hi")
+      .select($"user_id", $"island", $"lo", $"hi", $"n")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 0L, 20L, 2L), (1L, 2L, 21L, 30L, 2L),
+      (2L, 1L, 0L, 1L, 1L)))
+
+    // randomized: islands from a local sweep-line must match
+    val rnd = new scala.util.Random(11)
+    val rand = for (k <- 0L until 20L; _ <- 0 until rnd.nextInt(30))
+      yield { val lo = rnd.nextInt(200).toLong; (k, lo, lo + rnd.nextInt(20)) }
+    val gotR = TimeSeries.mergeIntervals(rand.toDF("user_id", "lo", "hi"),
+        "user_id", "lo", "hi")
+      .select($"user_id", $"lo", $"hi", $"n")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq).toMap
+    val local = rand.groupBy(_._1).view.mapValues { ivs =>
+      val sorted = ivs.map(i => (i._2, i._3)).sortBy(identity)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      for ((lo, hi) <- sorted) {
+        if (out.nonEmpty && lo <= out.last._2)
+          out(out.length - 1) = (out.last._1, math.max(out.last._2, hi),
+            out.last._3 + 1)
+        else out += ((lo, hi, 1L))
+      }
+      out.toSeq
+    }.toMap
+    assert(gotR === local)
+  }
+
   test("interval overlap equals the naive theta join, once per pair") {
     val hourUs = 3600L * 1000000L
     val p = events.where($"event_type" === "purchase")
