@@ -763,6 +763,15 @@ object SparkEntry {
         .orderBy("t1", "t2")
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // 100 docs drawn ∝ length; rounded ES keys make the selection
+    // itself SQL-replayable
+    "sample_weighted" -> ((s, dir) =>
+      graft.pipeline.Sampling.weightedTopK(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          k = 100, weightCol = "n_chars")
+        .orderBy(col("es_key_micro").desc, col("doc_id").asc)),
+
     // Gaps-and-islands interval coalescing: per-user 30-minute activity
     // windows merged into coverage islands — two window passes + one
     // agg on one per-key shuffle
@@ -2622,6 +2631,18 @@ object SparkEntry {
         |fin AS (SELECT node, rank FROM r5)
         |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_micro
         |FROM fin ORDER BY node""".stripMargin,
+
+    "sample_weighted" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    (CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT)
+        |      % 1000000 + 1.0e0) / 1000001.0e0 AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_chars,
+        |        CAST(floor(pow(u, 1.0e0 / n_chars) * 1000000 + 0.5)
+        |          AS BIGINT) AS es_key_micro
+        |      FROM u)
+        |SELECT doc_id, n_chars, es_key_micro FROM k
+        |ORDER BY es_key_micro DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     "events_interval_merge" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,

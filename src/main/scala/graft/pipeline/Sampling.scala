@@ -62,6 +62,29 @@ object Sampling {
       .where(col("__rn") <= cap).drop("__rn")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row gets key u^(1/w) with u its deterministic md5 uniform in
+    * (0, 1]; the k LARGEST keys are exactly a weight-proportional
+    * without-replacement draw (quality-weighted corpus selection without
+    * the sequential urn). Keys round to micro-units BEFORE ranking (id
+    * breaks ties), so the selection — not just the key values — replays
+    * in a SQL oracle; a cross-engine 1-ulp `pow` wobble sits ~9 orders
+    * of magnitude under the rounding grid. One TakeOrdered (per-
+    * partition top-k + driver merge of k·P rows), never a global sort.
+    * Weights must be strictly positive.
+    */
+  def weightedTopK(df: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    require(k > 0)
+    val u = (bucket(col(idCol), seed).cast("double") + lit(1.0)) /
+      lit((M + 1).toDouble)
+    val key = floor(pow(u, lit(1.0) / col(weightCol).cast("double")) *
+      1000000 + lit(0.5)).cast("long")
+    df.withColumn("es_key_micro", key)
+      .orderBy(col("es_key_micro").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-group TOKEN budget (data-mixture construction: "take B tokens of
     * each domain"): walk each group's rows in deterministic hash-rank
     * order and keep a row iff its inclusive running token total still fits

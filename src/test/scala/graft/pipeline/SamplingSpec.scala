@@ -62,4 +62,34 @@ class SamplingSpec extends SparkSpec {
     assert(picked == again, "deterministic across partitionings")
     assert(picked.nonEmpty && picked.size < 300)
   }
+
+  test("weighted ES sample: local md5 replay picks the identical rows") {
+    val docs = graft.io.Tables.load(spark, sf("0.001"), "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val got = Sampling.weightedTopK(docs, k = 100, weightCol = "n_chars")
+      .select($"doc_id", $"es_key_micro").as[(Long, Long)].collect()
+
+    // independent replay: JVM MessageDigest md5 == Spark md5 == DuckDB md5
+    val all = docs.as[(Long, Long)].collect()
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"42:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val local = all.map { case (id, w) =>
+      val u = (bucket(id) + 1.0) / 1000001.0
+      (id, math.floor(math.pow(u, 1.0 / w) * 1000000 + 0.5).toLong)
+    }.sortBy { case (id, key) => (-key, id) }.take(100)
+    assert(got.toSeq === local.toSeq)
+  }
+
+  test("weighted ES key grows with weight at fixed hash") {
+    import spark.implicits._
+    val d = Seq((7L, 1L), (7L, 100L)).toDF("doc_id", "w")
+    val keys = Sampling.weightedTopK(d, k = 2, weightCol = "w")
+      .select($"w", $"es_key_micro").as[(Long, Long)].collect().toMap
+    assert(keys(100L) > keys(1L),
+      "heavier weight must raise the same row's selection key")
+  }
 }
