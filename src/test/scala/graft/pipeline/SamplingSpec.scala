@@ -84,6 +84,17 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSeq === local.toSeq)
   }
 
+  test("weighted ES plan is TakeOrdered, never a global sort") {
+    val docs = graft.io.Tables.load(spark, sf("0.001"), "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val plan = Sampling.weightedTopK(docs, k = 100, weightCol = "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + driver merge, got:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "a global sort would shuffle the corpus to rank 100 rows")
+  }
+
   test("weighted ES key grows with weight at fixed hash") {
     import spark.implicits._
     val d = Seq((7L, 1L), (7L, 100L)).toDF("doc_id", "w")

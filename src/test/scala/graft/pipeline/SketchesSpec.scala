@@ -70,6 +70,15 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("register build is a partial-aggregated shuffle (map-side max)") {
+    val plan = Sketches.hllRegisters(items, "token", Seq("source"), m = 64)
+      .queryExecution.executedPlan.toString
+    // two HashAggregates around one Exchange: the register max combines
+    // map-side, so the shuffle carries ≤ groups×m rows per task — the
+    // property that makes a corpus-wide sketch one cheap pass
+    assert(plan.contains("partial_max"), s"no map-side combine in:\n$plan")
+  }
+
   test("CMS counter merge across shards == counters of the union") {
     val shards = (0 until 3).map(i =>
       Sketches.cmsCounters(items.where(pmod(col("doc_id"), lit(3)) === i),
