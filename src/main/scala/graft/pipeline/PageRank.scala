@@ -30,7 +30,7 @@ object PageRank {
       dampingPct: Int = 85): DataFrame = {
     require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).na.drop().distinct()
     // every iteration re-reads the degree-annotated edges and the node
     // list — materialize them ONCE (localCheckpoint truncates lineage;
     // without it iteration i re-runs the distinct+join i times and the

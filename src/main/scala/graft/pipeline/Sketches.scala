@@ -42,6 +42,7 @@ object Sketches {
     val rank = when(h2 === 0, lit(33 - (31 - Integer.numberOfLeadingZeros(m))))
       .otherwise(bit_count(h2.bitwiseAND(-h2) - 1) + 1)
     items
+      .where(col(keyCol).isNotNull) // null is absence, not a value to count
       .select((groupCols.map(col) :+ pmod(h, lit(m.toLong)).as("bucket")
         :+ rank.as("__r")): _*)
       .groupBy((groupCols :+ "bucket").map(col): _*)
@@ -84,6 +85,7 @@ object Sketches {
       depth: Int, width: Int): DataFrame = {
     require(depth > 0 && width > 0, s"depth=$depth width=$width")
     items
+      .where(col(keyCol).isNotNull)
       .select(explode(sequence(lit(0), lit(depth - 1))).as("row"),
         col(keyCol).as("__k"))
       .select(col("row"),

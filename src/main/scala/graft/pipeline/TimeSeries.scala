@@ -50,6 +50,7 @@ object TimeSeries {
       ord.as("o"),
       col(tieCol).cast("long").as("t"),
       col(valueCol).cast("double").as("v"))
+      .na.drop() // a null key/time/value row has no place in the fold
     // repartition by key + within-partition sort = the classic secondary
     // sort; the per-partition pass then folds each key's run in order
     val sorted = src.repartition(col("k"))
