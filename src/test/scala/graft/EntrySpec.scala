@@ -19,6 +19,7 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+
   // pair-mining queries are legitimately empty when the fixture has no
   // near-duplicates at this sf (sf0.1 plants 8 exact dups)
   private val mayBeEmpty = Set("dedup_minhash_pairs")
@@ -40,5 +41,18 @@ class EntrySpec extends SparkSpec {
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"query $name returned 0 rows")
     }
+  }
+
+  // the documented rows-only set: operators whose output has no SQL twin
+  // (a deflate bitstream). Anything else missing an oracle is a gap.
+  // Declared AFTER the catalog sweep: the trained-artifact oracles are
+  // generated once the sweep has populated the artifact caches, exactly
+  // as Verify evaluates oracleSql after running the queries.
+  private val rowsOnly = Set("text_compress_ratio")
+
+  test("every query is SQL-oracled except the documented rows-only set") {
+    val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(unoracled === rowsOnly,
+      s"queries without an oracle beyond the documented set: ${unoracled.diff(rowsOnly)}")
   }
 }
