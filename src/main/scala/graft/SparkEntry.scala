@@ -763,6 +763,14 @@ object SparkEntry {
         .orderBy("t1", "t2")
     }),
 
+    // PMI collocation mining (word2phrase phrase detection): top-30
+    // adjacent pairs by pointwise mutual information — one double
+    // division of exact Long products feeds ln, so the score replays
+    "text_phrase_pmi" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.phrasePmi(t(s, dir, "documents"),
+          k = 30, minCount = 5)
+        .orderBy(col("pmi_micro").desc, col("a").asc, col("b").asc)),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis):
     // 100 docs drawn ∝ length; rounded ES keys make the selection
     // itself SQL-replayable
@@ -2631,6 +2639,27 @@ object SparkEntry {
         |fin AS (SELECT node, rank FROM r5)
         |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_micro
         |FROM fin ORDER BY node""".stripMargin,
+
+    "text_phrase_pmi" ->
+      """WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t
+        |              FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |un AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+        |bi AS (SELECT t[j.j - 1] AS a, t[j.j] AS b
+        |       FROM toks JOIN (SELECT unnest(range(2, 4096)) AS j) j
+        |         ON j.j <= len(t) AND len(t) >= 2),
+        |bn AS (SELECT a, b, count(*) AS n_ab FROM bi GROUP BY a, b),
+        |tot AS (SELECT (SELECT sum(n_w) FROM un) AS n_uni,
+        |               (SELECT sum(n_ab) FROM bn) AS n_bi),
+        |sc AS (SELECT bn.a, bn.b, bn.n_ab,
+        |         CAST(floor(ln(CAST(bn.n_ab * tot.n_uni * tot.n_uni AS DOUBLE)
+        |           / CAST(tot.n_bi * ua.n_w * ub.n_w AS DOUBLE)) * 1000000
+        |           + 0.5) AS BIGINT) AS pmi_micro
+        |       FROM bn JOIN un ua ON ua.w = bn.a
+        |       JOIN un ub ON ub.w = bn.b CROSS JOIN tot
+        |       WHERE bn.n_ab >= 5)
+        |SELECT a, b, n_ab, pmi_micro FROM sc
+        |ORDER BY pmi_micro DESC, a ASC, b ASC LIMIT 30""".stripMargin,
 
     "sample_weighted" ->
       """WITH u AS (SELECT doc_id, n_chars,

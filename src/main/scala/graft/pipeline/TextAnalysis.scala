@@ -123,6 +123,45 @@ object TextAnalysis {
       regexp_replace(afterIp, PhoneRe, "<PHONE>").as("scrubbed"))
   }
 
+  /** PMI collocation mining (word2phrase-style phrase detection): score
+    * adjacent token pairs by pointwise mutual information
+    * ln(P(ab) / (P(a)·P(b))) and keep the top k — the phrase-vocabulary
+    * step of tokenizer/corpus preparation. Engine-replayable by
+    * construction: the PMI argument is ONE double division of two exact
+    * Long products (n_ab·Nuni·Nuni and Nbi·n_a·n_b, both ≪ 2^53 at any
+    * plausible vocab), so `ln` sees the identical double in SQL and the
+    * micro-rounded score hashes. Work ∝ corpus tokens (explode + two
+    * hash-aggs + vocab joins); top-k is TakeOrdered, never a global
+    * sort. Pairs below `minCount` drop (PMI of rare pairs is noise).
+    */
+  def phrasePmi(docs: DataFrame, k: Int = 30, minCount: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val toks = Dedup.ensureParallelism(docs)
+      .select(tokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val biAll = toks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val bi = biAll.where(col("n_ab") >= minCount)
+    // totals over the UNFILTERED distributions — minCount prunes the
+    // candidate list, not the probability space
+    val totals = uni.agg(sum("n_w").as("n_uni"))
+      .crossJoin(biAll.agg(sum("n_ab").as("n_bi")))
+    bi.join(uni.select(col("w").as("a"), col("n_w").as("n_a")), "a")
+      .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_ab"),
+        floor(log((col("n_ab") * col("n_uni") * col("n_uni")).cast("double") /
+          (col("n_bi") * col("n_a") * col("n_b")).cast("double")) * 1000000
+          + 0.5).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   /** Compression-ratio quality signal (the Gopher-family "entropy"
     * gate): deflate each document with a fixed level and report
     * compressed/original size — highly compressible text is boilerplate

@@ -80,6 +80,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(est(1) == est(13))
   }
 
+  test("phrase PMI: a glued collocation outranks frequent-but-independent pairs") {
+    import spark.implicits._
+    // "new york" always co-occurs; "the cat"/"the dog" mix freely
+    val docs = (0 until 40).map { i =>
+      (i.toLong, if (i % 2 == 0) "new york is where the cat saw the dog"
+        else "the dog and the cat left new york")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.phrasePmi(docs, k = 30, minCount = 5)
+      .select($"a", $"b", $"pmi_micro").as[(String, String, Long)].collect()
+    assert(got.nonEmpty)
+    val pmiMap = got.map(r => (r._1, r._2) -> r._3).toMap
+    // the independent pair scores strictly below the glued collocation
+    assert(pmiMap.contains(("the", "cat")) || pmiMap.contains(("the", "dog")))
+    Seq(("the", "cat"), ("the", "dog")).flatMap(pmiMap.get).foreach(p =>
+      assert(p < pmiMap(("new", "york"))))
+    // hand-check the score: n_ab(new,york)=40, n(new)=40, n(york)=40;
+    // 20 nine-token docs + 20 eight-token docs
+    val (nUni, nBi) = (20L * 9 + 20L * 8, 20L * 8 + 20L * 7)
+    val expect = math.floor(math.log(
+      (40L * nUni * nUni).toDouble / (nBi * 40L * 40L).toDouble) * 1e6 + 0.5).toLong
+    assert(pmiMap(("new", "york")) === expect)
+  }
+
   test("compression ratio separates repetition from noise, deterministically") {
     import spark.implicits._
     val docs = Seq(
