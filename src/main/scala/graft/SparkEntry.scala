@@ -780,6 +780,15 @@ object SparkEntry {
           k = 100, weightCol = "n_chars")
         .orderBy(col("es_key_micro").desc, col("doc_id").asc)),
 
+    // Log-domain ES keys (ln(u)/w instead of u^(1/w)): the wide-weight
+    // scale path — no micro-grid compression at large w; the exact-Long
+    // ln(u) numerator + one IEEE division make the selection replayable
+    "sample_weighted_log" -> ((s, dir) =>
+      graft.pipeline.Sampling.weightedTopKLog(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          k = 100, weightCol = "n_chars")
+        .orderBy(col("doc_id").asc)),
+
     // Gaps-and-islands interval coalescing: per-user 30-minute activity
     // windows merged into coverage islands — two window passes + one
     // agg on one per-key shuffle
@@ -2573,7 +2582,9 @@ object SparkEntry {
       """WITH w AS (SELECT user_id, event_id,
         |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                      ROWS UNBOUNDED PRECEDING) AS vs
-        |  FROM events)
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL)
         |SELECT user_id AS key, event_id AS tie,
         |  CAST(floor(list_reduce(vs,
         |    (acc, x) -> 0.25e0 * x + 0.75e0 * acc) * 1000000 + 0.5) AS BIGINT)
@@ -2645,15 +2656,17 @@ object SparkEntry {
         |              FROM documents),
         |uni AS (SELECT unnest(t) AS w FROM toks),
         |un AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
-        |bi AS (SELECT t[j.j - 1] AS a, t[j.j] AS b
-        |       FROM toks JOIN (SELECT unnest(range(2, 4096)) AS j) j
-        |         ON j.j <= len(t) AND len(t) >= 2),
+        |bi AS (SELECT t[j - 1] AS a, t[j] AS b
+        |       FROM (SELECT t, unnest(range(2, len(t) + 1)) AS j
+        |             FROM toks WHERE len(t) >= 2)),
         |bn AS (SELECT a, b, count(*) AS n_ab FROM bi GROUP BY a, b),
         |tot AS (SELECT (SELECT sum(n_w) FROM un) AS n_uni,
         |               (SELECT sum(n_ab) FROM bn) AS n_bi),
         |sc AS (SELECT bn.a, bn.b, bn.n_ab,
-        |         CAST(floor(ln(CAST(bn.n_ab * tot.n_uni * tot.n_uni AS DOUBLE)
-        |           / CAST(tot.n_bi * ua.n_w * ub.n_w AS DOUBLE)) * 1000000
+        |         CAST(floor(ln((CAST(bn.n_ab AS DOUBLE)
+        |             * CAST(tot.n_uni AS DOUBLE) * CAST(tot.n_uni AS DOUBLE))
+        |           / (CAST(tot.n_bi AS DOUBLE) * CAST(ua.n_w AS DOUBLE)
+        |             * CAST(ub.n_w AS DOUBLE))) * 1000000
         |           + 0.5) AS BIGINT) AS pmi_micro
         |       FROM bn JOIN un ua ON ua.w = bn.a
         |       JOIN un ub ON ub.w = bn.b CROSS JOIN tot
@@ -2672,6 +2685,20 @@ object SparkEntry {
         |      FROM u)
         |SELECT doc_id, n_chars, es_key_micro FROM k
         |ORDER BY es_key_micro DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    "sample_weighted_log" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    (CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT)
+        |      % 1000000 + 1.0e0) / 1000001.0e0 AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_chars,
+        |        CAST(floor(ln(u) * 1000000 + 0.5) AS BIGINT) AS es_lognum
+        |      FROM u),
+        |sel AS (SELECT doc_id, n_chars, es_lognum FROM k
+        |        ORDER BY CAST(es_lognum AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        |          DESC, doc_id ASC LIMIT 100)
+        |SELECT doc_id, n_chars, es_lognum FROM sel
+        |ORDER BY doc_id ASC""".stripMargin,
 
     "events_interval_merge" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,

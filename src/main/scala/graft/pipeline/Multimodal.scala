@@ -315,7 +315,13 @@ object Multimodal {
     * dedup/quality stage consumes. Same rounding contract as
     * [[spectralFeatures]]: magnitudes round to whole units before any
     * comparison-bearing use, so the SQL oracle's per-frame O(N²) DFT
-    * lands on identical integers. Frames of one doc stay inside the
+    * lands on identical integers. Boundary assumption: the radix-2 FFT
+    * and the oracle's direct DFT sum in different orders and can differ
+    * by ~1 ulp, so `floor(mag+0.5)` is cross-engine-stable only when no
+    * magnitude sits essentially ON a .5 boundary — the fixture spec
+    * (MultimodalFeatureSpec) asserts every fixture magnitude clears the
+    * boundary by > 1e-6, the same pin the other rounding-grid checks
+    * carry. Frames of one doc stay inside the
     * mapPartitions pass — no shuffle to explode audio into frames. */
   def spectrogram(media: DataFrame, nFft: Int, hop: Int): DataFrame = {
     require(hop > 0 && nFft > 0, s"nFft=$nFft hop=$hop")

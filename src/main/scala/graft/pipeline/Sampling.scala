@@ -71,18 +71,61 @@ object Sampling {
     * in a SQL oracle; a cross-engine 1-ulp `pow` wobble sits ~9 orders
     * of magnitude under the rounding grid. One TakeOrdered (per-
     * partition top-k + driver merge of k·P rows), never a global sort.
-    * Weights must be strictly positive.
+    *
+    * Weight domain: weights must be strictly positive (ENFORCED — a
+    * null/zero/negative weight raises rather than silently mis-keying
+    * the row: pow(u, 1/0) = pow(u, Inf) = 0 would quietly bury it).
+    * The micro-grid keys are faithful for weights up to ~10³ (the
+    * documented quality-score range); above that u^(1/w) compresses
+    * toward 1.0 and distinct weights start colliding on the 1e-6 grid,
+    * after which ties break by id instead of weight. For wide-range
+    * weights (1e-3..1e6+) use [[weightedTopKLog]], whose log-domain
+    * key never compresses.
     */
   def weightedTopK(df: DataFrame, k: Int, weightCol: String,
       idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
     require(k > 0)
     val u = (bucket(col(idCol), seed).cast("double") + lit(1.0)) /
       lit((M + 1).toDouble)
-    val key = floor(pow(u, lit(1.0) / col(weightCol).cast("double")) *
+    val w0 = col(weightCol).cast("double")
+    val w = when(w0.isNotNull && w0 > 0.0, w0).otherwise(
+      raise_error(concat(lit("weightedTopK: weight must be > 0, got "),
+        col(weightCol).cast("string"))).cast("double"))
+    val key = floor(pow(u, lit(1.0) / w) *
       1000000 + lit(0.5)).cast("long")
     df.withColumn("es_key_micro", key)
       .orderBy(col("es_key_micro").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Efraimidis–Spirakis selection with a LOG-DOMAIN key, faithful across
+    * the full weight range (1e-3 … 1e9): rank by ln(u)/w instead of
+    * u^(1/w) — a strictly monotone transform, so the k largest are the
+    * SAME weight-proportional draw — but build the key as
+    * `floor(ln(u)·1e6 + 0.5) / w`: the numerator is an exact Long (the
+    * only transcendental, `ln`, sits ~9 orders of magnitude under the
+    * rounding grid), and the single Long→double division is identical
+    * IEEE-754 in every engine, so the SELECTION replays in SQL with no
+    * grid compression at large w (u^(1/w)→1 collides on a fixed grid;
+    * ln(u)/w just scales). Emits the exact-Long numerator, not the
+    * double, so result hashing is representation-independent. Same
+    * TakeOrdered shape as [[weightedTopK]]; weights enforced > 0.
+    */
+  def weightedTopKLog(df: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    require(k > 0)
+    val u = (bucket(col(idCol), seed).cast("double") + lit(1.0)) /
+      lit((M + 1).toDouble)
+    val w0 = col(weightCol).cast("double")
+    val w = when(w0.isNotNull && w0 > 0.0, w0).otherwise(
+      raise_error(concat(lit("weightedTopKLog: weight must be > 0, got "),
+        col(weightCol).cast("string"))).cast("double"))
+    val num = floor(log(u) * 1000000 + lit(0.5)).cast("long")
+    df.withColumn("es_lognum", num)
+      .withColumn("__key", col("es_lognum").cast("double") / w)
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__key")
   }
 
   /** Per-group TOKEN budget (data-mixture construction: "take B tokens of

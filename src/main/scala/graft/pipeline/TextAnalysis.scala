@@ -127,10 +127,12 @@ object TextAnalysis {
     * adjacent token pairs by pointwise mutual information
     * ln(P(ab) / (P(a)·P(b))) and keep the top k — the phrase-vocabulary
     * step of tokenizer/corpus preparation. Engine-replayable by
-    * construction: the PMI argument is ONE double division of two exact
-    * Long products (n_ab·Nuni·Nuni and Nbi·n_a·n_b, both ≪ 2^53 at any
-    * plausible vocab), so `ln` sees the identical double in SQL and the
-    * micro-rounded score hashes. Work ∝ corpus tokens (explode + two
+    * construction: each count is cast to double BEFORE multiplying
+    * (a Long product n_ab·Nuni·Nuni would wrap past ~3e9 corpus
+    * tokens), and both engines evaluate the identical left-associated
+    * IEEE-754 product/division, so `ln` sees the identical double in
+    * SQL and the micro-rounded score hashes — at ANY corpus size, not
+    * just below the 2^63 product ceiling. Work ∝ corpus tokens (explode + two
     * hash-aggs + vocab joins); top-k is TakeOrdered, never a global
     * sort. Pairs below `minCount` drop (PMI of rare pairs is noise).
     */
@@ -155,8 +157,10 @@ object TextAnalysis {
       .join(uni.select(col("w").as("b"), col("n_w").as("n_b")), "b")
       .crossJoin(broadcast(totals))
       .select(col("a"), col("b"), col("n_ab"),
-        floor(log((col("n_ab") * col("n_uni") * col("n_uni")).cast("double") /
-          (col("n_bi") * col("n_a") * col("n_b")).cast("double")) * 1000000
+        floor(log((col("n_ab").cast("double") * col("n_uni").cast("double") *
+            col("n_uni").cast("double")) /
+          (col("n_bi").cast("double") * col("n_a").cast("double") *
+            col("n_b").cast("double"))) * 1000000
           + 0.5).cast("long").as("pmi_micro"))
       .orderBy(col("pmi_micro").desc, col("a").asc, col("b").asc)
       .limit(k)

@@ -92,7 +92,16 @@ class MultimodalFeatureSpec extends SparkSpec {
             re += win(j) * math.cos(ang)
             im += win(j) * math.sin(ang)
           }
-          math.floor(math.sqrt(re * re + im * im) + 0.5).toLong
+          val mag = math.sqrt(re * re + im * im)
+          // the floor(mag+0.5) cross-engine certificate assumes no fixture
+          // magnitude sits ON a .5 rounding boundary (radix-2 FFT and the
+          // O(N²) DFT sum in different orders and can differ by ~1 ulp,
+          // which would flip the rounded value engine-to-engine there) —
+          // pin that the fixture honors the assumption with wide margin
+          val fracDist = math.abs((mag - math.floor(mag)) - 0.5)
+          assert(fracDist > 1e-6,
+            s"doc=$doc f=$f k=$k magnitude $mag within 1e-6 of a .5 boundary")
+          math.floor(mag + 0.5).toLong
         }
         var best = 1
         for (k <- 2 to nFft / 2) if (rounded(k) > rounded(best)) best = k

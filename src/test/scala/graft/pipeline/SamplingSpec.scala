@@ -103,4 +103,62 @@ class SamplingSpec extends SparkSpec {
     assert(keys(100L) > keys(1L),
       "heavier weight must raise the same row's selection key")
   }
+
+  test("weighted ES rejects null/zero/negative weights instead of mis-keying") {
+    val d = Seq((1L, 10.0), (2L, 0.0), (3L, 5.0)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedTopK(d, k = 3, weightCol = "w").collect()
+    }
+    assert(e.getMessage.contains("weight must be > 0") ||
+      Option(e.getCause).exists(_.getMessage.contains("weight must be > 0")))
+    val neg = Seq((1L, 10.0), (2L, -3.0)).toDF("doc_id", "w")
+    intercept[Exception] {
+      Sampling.weightedTopKLog(neg, k = 2, weightCol = "w").collect()
+    }
+  }
+
+  private def md5bucket(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"42:$id".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 1000000L
+  }
+
+  test("log-domain ES selection matches a JVM replay across w ∈ 1e-3..1e6") {
+    // wide-range weights: each doc's weight spans nine orders of magnitude
+    // — exactly where the micro-grid u^(1/w) key of weightedTopK collides
+    val weights = Array(1e-3, 1.0, 1e3, 1e6)
+    val d = (0L until 400L).map(i => (i, weights((i % 4).toInt)))
+      .toDF("doc_id", "w")
+    val got = Sampling.weightedTopKLog(d, k = 50, weightCol = "w")
+      .select($"doc_id", $"es_lognum").as[(Long, Long)].collect().toSet
+
+    val local = (0L until 400L).map { id =>
+      val u = (md5bucket(id) + 1.0) / 1000001.0
+      val num = math.floor(math.log(u) * 1000000 + 0.5).toLong
+      (id, num, num.toDouble / weights((id % 4).toInt))
+    }.sortBy { case (id, _, key) => (-key, id) }.take(50)
+      .map(t => (t._1, t._2)).toSet
+    assert(got === local)
+    // sanity: the selection is weight-responsive — heavy weights dominate
+    val heavy = got.count { case (id, _) => id % 4 == 3 }
+    assert(heavy > 30, s"1e6-weight rows should dominate the draw, got $heavy/50")
+  }
+
+  test("log-domain ES keys do NOT collide at large weights (the grid-compression fix)") {
+    // u^(1/w) for w ∈ {1e5, 1e6} rounds to the SAME micro key (≈1.0) for
+    // almost every u, so weightedTopK degenerates to id order there;
+    // ln(u)/w keeps the two weight classes strictly separated
+    val d = (0L until 200L).map(i =>
+      (i, if (i < 100) 1.0e5 else 1.0e6)).toDF("doc_id", "w")
+    val legacy = Sampling.weightedTopK(d, k = 200, weightCol = "w")
+      .select($"es_key_micro").as[Long].collect().distinct
+    assert(legacy.length < 100,
+      s"precondition: micro keys should collide heavily at huge w (observed " +
+        s"29 distinct / 200 rows at this seed), got ${legacy.length} distinct")
+    val logSel = Sampling.weightedTopKLog(d, k = 100, weightCol = "w")
+      .select($"doc_id").as[Long].collect()
+    val heavy = logSel.count(_ >= 100)
+    assert(heavy > 55, s"w=1e6 class must win most of a k=100 draw, got $heavy")
+  }
 }
