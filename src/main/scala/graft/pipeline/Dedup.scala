@@ -499,19 +499,30 @@ object Dedup {
     * occurrences are flagged, merged into spans, and cut from the
     * token stream. Output: the doc with its surviving tokens
     * re-joined, plus kept/cut counts. Shape: the per-gram first/later
-    * split is one window over the gram hash (same shuffle key as the
-    * count); the cut is a per-row higher-order filter against the
+    * split is ONE count+min aggregation over the gram hash — the
+    * canonical copy is the lexicographic min (doc_id, pos) struct, so
+    * Spark's map-side partial aggregation absorbs even a boilerplate
+    * gram repeated 10⁸× corpus-wide (each map task emits one partial
+    * per gh; no per-gram window SORT anywhere, which would serialize a
+    * mega-hot gram through a single task). Positions of duplicated
+    * grams then probe the (occ ≥ 2)-only agg with a streaming
+    * equi-join (AQE splits a skewed probe partition if one gram truly
+    * dominates); the cut is a per-row higher-order filter against the
     * doc's own (collected) span list — no token-level join. */
   def trimDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = gramTable(docs, idCol, textCol, n)
-    // rank occurrences of each gram content in global (doc_id, pos)
-    // order; rank 1 is the canonical copy and survives
-    val later = grams
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("gh").orderBy("doc_id", "pos")))
-      .where(col("__rk") >= 2).select("doc_id", "pos")
+    // per-gram occurrence count + canonical (first) occurrence in one
+    // agg; only duplicated grams survive to the probe join
+    val dupFirst = grams.groupBy("gh").agg(
+        count(lit(1)).as("__occ"),
+        min(struct(col("doc_id"), col("pos"))).as("__f"))
+      .where(col("__occ") >= 2)
+      .select(col("gh"), col("__f"))
+    val later = grams.join(dupFirst, Seq("gh"))
+      .where(!(col("doc_id") === col("__f.doc_id") &&
+        col("pos") === col("__f.pos")))
+      .select("doc_id", "pos")
     val spans = mergeSpans(later, n)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end")))

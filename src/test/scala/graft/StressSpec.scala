@@ -71,6 +71,39 @@ class StressSpec extends SparkSpec {
       "canonical id must be the base (smallest) replica")
   }
 
+  test("trimDuplicateSpans survives a planted 1e5-occurrence boilerplate gram") {
+    import spark.implicits._
+    // every doc opens with the SAME 10-token boilerplate (so every one of
+    // its 3-grams occurs 100k× corpus-wide) followed by a unique tail —
+    // the exact pathology a per-gram window SORT would serialize through
+    // one task. The count+min agg path must stay flat: map-side partials
+    // bound per-gh reduce input by the task count, not the occurrence
+    // count.
+    val boiler = "the quick brown fox jumps over the lazy dog again"
+    val docs = spark.range(100000).select(col("id").as("doc_id"),
+      concat(lit(boiler + " u"), col("id"), lit("a u"), col("id"), lit("b"))
+        .as("text"))
+    val t0 = System.nanoTime()
+    val out = Dedup.trimDuplicateSpans(docs, n = 3).cache()
+    val kept = out.agg(sum("n_kept"), sum("n_tokens"))
+      .as[(Long, Long)].collect().head
+    val sec = (System.nanoTime() - t0) / 1e9
+    // doc 0 keeps all 12 tokens; every other doc loses the 10 boilerplate
+    // tokens (its unique "uNa uNb" tail survives — too short to gram)
+    assert(kept._2 == 100000L * 12)
+    assert(kept._1 == 12L + 99999L * 2,
+      s"expected one canonical boilerplate copy, got kept=${kept._1}")
+    assert(sec < 120, s"hot-gram trim took ${sec}s — straggler task?")
+    // plan pin: the first/later split must be agg+join, never a window
+    // (row_number over a mega-hot gh partition is the straggler shape)
+    val plan = Dedup.trimDuplicateSpans(docs, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("RunningWindowFunction") &&
+      !plan.contains("row_number"),
+      s"per-gram window crept back into trimDuplicateSpans:\n$plan")
+    out.unpersist()
+  }
+
   test("bloomSemiJoin is byte-identical to the exact semi join") {
     import graft.pipeline.Membership
     val o = Tables.load(spark, sf("0.01"), "orders")
