@@ -750,6 +750,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Sink-bearing PageRank: forward-only supplier→part edges make every
+    // part node dangling — per-round mass redistribution (Long floor
+    // share) plus ε-stopping, both replayed in the oracle's unrolled
+    // CTEs with a cumulative freeze flag, so the early-stop machinery
+    // itself is hash-certified
+    "graph_pagerank_dangling" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select((col("l_suppkey").cast("long") + 1000000L).as("src"),
+          col("l_partkey").cast("long").as("dst"))
+      graft.pipeline.PageRank.run(li, "src", "dst", iters = 5,
+          epsilonMicro = 1000L)
+        .orderBy("node")
+    }),
+
     // Fuzzy similarity self-join: edit-distance-1 pairs over the token
     // + source vocabulary via deletion-neighborhood (SymSpell)
     // bucketing — candidates from a variant equi-join, exact
@@ -2650,6 +2664,10 @@ object SparkEntry {
         |fin AS (SELECT node, rank FROM r5)
         |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_micro
         |FROM fin ORDER BY node""".stripMargin,
+
+    "graph_pagerank_dangling" ->
+      graft.oracle.GeneratedOracles.pagerankDanglingSql(
+        rounds = 5, epsMicro = 1000L),
 
     "text_phrase_pmi" ->
       """WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t

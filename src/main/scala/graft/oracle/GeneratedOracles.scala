@@ -826,4 +826,65 @@ object GeneratedOracles {
        |    trim(replace($replayed, ')(', ','), '()')), ',') AS tokens
        |FROM d ORDER BY doc_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // PageRank with dangling-mass redistribution + ε-stopping
+  // -------------------------------------------------------------------
+
+  /** Unrolls [[graft.pipeline.PageRank.run]] on the forward-only
+    * supplier→part edge set (every part node is a sink) for `rounds`
+    * rounds with ε-stopping replayed via a cumulative freeze flag:
+    * per round, g = floor(Σ_sink rank / N) is the dangling share, u the
+    * damped update, d = max|u − prev|, and f OR-accumulates (d < ε) —
+    * once f is set, later rounds copy ranks unchanged, which is exactly
+    * what the engine's early `break` leaves behind. All comparisons and
+    * divisions are Long, so the replay is bit-exact whether or not the
+    * fixture converges inside `rounds`. Every round CTE is MATERIALIZED:
+    * each r/u is referenced up to 4× per round, and DuckDB's default
+    * CTE inlining would otherwise replicate the base scan 4^rounds
+    * times (measured minutes at sf0.1 vs sub-second materialized). */
+  def pagerankDanglingSql(rounds: Int, epsMicro: Long): String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
+        |  FROM lineitem),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |ed AS MATERIALIZED (
+        |  SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sinks AS MATERIALIZED (
+        |  SELECT node FROM nodes
+        |  WHERE node NOT IN (SELECT src FROM e)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |f0 AS (SELECT FALSE AS f)""".stripMargin
+    val body = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""g$i AS (SELECT coalesce(sum(r.rank), 0) // (SELECT n FROM nn) AS share
+         |        FROM r$p r JOIN sinks s ON s.node = r.node),
+         |c$i AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
+         |        JOIN r$p r ON r.node = ed.src GROUP BY ed.dst),
+         |u$i AS MATERIALIZED (
+         |        SELECT n.node, 150000 + (85 * (coalesce(c.s, 0)
+         |          + (SELECT share FROM g$i))) // 100 AS rank
+         |        FROM nodes n LEFT JOIN c$i c ON c.dst = n.node),
+         |d$i AS (SELECT max(abs(u.rank - r.rank)) AS d FROM u$i u
+         |        JOIN r$p r ON r.node = u.node),
+         |r$i AS MATERIALIZED (
+         |        SELECT n.node,
+         |          CASE WHEN (SELECT f FROM f$p) THEN r.rank
+         |               ELSE u.rank END AS rank
+         |        FROM nodes n JOIN r$p r ON r.node = n.node
+         |        JOIN u$i u ON u.node = n.node),
+         |f$i AS MATERIALIZED (
+         |        SELECT (SELECT f FROM f$p)
+         |          OR ((SELECT d FROM d$i) < $epsMicro) AS f)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$body
+       |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_micro
+       |FROM r$rounds ORDER BY node""".stripMargin
+  }
 }

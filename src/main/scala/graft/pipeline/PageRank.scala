@@ -8,27 +8,45 @@ import org.apache.spark.sql.functions._
   * dedup canonical-copy choice) built so a SQL oracle can replay it
   * EXACTLY: ranks live in Long micro-units of the per-node average
   * (init 1e6 each), contributions are integer division `rank div deg`,
-  * and the damped update is `(100-d)·1e4 + (d · Σcontrib) div 100` —
-  * all-Long arithmetic, so partial-aggregation order cannot perturb a
-  * bit and five distributed iterations equal five unrolled SQL CTEs.
+  * dangling (sink) mass is redistributed as the same floor share
+  * `Σ_sink rank div N` to every node, and the damped update is
+  * `(100-d)·1e4 + (d · (Σcontrib + share)) div 100` — all-Long
+  * arithmetic, so partial-aggregation order cannot perturb a bit and
+  * distributed iterations equal unrolled SQL CTEs bit-for-bit.
   *
   * Scale shape: one equi-join (ranks ⨝ out-degree-annotated edges on
   * src) plus one hash aggregation (sum by dst) per iteration — the
   * standard edge-partitioned PageRank round, shuffle ∝ edges, state ∝
-  * nodes. No driver-side graph, no per-iteration collect; the loop
-  * only grows the plan linearly (each iteration consumes the previous
-  * ranks frame exactly once).
+  * nodes — plus, on sink-bearing graphs, one nodes-sized semi-join +
+  * scalar aggregate for the dangling sum (broadcast back as a 1-row
+  * frame; never a driver-side loop over the graph). No driver-side
+  * graph, no per-iteration collect of node state; with ε-stopping each
+  * round additionally runs one nodes-sized max-|Δ| aggregate (the
+  * scalar the loop-termination decision inherently needs).
   */
 object PageRank {
 
-  /** `iters` damped rounds over a directed edge list; every node that
-    * appears as src or dst participates (this formulation assumes no
-    * dangling nodes — give sinks a self-loop or reverse edge first, as
-    * a bipartite both-directions edge set does by construction).
+  /** Damped rounds over a directed edge list; every node that appears
+    * as src or dst participates. Nodes with no out-edges (sinks) are
+    * handled by per-round dangling-mass redistribution: their rank is
+    * summed, floor-divided by N, and added to every node's incoming
+    * contribution BEFORE damping — no silent mass leak on web/citation
+    * graphs, no self-loop preprocessing required. Sink detection runs
+    * once; a sink-free graph (e.g. a bipartite both-directions edge
+    * set) skips the redistribution machinery entirely and plans the
+    * identical rounds as before.
+    *
+    * Stopping: runs `iters` rounds, or stops early once
+    * `max_node |Δrank_micro| < epsilonMicro` (ε = 0 disables the
+    * check and the per-round action it needs). The update that
+    * triggered the stop is kept — the SQL replay mirrors this with a
+    * cumulative freeze flag, so unrolling MORE rounds than the engine
+    * executed still lands on identical bits.
     * Output: (node, rank_micro). */
   def run(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85, epsilonMicro: Long = 0L): DataFrame = {
     require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    require(epsilonMicro >= 0L)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).na.drop().distinct()
     // every iteration re-reads the degree-annotated edges and the node
@@ -44,10 +62,19 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .repartition(col("node")).localCheckpoint()
+    // sinks: nodes that never appear as src. Computed once; empty for
+    // any graph whose edge set is closed under reversal.
+    val sinks = nodes.join(ed.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .localCheckpoint()
+    val hasSinks = sinks.limit(1).count() > 0
+    val nNodes = if (hasSinks) nodes.count() else 0L
     val basePart = (100 - dampingPct) * 10000L
 
     var ranks = nodes.withColumn("rank", lit(1000000L))
-    for (_ <- 0 until iters) {
+    var i = 0
+    var done = false
+    while (i < iters && !done) {
       // shuffle-hash with RANKS as build side: ranks is nodes-sized (the
       // small side of any real graph round) while ed is edges-sized —
       // without the hint the planner broadcasts the checkpointed edge
@@ -58,11 +85,38 @@ object PageRank {
           col("src") === col("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+      val base = nodes.join(contrib, col("node") === col("dst"), "left")
+      val joined =
+        if (!hasSinks) base
+        else {
+          // dangling mass → equal floor share per node, attached as a
+          // broadcast 1-row frame (stays in-plan; no driver collect)
+          val share = ranks.join(sinks, Seq("node"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0L)).as("dsum"))
+            .select(expr(s"dsum div ${nNodes}L").as("share"))
+          base.crossJoin(broadcast(share))
+        }
+      val updated = joined
         .select(col("node"),
           (lit(basePart) +
-            expr(s"($dampingPct * coalesce(s, 0L)) div 100").as("d"))
+            expr(s"($dampingPct * (${
+              if (hasSinks) "coalesce(s, 0L) + share" else "coalesce(s, 0L)"
+            })) div 100"))
             .as("rank"))
+      if (epsilonMicro > 0L) {
+        // materialize the round so the delta action and the next round
+        // share one computation (and lineage stays linear in rounds)
+        val u = updated.localCheckpoint()
+        val delta = u.join(
+            ranks.select(col("node"), col("rank").as("__prev")), "node")
+          .agg(max(abs(col("rank") - col("__prev"))).as("d"))
+          .head().getLong(0)
+        ranks = u
+        done = delta < epsilonMicro
+      } else {
+        ranks = updated
+      }
+      i += 1
     }
     ranks.withColumnRenamed("rank", "rank_micro")
   }

@@ -45,6 +45,65 @@ class PageRankSpec extends SparkSpec {
     assert(base === shuffled)
   }
 
+  // asymmetric triangle-with-sink: 1 and 2 exchange mass and BOTH feed
+  // sink 3 (3 never emits) — node 3 accumulates double contributions,
+  // so the iteration moves every round (a symmetric fixture sits at the
+  // fixed point from round 0 and tests nothing)
+  private val sinkEdges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L))
+
+  private def localDanglingReplay(iters: Int,
+      epsMicro: Long): Map[Long, Long] = {
+    val nodes = sinkEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = sinkEdges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val sinks = nodes.filterNot(deg.contains)
+    val n = nodes.size.toLong
+    var rank = nodes.map(_ -> 1000000L).toMap
+    var i = 0
+    var done = false
+    while (i < iters && !done) {
+      val share = sinks.map(rank).sum / n
+      val contrib = sinkEdges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => rank(e._1) / deg(e._1)).sum
+      }
+      val next = nodes.map(node => node ->
+        (150000L + 85L * (contrib.getOrElse(node, 0L) + share) / 100L)).toMap
+      val delta = nodes.map(node => math.abs(next(node) - rank(node))).max
+      rank = next
+      if (epsMicro > 0 && delta < epsMicro) done = true
+      i += 1
+    }
+    rank
+  }
+
+  test("dangling mass is redistributed: hand fold matches exactly") {
+    for (iters <- Seq(1, 3, 5)) {
+      val got = PageRank.run(sinkEdges.toDF("src", "dst"), "src", "dst", iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got === localDanglingReplay(iters, 0L), s"iters=$iters")
+    }
+    // mass conservation (up to floor loss): with redistribution, total
+    // rank stays near N·1e6 instead of draining through the sinks —
+    // each round loses at most a few units to the three integer floors
+    val total = PageRank.run(sinkEdges.toDF("src", "dst"), "src", "dst", 5)
+      .as[(Long, Long)].collect().map(_._2).sum
+    assert(total > 2850000L && total <= 3000000L,
+      s"total rank $total drifted far from 3e6 — dangling mass leaking?")
+  }
+
+  test("epsilon stopping freezes at the hand fold's round, keeping the final update") {
+    // generous iteration budget + coarse epsilon: the loop must stop
+    // early at the SAME round the local replay does, with identical bits
+    val eps = 40000L
+    val got = PageRank.run(sinkEdges.toDF("src", "dst"), "src", "dst",
+        iters = 50, epsilonMicro = eps)
+      .as[(Long, Long)].collect().toMap
+    val local = localDanglingReplay(50, eps)
+    assert(got === local)
+    // the replay must have actually stopped early (else eps is vacuous)
+    val unstopped = localDanglingReplay(50, 0L)
+    assert(local !== unstopped, "fixture should converge before 50 rounds")
+  }
+
   test("bipartite both-direction fixture graph concentrates rank on hubs") {
     val li = graft.io.Tables.load(spark, sf("0.001"), "lineitem")
       .select(col("l_suppkey").cast("long").as("sk"),
