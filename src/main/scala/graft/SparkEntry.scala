@@ -735,6 +735,33 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // Misra-Gries heavy hitters (offset form, Agarwal et al. 2012): the
+    // mergeable "which tokens are frequent" sketch. Per-source sketches
+    // fold into a global one (sum + re-truncate); both the merged and
+    // the directly-built global sketch are emitted next to exact counts
+    // with the mg_cnt <= exact <= mg_cnt + mg_err bracket certified as
+    // an in-query boolean — the whole pipeline is count arithmetic, so
+    // SQL replays every row
+    "sketch_topk_merge" -> ((s, dir) => {
+      val items = t(s, dir, "documents").select(col("source"),
+        explode(graft.pipeline.Dedup.tokens(col("text"))).as("token"))
+      val perSrc = graft.pipeline.Sketches.mgSketch(
+        items, "token", Seq("source"), k = 16)
+      val merged = graft.pipeline.Sketches.mgMerge(
+          perSrc, "token", Seq.empty, k = 16)
+        .withColumn("variant", lit("__merged__"))
+      val direct = graft.pipeline.Sketches.mgSketch(
+          items, "token", Seq.empty, k = 16)
+        .withColumn("variant", lit("__direct__"))
+      val exact = items.groupBy("token").agg(count(lit(1)).as("exact_n"))
+      merged.unionByName(direct).join(exact, Seq("token"))
+        .select(col("variant"), col("token"), col("mg_cnt"), col("mg_err"),
+          col("exact_n"),
+          (col("exact_n") >= col("mg_cnt") &&
+            col("exact_n") <= col("mg_cnt") + col("mg_err")).as("ok"))
+        .orderBy("variant", "token")
+    }),
+
     // Iterative graph computation: integer-deterministic PageRank over
     // the part↔supplier bipartite graph (both directions, so no
     // danglers). All-Long arithmetic → five distributed rounds equal
@@ -2668,6 +2695,48 @@ object SparkEntry {
     "graph_pagerank_dangling" ->
       graft.oracle.GeneratedOracles.pagerankDanglingSql(
         rounds = 5, epsMicro = 1000L),
+
+    "sketch_topk_merge" ->
+      """WITH toks AS (SELECT source,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |c1 AS (SELECT source, token, count(*) AS c FROM toks
+        |       GROUP BY source, token),
+        |h1 AS (SELECT source, c AS v, count(*) AS nit FROM c1
+        |       GROUP BY source, c),
+        |g1 AS (SELECT source, v,
+        |         sum(nit) OVER (PARTITION BY source ORDER BY v DESC) AS ge
+        |       FROM h1),
+        |t1 AS (SELECT source, coalesce(max(CASE WHEN ge >= 17 THEN v END), 0)
+        |         AS t FROM g1 GROUP BY source),
+        |s1 AS (SELECT c1.source, c1.token, c1.c - t1.t AS mg_cnt, t1.t AS err
+        |       FROM c1 JOIN t1 USING (source) WHERE c1.c > t1.t),
+        |preverr AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS pe FROM
+        |            (SELECT DISTINCT source, err AS t FROM s1)),
+        |mc AS (SELECT token, CAST(sum(mg_cnt) AS BIGINT) AS c FROM s1
+        |       GROUP BY token),
+        |mh AS (SELECT c AS v, count(*) AS nit FROM mc GROUP BY c),
+        |mg AS (SELECT v, sum(nit) OVER (ORDER BY v DESC) AS ge FROM mh),
+        |mt AS (SELECT coalesce(max(CASE WHEN ge >= 17 THEN v END), 0) AS t
+        |       FROM mg),
+        |ms AS (SELECT token, c - (SELECT t FROM mt) AS mg_cnt,
+        |         (SELECT pe FROM preverr) + (SELECT t FROM mt) AS mg_err
+        |       FROM mc WHERE c > (SELECT t FROM mt)),
+        |dc AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |dh AS (SELECT c AS v, count(*) AS nit FROM dc GROUP BY c),
+        |dg AS (SELECT v, sum(nit) OVER (ORDER BY v DESC) AS ge FROM dh),
+        |dt AS (SELECT coalesce(max(CASE WHEN ge >= 17 THEN v END), 0) AS t
+        |       FROM dg),
+        |ds AS (SELECT token, c - (SELECT t FROM dt) AS mg_cnt,
+        |         (SELECT t FROM dt) AS mg_err
+        |       FROM dc WHERE c > (SELECT t FROM dt)),
+        |u AS (SELECT '__merged__' AS variant, token, mg_cnt, mg_err FROM ms
+        |      UNION ALL
+        |      SELECT '__direct__', token, mg_cnt, mg_err FROM ds)
+        |SELECT u.variant, u.token, u.mg_cnt, u.mg_err, dc.c AS exact_n,
+        |  (dc.c >= u.mg_cnt AND dc.c <= u.mg_cnt + u.mg_err) AS ok
+        |FROM u JOIN dc ON dc.token = u.token
+        |ORDER BY u.variant, u.token""".stripMargin,
 
     "text_phrase_pmi" ->
       """WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t

@@ -111,4 +111,104 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("n"), lit(0L))).as("cms_n"))
   }
+
+  // -------------------------------------------------------------------
+  // Misra-Gries heavy hitters — the third mergeable leg (HLL answers
+  // "how many distinct", CMS answers "how often is THIS one", MG answers
+  // "which ones are frequent" without a probe set)
+  // -------------------------------------------------------------------
+
+  /** The (k+1)-th largest count per group ("t") from a count table via
+    * a COUNT-OF-COUNTS histogram: t = max{v : #items with count ≥ v
+    * ≥ k+1} (0 when the group has ≤ k items). The only window runs
+    * over DISTINCT COUNT VALUES per group — a Zipf corpus has a few
+    * hundred of those no matter how wide the vocabulary — never over
+    * the items themselves, so no per-group vocab sort exists anywhere
+    * on this path. */
+  private def mgThreshold(counts: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = counts.groupBy((groupCols :+ "__c").map(col): _*)
+      .agg(count(lit(1)).as("__nit"))
+    val w = (if (groupCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(groupCols.map(col): _*))
+      .orderBy(col("__c").desc)
+    val withGe = hist.withColumn("__ge", sum(col("__nit")).over(w))
+    val agg = coalesce(max(when(col("__ge") >= k + 1, col("__c"))), lit(0L))
+      .as("__t")
+    if (groupCols.isEmpty) withGe.agg(agg)
+    else withGe.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Attach the threshold and keep the offset summary: items with
+    * count > t survive with `mg_cnt = count − t` and carry the sketch's
+    * accumulated offset `mg_err = prevErr + t`. */
+  private def mgTruncate(counts: DataFrame, keyCol: String,
+      groupCols: Seq[String], k: Int, prevErr: Column): DataFrame = {
+    val t = mgThreshold(counts, groupCols, k)
+    val joined =
+      if (groupCols.isEmpty) counts.crossJoin(broadcast(t))
+      else counts.join(broadcast(t), groupCols)
+    joined.where(col("__c") > col("__t"))
+      .select(groupCols.map(col) ++ Seq(col(keyCol),
+        (col("__c") - col("__t")).as("mg_cnt"),
+        (prevErr + col("__t")).as("mg_err")): _*)
+  }
+
+  /** Misra-Gries heavy-hitter summary at `groupCols` grain, in the
+    * canonical order-free OFFSET form (Agarwal et al., "Mergeable
+    * Summaries", PODS 2012): from exact per-group counts, subtract the
+    * (k+1)-th largest count t and keep the ≤ k items that stay
+    * positive. Stored counts are deterministic functions of the
+    * MULTISET (no stream order anywhere), so the identical table falls
+    * out of a SQL replay. Guarantee per item: mg_cnt ≤ true count ≤
+    * mg_cnt + mg_err (an item absent from the sketch has true count ≤
+    * mg_err), with mg_err ≤ group total / (k+1). Scale shape: one hash
+    * aggregation over items (map-side combine), one histogram
+    * aggregation, one window over distinct count VALUES (tiny), one
+    * broadcast join back — the output is ≤ k rows per group, the
+    * scan-once/merge-forever grain. */
+  def mgSketch(items: DataFrame, keyCol: String, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    val counts = items.where(col(keyCol).isNotNull)
+      .groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    mgTruncate(counts, keyCol, groupCols, k, lit(0L))
+  }
+
+  /** Merge MG sketches down to `groupCols` grain (collapsing every other
+    * dimension column): sum stored counts per item, then re-truncate at
+    * the merged (k+1)-th largest — the associative fold of the offset
+    * form. `mg_err` accumulates every offset subtracted along the way
+    * (Σ input-sketch offsets + the merge's own t), so the
+    * `mg_cnt ≤ true ≤ mg_cnt + mg_err` bracket keeps holding after any
+    * number of merge generations. One degenerate caveat, documented
+    * rather than papered over: a shard whose every surviving count
+    * ties exactly at its t produces an EMPTY sketch and its offset rows
+    * vanish from the error ledger — merged VALUES stay valid
+    * undercounts; only the error-bound column can understate in that
+    * measure-zero case. */
+  def mgMerge(sketches: DataFrame, keyCol: String, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    val dims = sketches.columns
+      .filterNot(c => c == keyCol || c == "mg_cnt" || c == "mg_err").toSeq
+    // one row per input sketch (its full dim tuple) → summed offsets
+    val errs = sketches.select((dims :+ "mg_err").distinct.map(col): _*)
+      .distinct()
+    val errAgg =
+      if (groupCols.isEmpty) errs.agg(sum("mg_err").as("__preverr"))
+      else errs.groupBy(groupCols.map(col): _*)
+        .agg(sum("mg_err").as("__preverr"))
+    val counts = sketches
+      .groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(sum("mg_cnt").as("__c"))
+    val withErr =
+      if (groupCols.isEmpty) counts.crossJoin(broadcast(errAgg))
+      else counts.join(broadcast(errAgg), groupCols)
+    mgTruncate(withErr, keyCol, groupCols, k, col("__preverr"))
+      .select(groupCols.map(col) ++
+        Seq(col(keyCol), col("mg_cnt"), col("mg_err")): _*)
+  }
 }

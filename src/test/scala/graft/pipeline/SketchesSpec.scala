@@ -79,6 +79,85 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("partial_max"), s"no map-side combine in:\n$plan")
   }
 
+  test("MG sketch: offset form matches a local Misra-Gries bound check") {
+    val k = 16
+    val exact = items.groupBy("token").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val sk = Sketches.mgSketch(items, "token", Seq.empty, k)
+      .as[(String, Long, Long)].collect()
+    assert(sk.length <= k, s"sketch must hold <= $k items, got ${sk.length}")
+    // every stored item: mg_cnt <= true <= mg_cnt + mg_err, err <= N/(k+1)
+    sk.foreach { case (tok, cnt, err) =>
+      assert(cnt >= 1 && cnt <= exact(tok), s"$tok stored $cnt vs ${exact(tok)}")
+      assert(exact(tok) <= cnt + err, s"$tok bracket broken")
+      assert(err <= n / (k + 1), s"offset $err above N/(k+1)")
+    }
+    // every OMITTED item's true count is <= the offset (else it would
+    // have survived truncation)
+    val kept = sk.map(_._1).toSet
+    val t = sk.headOption.map(_._3).getOrElse(0L)
+    exact.filterNot(e => kept(e._1)).foreach { case (tok, c) =>
+      assert(c <= t, s"omitted $tok has count $c above offset $t")
+    }
+  }
+
+  test("MG shard merge: bracket survives arbitrary doc-hash shards") {
+    val k = 16
+    // shard by doc hash — NOT by source — so the merge sees an
+    // arbitrary partition of the multiset
+    val shards = (0 until 3).map(i =>
+      Sketches.mgSketch(
+        items.where(pmod(col("doc_id"), lit(3)) === i)
+          .withColumn("shard", lit(i)),
+        "token", Seq("shard"), k))
+    val merged = Sketches.mgMerge(
+        shards.reduce(_ unionByName _), "token", Seq.empty, k)
+      .as[(String, Long, Long)].collect()
+    val exact = items.groupBy("token").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(merged.nonEmpty && merged.length <= k)
+    merged.foreach { case (tok, cnt, err) =>
+      assert(cnt <= exact(tok), s"$tok merged $cnt overcounts ${exact(tok)}")
+      assert(exact(tok) <= cnt + err, s"$tok merged bracket broken")
+    }
+    // the true #1 heavy hitter must survive any constant-shard merge
+    val top = exact.maxBy(_._2)._1
+    assert(merged.exists(_._1 == top), s"true top token $top lost in merge")
+  }
+
+  test("MG merge is deterministic across shardings and partitionings") {
+    val k = 8
+    def mergeOf(nShards: Int) = {
+      val shards = (0 until nShards).map(i =>
+        Sketches.mgSketch(
+          items.where(pmod(col("doc_id"), lit(nShards)) === i)
+            .withColumn("shard", lit(i)),
+          "token", Seq("shard"), k))
+      Sketches.mgMerge(shards.reduce(_ unionByName _), "token", Seq.empty, k)
+        .select("token", "mg_cnt").as[(String, Long)].collect().toSet
+    }
+    // same sharding twice → identical rows (no order dependence)
+    assert(mergeOf(3) == mergeOf(3))
+    // per-source sketch is repartitioning-invariant
+    val a = Sketches.mgSketch(items.repartition(13), "token",
+      Seq("source"), k).orderBy("source", "token").collect().toSeq
+    val b = Sketches.mgSketch(items.repartition(2), "token",
+      Seq("source"), k).orderBy("source", "token").collect().toSeq
+    assert(a == b)
+  }
+
+  test("MG sketch plans a partial-aggregated count, window only on the histogram") {
+    val plan = Sketches.mgSketch(items, "token", Seq("source"), 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"),
+      s"no map-side combine on the item-count agg:\n$plan")
+    // the per-item count table must never be window-sorted: the single
+    // Window operates on the count-of-counts histogram (grouped twice)
+    assert(!plan.contains("row_number"),
+      s"item-level ranking crept into the MG path:\n$plan")
+  }
+
   test("CMS counter merge across shards == counters of the union") {
     val shards = (0 until 3).map(i =>
       Sketches.cmsCounters(items.where(pmod(col("doc_id"), lit(3)) === i),
