@@ -72,6 +72,9 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (Codebook, graft.index.PQCodebook)]
   private val dirHkmTrees =
     new java.util.concurrent.ConcurrentHashMap[String, graft.index.HierarchicalKMeans.Tree]
+  private val dirSwapArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Seq[(String, Array[Float])], Codebook)]
   private val dirAlignments =
     new java.util.concurrent.ConcurrentHashMap[String, (Codebook, Codebook, Array[Array[Int]])]
   private val dirBpeMerges =
@@ -103,6 +106,28 @@ object SparkEntry {
   private def rqIndex(s: SparkSession, dir: String): DataFrame =
     ArtifactCache.frame(s, s"$dir/rq2x3/index") {
       ClusterIndexBuilder.build(rqAssignments(s, dir))
+    }
+
+  /** Second-encoder artifacts (V1 pluggability): a trained Word2Vec
+    * word-vector table + an RQ codebook fit on the SWAPPED doc vectors —
+    * the whole retrieval stack rebuilt behind a different encoder. */
+  private def swapWordVecs(s: SparkSession,
+      dir: String): Seq[(String, Array[Float])] =
+    ArtifactCache.value(s"$dir/w2v16") {
+      graft.functions.TextEmbedder.word2vecTrain(
+        t(s, dir, "documents"), dim = 16, seed = 42L)
+    }
+
+  private def swapDocVecs(s: SparkSession, dir: String): DataFrame =
+    ArtifactCache.frame(s, s"$dir/w2v16/vecs") {
+      graft.functions.TextEmbedder.word2vecApply(
+        t(s, dir, "documents"), swapWordVecs(s, dir))
+    }
+
+  private def swapCodebook(s: SparkSession, dir: String): Codebook =
+    ArtifactCache.codebook(s"$dir/w2v16/rq2x8") {
+      RQTrainer.fit(swapDocVecs(s, dir).select("doc_id", "vec"), "vec",
+        numLevels = 2, k = 8, seed = 42L, maxIter = 10)
     }
 
   /** doc_multiclus=T top-T assignments (doc beam search) — T rows/doc. */
@@ -1008,6 +1033,34 @@ object SparkEntry {
       val index = rqIndex(s, dir)
       CoarseFineRetriever.retrieve(queries, index, docs, rqCodebook(s, dir),
         beams = 4, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // V1 pluggability, certified end to end: the SAME index-build +
+    // coarse-fine retrieval stack rebuilt behind a SECOND encoder — a
+    // trained MLlib Word2Vec routed through the word2vecApply
+    // mapPartitions contract (the seam a real ONNX/JNI encoder uses,
+    // document_encoder.py:104-126). The oracle inlines the trained word
+    // vectors (like v15_rerank inlines LR weights), re-derives every doc
+    // vector from documents.text, and replays assign/beam/coarse-fine
+    // unchanged on the swapped source — hash-proof the downstream never
+    // cared which encoder made the vectors
+    "encoder_swap" -> ((s, dir) => {
+      val wv = swapWordVecs(s, dir)
+      val cb = swapCodebook(s, dir)
+      val docs = swapDocVecs(s, dir)
+      dirSwapArtifacts.put(dir, (wv, cb))
+      lastDir = Some(dir)
+      val index = ArtifactCache.frame(s, s"$dir/w2v16/rq2x8/index") {
+        ClusterIndexBuilder.build(
+          CodeAssigner.assign(docs.select("doc_id", "vec"), cb))
+      }
+      val queries = docs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+      CoarseFineRetriever.retrieve(queries, index,
+          docs.select("doc_id", "vec"), cb, beams = 4, k = 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy("query_id", "rank")
@@ -2371,6 +2424,11 @@ object SparkEntry {
       dir.flatMap(d => Option(dirRotations.get(d)))
         .map(rot => Map("v_opq_rotate" ->
           graft.oracle.GeneratedOracles.pcaProjectSql(rot.components)))
+        .getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirSwapArtifacts.get(d)))
+        .map { case (wv, cb) => Map("encoder_swap" ->
+          graft.oracle.GeneratedOracles.encoderSwapSql(
+            wv, cb, beams = 4, k = 10, maxQueryId = 20)) }
         .getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirPqCodebooks.get(d)))
         .map(cb => Map(

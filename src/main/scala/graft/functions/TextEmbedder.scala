@@ -36,4 +36,72 @@ object TextEmbedder {
         (x / sqrt(aggregate(col("__raw"), lit(0.0), (acc, v) => acc + v * v)))
           .cast("float")).as("vec"))
   }
+
+  /** SECOND encoder through the same V1 seam — a trained MLlib Word2Vec
+    * (skip-gram) whose fit is the opaque-model step and whose word
+    * vectors are the inlinable artifact (the oracle replays application
+    * from them, exactly like the reranker inlines its LR weights).
+    * Deterministic fit: one partition, doc_id-sorted sentences, fixed
+    * seed. Returns the trained token → float-vector table, SMALL by
+    * construction (vocab-sized), ready to broadcast. */
+  def word2vecTrain(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dim: Int = 16,
+      seed: Long = 42L): Seq[(String, Array[Float])] = {
+    import org.apache.spark.ml.feature.Word2Vec
+    val sentences = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .orderBy(col(idCol)).coalesce(1)
+    val model = new Word2Vec()
+      .setInputCol("toks").setOutputCol("__v")
+      .setVectorSize(dim).setSeed(seed).setMinCount(1)
+      .setNumPartitions(1).setMaxIter(1)
+      .fit(sentences)
+    model.getVectors.collect()
+      .map(r => r.getString(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1)
+          .toArray.map(_.toFloat))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Apply a trained word-vector table through the V1 mapPartitions
+    * contract (the seam a real ONNX/JNI encoder plugs into,
+    * ref MEVI/document_encoder.py:104-126): per doc, average the word
+    * vectors of its tokens — double accumulation in token order, one
+    * multiply by 1/n, then a float round — so a SQL oracle replays the
+    * exact bits from the inlined vectors. Out-of-vocabulary tokens
+    * count toward n but contribute zero (MLlib transform semantics).
+    * Output: (idCol, vec ARRAY<FLOAT> of the training dim). */
+  def word2vecApply(docs: DataFrame, wordVecs: Seq[(String, Array[Float])],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(wordVecs.nonEmpty, "empty word-vector table")
+    val dim = wordVecs.head._2.length
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(wordVecs.toMap)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val rdd = docs
+      .select(col(idCol).cast("long"), Dedup.tokens(col(textCol)).as("t"))
+      .where(size(col("t")) > 0)
+      .rdd.mapPartitions { it =>
+        val wv = bc.value
+        it.map { r =>
+          val toks = r.getSeq[String](1)
+          val acc = new Array[Double](dim)
+          toks.foreach { t =>
+            wv.get(t).foreach { v =>
+              var i = 0
+              while (i < dim) { acc(i) += v(i); i += 1 }
+            }
+          }
+          val inv = 1.0 / toks.length
+          Row(r.getLong(0), acc.map(x => (x * inv).toFloat).toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -73,7 +73,8 @@ object GeneratedOracles {
   /** CTEs: corpus as doubles + centroid VALUES + the greedy residual
     * argmin chain → `assign(doc_id, k0..kM-1)` (Codebook.assign,
     * ref MEVI/pq.py:281-305). */
-  private def assignCtes(cb: Codebook): String = {
+  private def assignCtes(cb: Codebook,
+      src: String = "embeddings"): String = {
     val m0 = cb.numLevels
     val values = (0 until m0).map(m => valuesCte(cb, m)).mkString(",\n")
     val chain = (0 until m0).map { m =>
@@ -91,7 +92,7 @@ object GeneratedOracles {
            |r$m AS (SELECT doc_id, ${keep}k$m, list_transform(list_zip(v$m, cent$m), p -> p[1] - p[2]) AS v${m + 1} FROM a$m)""".stripMargin
       else base
     }.mkString(",\n")
-    s"""d AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM embeddings),
+    s"""d AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM $src),
        |$values,
        |$chain,
        |assign AS (SELECT doc_id, ${ks(cb).mkString(", ")} FROM a${m0 - 1})""".stripMargin
@@ -110,7 +111,7 @@ object GeneratedOracles {
     * k0..kM-1, cum)`. The centroid VALUES tables c0..cM-1 are NOT
     * declared here (shared across chains; declare once per statement). */
   private def beamCtesFor(cb: Codebook, beams: Int, where: String,
-      p: String): String = {
+      p: String, src: String = "embeddings"): String = {
     val m0 = cb.numLevels
     val k = cb.k
     val levels = (0 until m0).map { m =>
@@ -138,7 +139,7 @@ object GeneratedOracles {
            |  FROM ${p}b$m b JOIN c$m ON c$m.code = b.k$m)""".stripMargin
       else base
     }.mkString(",\n")
-    s"""${p}q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u0 FROM embeddings $where),
+    s"""${p}q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u0 FROM $src $where),
        |${p}krange AS (SELECT unnest(range(0, $k)) AS code),
        |$levels,
        |${p}beams AS (SELECT query_id, ${ks(cb).mkString(", ")}, cum FROM ${p}b${m0 - 1})""".stripMargin
@@ -825,6 +826,55 @@ object GeneratedOracles {
        |  array_to_string(list_transform(words, w ->
        |    trim(replace($replayed, ')(', ','), '()')), ',') AS tokens
        |FROM d ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Encoder swap: Word2Vec doc vectors → RQ assign/beam → coarse-fine
+  // -------------------------------------------------------------------
+
+  /** End-to-end replay of the encoder-agnostic pipeline behind a SECOND
+    * encoder: the trained word vectors are inlined as a VALUES table
+    * (like the reranker's LR weights), doc vectors are rebuilt from
+    * documents.text exactly as [[graft.functions.TextEmbedder
+    * .word2vecApply]] does — double sum in token order via
+    * `list(… ORDER BY pos)` + `list_reduce`, one multiply by `1.0/n`,
+    * float round — and the UNCHANGED RQ assign + beam + coarse-fine
+    * chain runs on top with its vector source switched from
+    * `embeddings` to the swapped CTE. A hash match certifies that the
+    * downstream operators never cared which encoder produced the
+    * vectors. */
+  def encoderSwapSql(wordVecs: Seq[(String, Array[Float])], cb: Codebook,
+      beams: Int, k: Int, maxQueryId: Int): String = {
+    val rows = wordVecs
+      .map { case (w, v) => s"('${w.replace("'", "''")}', ${centList(v)})" }
+      .mkString(", ")
+    s"""WITH wv(word, wvec) AS (VALUES $rows),
+       |dt AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |       FROM documents WHERE len(string_split_regex(lower(text), '\\s+')) > 0),
+       |tp AS (SELECT doc_id, toks, len(toks) AS n,
+       |         unnest(range(1, len(toks) + 1)) AS pos FROM dt),
+       |tk AS (SELECT doc_id, pos, n, toks[pos] AS w FROM tp),
+       |tv AS (SELECT tk.doc_id, tk.pos, tk.n, wv.wvec
+       |       FROM tk JOIN wv ON wv.word = tk.w),
+       |lv AS (SELECT doc_id, any_value(n) AS n,
+       |         list(wvec ORDER BY pos) AS vs
+       |       FROM tv GROUP BY doc_id),
+       |swapvec AS (SELECT doc_id AS vec_id,
+       |         list_transform(
+       |           list_reduce(vs, (a, b) ->
+       |             list_transform(list_zip(a, b), p -> p[1] + p[2])),
+       |           x -> CAST(x * (1.0e0 / n) AS REAL)) AS embedding
+       |       FROM lv),
+       |${assignCtes(cb, "swapvec")},
+       |${beamCtesFor(cb, beams, s"WHERE vec_id < $maxQueryId", "", "swapvec")},
+       |cand AS (SELECT DISTINCT b.query_id, a.doc_id FROM beams b JOIN assign a ON ${joinCond(cb, "a", "b")}),
+       |sc AS (SELECT c.query_id, c.doc_id,
+       |  list_sum(list_transform(list_zip(qq.u0, dd.v0), p -> p[1] * p[2])) AS score
+       |  FROM cand c JOIN q qq USING (query_id) JOIN d dd USING (doc_id)),
+       |rk AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT query_id, rank, doc_id, round(score, 6) AS score
+       |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   // -------------------------------------------------------------------
