@@ -270,7 +270,8 @@ object HierarchicalKMeans {
     * distributed end to end.
     */
   def fit(docs: DataFrame, vecCol: String, k: Int, depth: Int,
-      seed: Long = 42L, maxIter: Int = 20, sampleCap: Int = 1 << 16): Tree = {
+      seed: Long = 42L, maxIter: Int = 20, sampleCap: Int = 1 << 16,
+      driverBudgetBytes: Long = 256L << 20): Tree = {
     require(k >= 2 && depth >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -280,10 +281,25 @@ object HierarchicalKMeans {
       .as[(Long, Array[Float])]
       .map { case (id, v) => ("", id, v) }
     var cached: Option[Dataset[(String, Long, Array[Float])]] = None
+    val dim = docs.select(size(col(vecCol))).head().getInt(0)
 
     val levelCents = mutable.ArrayBuffer.empty[Map[String, Array[Array[Float]]]]
     for (level <- 0 until depth) {
       val minSize = if (level == 0) 1L else 2L * k
+      // fail FAST before the per-level collect, not at the OOM: the
+      // level's node count is a cheap count-agg over frontier prefixes,
+      // and width · k · dim · 4 bytes is exactly what collect() would
+      // pull onto the driver (the reference's K=32/depth-4/768-d leaf
+      // level is ~3 GB — that geometry belongs on the distributed path)
+      val width = frontier.toDF("p", "id", "v").groupBy("p")
+        .agg(count(lit(1)).as("n")).where(col("n") >= minSize).count()
+      val bytes = width * k.toLong * dim.toLong * 4L
+      require(bytes <= driverBudgetBytes,
+        s"HierarchicalKMeans.fit would collect ~$bytes bytes of level-$level " +
+          s"centroids to the driver ($width nodes x $k x $dim floats, budget " +
+          s"$driverBudgetBytes). This driver-tree path is the test twin for " +
+          "bounded geometries — use fitLevels/assignByLevels/" +
+          "beamSearchByLevels, which keep every codebook distributed.")
       val fitted: Map[String, Array[Array[Float]]] =
         levelFit(frontier, k, minSize, seed, maxIter, sampleCap)
           .collect().toMap

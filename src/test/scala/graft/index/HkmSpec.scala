@@ -30,6 +30,33 @@ class HkmSpec extends SparkSpec {
       kids(1).cents.asInstanceOf[Array[AnyRef]]))
   }
 
+  test("driver-tree fit fails fast above the driver byte budget, pointing at fitLevels") {
+    val rng = new scala.util.Random(7)
+    val df = (0 until 400).map(i =>
+      (i.toLong, Array.fill(6)(rng.nextGaussian().toFloat)))
+      .toDF("doc_id", "vec").cache()
+    // k=4 level-1 width up to 4 nodes × 4 × 6 floats × 4B = 384 bytes —
+    // a 64-byte budget must trip BEFORE any centroid collect, with the
+    // remediation in the message (the K=32/depth-4/768-d reference
+    // geometry is ~3 GB against the 256 MB default, same trip path)
+    val e = intercept[IllegalArgumentException] {
+      HierarchicalKMeans.fit(df, "vec", k = 4, depth = 2,
+        seed = 42L, maxIter = 5, driverBudgetBytes = 64L)
+    }
+    assert(e.getMessage.contains("fitLevels"), e.getMessage)
+    assert(e.getMessage.contains("budget"), e.getMessage)
+    // the default budget comfortably admits the bounded fixture geometry
+    val tree = HierarchicalKMeans.fit(df, "vec", k = 4, depth = 2,
+      seed = 42L, maxIter = 5)
+    assert(tree.root.cents.length == 4)
+    // the reference fan-out's projected leaf level (32^3 nodes × 32 ×
+    // 768-d) exceeds the default 256 MB budget — the arithmetic the
+    // guard runs, pinned here so nobody "fixes" the default upward past
+    // the geometry it exists to catch
+    val refBytes = math.pow(32, 3).toLong * 32L * 768L * 4L
+    assert(refBytes > (256L << 20))
+  }
+
   test("undersized clusters become leaves (variable-depth paths)") {
     val rng = new scala.util.Random(7)
     // 3 points far out at (+50, ...) — below the 2k=6 split threshold —
