@@ -45,8 +45,15 @@ object ScaleProbe {
     * replication keeps outputs ~linear so the exponent measures the
     * candidate-generation machinery, which is the actual 100 TB
     * question. */
+  /** `hubSkew`: lineitem replicas keep `l_suppkey` UNSHIFTED, so every
+    * supplier becomes a `times`-degree hub in the graph queries (the
+    * part side still shifts → `times`× sinks): the adversarial shape
+    * for iterative graph ops — a few src keys own `times`× the edges
+    * of everything else. Only the graph family reads lineitem without
+    * joining the (shifted) supplier dim, so use hub dirs ONLY for
+    * graph_pagerank* probes. */
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
-      times: Int, perturb: Boolean = false): Unit = {
+      times: Int, perturb: Boolean = false, hubSkew: Boolean = false): Unit = {
     def rep(name: String, shiftCols: Seq[String],
         also: Int => DataFrame => DataFrame = _ => identity): Unit = {
       val base = spark.read.parquet(s"$srcDir/$name.parquet")
@@ -71,7 +78,9 @@ object ScaleProbe {
       else df)
     rep("events", Seq("event_id", "user_id"))
     rep("orders", Seq("o_orderkey", "o_custkey"))
-    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rep("lineitem",
+      if (hubSkew) Seq("l_orderkey", "l_partkey")
+      else Seq("l_orderkey", "l_partkey", "l_suppkey"))
     rep("customer", Seq("c_custkey"))
     rep("supplier", Seq("s_suppkey"))
     rep("part", Seq("p_partkey"))
@@ -100,6 +109,7 @@ object ScaleProbe {
     }
 
     val perturb = sys.env.get("SPARK_GRAFT_SCALE_PERTURB").contains("1")
+    val hubSkew = sys.env.get("SPARK_GRAFT_SCALE_HUB").contains("1")
     val subset: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val appendMd = sys.env.get("SPARK_GRAFT_SCALE_APPEND").contains("1")
@@ -107,8 +117,8 @@ object ScaleProbe {
     val marker = new java.io.File(s"$bigDir/_REPLICATED")
     if (!marker.exists()) {
       System.err.println(
-        s"[scale] replicating $baseDir ×$times (perturb=$perturb) → $bigDir")
-      val sec = timed(replicate(spark, baseDir, bigDir, times, perturb))
+        s"[scale] replicating $baseDir ×$times (perturb=$perturb hub=$hubSkew) → $bigDir")
+      val sec = timed(replicate(spark, baseDir, bigDir, times, perturb, hubSkew))
       marker.getParentFile.mkdirs(); marker.createNewFile()
       System.err.println(f"[scale] replication took $sec%.1f s")
     }
@@ -171,7 +181,14 @@ object ScaleProbe {
     val md = new StringBuilder
     if (appendMd) {
       md ++= s"\n## ${times}× probe — ${
-        if (perturb) "PERTURBED replicas" else "exact replicas"} at $baseDir\n\n"
+        if (hubSkew) "HUB-SKEWED replicas"
+        else if (perturb) "PERTURBED replicas" else "exact replicas"} at $baseDir\n\n"
+      if (hubSkew) {
+        md ++= "Replicas keep `l_suppkey` UNSHIFTED: every supplier is a\n"
+        md ++= s"$times-degree hub emitter while the part side fans out into\n"
+        md ++= s"$times× sinks — the adversarial skew shape for iterative graph\n"
+        md ++= "ops (a few src keys own everything).\n\n"
+      }
       if (perturb) {
         md ++= "Replicas here are made mutually DISSIMILAR (per-replica token\n"
         md ++= "suffix on every word; embeddings cyclically coordinate-shifted +\n"
