@@ -787,6 +787,33 @@ object SparkEntry {
         .orderBy("variant", "token")
     }),
 
+    // HDR-style quantile histogram — the fourth mergeable leg: per-flag
+    // price quantiles from log-bucketed counts (floor(log2) computed as
+    // binary-string length, NO floating log), per-shard histograms
+    // merged by plain SUM; merged == direct is exact equality (count
+    // addition is associative — no MG-style bracket needed), certified
+    // as an in-query boolean and replayed row-for-row in SQL
+    "sketch_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"), col("l_linestatus").as("shard"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val sk = graft.pipeline.Sketches
+      val perShard = sk.hdrHistogram(li, "cents", Seq("flag", "shard"),
+        subBits = 5)
+      val qs = Seq((1, 2), (9, 10), (99, 100))
+      val qm = sk.hdrQuantiles(sk.hdrMerge(perShard, Seq("flag")),
+          Seq("flag"), 5, qs)
+        .withColumnRenamed("est", "est_merged")
+      val qd = sk.hdrQuantiles(sk.hdrHistogram(li, "cents", Seq("flag"), 5),
+          Seq("flag"), 5, qs)
+        .withColumnRenamed("est", "est_direct")
+      qm.join(qd, Seq("flag", "q_num", "q_den"))
+        .select(col("flag"), col("q_num"), col("q_den"),
+          col("est_direct"), col("est_merged"),
+          (col("est_merged") === col("est_direct")).as("ok"))
+        .orderBy("flag", "q_den", "q_num")
+    }),
+
     // Iterative graph computation: integer-deterministic PageRank over
     // the part↔supplier bipartite graph (both directions, so no
     // danglers). All-Long arithmetic → five distributed rounds equal
@@ -2753,6 +2780,49 @@ object SparkEntry {
     "graph_pagerank_dangling" ->
       graft.oracle.GeneratedOracles.pagerankDanglingSql(
         rounds = 5, epsMicro = 1000L),
+
+    "sketch_quantiles" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_linestatus AS shard,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |b AS (SELECT flag, shard,
+        |    CASE WHEN v < 32 THEN v ELSE
+        |      CAST(length(printf('%b', v)) - 1 - 5 + 1 AS BIGINT) * 32
+        |        + ((v >> (length(printf('%b', v)) - 1 - 5)) & 31) END AS bucket
+        |  FROM li),
+        |ps AS (SELECT flag, shard, bucket, count(*) AS n FROM b
+        |       GROUP BY flag, shard, bucket),
+        |m AS (SELECT flag, bucket, CAST(sum(n) AS BIGINT) AS n FROM ps
+        |      GROUP BY flag, bucket),
+        |d AS (SELECT flag, bucket, count(*) AS n FROM b
+        |      GROUP BY flag, bucket),
+        |qv(q_num, q_den) AS (VALUES (1, 2), (9, 10), (99, 100)),
+        |mc AS (SELECT flag, bucket, n,
+        |    sum(n) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+        |    sum(n) OVER (PARTITION BY flag) AS tot FROM m),
+        |ml AS (SELECT *, CASE WHEN bucket < 32 THEN bucket ELSE
+        |    ((32 + (bucket & 31)) << (CAST(bucket // 32 AS INT) - 1)) END AS lb
+        |  FROM mc),
+        |mq AS (SELECT flag, q_num, q_den, CAST(min(lb) AS BIGINT)
+        |         AS est_merged
+        |       FROM ml CROSS JOIN qv
+        |       WHERE cum >= (tot * q_num + q_den - 1) // q_den
+        |       GROUP BY flag, q_num, q_den),
+        |dc AS (SELECT flag, bucket, n,
+        |    sum(n) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+        |    sum(n) OVER (PARTITION BY flag) AS tot FROM d),
+        |dl AS (SELECT *, CASE WHEN bucket < 32 THEN bucket ELSE
+        |    ((32 + (bucket & 31)) << (CAST(bucket // 32 AS INT) - 1)) END AS lb
+        |  FROM dc),
+        |dq AS (SELECT flag, q_num, q_den, CAST(min(lb) AS BIGINT)
+        |         AS est_direct
+        |       FROM dl CROSS JOIN qv
+        |       WHERE cum >= (tot * q_num + q_den - 1) // q_den
+        |       GROUP BY flag, q_num, q_den)
+        |SELECT mq.flag, mq.q_num, mq.q_den, dq.est_direct, mq.est_merged,
+        |  (mq.est_merged = dq.est_direct) AS ok
+        |FROM mq JOIN dq USING (flag, q_num, q_den)
+        |ORDER BY flag, q_den, q_num""".stripMargin,
 
     "sketch_topk_merge" ->
       """WITH toks AS (SELECT source,

@@ -177,6 +177,84 @@ object Sketches {
     mgTruncate(counts, keyCol, groupCols, k, lit(0L))
   }
 
+  // -------------------------------------------------------------------
+  // HDR-style quantile histogram — the fourth mergeable leg (HLL =
+  // distinct, CMS = point frequency, MG = heavy hitters, HDR = quantiles)
+  // -------------------------------------------------------------------
+
+  /** Log-bucketed histogram over NON-NEGATIVE Long values (callers scale
+    * doubles to micro-units first), after the HdrHistogram bucketing
+    * scheme (Gil Tene's public design): values below 2^subBits map to
+    * themselves; larger values keep their top `subBits` mantissa bits —
+    * bucket = ((level − s + 1) << s) | ((v >> (level − s)) & (2^s − 1))
+    * with level = floor(log₂ v) computed INTEGER-EXACTLY as
+    * `length(bin(v)) − 1` (no floating log anywhere, so the same bucket
+    * falls out of any engine). Relative error ≤ 2^−s per bucket. One
+    * hash aggregation, map-side combined; the sketch is ≤ 64·2^s rows
+    * per group — mergeable by plain count SUM, exactly associative. */
+  def hdrHistogram(items: DataFrame, valueCol: String,
+      groupCols: Seq[String], subBits: Int): DataFrame = {
+    require(subBits >= 1 && subBits <= 16, s"subBits=$subBits")
+    val s = subBits
+    val v = col(valueCol).cast("long")
+    items.where(v.isNotNull && v >= 0)
+      .select((groupCols.map(col) :+ v.as("__v")): _*)
+      // floor(log2 v) with NO floating log: binary-string length − 1 is
+      // integer-exact in every engine (DuckDB: length(printf('%b', v)))
+      .withColumn("__lvl",
+        expr("length(conv(CAST(__v AS STRING), 10, 2)) - 1"))
+      .withColumn("bucket", expr(
+        s"CASE WHEN __v < ${1L << s} THEN __v ELSE " +
+          s"CAST(__lvl - $s + 1 AS BIGINT) * ${1L << s} + " +
+          s"(shiftright(__v, __lvl - $s) & ${(1L << s) - 1L}) END"))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Merge histograms down to `groupCols` grain: SUM per bucket — exact
+    * and associative, so merged == direct bit-for-bit (unlike MG there
+    * is no truncation: the certificate is equality, not a bracket). */
+  def hdrMerge(hists: DataFrame, groupCols: Seq[String]): DataFrame =
+    hists.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /** Quantile estimates from a histogram: for each (qNum, qDen) the
+    * value lower-bound of the first bucket whose cumulative count
+    * reaches rank ceil(qNum·N / qDen) — all-integer rank arithmetic
+    * (quantiles arrive as fractions, never doubles), one window over
+    * the per-group BUCKETS (≤ 64·2^s rows), and an integer inverse of
+    * the bucket function for the reported value. True quantile lies in
+    * [est, est·(1 + 2^−s)). */
+  def hdrQuantiles(hist: DataFrame, groupCols: Seq[String], subBits: Int,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall { case (n, d) => n >= 0 && n <= d && d > 0 })
+    val s = subBits
+    val w = (if (groupCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(groupCols.map(col): _*))
+      .orderBy(col("bucket"))
+    val cum = hist
+      .withColumn("__cum", sum(col("n")).over(w))
+      .withColumn("__tot",
+        if (groupCols.isEmpty) sum(col("n")).over(Window.partitionBy())
+        else sum(col("n")).over(Window.partitionBy(groupCols.map(col): _*)))
+    val qRows = qs.map { case (n, d) => struct(lit(n).as("qn"), lit(d).as("qd")) }
+    cum.withColumn("__lb", expr(
+        s"CASE WHEN bucket < ${1L << s} THEN bucket ELSE " +
+          s"shiftleft(${1L << s} + (bucket & ${(1L << s) - 1L}), " +
+          s"CAST(bucket div ${1L << s} AS INT) - 1) END"))
+      .select((groupCols.map(col) :+ col("__cum") :+ col("__tot") :+
+        col("__lb") :+ explode(array(qRows: _*)).as("__q")): _*)
+      .select(groupCols.map(col) :+ col("__q.qn").as("q_num") :+
+        col("__q.qd").as("q_den") :+ col("__cum") :+ col("__tot") :+
+        col("__lb"): _*)
+      // rank = ceil(qn·N/qd) in integers; keep the FIRST bucket at/past it
+      .where(col("__cum") >=
+        expr("(__tot * q_num + q_den - 1) div q_den"))
+      .groupBy((groupCols :+ "q_num" :+ "q_den").map(col): _*)
+      .agg(min(col("__lb")).as("est"))
+  }
+
   /** Merge MG sketches down to `groupCols` grain (collapsing every other
     * dimension column): sum stored counts per item, then re-truncate at
     * the merged (k+1)-th largest — the associative fold of the offset

@@ -158,6 +158,56 @@ class SketchesSpec extends SparkSpec {
       s"item-level ranking crept into the MG path:\n$plan")
   }
 
+  test("HDR quantiles land within the 2^-s relative-error band of exact") {
+    import org.apache.spark.sql.functions.expr
+    val s = 5
+    val li = graft.io.Tables.load(spark, sf("0.01"), "lineitem").select(
+      col("l_returnflag").as("flag"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .cache()
+    val qs = Seq((1, 2), (9, 10), (99, 100))
+    val est = Sketches.hdrQuantiles(
+        Sketches.hdrHistogram(li, "cents", Seq("flag"), s), Seq("flag"), s, qs)
+      .as[(String, Int, Int, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    // exact quantiles computed locally per flag
+    val byFlag = li.as[(String, Long)].collect().groupBy(_._1)
+      .map { case (f, rows) => f -> rows.map(_._2).sorted }
+    assert(est.size == byFlag.size * 3)
+    est.foreach { case ((f, qn, qd), e) =>
+      val vals = byFlag(f)
+      val rank = (vals.length.toLong * qn + qd - 1) / qd
+      val exact = vals(math.max(0, rank.toInt - 1))
+      // est is the bucket lower bound containing the rank-th value:
+      // est <= exact < est * (1 + 2^-s) (+1 for the sub-2^s exact zone)
+      assert(e <= exact, s"$f $qn/$qd: est $e above exact $exact")
+      assert(exact < e + (e >> s) + (1L << s),
+        s"$f $qn/$qd: exact $exact outside error band of est $e")
+    }
+  }
+
+  test("HDR histogram merge over arbitrary shards == histogram of the union") {
+    import org.apache.spark.sql.functions.expr
+    val li = graft.io.Tables.load(spark, sf("0.01"), "lineitem").select(
+      col("l_orderkey"), col("l_returnflag").as("flag"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val shards = (0 until 3).map(i =>
+      Sketches.hdrHistogram(
+        li.where(pmod(col("l_orderkey"), lit(3)) === i)
+          .withColumn("sh", lit(i)),
+        "cents", Seq("flag", "sh"), 5))
+    val merged = Sketches.hdrMerge(shards.reduce(_ unionByName _), Seq("flag"))
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val direct = Sketches.hdrHistogram(li, "cents", Seq("flag"), 5)
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(merged === direct, "count sums must be exactly associative")
+    // sketch stays tiny: <= 64 * 2^5 buckets per group by construction
+    val perGroup = direct.keys.groupBy(_._1).values.map(_.size)
+    assert(perGroup.forall(_ <= 64 * 32))
+  }
+
   test("CMS counter merge across shards == counters of the union") {
     val shards = (0 until 3).map(i =>
       Sketches.cmsCounters(items.where(pmod(col("doc_id"), lit(3)) === i),
