@@ -210,8 +210,9 @@ object TextAnalysis {
   /** Corpus vocabulary heavy hitters: top-k tokens by frequency.
     * explode → hash-agg with map-side combine → TakeOrdered (Spark's
     * `orderBy.limit` never sorts the full vocab globally — each partition
-    * keeps k, the driver merges k·P rows). The exact form; a Misra-Gries
-    * sketch plugs in when the vocab itself is too wide for a hash-agg.
+    * keeps k, the driver merges k·P rows). The exact form;
+    * [[vocabTopKSketched]] is the Misra-Gries scale path for when the
+    * vocab itself is too wide for a hash-agg.
     */
   def vocabTopK(docs: DataFrame, k: Int = 50,
       textCol: String = "text"): DataFrame =
@@ -221,6 +222,28 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
+
+  /** The sketched scale path behind [[vocabTopK]]: a Misra-Gries summary
+    * ([[Sketches.mgSketch]]) with `sketchK` counters bounds state at
+    * `sketchK` rows regardless of vocabulary width, then reports the
+    * top `k` by stored count. Each freq is an UNDERCOUNT within `err`
+    * of exact (`freq ≤ true ≤ freq + err`, err ≤ tokens/(sketchK+1));
+    * any token with true frequency > err is guaranteed present. Use
+    * when the distinct-token set itself (URLs, hashes, code) outgrows a
+    * hash aggregation — the classic reason web-corpus vocab scans fall
+    * over. */
+  def vocabTopKSketched(docs: DataFrame, k: Int = 50, sketchK: Int = 1024,
+      textCol: String = "text"): DataFrame = {
+    require(k <= sketchK, s"k=$k must fit in sketchK=$sketchK counters")
+    Sketches.mgSketch(
+        Dedup.ensureParallelism(docs)
+          .select(explode(tokens(col(textCol))).as("token"))
+          .where(length(col("token")) > 0),
+        "token", Seq.empty, sketchK)
+      .select(col("token"), col("mg_cnt").as("freq"), col("mg_err").as("err"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+  }
 
   /** Order-sensitive rolling-hash fingerprint over token hashes:
     * h ← (h·1000003 + h32(token)) mod (2^31−1). Exact integer arithmetic →

@@ -272,9 +272,11 @@ class StressSpec extends SparkSpec {
     val jD3 = countJobs(HierarchicalKMeans.fit(df, "vec", k = 2, depth = 3,
       seed = 1L, maxIter = 5))
     assert(jD3 > jK2, s"depth 3 ($jD3 jobs) should schedule more than depth 2 ($jK2)")
-    // one extra level costs the fit collect + the assign count; AQE splits
-    // each shuffle into its own job, so "constant" is ~5, never node-count
-    assert(jD3 - jK2 <= 6,
+    // one extra level costs the fit collect + the assign count + the
+    // r8 driver-budget width count (the fail-fast guard is itself a
+    // per-level job); AQE splits each shuffle into its own job, so
+    // "constant" is ~8, never node-count
+    assert(jD3 - jK2 <= 9,
       s"per-level job cost should be a small constant: depth2=$jK2 depth3=$jD3")
   }
 

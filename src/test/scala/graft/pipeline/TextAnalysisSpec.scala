@@ -103,6 +103,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pmiMap(("new", "york")) === expect)
   }
 
+  test("sketched vocabTopK: exact when counters cover the vocab, bracketed below") {
+    val docs = graft.io.Tables.load(spark, sf("0.001"), "documents")
+      .select(col("doc_id"), col("text")).cache()
+    // sketchK ≥ vocab (31 tokens): t = 0 → the sketch IS the exact count
+    val exact = TextAnalysis.vocabTopK(docs, k = 10)
+      .as[(String, Long)].collect().toSeq
+    val wide = TextAnalysis.vocabTopKSketched(docs, k = 10, sketchK = 64)
+      .select("token", "freq").as[(String, Long)].collect().toSeq
+    assert(wide == exact, "uncompressed sketch must reproduce exact top-k")
+    // sketchK < vocab: truncation engaged — bracket holds, #1 survives
+    val all = TextAnalysis.vocabTopK(docs, k = 100)
+      .as[(String, Long)].collect().toMap
+    val tight = TextAnalysis.vocabTopKSketched(docs, k = 10, sketchK = 16)
+      .as[(String, Long, Long)].collect()
+    assert(tight.nonEmpty && tight.length <= 10)
+    tight.foreach { case (tok, freq, err) =>
+      assert(freq <= all(tok) && all(tok) <= freq + err, s"$tok bracket")
+    }
+    assert(tight.head._1 == exact.head._1,
+      "the true #1 token must survive sketching")
+  }
+
   test("compression ratio separates repetition from noise, deterministically") {
     import spark.implicits._
     val docs = Seq(
