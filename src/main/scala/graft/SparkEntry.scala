@@ -829,6 +829,24 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Triangle counting with the degree-ordered orientation (Suri &
+    // Vassilvitskii 2011): the co-supply graph (suppliers sharing a
+    // part) is built by a bounded per-part pair explode, every triangle
+    // materializes as ONE wedge, and out-degrees are O(√m) so the wedge
+    // self-join never goes quadratic on a hub — three hash joins + a
+    // count, replayed row-for-row in SQL
+    "graph_triangles" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sup"))
+        .distinct()
+      val edges = ps.select(col("p"), col("sup").as("src"))
+        .join(ps.select(col("p"), col("sup").as("dst")), "p")
+        .where(col("src") < col("dst"))
+        .select("src", "dst")
+      graft.pipeline.GraphOps.triangleCounts(edges).orderBy("node")
+    }),
+
     // Sink-bearing PageRank: forward-only supplier→part edges make every
     // part node dangling — per-round mass redistribution (Long floor
     // share) plus ε-stopping, both replayed in the oracle's unrolled
@@ -2780,6 +2798,35 @@ object SparkEntry {
     "graph_pagerank_dangling" ->
       graft.oracle.GeneratedOracles.pagerankDanglingSql(
         rounds = 5, epsMicro = 1000L),
+
+    "graph_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+        |            FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.sup AS u, b.sup AS v
+        |       FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |        (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |        GROUP BY node),
+        |oe AS (SELECT
+        |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v)
+        |         THEN u ELSE v END AS src,
+        |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v)
+        |         THEN v ELSE u END AS dst,
+        |    CASE WHEN (da.d < db.d) OR (da.d = db.d AND u < v)
+        |         THEN db.d ELSE da.d END AS ddst
+        |  FROM e0 JOIN deg da ON da.node = e0.u
+        |  JOIN deg db ON db.node = e0.v),
+        |w AS (SELECT e1.src, e1.dst AS a, e2.dst AS b
+        |      FROM oe e1 JOIN oe e2 ON e1.src = e2.src
+        |      WHERE (e1.ddst < e2.ddst)
+        |         OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
+        |t AS (SELECT w.src, w.a, w.b FROM w
+        |      JOIN oe e3 ON e3.src = w.a AND e3.dst = w.b)
+        |SELECT node, count(*) AS n_tri FROM (
+        |  SELECT src AS node FROM t
+        |  UNION ALL SELECT a FROM t
+        |  UNION ALL SELECT b FROM t)
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "sketch_quantiles" ->
       """WITH li AS (SELECT l_returnflag AS flag, l_linestatus AS shard,

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Non-iterative graph analytics over edge lists — the join-and-count
+  * family (triangles, co-occurrence density) that complements
+  * [[PageRank]]'s iterative rounds. Everything integer-deterministic:
+  * the operations are joins and counts over Long node ids, so a SQL
+  * oracle replays them row-for-row.
+  */
+object GraphOps {
+
+  /** Canonical undirected edge set from any directed/multi edge list:
+    * self-loops dropped, endpoints ordered u < v, duplicates collapsed. */
+  def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    edges.where(s.isNotNull && d.isNotNull && s =!= d)
+      .select(least(s, d).as("u"), greatest(s, d).as("v"))
+      .distinct()
+  }
+
+  /** Per-node triangle participation counts via the DEGREE-ORDERED
+    * orientation (the standard distributed-triangle trick, e.g. Suri &
+    * Vassilvitskii, WWW 2011): orient every undirected edge from the
+    * (degree, id)-lexicographically smaller endpoint to the larger, so
+    * each triangle materializes as exactly ONE wedge join — and, the
+    * actual scale point, every node's OUT-degree is O(√m) no matter how
+    * hub-skewed the in-degrees are, which bounds the wedge self-join at
+    * O(m^1.5) total instead of Σd² (a single celebrity node would
+    * otherwise own a quadratic wedge set). Three hash joins + one
+    * count; no iteration, no driver graph. Input: any edge list
+    * (direction/duplicates/self-loops ignored). Output:
+    * (node, n_tri > 0). */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): rank(u) < rank(v) ⇒ u→v
+    val oriented = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("du").as("ds"), col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"),
+            col("dv").as("ds"), col("du").as("dt")))
+          .as("o"))
+      .select(col("o.s").as("src"), col("o.t").as("dst"),
+        col("o.dt").as("ddst"))
+    // wedges (src; a, b) with rank(a) < rank(b), closed by oriented a→b
+    val e1 = oriented.select(col("src"), col("dst").as("a"),
+      col("ddst").as("da"))
+    val e2 = oriented.select(col("src"), col("dst").as("b"),
+      col("ddst").as("db"))
+    val wedges = e1.join(e2, Seq("src"))
+      .where(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+    val tris = wedges.join(
+      oriented.select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"))
+    tris.select(col("src").as("node"))
+      .unionAll(tris.select(col("a").as("node")))
+      .unionAll(tris.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Triangle counting pinned on hand-countable graphs plus a brute-force
+  * cross-check, and the orientation property that makes it scale.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-countable fixtures: triangle, square, K4, dangling tail") {
+    // K3 {1,2,3} + tail 3-4; square {10,11,12,13} (no triangle);
+    // K4 {20..23} = 4 triangles, 3 per node
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)) ++
+      (for (a <- 20L to 23L; b <- 20L to 23L if a < b) yield (a, b))
+    val got = GraphOps.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      20L -> 3L, 21L -> 3L, 22L -> 3L, 23L -> 3L))
+  }
+
+  test("direction, duplicates, and self-loops are ignored") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (1L, 1L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps.triangleCounts(messy).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("matches brute-force enumeration on a seeded random graph") {
+    val rng = new scala.util.Random(17)
+    val edges = (0 until 300).map(_ =>
+      (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = GraphOps.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val adj = edges.flatMap(e => Seq(e, e.swap)).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if adj((i, j)) && adj((j, k)) && adj((i, k))
+    } { brute(i) += 1; brute(j) += 1; brute(k) += 1 }
+    assert(got == brute.toMap)
+  }
+
+  test("oriented out-degree stays bounded on a star (hub never owns the wedges)") {
+    // star: hub 0 connected to 1..200, plus a few rim edges — the hub's
+    // UNDIRECTED degree is 200 but its oriented OUT-degree must be ~0
+    // (every rim node has lower (degree, id) rank than the hub)
+    val star = (1L to 200L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val e = GraphOps.canonicalEdges(star.toDF("src", "dst"), "src", "dst")
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // replicate the orientation and check the hub's out-degree
+    val oriented = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("src"))
+    val hubOut = oriented.where(col("src") === 0L).count()
+    assert(hubOut == 0L, s"hub emitted $hubOut oriented edges")
+    // and the counts are still right: rim triangle (1,2,3) plus the
+    // hub closing (0,1,2), (0,2,3), (0,1,3) → every participant in 3
+    val got = GraphOps.triangleCounts(star.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+}
