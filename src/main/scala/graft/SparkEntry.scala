@@ -847,6 +847,27 @@ object SparkEntry {
       graft.pipeline.GraphOps.triangleCounts(edges).orderBy("node")
     }),
 
+    // k-core peeling: synchronous rounds dropping every degree-<k node
+    // at once — extra rounds past convergence are no-ops, so the
+    // fixed-unroll oracle replays the early-stopping engine exactly.
+    // Graph: parts co-ordered in the same order (sparse — the supplier
+    // co-supply graph is complete at fixture cardinalities); k = 80
+    // sits just under the median degree, so the peel cascades for
+    // multiple real rounds at every sf
+    "graph_kcore" -> ((s, dir) => {
+      val lo = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("o"),
+          col("l_partkey").cast("long").as("p"))
+        .distinct()
+      val edges = lo.select(col("o"), col("p").as("src"))
+        .join(lo.select(col("o"), col("p").as("dst")), "o")
+        .where(col("src") < col("dst"))
+        .select("src", "dst")
+      graft.pipeline.GraphOps.kCore(edges, "src", "dst", k = 80,
+          maxRounds = 8)
+        .orderBy("node")
+    }),
+
     // Sink-bearing PageRank: forward-only supplier→part edges make every
     // part node dangling — per-round mass redistribution (Long floor
     // share) plus ε-stopping, both replayed in the oracle's unrolled
@@ -2798,6 +2819,9 @@ object SparkEntry {
     "graph_pagerank_dangling" ->
       graft.oracle.GeneratedOracles.pagerankDanglingSql(
         rounds = 5, epsMicro = 1000L),
+
+    "graph_kcore" ->
+      graft.oracle.GeneratedOracles.kcoreSql(k = 80, rounds = 8),
 
     "graph_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup

@@ -829,6 +829,39 @@ object GeneratedOracles {
   }
 
   // -------------------------------------------------------------------
+  // k-core peeling over the co-supply graph
+  // -------------------------------------------------------------------
+
+  /** Unrolls [[graft.pipeline.GraphOps.kCore]]: each round drops all
+    * nodes with degree < k and filters edges to survivors. Peeling a
+    * stable core is a no-op, so unrolling `rounds` ≥ the engine's
+    * (early-stopped) round count replays it exactly — no freeze flag
+    * needed. */
+  def kcoreSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH lo AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM lo a JOIN lo b ON a.o = b.o AND a.p < b.p)""".stripMargin
+    val body = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""d$i AS (SELECT node, count(*) AS d FROM
+         |        (SELECT u AS node FROM e$p UNION ALL SELECT v FROM e$p)
+         |        GROUP BY node),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM e$p e
+         |  JOIN k$i a ON a.node = e.u JOIN k$i b ON b.node = e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$body
+       |SELECT node, count(*) AS core_deg FROM
+       |  (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Encoder swap: Word2Vec doc vectors → RQ assign/beam → coarse-fine
   // -------------------------------------------------------------------
 

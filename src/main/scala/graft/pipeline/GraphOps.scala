@@ -70,4 +70,40 @@ object GraphOps {
       .unionAll(tris.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** The k-core: the maximal subgraph in which every node keeps degree
+    * ≥ k, by synchronous peeling — each round drops ALL nodes whose
+    * current degree is < k at once (deterministic round boundary), then
+    * filters edges to survivors. The loop stops as soon as a round
+    * removes nothing; crucially, peeling a stable core is a NO-OP, so
+    * an oracle that unrolls MORE rounds than the engine executed lands
+    * on identical rows with no freeze machinery (unlike PageRank, where
+    * every extra round moves the values). Per round: one degree
+    * aggregation + two semi-joins, survivors checkpointed (linear
+    * lineage). Output: (node, core_deg) over the surviving subgraph —
+    * empty when no k-core exists. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 8): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    var done = false
+    var i = 0
+    while (i < maxRounds && !done) {
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select("node").localCheckpoint()
+      val e2 = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select("u", "v").localCheckpoint()
+      // stability check on edge count — peeling only ever removes
+      done = e2.count() == e.count()
+      e = e2
+      i += 1
+    }
+    e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
 }

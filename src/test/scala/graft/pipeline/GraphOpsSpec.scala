@@ -46,6 +46,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == brute.toMap)
   }
 
+  test("k-core peels the hand-built onion layer by layer") {
+    // K4 core {1,2,3,4}; node 5 hangs off 1,2,3 (degree 3 — survives
+    // k=3 only via the first round, then check cascade); chain 6-7
+    val edges = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)) ++
+      Seq((1L, 5L), (2L, 5L), (3L, 5L), (5L, 6L), (6L, 7L))
+    val df = edges.toDF("src", "dst")
+    // k=3: 6 (deg 2) and 7 (deg 1) peel in cascade; 5 keeps deg 3 via
+    // 1,2,3 → the 3-core is {1,2,3,4,5}
+    val c3 = GraphOps.kCore(df, "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(c3 == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 3L, 5L -> 3L))
+    // k=4: only the K4 could qualify, but inside it every node has
+    // degree 3 → no 4-core at all
+    val c4 = GraphOps.kCore(df, "src", "dst", k = 4)
+    assert(c4.count() == 0L)
+    // k=2: everything but the chain tail survives
+    val c2 = GraphOps.kCore(df, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(c2.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("k-core: extra rounds past convergence are a no-op (the oracle contract)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val a = GraphOps.kCore(edges, "src", "dst", k = 2, maxRounds = 2)
+      .as[(Long, Long)].collect().toSet
+    val b = GraphOps.kCore(edges, "src", "dst", k = 2, maxRounds = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a == Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
   test("oriented out-degree stays bounded on a star (hub never owns the wedges)") {
     // star: hub 0 connected to 1..200, plus a few rim edges — the hub's
     // UNDIRECTED degree is 200 but its oriented OUT-degree must be ~0
