@@ -830,21 +830,30 @@ object SparkEntry {
     }),
 
     // Triangle counting with the degree-ordered orientation (Suri &
-    // Vassilvitskii 2011): the co-supply graph (suppliers sharing a
-    // part) is built by a bounded per-part pair explode, every triangle
-    // materializes as ONE wedge, and out-degrees are O(√m) so the wedge
-    // self-join never goes quadratic on a hub — three hash joins + a
-    // count, replayed row-for-row in SQL
+    // Vassilvitskii 2011): every triangle materializes as ONE wedge,
+    // and out-degrees are O(√m) so the wedge self-join never goes
+    // quadratic on a hub. Graph: parts co-ordered in the same order,
+    // DOULION-thinned (Tsourakakis et al. 2009 — keep each edge with
+    // the deterministic md5 coin at p = 1/4, count exactly on the
+    // thinned graph, scale by 1/p³ for the unbiased full-graph
+    // estimate): the triangle census a 100 TB co-occurrence graph
+    // actually runs, with both the sampled truth and the estimator
+    // replayed row-for-row in SQL
     "graph_triangles" -> ((s, dir) => {
-      val ps = t(s, dir, "lineitem")
-        .select(col("l_partkey").cast("long").as("p"),
-          col("l_suppkey").cast("long").as("sup"))
+      val lo = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("o"),
+          col("l_partkey").cast("long").as("p"))
         .distinct()
-      val edges = ps.select(col("p"), col("sup").as("src"))
-        .join(ps.select(col("p"), col("sup").as("dst")), "p")
+      val edges = lo.select(col("o"), col("p").as("src"))
+        .join(lo.select(col("o"), col("p").as("dst")), "o")
         .where(col("src") < col("dst"))
-        .select("src", "dst")
-      graft.pipeline.GraphOps.triangleCounts(edges).orderBy("node")
+        .select("src", "dst").distinct()
+        .where(pmod(graft.functions.HashFunctions.md5_prefix(
+          concat(lit("tri:"), col("src"), lit(":"), col("dst")), 15),
+          lit(1000000L)) < 250000L)
+      graft.pipeline.GraphOps.triangleCounts(edges)
+        .withColumn("est_full", col("n_tri") * 64L)
+        .orderBy("node")
     }),
 
     // k-core peeling: synchronous rounds dropping every degree-<k node
@@ -2824,10 +2833,13 @@ object SparkEntry {
       graft.oracle.GeneratedOracles.kcoreSql(k = 80, rounds = 8),
 
     "graph_triangles" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+      """WITH lo AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem),
-        |e0 AS (SELECT DISTINCT a.sup AS u, b.sup AS v
-        |       FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup),
+        |ef AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM lo a JOIN lo b ON a.o = b.o AND a.p < b.p),
+        |e0 AS (SELECT u, v FROM ef
+        |       WHERE CAST('0x' || substr(md5('tri:' || u || ':' || v), 1, 15)
+        |         AS BIGINT) % 1000000 < 250000),
         |deg AS (SELECT node, count(*) AS d FROM
         |        (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
         |        GROUP BY node),
@@ -2846,7 +2858,7 @@ object SparkEntry {
         |         OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
         |t AS (SELECT w.src, w.a, w.b FROM w
         |      JOIN oe e3 ON e3.src = w.a AND e3.dst = w.b)
-        |SELECT node, count(*) AS n_tri FROM (
+        |SELECT node, count(*) AS n_tri, count(*) * 64 AS est_full FROM (
         |  SELECT src AS node FROM t
         |  UNION ALL SELECT a FROM t
         |  UNION ALL SELECT b FROM t)
