@@ -42,8 +42,13 @@ object TextEmbedder {
     * vectors are the inlinable artifact (the oracle replays application
     * from them, exactly like the reranker inlines its LR weights).
     * Deterministic fit: one partition, doc_id-sorted sentences, fixed
-    * seed. Returns the trained token → float-vector table, SMALL by
-    * construction (vocab-sized), ready to broadcast. */
+    * seed. Scale boundary, on purpose: the single-partition sort makes
+    * the FIT serial — it is the engine-side test twin of the opaque
+    * trained-model step (real encoders train outside the engine on
+    * accelerators, ref MEVI/document_encoder.py); the APPLICATION path
+    * ([[word2vecApply]]) is the part the engine owns at 100 TB and is
+    * fully distributed. Returns the trained token → float-vector
+    * table, SMALL by construction (vocab-sized), ready to broadcast. */
   def word2vecTrain(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", dim: Int = 16,
       seed: Long = 42L): Seq[(String, Array[Float])] = {
