@@ -860,9 +860,10 @@ object SparkEntry {
     // at once — extra rounds past convergence are no-ops, so the
     // fixed-unroll oracle replays the early-stopping engine exactly.
     // Graph: parts co-ordered in the same order (sparse — the supplier
-    // co-supply graph is complete at fixture cardinalities); k = 80
-    // sits just under the median degree, so the peel cascades for
-    // multiple real rounds at every sf
+    // co-supply graph is complete at fixture cardinalities); k = 68
+    // sits between the min and median degree, so the peel cascades for
+    // multiple real rounds while leaving a NON-EMPTY core at every sf
+    // (k = 80 peeled sf0.001 to nothing, tripping the rows>0 smoke pin)
     "graph_kcore" -> ((s, dir) => {
       val lo = t(s, dir, "lineitem")
         .select(col("l_orderkey").cast("long").as("o"),
@@ -872,7 +873,7 @@ object SparkEntry {
         .join(lo.select(col("o"), col("p").as("dst")), "o")
         .where(col("src") < col("dst"))
         .select("src", "dst")
-      graft.pipeline.GraphOps.kCore(edges, "src", "dst", k = 80,
+      graft.pipeline.GraphOps.kCore(edges, "src", "dst", k = 68,
           maxRounds = 8)
         .orderBy("node")
     }),
@@ -2830,7 +2831,7 @@ object SparkEntry {
         rounds = 5, epsMicro = 1000L),
 
     "graph_kcore" ->
-      graft.oracle.GeneratedOracles.kcoreSql(k = 80, rounds = 8),
+      graft.oracle.GeneratedOracles.kcoreSql(k = 68, rounds = 8),
 
     "graph_triangles" ->
       """WITH lo AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -243,6 +243,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hdr quantile plan: windows run on the post-agg histogram, never the rows") {
+    val p = planString(SparkEntry.queries("sketch_quantiles")(spark, sf("0.001")))
+    // the item scan partial-aggregates map-side before any window
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    // the only sorts feeding Windows partition by flag over bucket — and
+    // no item-level ranking exists anywhere in the plan
+    assert(!p.contains("row_number"), s"item-level ranking crept in:\n$p")
+  }
+
+  test("triangle census plans joins + aggregates only — no windows, no iteration") {
+    val p = planString(SparkEntry.queries("graph_triangles")(spark, sf("0.001")))
+    assert(!p.contains("Window"), s"window crept into the wedge pipeline:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine on counts:\n$p")
+    // the DOULION coin is a per-row filter, evaluated before the joins
+    assert(p.contains("md5"), s"edge-sampling coin missing from plan:\n$p")
+  }
+
   test("no query in the catalog plans an unbroadcast cartesian product") {
     // full-catalog sweep: every SparkEntry query's physical plan at
     // sf0.001 — the deliberate small-side crossJoins (BruteForceKNN's
