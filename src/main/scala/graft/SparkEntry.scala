@@ -922,6 +922,16 @@ object SparkEntry {
           k = 100, weightCol = "n_chars")
         .orderBy(col("es_key_micro").desc, col("doc_id").asc)),
 
+    // Deterministic distributed reservoir: the k smallest md5 ranks per
+    // source — uniform without-replacement, no sequential reservoir
+    // walk, and min-k is associative+idempotent so shard/stream
+    // reservoirs merge into the union's exactly (ReservoirStream)
+    "sample_reservoir" -> ((s, dir) =>
+      graft.pipeline.Sampling.hashReservoir(
+          t(s, dir, "documents").select(col("source"), col("doc_id")),
+          k = 20, groupCols = Seq("source"))
+        .orderBy("source", "h", "doc_id")),
+
     // Log-domain ES keys (ln(u)/w instead of u^(1/w)): the wide-weight
     // scale path — no micro-grid compression at large w; the exact-Long
     // ln(u) numerator + one IEEE division make the selection replayable
@@ -2984,6 +2994,17 @@ object SparkEntry {
         |      FROM u)
         |SELECT doc_id, n_chars, es_key_micro FROM k
         |ORDER BY es_key_micro DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    "sample_reservoir" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |          AS rn
+        |      FROM h)
+        |SELECT source, doc_id, h FROM r WHERE rn <= 20
+        |ORDER BY source, h, doc_id""".stripMargin,
 
     "sample_weighted_log" ->
       """WITH u AS (SELECT doc_id, n_chars,

@@ -128,6 +128,32 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Deterministic distributed RESERVOIR: the k rows with the SMALLEST
+    * md5 rank per group — a uniform without-replacement sample that
+    * needs no sequential scan (the classic reservoir walk serializes;
+    * hash-rank selection is embarrassingly parallel and picks the SAME
+    * rows on any engine/partitioning). The law that makes it a sketch:
+    * min-k over a fixed total order is ASSOCIATIVE and IDEMPOTENT, so
+    * reservoirs of shards merge into the union's reservoir exactly —
+    * see [[graft.streaming.ReservoirStream]] for the maintained form.
+    * Output: groupCols, idCol, `h` (the 60-bit rank, emitted so merges
+    * and oracles need no re-hash). One window per group over ≤ the
+    * group's rows; a global reservoir (groupCols empty) funnels through
+    * a TakeOrdered-shaped single partition of candidate rows. */
+  def hashReservoir(df: DataFrame, k: Int, groupCols: Seq[String],
+      idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0)
+    val h = graft.functions.HashFunctions.md5_prefix(
+      concat(lit(seed.toString), lit(":"), col(idCol).cast("string")), 15)
+    val w = (if (groupCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(groupCols.map(col): _*))
+      .orderBy(col("h").asc, col(idCol).asc)
+    df.select((groupCols.map(col) :+ col(idCol) :+ h.as("h")): _*)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
   /** Per-group TOKEN budget (data-mixture construction: "take B tokens of
     * each domain"): walk each group's rows in deterministic hash-rank
     * order and keep a row iff its inclusive running token total still fits
