@@ -892,6 +892,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Personalized (topic-sensitive) PageRank: teleport AND dangling
+    // mass concentrated on the supplier seed set — the restart-set
+    // ranking topic-conditioned corpus curation uses; same Long
+    // arithmetic + freeze-flag ε machinery, seed-gated by a CASE
+    "graph_pagerank_personalized" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select((col("l_suppkey").cast("long") + 1000000L).as("src"),
+          col("l_partkey").cast("long").as("dst"))
+      graft.pipeline.PageRank.runPersonalized(li, "src", "dst",
+          seeds = li.select("src").distinct(), iters = 5,
+          epsilonMicro = 1000L)
+        .orderBy("node")
+    }),
+
     // Fuzzy similarity self-join: edit-distance-1 pairs over the token
     // + source vocabulary via deletion-neighborhood (SymSpell)
     // bucketing — candidates from a variant equi-join, exact
@@ -2842,6 +2856,10 @@ object SparkEntry {
 
     "graph_kcore" ->
       graft.oracle.GeneratedOracles.kcoreSql(k = 68, rounds = 8),
+
+    "graph_pagerank_personalized" ->
+      graft.oracle.GeneratedOracles.pagerankPersonalizedSql(
+        rounds = 5, epsMicro = 1000L),
 
     "graph_triangles" ->
       """WITH lo AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

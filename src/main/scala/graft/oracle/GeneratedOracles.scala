@@ -828,6 +828,64 @@ object GeneratedOracles {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** Personalized-PageRank twin of [[pagerankDanglingSql]] on the same
+    * forward-only supplier→part fixture: seeds are the supplier nodes
+    * (node ≥ 1000000), each getting teleport `15·10⁴·N div |S|` and the
+    * per-round dangling share `D div |S|`; non-seeds get only damped
+    * contributions. Same cumulative freeze flag for ε-stopping. */
+  def pagerankPersonalizedSql(rounds: Int, epsMicro: Long): String = {
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst
+        |  FROM lineitem),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |ed AS MATERIALIZED (
+        |  SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sinks AS MATERIALIZED (
+        |  SELECT node FROM nodes
+        |  WHERE node NOT IN (SELECT src FROM e)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |ns AS (SELECT count(*) AS n FROM nodes WHERE node >= 1000000),
+        |bp AS (SELECT (15 * 10000 * (SELECT n FROM nn))
+        |         // (SELECT n FROM ns) AS b),
+        |r0 AS MATERIALIZED (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |f0 AS (SELECT FALSE AS f)""".stripMargin
+    val body = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""g$i AS (SELECT coalesce(sum(r.rank), 0) // (SELECT n FROM ns) AS share
+         |        FROM r$p r JOIN sinks s ON s.node = r.node),
+         |c$i AS (SELECT ed.dst, sum(r.rank // ed.deg) AS s FROM ed
+         |        JOIN r$p r ON r.node = ed.src GROUP BY ed.dst),
+         |u$i AS MATERIALIZED (
+         |        SELECT n.node,
+         |          CASE WHEN n.node >= 1000000 THEN (SELECT b FROM bp)
+         |               ELSE 0 END
+         |          + (85 * (coalesce(c.s, 0)
+         |            + CASE WHEN n.node >= 1000000
+         |                   THEN (SELECT share FROM g$i) ELSE 0 END)) // 100
+         |          AS rank
+         |        FROM nodes n LEFT JOIN c$i c ON c.dst = n.node),
+         |d$i AS (SELECT max(abs(u.rank - r.rank)) AS d FROM u$i u
+         |        JOIN r$p r ON r.node = u.node),
+         |r$i AS MATERIALIZED (
+         |        SELECT n.node,
+         |          CASE WHEN (SELECT f FROM f$p) THEN r.rank
+         |               ELSE u.rank END AS rank
+         |        FROM nodes n JOIN r$p r ON r.node = n.node
+         |        JOIN u$i u ON u.node = n.node),
+         |f$i AS MATERIALIZED (
+         |        SELECT (SELECT f FROM f$p)
+         |          OR ((SELECT d FROM d$i) < $epsMicro) AS f)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$body
+       |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_micro
+       |FROM r$rounds ORDER BY node""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // k-core peeling over the co-supply graph
   // -------------------------------------------------------------------

@@ -120,4 +120,80 @@ object PageRank {
     }
     ranks.withColumnRenamed("rank", "rank_micro")
   }
+
+  /** PERSONALIZED (topic-sensitive) PageRank: the teleport mass — and
+    * any dangling mass — goes only to the `seeds` set instead of
+    * uniformly to all nodes: r ← (1−d)·p + d·(Aᵀr + D·p) with p uniform
+    * over seeds. Same all-Long arithmetic as [[run]]: each seed's
+    * teleport is `(100−d)·10⁴·N div |S|` micro-units (the same total
+    * teleport mass as the uniform walk, concentrated), the dangling
+    * share is `D div |S|` per seed per round, and ε-stopping works
+    * identically — so unrolled SQL CTEs with a seed CASE replay every
+    * bit. The restart-set ranking used for topic-conditioned corpus
+    * curation (seed docs of a domain → domain-affinity scores for
+    * everything else). */
+  def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int, dampingPct: Int = 85,
+      epsilonMicro: Long = 0L): DataFrame = {
+    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    require(epsilonMicro >= 0L)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).na.drop().distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint()
+    val seedSet = seeds.select(col(seeds.columns.head).cast("long")
+      .as("node")).na.drop().distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet.withColumn("__s", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(false)).as("is_seed"))
+      .repartition(col("node")).localCheckpoint()
+    val sinks = nodes.select("node")
+      .join(ed.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .localCheckpoint()
+    val hasSinks = sinks.limit(1).count() > 0
+    val nNodes = nodes.count()
+    val nSeeds = nodes.where(col("is_seed")).count()
+    require(nSeeds > 0, "personalized PageRank needs >= 1 seed IN the graph")
+    val basePerSeed = ((100 - dampingPct) * 10000L * nNodes) / nSeeds
+
+    var ranks = nodes.select("node").withColumn("rank", lit(1000000L))
+    var i = 0
+    var done = false
+    while (i < iters && !done) {
+      val contrib = ed.join(ranks.hint("shuffle_hash"),
+          col("src") === col("node"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      val base = nodes.join(contrib, col("node") === col("dst"), "left")
+      val joined =
+        if (!hasSinks) base.withColumn("share", lit(0L))
+        else {
+          val share = ranks.join(sinks, Seq("node"), "left_semi")
+            .agg(coalesce(sum("rank"), lit(0L)).as("dsum"))
+            .select(expr(s"dsum div ${nSeeds}L").as("share"))
+          base.crossJoin(broadcast(share))
+        }
+      val updated = joined
+        .select(col("node"),
+          (when(col("is_seed"), lit(basePerSeed)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * (coalesce(s, 0L) + " +
+              "(CASE WHEN is_seed THEN share ELSE 0L END))) div 100"))
+            .as("rank"))
+      if (epsilonMicro > 0L) {
+        val u = updated.localCheckpoint()
+        val delta = u.join(
+            ranks.select(col("node"), col("rank").as("__prev")), "node")
+          .agg(max(abs(col("rank") - col("__prev"))).as("d"))
+          .head().getLong(0)
+        ranks = u
+        done = delta < epsilonMicro
+      } else {
+        ranks = updated
+      }
+      i += 1
+    }
+    ranks.withColumnRenamed("rank", "rank_micro")
+  }
 }

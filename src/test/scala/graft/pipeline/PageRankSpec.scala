@@ -104,6 +104,59 @@ class PageRankSpec extends SparkSpec {
     assert(local !== unstopped, "fixture should converge before 50 rounds")
   }
 
+  private def localPersonalizedReplay(iters: Int, epsMicro: Long,
+      seedNodes: Set[Long]): Map[Long, Long] = {
+    val nodes = sinkEdges.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = sinkEdges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val sinks = nodes.filterNot(deg.contains)
+    val n = nodes.size.toLong
+    val ns = nodes.count(seedNodes).toLong
+    val basePerSeed = 15L * 10000L * n / ns
+    var rank = nodes.map(_ -> 1000000L).toMap
+    var i = 0
+    var done = false
+    while (i < iters && !done) {
+      val share = sinks.map(rank).sum / ns
+      val contrib = sinkEdges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => rank(e._1) / deg(e._1)).sum
+      }
+      val next = nodes.map { node =>
+        val seed = seedNodes(node)
+        node -> ((if (seed) basePerSeed else 0L) +
+          85L * (contrib.getOrElse(node, 0L) +
+            (if (seed) share else 0L)) / 100L)
+      }.toMap
+      val delta = nodes.map(node => math.abs(next(node) - rank(node))).max
+      rank = next
+      if (epsMicro > 0 && delta < epsMicro) done = true
+      i += 1
+    }
+    rank
+  }
+
+  test("personalized ranks: teleport + dangling mass flow only to the seeds") {
+    val seeds = Set(1L)
+    val seedDf = Seq(1L).toDF("node")
+    for (iters <- Seq(1, 3, 5)) {
+      val got = PageRank.runPersonalized(sinkEdges.toDF("src", "dst"),
+          "src", "dst", seedDf, iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got === localPersonalizedReplay(iters, 0L, seeds), s"iters=$iters")
+    }
+    // the non-seed emitter (2) and sink (3) hold only damped flow-through
+    // mass; the seed dominates after a few rounds
+    val r = PageRank.runPersonalized(sinkEdges.toDF("src", "dst"),
+        "src", "dst", seedDf, 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L) && r(1L) > r(3L),
+      s"seed must outrank non-seeds: $r")
+    // epsilon stopping replays too
+    val eps = PageRank.runPersonalized(sinkEdges.toDF("src", "dst"),
+        "src", "dst", seedDf, 50, epsilonMicro = 40000L)
+      .as[(Long, Long)].collect().toMap
+    assert(eps === localPersonalizedReplay(50, 40000L, seeds))
+  }
+
   test("bipartite both-direction fixture graph concentrates rank on hubs") {
     val li = graft.io.Tables.load(spark, sf("0.001"), "lineitem")
       .select(col("l_suppkey").cast("long").as("sk"),
