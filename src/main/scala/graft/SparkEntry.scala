@@ -1166,6 +1166,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Per-query ROC-AUC of the raw ip score as a relevance predictor
+    // (label-match ground truth): Mann-Whitney rank-sum with tie
+    // correction in exact integers — micro-rounded scores rank with
+    // min-rank ties, r2p folds 2·rmin + tc − 1, one integer division
+    // emits micro-units; the eval-layer A5/J7 companion the reranker
+    // grid reads
+    "metrics_auc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+          col("label").as("qlab"))
+      val d = emb.select(col("vec_id").as("doc_id"),
+        col("embedding").as("vec"), col("label").as("dlab"))
+      val scored = d.crossJoin(broadcast(q))
+        .where(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          floor(graft.search.BruteForceKNN.score("ip")(
+            col("qvec"), col("vec")) * 1000000 + 0.5)
+            .cast("long").as("score_micro"),
+          when(col("qlab") === col("dlab"), 1).otherwise(0).as("label"))
+      graft.eval.Metrics.aucMicro(scored).orderBy("query_id")
+    }),
+
     // doc_multiclus=2 (main_models.py:3222-3245): each doc's top-2 code
     // tuples by the query-side beam search — the multi-membership the
     // multicluster inverted index is built from
@@ -3012,6 +3035,31 @@ object SparkEntry {
         |      FROM u)
         |SELECT doc_id, n_chars, es_key_micro FROM k
         |ORDER BY es_key_micro DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    "metrics_auc" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS qlab
+        |           FROM embeddings WHERE vec_id < 20),
+        |d AS (SELECT vec_id AS doc_id, embedding AS vec, label AS dlab
+        |      FROM embeddings),
+        |s AS (SELECT q.query_id,
+        |        CAST(floor($dotSql * 1000000 + 0.5) AS BIGINT) AS score_micro,
+        |        CASE WHEN q.qlab = d.dlab THEN 1 ELSE 0 END AS label
+        |      FROM q CROSS JOIN d WHERE d.doc_id <> q.query_id),
+        |a AS (SELECT query_id, score_micro, label,
+        |        rank() OVER (PARTITION BY query_id ORDER BY score_micro ASC)
+        |          AS rmin,
+        |        count(*) OVER (PARTITION BY query_id, score_micro) AS tc
+        |      FROM s),
+        |g AS (SELECT query_id,
+        |        CAST(sum(CASE WHEN label = 1 THEN 2 * rmin + tc - 1
+        |                 ELSE 0 END) AS BIGINT) AS r2p,
+        |        CAST(sum(label) AS BIGINT) AS p,
+        |        CAST(count(*) - sum(label) AS BIGINT) AS n
+        |      FROM a GROUP BY query_id)
+        |SELECT query_id,
+        |  ((r2p - p * (p + 1)) * 1000000 + p * n) // (2 * p * n) AS auc_micro,
+        |  p, n
+        |FROM g WHERE p > 0 AND n > 0 ORDER BY query_id""".stripMargin,
 
     "sample_reservoir" ->
       """WITH h AS (SELECT source, doc_id,

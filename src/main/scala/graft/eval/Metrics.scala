@@ -93,6 +93,41 @@ object Metrics {
       .agg(sort_array(collect_list(struct(col("rank"), col("doc_id")))).as("r"))
       .select(col("query_id"), col("r.doc_id").as("preds"))
 
+  /** Per-query ROC-AUC via the Mann-Whitney rank-sum with the standard
+    * tie correction, in EXACT integer arithmetic: callers pass micro-
+    * rounded Long scores, ranks ascend by score with min-rank ties, and
+    * a tie group's doubled average rank is `2·rmin + tieCount − 1` — so
+    * the doubled positive rank-sum r2p is a Long and
+    * auc = (r2p − P(P+1)) / (2PN) rounds to micro-units by one integer
+    * division: `(num·10⁶ + PN) div (2PN)`. Partial-aggregation order
+    * cannot move a bit, and a SQL oracle replays the identical windows
+    * and division. Queries with no positives or no negatives drop (AUC
+    * undefined there). Shape: two windows + one hash-agg, all
+    * partitioned by query — per-query candidate lists sort locally,
+    * never a global sort. Output: (queryCol, auc_micro, p, n). */
+  def aucMicro(scored: DataFrame, queryCol: String = "query_id",
+      scoreCol: String = "score_micro",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(queryCol).orderBy(col(scoreCol).asc)
+    val wt = Window.partitionBy(queryCol, scoreCol)
+    scored
+      .withColumn("__rmin", rank().over(wq))
+      .withColumn("__tc", count(lit(1)).over(wt))
+      .groupBy(queryCol)
+      .agg(
+        sum(when(col(labelCol) === 1,
+          lit(2L) * col("__rmin") + col("__tc") - 1L).otherwise(0L))
+          .as("__r2p"),
+        sum(col(labelCol).cast("long")).as("p"),
+        (count(lit(1)) - sum(col(labelCol).cast("long"))).as("n"))
+      .where(col("p") > 0 && col("n") > 0)
+      .select(col(queryCol),
+        expr("((__r2p - p * (p + 1)) * 1000000 + p * n) div (2 * p * n)")
+          .as("auc_micro"),
+        col("p"), col("n"))
+  }
+
   /** Label-match ground truth: gt(query) = every doc sharing the query's
     * label, excluding the query row itself (the fixtures' cluster labels
     * play the relevance judgments). LEFT join from the queries: a query

@@ -35,6 +35,43 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(m(0).getAs[Double]("recall") - 2.0 / 3) < 1e-9)
   }
 
+  test("aucMicro matches hand-computed Mann-Whitney values incl. ties") {
+    // q1: perfect separation — pos scores {30,40} above neg {10,20} →
+    //     AUC 1.0. q2: pos {10,30} vs neg {20,40} — only (30,20) of the
+    //     four pos/neg pairs is concordant → AUC 0.25. q3: ALL FOUR
+    //     scores tie at 7 → tie-corrected AUC exactly 0.5. q4: no
+    //     negatives → dropped.
+    val scored = Seq(
+      (1L, 10L, 0), (1L, 20L, 0), (1L, 30L, 1), (1L, 40L, 1),
+      (2L, 10L, 1), (2L, 20L, 0), (2L, 30L, 1), (2L, 40L, 0),
+      (3L, 7L, 1), (3L, 7L, 0), (3L, 7L, 1), (3L, 7L, 0),
+      (4L, 5L, 1), (4L, 6L, 1)
+    ).toDF("query_id", "score_micro", "label")
+    val got = Metrics.aucMicro(scored)
+      .select("query_id", "auc_micro").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 250000L, 3L -> 500000L))
+    // local Mann-Whitney replay with average ranks, as a double check
+    def brute(rows: Seq[(Long, Int)]): Double = {
+      val sorted = rows.map(_._1).sorted
+      def avgRank(s: Long): Double = {
+        val first = sorted.indexOf(s) + 1
+        val cnt = sorted.count(_ == s)
+        first + (cnt - 1) / 2.0
+      }
+      val pos = rows.filter(_._2 == 1)
+      val p = pos.size; val n = rows.size - p
+      (pos.map(r => avgRank(r._1)).sum - p * (p + 1) / 2.0) / (p.toDouble * n)
+    }
+    for (q <- Seq(1L, 2L, 3L)) {
+      val rows = Seq(
+        (1L, 10L, 0), (1L, 20L, 0), (1L, 30L, 1), (1L, 40L, 1),
+        (2L, 10L, 1), (2L, 20L, 0), (2L, 30L, 1), (2L, 40L, 0),
+        (3L, 7L, 1), (3L, 7L, 0), (3L, 7L, 1), (3L, 7L, 0))
+        .filter(_._1 == q).map(t => (t._2, t._3))
+      assert(got(q) == math.floor(brute(rows) * 1000000 + 0.5).toLong, s"q$q")
+    }
+  }
+
   test("labelGroundTruth keeps singleton-label queries with empty gt") {
     import spark.implicits._
     // label 7 appears only on the query row itself → gt must be [] (not a
