@@ -138,20 +138,26 @@ object Sampling {
     * see [[graft.streaming.ReservoirStream]] for the maintained form.
     * Output: groupCols, idCol, `h` (the 60-bit rank, emitted so merges
     * and oracles need no re-hash). One window per group over ≤ the
-    * group's rows; a global reservoir (groupCols empty) funnels through
-    * a TakeOrdered-shaped single partition of candidate rows. */
+    * group's rows; a GLOBAL reservoir (groupCols empty) instead plans
+    * a TakeOrdered (each partition keeps k, the driver merges k·P
+    * rows) — a global single-partition window sort of the corpus would
+    * be the exact straggler this operator exists to avoid. */
   def hashReservoir(df: DataFrame, k: Int, groupCols: Seq[String],
       idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0)
     val h = graft.functions.HashFunctions.md5_prefix(
       concat(lit(seed.toString), lit(":"), col(idCol).cast("string")), 15)
-    val w = (if (groupCols.isEmpty) Window.partitionBy()
-             else Window.partitionBy(groupCols.map(col): _*))
-      .orderBy(col("h").asc, col(idCol).asc)
-    df.select((groupCols.map(col) :+ col(idCol) :+ h.as("h")): _*)
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k).drop("__rn")
+    val hashed = df.select(
+      (groupCols.map(col) :+ col(idCol) :+ h.as("h")): _*)
+    if (groupCols.isEmpty)
+      hashed.orderBy(col("h").asc, col(idCol).asc).limit(k)
+    else {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("h").asc, col(idCol).asc)
+      hashed.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= k).drop("__rn")
+    }
   }
 
   /** Per-group TOKEN budget (data-mixture construction: "take B tokens of

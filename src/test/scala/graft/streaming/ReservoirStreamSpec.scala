@@ -42,6 +42,24 @@ class ReservoirStreamSpec extends SparkSpec {
     }
   }
 
+  test("global reservoir plans a TakeOrdered, never a one-partition window sort") {
+    val docs = graft.io.Tables.load(spark, sf("0.001"), "documents")
+      .select(col("doc_id"))
+    val plan = Sampling.hashReservoir(docs, 20, Seq.empty)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k + driver merge:\n$plan")
+    assert(!plan.contains("Window"),
+      s"global reservoir must not window-sort the corpus:\n$plan")
+    // and it selects the same rows as the grouped machinery would
+    val viaGlobal = Sampling.hashReservoir(docs, 20, Seq.empty)
+      .select("doc_id").as[Long].collect().toSet
+    val viaGroup = Sampling.hashReservoir(
+        docs.withColumn("g", lit(1)), 20, Seq("g"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaGlobal == viaGroup)
+  }
+
   test("reservoir sample is uniform-ish, join-stable, and size-capped") {
     val docs = graft.io.Tables.load(spark, sf("0.01"), "documents")
       .select(col("source"), col("doc_id")).cache()
