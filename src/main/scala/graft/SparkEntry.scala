@@ -2043,6 +2043,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Image near-dup fingerprints over REAL decoded pixels: 64-bit
+    // aHash (8×8 grey mean-comparison, cross-multiplied — no division)
+    // + dHash (9×8 horizontal gradients), emitted as 16-bit bands that
+    // double as the LSH blocking key; all-integer, so the oracle
+    // replays every bit from the fixture's pixel law
+    "multimodal_phash" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticPixelPng(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/png").as("media_type"))
+      Multimodal.perceptualHash(media).orderBy("doc_id")
+    }),
+
+    // ...and the banded near-dup join: candidates share an exact dHash
+    // band (pigeonhole-complete for Hamming ≤ 3, capped buckets),
+    // confirmed by the exact 128-bit combined Hamming distance
+    "multimodal_phash_pairs" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticPixelPng(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/png").as("media_type"))
+      Multimodal.perceptualHashPairs(
+          Multimodal.perceptualHash(media), maxDist = 6)
+        .orderBy("a", "b")
+    }),
+
     // Multimodal: REAL resize — nearest-neighbor 8×8 thumbnail over the
     // decoded PNG pixels (the image-dedup normalization step), means
     // over the thumbnail; oracle replays the ⌊x'·w/tw⌋ sampling
@@ -2509,6 +2535,56 @@ object SparkEntry {
 
   private val dotSql =
     "list_sum(list_transform(list_zip(q.qvec, d.vec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  /** Shared phash replay: both 64-bit hashes re-derived from the
+    * syntheticPixelPng law (w/h/channels and the per-pixel arithmetic),
+    * nearest-neighbor grids, cross-multiplied mean bits, gradient bits,
+    * 16-bit band packing — every step integer. */
+  private val phashCtes = {
+    def grey(sx: String, sy: String) =
+      s"""CASE WHEN gch = 1 THEN ($sx*7 + $sy*13 + d*3) % 256
+         |     ELSE ($sx*7 + $sy*13 + d*3) % 256
+         |        + ($sx*7 + $sy*13 + d*3 + 31) % 256
+         |        + ($sx*7 + $sy*13 + d*3 + 62) % 256 END""".stripMargin
+    s"""dd AS (SELECT doc_id AS d, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+       |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS gch
+       |       FROM documents),
+       |t8 AS (SELECT unnest(range(0, 8)) AS i),
+       |ag0 AS (SELECT dd.d, ty.i AS ty, tx.i AS tx,
+       |          (tx.i * dd.w) // 8 AS sx, (ty.i * dd.h) // 8 AS sy, dd.gch
+       |        FROM dd JOIN t8 tx ON TRUE JOIN t8 ty ON TRUE),
+       |agg2 AS (SELECT d, ty, tx, ${grey("sx", "sy")} AS g FROM ag0),
+       |at2 AS (SELECT d, sum(g) AS tot FROM agg2 GROUP BY d),
+       |ab AS (SELECT agg2.d, ty * 8 + tx AS i,
+       |         CASE WHEN 64 * g > at2.tot THEN 1 ELSE 0 END AS b
+       |       FROM agg2 JOIN at2 ON at2.d = agg2.d),
+       |aba AS (SELECT d, i // 16 AS band,
+       |          CAST(sum(b * (1 << (15 - (i % 16)))) AS INT) AS v
+       |        FROM ab GROUP BY d, band),
+       |dg0 AS (SELECT dd.d, ty.i AS ty, tx.i AS tx,
+       |          (tx.i * dd.w) // 9 AS sx0, ((tx.i + 1) * dd.w) // 9 AS sx1,
+       |          (ty.i * dd.h) // 8 AS sy, dd.gch
+       |        FROM dd JOIN t8 tx ON TRUE JOIN t8 ty ON TRUE),
+       |dgg AS (SELECT d, ty, tx, ${grey("sx0", "sy")} AS g0,
+       |          ${grey("sx1", "sy")} AS g1 FROM dg0),
+       |db AS (SELECT d, ty * 8 + tx AS i,
+       |         CASE WHEN g1 > g0 THEN 1 ELSE 0 END AS b FROM dgg),
+       |dba AS (SELECT d, i // 16 AS band,
+       |          CAST(sum(b * (1 << (15 - (i % 16)))) AS INT) AS v
+       |        FROM db GROUP BY d, band),
+       |hx AS (SELECT u.d AS doc_id,
+       |         max(CASE WHEN src = 0 AND band = 0 THEN v END) AS a0,
+       |         max(CASE WHEN src = 0 AND band = 1 THEN v END) AS a1,
+       |         max(CASE WHEN src = 0 AND band = 2 THEN v END) AS a2,
+       |         max(CASE WHEN src = 0 AND band = 3 THEN v END) AS a3,
+       |         max(CASE WHEN src = 1 AND band = 0 THEN v END) AS d0,
+       |         max(CASE WHEN src = 1 AND band = 1 THEN v END) AS d1,
+       |         max(CASE WHEN src = 1 AND band = 2 THEN v END) AS d2,
+       |         max(CASE WHEN src = 1 AND band = 3 THEN v END) AS d3
+       |       FROM (SELECT d, 0 AS src, band, v FROM aba
+       |             UNION ALL SELECT d, 1 AS src, band, v FROM dba) u
+       |       GROUP BY u.d)""".stripMargin
+  }
 
   private val knnBase =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 20),
@@ -3775,6 +3851,32 @@ object SparkEntry {
         |  CAST(floor(mb * 1000000 + 0.5) AS BIGINT) AS means,
         |  CAST(row_moment AS BIGINT) AS row_moment
         |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_phash" ->
+      s"""WITH $phashCtes
+        |SELECT doc_id, a0, a1, a2, a3, d0, d1, d2, d3 FROM hx
+        |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_phash_pairs" ->
+      s"""WITH $phashCtes,
+        |cn AS (SELECT band, v AS key, d FROM dba),
+        |okb AS (SELECT band, key FROM cn GROUP BY band, key
+        |        HAVING count(*) <= 4096),
+        |cnc AS (SELECT cn.band, cn.key, cn.d FROM cn
+        |        JOIN okb USING (band, key)),
+        |prs AS (SELECT DISTINCT x.d AS a, y.d AS b FROM cnc x
+        |        JOIN cnc y ON x.band = y.band AND x.key = y.key
+        |          AND x.d < y.d),
+        |hm AS (SELECT p.a, p.b, CAST(
+        |    bit_count(xor(ha.a0, hb.a0)) + bit_count(xor(ha.a1, hb.a1))
+        |    + bit_count(xor(ha.a2, hb.a2)) + bit_count(xor(ha.a3, hb.a3))
+        |    + bit_count(xor(ha.d0, hb.d0)) + bit_count(xor(ha.d1, hb.d1))
+        |    + bit_count(xor(ha.d2, hb.d2)) + bit_count(xor(ha.d3, hb.d3))
+        |    AS INT) AS hamming
+        |  FROM prs p JOIN hx ha ON ha.doc_id = p.a
+        |  JOIN hx hb ON hb.doc_id = p.b)
+        |SELECT a, b, hamming FROM hm WHERE hamming <= 6
+        |ORDER BY a, b""".stripMargin,
 
     "multimodal_pixels" ->
       """WITH d AS (SELECT doc_id,

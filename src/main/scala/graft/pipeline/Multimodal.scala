@@ -170,6 +170,117 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** IMAGE NEAR-DUP FINGERPRINTS over the real decoded pixels: the two
+    * classic 64-bit perceptual hashes, computed entirely in integers so
+    * a SQL oracle replays every bit from the fixture's pixel law.
+    *
+    *  - aHash: nearest-neighbor 8×8 grey downsample (grey = SUM of the
+    *    first ≤3 channel bytes — no division, stays integer), bit i set
+    *    iff `64·gᵢ > Σg` (the mean comparison cross-multiplied).
+    *  - dHash: 9×8 downsample, bit (x,y) set iff grey(x+1,y) >
+    *    grey(x,y) — the horizontal-gradient hash, robust to global
+    *    brightness shifts that flip aHash bits wholesale.
+    *
+    * Each hash is emitted as four 16-bit BANDS (`a0..a3`, `d0..d3`,
+    * row-major, bit 15 of a band first): Ints are engine-portable
+    * (packing 64 bits into one signed Long sacrifices bit 63), and the
+    * bands ARE the LSH blocking key — Hamming distance ≤ 3 over 64
+    * bits pigeonholes into at least one EXACT band match, so the
+    * near-dup join in [[perceptualHashPairs]] is an equi-join, never
+    * all-pairs. Undecodable payloads drop, like [[decodePixels]]. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(
+      StructField("doc_id", LongType, nullable = false) +:
+        (Seq("a0", "a1", "a2", "a3", "d0", "d1", "d2", "d3")
+          .map(n => StructField(n, IntegerType, nullable = false))))
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        PngCodec.decode(r.getAs[Array[Byte]](1)).map { img =>
+          val gch = math.min(3, img.channels)
+          def grey(sx: Int, sy: Int): Int = {
+            val base = (sy * img.width + sx) * img.channels
+            var s = 0; var c = 0
+            while (c < gch) { s += img.pixels(base + c) & 0xff; c += 1 }
+            s
+          }
+          // aHash over an 8×8 grid
+          val ag = new Array[Int](64)
+          var total = 0L
+          var ty = 0
+          while (ty < 8) {
+            var tx = 0
+            while (tx < 8) {
+              val g = grey(tx * img.width / 8, ty * img.height / 8)
+              ag(ty * 8 + tx) = g; total += g
+              tx += 1
+            }
+            ty += 1
+          }
+          val aBits = ag.map(g => if (64L * g > total) 1 else 0)
+          // dHash over a 9×8 grid, horizontal gradients
+          val dBits = new Array[Int](64)
+          ty = 0
+          while (ty < 8) {
+            val sy = ty * img.height / 8
+            var tx = 0
+            while (tx < 8) {
+              val g0 = grey(tx * img.width / 9, sy)
+              val g1 = grey((tx + 1) * img.width / 9, sy)
+              dBits(ty * 8 + tx) = if (g1 > g0) 1 else 0
+              tx += 1
+            }
+            ty += 1
+          }
+          def band(bits: Array[Int], b: Int): Int = {
+            var v = 0; var i = 0
+            while (i < 16) { v = (v << 1) | bits(b * 16 + i); i += 1 }
+            v
+          }
+          Row.fromSeq(r.getLong(0) +:
+            ((0 until 4).map(b => band(aBits, b)) ++
+              (0 until 4).map(b => band(dBits, b))))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Image near-dup pairs from [[perceptualHash]] bands: candidates
+    * share at least one exact 16-bit dHash band (the pigeonhole LSH —
+    * complete for Hamming ≤ 3, banded so the join is equi, with the
+    * repo-standard hot-bucket cap), confirmed by the EXACT combined
+    * Hamming distance over all eight bands (Spark/DuckDB `bit_count`
+    * over per-band XOR). Output: (a, b, hamming ≤ maxDist), a < b. */
+  def perceptualHashPairs(hashes: DataFrame, maxDist: Int,
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxDist >= 0)
+    val bandCols = Seq("d0", "d1", "d2", "d3")
+    val cand = bandCols.zipWithIndex.map { case (bc, i) =>
+      hashes.select(lit(i).as("band"), col(bc).as("key"), col("doc_id"))
+    }.reduce(_ unionByName _)
+    // hot-bucket cap: a constant-background corpus collapses into one
+    // band value; cap the bucket rather than let the pair join square
+    val capped = cand.join(
+      cand.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBucket).select("band", "key"),
+      Seq("band", "key"), "left_semi")
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val ham = Seq("a0", "a1", "a2", "a3", "d0", "d1", "d2", "d3")
+      .map(c => bit_count(col(s"ha.$c").bitwiseXOR(col(s"hb.$c"))
+        .cast("long")))
+      .reduce(_ + _)
+    pairs
+      .join(hashes.as("ha"), col("a") === col("ha.doc_id"))
+      .join(hashes.as("hb"), col("b") === col("hb.doc_id"))
+      .select(col("a"), col("b"), ham.cast("int").as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
   /** Resize over REAL decoded pixels: nearest-neighbor sample of each
     * PNG payload down to a `tw`×`th` thumbnail (source index
     * `⌊x'·w/tw⌋` — the standard image-dedup normalization step) and
