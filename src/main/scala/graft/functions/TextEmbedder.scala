@@ -51,12 +51,22 @@ object TextEmbedder {
     * table, SMALL by construction (vocab-sized), ready to broadcast. */
   def word2vecTrain(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", dim: Int = 16,
-      seed: Long = 42L): Seq[(String, Array[Float])] = {
+      seed: Long = 42L, maxFitDocs: Long = 100000L): Seq[(String, Array[Float])] = {
     import org.apache.spark.ml.feature.Word2Vec
     val sentences = docs
       .select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) > 0)
       .orderBy(col(idCol)).coalesce(1)
+    // the deterministic single-partition fit is a SERIAL scale boundary
+    // (see Scaladoc) — refuse corpora it was never meant for instead of
+    // hanging one task; real encoders train outside the engine
+    val nDocs = sentences.limit((maxFitDocs + 1).toInt).count()
+    require(nDocs <= maxFitDocs,
+      s"word2vecTrain is the deterministic single-partition test twin of " +
+        s"the opaque trained-encoder step (ref MEVI/document_encoder.py) " +
+        s"— its fit is serial by design and capped at $maxFitDocs docs " +
+        s"(got > $maxFitDocs). Train real encoders outside the engine " +
+        s"and plug the artifact through word2vecApply / the V1 seam.")
     val model = new Word2Vec()
       .setInputCol("toks").setOutputCol("__v")
       .setVectorSize(dim).setSeed(seed).setMinCount(1)

@@ -277,11 +277,17 @@ object HierarchicalKMeans {
     import spark.implicits._
 
     var frontier: Dataset[(String, Long, Array[Float])] = docs
+      .where(col(vecCol).isNotNull) // a doc with no vector can't cluster
       .select(col("doc_id").cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => ("", id, v) }
     var cached: Option[Dataset[(String, Long, Array[Float])]] = None
-    val dim = docs.select(size(col(vecCol))).head().getInt(0)
+    // take(1)+null-guard: head() throws on an empty frame (and NPEs on
+    // a null first vector) before fit can reach its graceful
+    // empty-Tree path; an absent dim only matters for the budget check,
+    // so default it to 0 and let the empty frontier drain normally
+    val dim = docs.select(size(col(vecCol))).take(1).headOption
+      .collect { case r if !r.isNullAt(0) => r.getInt(0) }.getOrElse(0)
 
     val levelCents = mutable.ArrayBuffer.empty[Map[String, Array[Array[Float]]]]
     for (level <- 0 until depth) {
@@ -368,6 +374,7 @@ object HierarchicalKMeans {
     import spark.implicits._
 
     var frontier: Dataset[(String, Long, Array[Float])] = docs
+      .where(col(vecCol).isNotNull) // a doc with no vector can't cluster
       .select(col("doc_id").cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => ("", id, v) }

@@ -939,14 +939,20 @@ object GeneratedOracles {
     val rows = wordVecs
       .map { case (w, v) => s"('${w.replace("'", "''")}', ${centList(v)})" }
       .mkString(", ")
+    // all-OOV docs must NOT vanish: word2vecApply emits a zero vector
+    // for them (OOV tokens count toward n, contribute zero), so the
+    // token→vector join is LEFT with missing vectors coalesced to zero
+    val zeroVec = centList(
+      Array.fill(wordVecs.headOption.map(_._2.length).getOrElse(0))(0f))
     s"""WITH wv(word, wvec) AS (VALUES $rows),
        |dt AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
        |       FROM documents WHERE len(string_split_regex(lower(text), '\\s+')) > 0),
        |tp AS (SELECT doc_id, toks, len(toks) AS n,
        |         unnest(range(1, len(toks) + 1)) AS pos FROM dt),
        |tk AS (SELECT doc_id, pos, n, toks[pos] AS w FROM tp),
-       |tv AS (SELECT tk.doc_id, tk.pos, tk.n, wv.wvec
-       |       FROM tk JOIN wv ON wv.word = tk.w),
+       |tv AS (SELECT tk.doc_id, tk.pos, tk.n,
+       |         coalesce(wv.wvec, $zeroVec) AS wvec
+       |       FROM tk LEFT JOIN wv ON wv.word = tk.w),
        |lv AS (SELECT doc_id, any_value(n) AS n,
        |         list(wvec ORDER BY pos) AS vs
        |       FROM tv GROUP BY doc_id),

@@ -202,21 +202,26 @@ object Dedup {
         .join(labels.select(col("v").as("dst"), col("comp").as("ncomp")),
           Seq("dst"))
         .groupBy(col("src").as("v")).agg(min("ncomp").as("nmin"))
+      // carry the pre-round label alongside the new one so convergence
+      // detection is a filter over the SAME checkpointed frame — the
+      // old third |V| join (updated ⨝ labels) was one full shuffle per
+      // round for nothing but a boolean
       val propagated = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          col("comp").as("old"))
       // path halving: comp(v) := comp(comp(v)) — labels are vertex ids
       // (mins of vertex-id sets), so the parent lookup is a |V| self-join
       val updated = propagated.as("x")
         .join(propagated.select(col("v").as("comp"),
           col("comp").as("pcomp")), Seq("comp"))
-        .select(col("v"), col("pcomp").as("comp"))
+        .select(col("v"), col("pcomp").as("comp"), col("old"))
         .localCheckpoint()
-      // labels only ever decrease; any strict decrease means another round
-      val changed = updated
-        .join(labels.select(col("v"), col("comp").as("old")), Seq("v"))
-        .where(col("comp") < col("old")).limit(1).count() > 0
-      labels = updated
+      // labels only ever decrease; any strict decrease means another
+      // round — read off the checkpointed blocks, zero extra joins
+      val changed =
+        updated.where(col("comp") < col("old")).limit(1).count() > 0
+      labels = updated.select("v", "comp")
       converged = !changed
       it += 1
     }

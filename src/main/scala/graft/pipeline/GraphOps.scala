@@ -102,6 +102,11 @@ object GraphOps {
       e = e2
       i += 1
     }
+    // a truncated peel is NOT a k-core (nodes with degree < k remain);
+    // refuse to return one rather than let the caller mistake it for
+    // the maximal subgraph the docstring promises
+    require(done, s"kCore(k=$k) did not converge within $maxRounds " +
+      s"rounds — deep-peeling graph; raise maxRounds")
     e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_deg"))

@@ -107,9 +107,13 @@ object PageRank {
         // materialize the round so the delta action and the next round
         // share one computation (and lineage stays linear in rounds)
         val u = updated.localCheckpoint()
+        // coalesce: max over an EMPTY node set (empty/all-null edge
+        // list) is null — treat as converged so the empty graph falls
+        // through to an empty frame like the eps=0 path
         val delta = u.join(
             ranks.select(col("node"), col("rank").as("__prev")), "node")
-          .agg(max(abs(col("rank") - col("__prev"))).as("d"))
+          .agg(coalesce(max(abs(col("rank") - col("__prev"))), lit(0L))
+            .as("d"))
           .head().getLong(0)
         ranks = u
         done = delta < epsilonMicro
@@ -183,9 +187,11 @@ object PageRank {
             .as("rank"))
       if (epsilonMicro > 0L) {
         val u = updated.localCheckpoint()
+        // coalesce: see [[run]] — empty node set yields null max
         val delta = u.join(
             ranks.select(col("node"), col("rank").as("__prev")), "node")
-          .agg(max(abs(col("rank") - col("__prev"))).as("d"))
+          .agg(coalesce(max(abs(col("rank") - col("__prev"))), lit(0L))
+            .as("d"))
           .head().getLong(0)
         ranks = u
         done = delta < epsilonMicro

@@ -84,4 +84,17 @@ class TextEmbedderSpec extends SparkSpec {
         w.length < 2 || w(0) >= w(1)), "scores must descend with rank")
     }
   }
+
+  test("word2vecTrain refuses corpora past its serial-fit cap") {
+    val docs = (0L until 20L).map(i => (i, s"alpha beta gamma $i"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextEmbedder.word2vecTrain(docs, maxFitDocs = 10L)
+    }
+    assert(e.getMessage.contains("serial"), e.getMessage)
+    assert(e.getMessage.contains("word2vecApply"), e.getMessage)
+    // at or under the cap the fit proceeds
+    assert(TextEmbedder.word2vecTrain(docs, dim = 4,
+      maxFitDocs = 20L).nonEmpty)
+  }
 }

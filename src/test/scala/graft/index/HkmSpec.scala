@@ -57,6 +57,24 @@ class HkmSpec extends SparkSpec {
     assert(refBytes > (256L << 20))
   }
 
+  test("empty input reaches the graceful empty-corpus path, not the budget probe") {
+    // the r8 budget guard ran head() on the input to learn dim — which
+    // threw NoSuchElementException on an empty frame BEFORE fit's own
+    // "empty corpus" require could fire (round-8 advice)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("doc_id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      HierarchicalKMeans.fit(empty, "vec", k = 2, depth = 2)
+    }
+    assert(e.getMessage.contains("empty corpus"), e.getMessage)
+    // a null first vector must not NPE the dim probe either
+    val nullVec = Seq((1L, Option.empty[Array[Float]]))
+      .toDF("doc_id", "vec")
+    val e2 = intercept[IllegalArgumentException] {
+      HierarchicalKMeans.fit(nullVec, "vec", k = 2, depth = 2)
+    }
+    assert(e2.getMessage.contains("empty corpus"), e2.getMessage)
+  }
+
   test("undersized clusters become leaves (variable-depth paths)") {
     val rng = new scala.util.Random(7)
     // 3 points far out at (+50, ...) — below the 2k=6 split threshold —

@@ -67,6 +67,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(c2.keySet == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("k-core: a truncated peel throws instead of returning a non-core") {
+    // chain 1-2-3-...-8: k=2 peels one endpoint pair per round (deep
+    // cascade); maxRounds=1 leaves nodes with degree < 2 — that is NOT
+    // a 2-core, and round-8 advice requires refusing to return it
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.kCore(chain, "src", "dst", k = 2, maxRounds = 1).count()
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+    // with enough rounds the same graph converges (to the empty core)
+    assert(GraphOps.kCore(chain, "src", "dst", k = 2).count() == 0L)
+  }
+
   test("k-core: extra rounds past convergence are a no-op (the oracle contract)") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
     val a = GraphOps.kCore(edges, "src", "dst", k = 2, maxRounds = 2)

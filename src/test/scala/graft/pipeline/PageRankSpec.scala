@@ -173,4 +173,16 @@ class PageRankSpec extends SparkSpec {
     assert(supAvg > partAvg * 2,
       s"supplier avg $supAvg should dominate part avg $partAvg")
   }
+
+  test("empty edge list degrades to an empty frame in BOTH eps paths") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.run(empty, "src", "dst", iters = 3).count() == 0L)
+    // eps>0 used to NPE on the null max-delta row (round-8 advice)
+    assert(PageRank.run(empty, "src", "dst", iters = 3,
+      epsilonMicro = 10L).count() == 0L)
+    val allNull = Seq((Option.empty[Long], Option.empty[Long]))
+      .toDF("src", "dst")
+    assert(PageRank.run(allNull, "src", "dst", iters = 3,
+      epsilonMicro = 10L).count() == 0L)
+  }
 }
