@@ -2047,26 +2047,41 @@ object SparkEntry {
     // aHash (8×8 grey mean-comparison, cross-multiplied — no division)
     // + dHash (9×8 horizontal gradients), emitted as 16-bit bands that
     // double as the LSH blocking key; all-integer, so the oracle
-    // replays every bit from the fixture's pixel law
+    // replays every bit from the fixture's pixel law. The fixture is
+    // MIXED-CONTAINER since r9 — PNG / baseline JPEG / GIF by doc_id%3,
+    // each through its real codec via Multimodal.decodeImageAny
     "multimodal_phash" -> ((s, dir) => {
-      val gen = udf { (id: Long) => Multimodal.syntheticPixelPng(id) }
+      val gen = udf { (id: Long) => Multimodal.syntheticMixedImage(id) }
       val media = t(s, dir, "documents")
         .select(col("doc_id"), gen(col("doc_id")).as("payload"),
-          lit("image/png").as("media_type"))
+          lit("image/*").as("media_type"))
       Multimodal.perceptualHash(media).orderBy("doc_id")
     }),
 
     // ...and the banded near-dup join: candidates share an exact dHash
     // band (pigeonhole-complete for Hamming ≤ 3, capped buckets),
-    // confirmed by the exact 128-bit combined Hamming distance
+    // confirmed by the exact 128-bit combined Hamming distance —
+    // cross-container pairs included (that is the point of hashing)
     "multimodal_phash_pairs" -> ((s, dir) => {
-      val gen = udf { (id: Long) => Multimodal.syntheticPixelPng(id) }
+      val gen = udf { (id: Long) => Multimodal.syntheticMixedImage(id) }
       val media = t(s, dir, "documents")
         .select(col("doc_id"), gen(col("doc_id")).as("payload"),
-          lit("image/png").as("media_type"))
+          lit("image/*").as("media_type"))
       Multimodal.perceptualHashPairs(
           Multimodal.perceptualHash(media), maxDist = 6)
         .orderBy("a", "b")
+    }),
+
+    // ...and the phash family's drop accounting: every payload counted
+    // by outcome, ok:<container> or the container-prefixed refusal
+    // reason — a crawl where jpeg:truncated spikes is a different
+    // incident than one where unknown_container does
+    "multimodal_phash_skips" -> ((s, dir) => {
+      val gen = udf { (id: Long) => Multimodal.syntheticSkipImage(id) }
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"),
+          lit("image/*").as("media_type"))
+      Multimodal.phashDecodeStats(media).orderBy("reason")
     }),
 
     // Multimodal: REAL resize — nearest-neighbor 8×8 thumbnail over the
@@ -2541,17 +2556,30 @@ object SparkEntry {
     * nearest-neighbor grids, cross-multiplied mean bits, gradient bits,
     * 16-bit band packing — every step integer. */
   private val phashCtes = {
+    // mixed-container grey law, container = d % 3 (syntheticMixedImage):
+    //  0 PNG  syntheticPixelPng — this residue's channel law is exactly
+    //         1 channel, so grey IS the single sample
+    //  1 JPEG syntheticJpeg — constant 8×8 blocks, lossy-pipeline-exact
+    //  2 GIF  syntheticGif frame 0 — palette index j = (x·3+y·5+d)%4,
+    //         grey = R+G+B of palette entry j
     def grey(sx: String, sy: String) =
-      s"""CASE WHEN gch = 1 THEN ($sx*7 + $sy*13 + d*3) % 256
-         |     ELSE ($sx*7 + $sy*13 + d*3) % 256
-         |        + ($sx*7 + $sy*13 + d*3 + 31) % 256
-         |        + ($sx*7 + $sy*13 + d*3 + 62) % 256 END""".stripMargin
-    s"""dd AS (SELECT doc_id AS d, 1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
-       |         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS gch
+      s"""CASE WHEN d % 3 = 0 THEN ($sx*7 + $sy*13 + d*3) % 256
+         |     WHEN d % 3 = 1 THEN
+         |       (($sx // 8) * 29 + ($sy // 8) * 41 + d*13) % 256
+         |     ELSE ((($sx*3 + $sy*5 + d) % 4) * 53 + d*7) % 256
+         |        + ((($sx*3 + $sy*5 + d) % 4) * 101 + d*11) % 256
+         |        + ((($sx*3 + $sy*5 + d) % 4) * 29 + d*13) % 256 END""".stripMargin
+    s"""dd AS (SELECT doc_id AS d,
+       |         CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 16
+       |              WHEN doc_id % 3 = 1 THEN 16
+       |              ELSE 3 + doc_id % 6 END AS w,
+       |         CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 8
+       |              WHEN doc_id % 3 = 1 THEN 8 * (1 + doc_id % 2)
+       |              ELSE 2 + doc_id % 5 END AS h
        |       FROM documents),
        |t8 AS (SELECT unnest(range(0, 8)) AS i),
        |ag0 AS (SELECT dd.d, ty.i AS ty, tx.i AS tx,
-       |          (tx.i * dd.w) // 8 AS sx, (ty.i * dd.h) // 8 AS sy, dd.gch
+       |          (tx.i * dd.w) // 8 AS sx, (ty.i * dd.h) // 8 AS sy
        |        FROM dd JOIN t8 tx ON TRUE JOIN t8 ty ON TRUE),
        |agg2 AS (SELECT d, ty, tx, ${grey("sx", "sy")} AS g FROM ag0),
        |at2 AS (SELECT d, sum(g) AS tot FROM agg2 GROUP BY d),
@@ -2563,7 +2591,7 @@ object SparkEntry {
        |        FROM ab GROUP BY d, band),
        |dg0 AS (SELECT dd.d, ty.i AS ty, tx.i AS tx,
        |          (tx.i * dd.w) // 9 AS sx0, ((tx.i + 1) * dd.w) // 9 AS sx1,
-       |          (ty.i * dd.h) // 8 AS sy, dd.gch
+       |          (ty.i * dd.h) // 8 AS sy
        |        FROM dd JOIN t8 tx ON TRUE JOIN t8 ty ON TRUE),
        |dgg AS (SELECT d, ty, tx, ${grey("sx0", "sy")} AS g0,
        |          ${grey("sx1", "sy")} AS g1 FROM dg0),
@@ -3877,6 +3905,16 @@ object SparkEntry {
         |  JOIN hx hb ON hb.doc_id = p.b)
         |SELECT a, b, hamming FROM hm WHERE hamming <= 6
         |ORDER BY a, b""".stripMargin,
+
+    // syntheticSkipImage law: doc_id%5 → ok png/jpeg/gif, plain text
+    // (unsniffable), or a JPEG cut mid-DQT (container-prefixed reason)
+    "multimodal_phash_skips" ->
+      """SELECT CASE doc_id % 5
+        |    WHEN 0 THEN 'ok:png' WHEN 1 THEN 'ok:jpeg'
+        |    WHEN 2 THEN 'ok:gif' WHEN 3 THEN 'unknown_container'
+        |    ELSE 'jpeg:truncated' END AS reason,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY reason""".stripMargin,
 
     "multimodal_pixels" ->
       """WITH d AS (SELECT doc_id,

@@ -170,9 +170,56 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** One decoded still image, container-tagged for the skip accounting. */
+  final case class DecodedImage(container: String, width: Int, height: Int,
+      channels: Int, pixels: Array[Byte])
+
+  /** Container-dispatched single-image decode for the perceptual-hash
+    * family: sniffs the payload magic and routes to the matching REAL
+    * codec — PNG ([[PngCodec]]), baseline JPEG ([[JpegCodec]]), or
+    * animated GIF ([[GifCodec]]; frame 0 is materialized through its
+    * effective palette to an RGB raster — the first still is what an
+    * image near-dup pipeline keys on). Refusals come back as the
+    * codec's named reason PREFIXED with the sniffed container
+    * (`jpeg:truncated`, `gif:bad_lzw`, ...) so drops are attributable
+    * per container; unsniffable payloads are `unknown_container`. */
+  def decodeImageAny(bytes: Array[Byte]): Either[String, DecodedImage] = {
+    if (bytes == null || bytes.length < 3) Left("unknown_container")
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte)
+      PngCodec.decodeEx(bytes)
+        .map(i => DecodedImage("png", i.width, i.height, i.channels, i.pixels))
+        .left.map(r => s"png:$r")
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      JpegCodec.decodeEx(bytes)
+        .map(i => DecodedImage("jpeg", i.width, i.height, i.channels, i.pixels))
+        .left.map(r => s"jpeg:$r")
+    else if (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte)
+      GifCodec.decodeEx(bytes).flatMap { g =>
+        g.frames.headOption.toRight("no_frames").map { f =>
+          val rgb = new Array[Byte](f.width * f.height * 3)
+          var i = 0
+          while (i < f.indices.length) {
+            val p = (f.indices(i) & 0xff) * 3
+            rgb(i * 3) = f.palette(p)
+            rgb(i * 3 + 1) = f.palette(p + 1)
+            rgb(i * 3 + 2) = f.palette(p + 2)
+            i += 1
+          }
+          DecodedImage("gif", f.width, f.height, 3, rgb)
+        }
+      }.left.map(r => s"gif:$r")
+    else Left("unknown_container")
+  }
+
   /** IMAGE NEAR-DUP FINGERPRINTS over the real decoded pixels: the two
     * classic 64-bit perceptual hashes, computed entirely in integers so
     * a SQL oracle replays every bit from the fixture's pixel law.
+    * Container-agnostic since r9: payloads dispatch through
+    * [[decodeImageAny]], so PNG, baseline JPEG, and GIF stills all hash
+    * through the same 8×8/9×8 grey grids (count refusals with
+    * [[phashDecodeStats]]).
     *
     *  - aHash: nearest-neighbor 8×8 grey downsample (grey = SUM of the
     *    first ≤3 channel bytes — no division, stays integer), bit i set
@@ -196,7 +243,7 @@ object Multimodal {
           .map(n => StructField(n, IntegerType, nullable = false))))
     val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
       it.flatMap { r =>
-        PngCodec.decode(r.getAs[Array[Byte]](1)).map { img =>
+        decodeImageAny(r.getAs[Array[Byte]](1)).toOption.map { img =>
           val gch = math.min(3, img.channels)
           def grey(sx: Int, sy: Int): Int = {
             val base = (sy * img.width + sx) * img.channels
@@ -279,6 +326,51 @@ object Multimodal {
       .join(hashes.as("hb"), col("b") === col("hb.doc_id"))
       .select(col("a"), col("b"), ham.cast("int").as("hamming"))
       .where(col("hamming") <= maxDist)
+  }
+
+  /** Perceptual-hash twin of [[pixelDecodeStats]]: every payload the
+    * hash pass would see, counted by outcome — `ok:<container>` for
+    * rows that hashed, the container-prefixed refusal reason for rows
+    * that dropped ([[decodeImageAny]]'s contract). The per-container
+    * split is the point: a crawl where `jpeg:truncated` suddenly spikes
+    * is a different incident than one where `unknown_container` does. */
+  def phashDecodeStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("reason", StringType, nullable = false)))
+    val rdd = media.select("payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(decodeImageAny(r.getAs[Array[Byte]](0))
+          .fold(identity, img => s"ok:${img.container}"))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+  }
+
+  /** Deterministic MIXED-CONTAINER image fixture for the phash family:
+    * by `docId % 3` a decodable PNG ([[syntheticPixelPng]] — whose
+    * channel law collapses to 1 channel exactly on this residue), a
+    * baseline JPEG ([[syntheticJpeg]], constant 8×8 blocks so the lossy
+    * pipeline is pixel-exact), or an animated GIF ([[syntheticGif]],
+    * frame 0 through its palette). Every decoded grey is arithmetic in
+    * (x, y, docId), so the SQL oracle states all 128 hash bits. */
+  def syntheticMixedImage(docId: Long): Array[Byte] = (docId % 3) match {
+    case 0 => syntheticPixelPng(docId)
+    case 1 => syntheticJpeg(docId)
+    case _ => syntheticGif(docId)
+  }
+
+  /** Deterministic payload MIX for the phash drop accounting: by
+    * `docId % 5` a decodable PNG / JPEG / GIF, plain text (refused:
+    * unknown_container), or a JPEG cut mid-DQT (refused:
+    * jpeg:truncated). */
+  def syntheticSkipImage(docId: Long): Array[Byte] = (docId % 5) match {
+    case 0 => syntheticPixelPng(docId)
+    case 1 => syntheticJpeg(docId)
+    case 2 => syntheticGif(docId)
+    case 3 => s"doc $docId is plain text, not an image".getBytes("UTF-8")
+    case _ => syntheticJpeg(docId).take(40) // inside the DQT segment
   }
 
   /** Resize over REAL decoded pixels: nearest-neighbor sample of each

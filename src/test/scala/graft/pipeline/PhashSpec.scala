@@ -51,6 +51,43 @@ class PhashSpec extends SparkSpec {
       rows.map(r => (r._1, r._2) -> r._3).toMap
   }
 
+  test("mixed containers hash through their real codecs; drops are attributed") {
+    // one doc per container, all encoding the SAME 8×8 grey raster —
+    // PNG and GIF must collide exactly (both lossless); the JPEG is
+    // constant-block so its decode is pixel-exact too
+    val w = 8; val h = 8
+    // non-constant 4-grey raster both lossless codecs can carry exactly:
+    // grey(x,y) = ((x·3 + y·5) mod 4) · 50
+    def v(x: Int, y: Int) = ((x * 3 + y * 5) % 4) * 50
+    val pngB = png(w, h, v)
+    val jpgB = Multimodal.syntheticJpeg(0L) // constant-block law at d=0
+    val jpgTwin = png(8, 8, (_, _) => 0)    // d=0's blocks decode to all-0
+    // GIF palette entry j carries grey j·50 in the R channel alone
+    val pal = Array.tabulate[Byte](12)(i => if (i % 3 == 0) ((i / 3) * 50).toByte else 0)
+    val gifB = GifCodec.encode(w, h, pal,
+      Seq((0, Array.tabulate[Byte](w * h)(i => ((i % w * 3 + i / w * 5) % 4).toByte))))
+    val hashes = Multimodal.perceptualHash(
+      mediaOf(1L -> pngB, 2L -> jpgB, 3L -> gifB, 4L -> jpgTwin))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L, 4L),
+      "all three containers must decode and hash")
+    // PNG and GIF carry the IDENTICAL non-constant raster losslessly
+    assert(hashes(3L) == hashes(1L),
+      s"gif vs png of the same raster: ${hashes(3L)} vs ${hashes(1L)}")
+    // the JPEG's constant blocks decode pixel-exact → match its PNG twin
+    assert(hashes(2L) == hashes(4L),
+      s"jpeg vs png of the same raster: ${hashes(2L)} vs ${hashes(4L)}")
+    assert(hashes(1L) != hashes(2L), "distinct rasters must differ somewhere")
+
+    val stats = Multimodal.phashDecodeStats(mediaOf(
+        1L -> pngB, 2L -> jpgB, 3L -> gifB,
+        4L -> "not an image".getBytes("UTF-8"),
+        5L -> jpgB.take(40)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("ok:png" -> 1L, "ok:jpeg" -> 1L, "ok:gif" -> 1L,
+      "unknown_container" -> 1L, "jpeg:truncated" -> 1L), stats.toString)
+  }
+
   test("banding is complete for hamming <= 3 and every pair brute-confirms") {
     val docs = graft.io.Tables.load(spark, sf("0.001"), "documents")
       .select(col("doc_id"))
