@@ -79,6 +79,9 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (Codebook, Codebook, Array[Array[Int]])]
   private val dirBpeMerges =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]
+  private val dirLifecycle =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Seq[(String, String)], Codebook)]
   @volatile private var lastDir: Option[String] = None
 
   /** Session-memoized RQ artifacts per fixture dir (path-keyed caching,
@@ -1602,6 +1605,86 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // THE LIFECYCLE ENTRY — the reference's two entry points composed as
+    // one query (index build, marco_generate_embedding_n_rq.sh; serve +
+    // eval, MEVI/main.py:267-337): corpus → trained-BPE tokenize (P11)
+    // → hash encode through the V1 seam → RQ train (V4) → assign (V5) →
+    // cluster inverted index (A1) → beam (V6/T3) → coarse→fine retrieve
+    // (V12/J3/J4/T2) → ensemble fusion with the exact-KNN list
+    // (V13/J6/W3) → Recall/MRR/HitRate (A5/J7/W1/W2). Every stage is an
+    // already-oracle-certified operator; THIS query pins the composition:
+    // the oracle chains the BPE replay, the hash-embed replay, the
+    // inlined trained codebook, the beam/assign/serve CTEs, the fusion
+    // arithmetic, and the metric aggregation into ONE statement, so a
+    // hash match certifies the end-to-end lifecycle bit-for-bit.
+    // Ground truth is self-retrieval (each query IS corpus doc <20) —
+    // the signal that drops below 1.0 exactly when the beam misses the
+    // query's own cluster, which is what serving quality means here.
+    "pipeline_index_serve" -> ((s, dir) => {
+      val docsT = t(s, dir, "documents")
+      // P11: learned tokenizer (trained artifact, shared with
+      // text_bpe_tokenize's $dir/bpe24 cache key)
+      val merges = ArtifactCache.value(s"$dir/bpe24") {
+        graft.pipeline.Bpe.train(docsT, nMerges = 24)
+      }
+      dirBpeMerges.put(dir, merges)
+      val toks = graft.pipeline.Bpe.applyMerges(docsT, merges)
+        .where(col("tokens") =!= "")
+        .select(col("doc_id"), split(col("tokens"), ",").as("toks"))
+      // V1 seam: the tokenize stage FEEDS the encoder (pre-tokenized)
+      val vecs = ArtifactCache.frame(s, s"$dir/bpe24/hash16/vecs") {
+        graft.functions.TextEmbedder.hashEmbedTokens(
+          toks, "doc_id", "toks", dim = 16)
+      }
+      // V4: RQ codebook trained on the lifecycle vectors
+      val cb = ArtifactCache.codebook(s"$dir/bpe24/hash16/rq2x8") {
+        RQTrainer.fit(vecs.select("doc_id", "vec"), "vec",
+          numLevels = 2, k = 8, seed = 42L, maxIter = 10)
+      }
+      dirLifecycle.put(dir, (merges, cb))
+      lastDir = Some(dir)
+      // V5 + A1: assign + cluster inverted index
+      val index = ArtifactCache.frame(s, s"$dir/bpe24/hash16/rq2x8/index") {
+        ClusterIndexBuilder.build(
+          CodeAssigner.assign(vecs.select("doc_id", "vec"), cb))
+      }
+      val queries = vecs.where(col("doc_id") < 20)
+        .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+      // V6 → V12: serve through beam + candidate fetch + exact re-rank
+      val served = CoarseFineRetriever.retrieve(queries, index,
+        vecs.select("doc_id", "vec"), cb, beams = 4, k = 10)
+      // V13: fuse the exact-KNN list (V8, the reference's dense list)
+      // with the beam's cluster ranks — docs outside every beamed
+      // cluster take the sentinel + punish branch, MEVI semantics
+      val ann = BruteForceKNN.topK(queries, vecs.select("doc_id", "vec"),
+          k = 10, metric = "ip", excludeSelf = false)
+        .select("query_id", "doc_id", "score")
+      val crank = CodebookBeamSearch.search(queries, cb, beams = 4)
+        .select(col("query_id"), col("codes"),
+          row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("logprob").desc, col("codes").asc)).as("crank"))
+      val coarseList = CodeAssigner.assign(vecs.select("doc_id", "vec"), cb)
+        .join(crank, Seq("codes"))
+        .select("query_id", "doc_id", "crank")
+      val fused = Ensemble.fuse(ann, coarseList, numClusters = 4,
+        alpha = 0.6, beta = 0.03, gamma = 0.02, k = 10)
+      // A5/J7: Recall/MRR/HitRate of BOTH rankings vs self ground truth
+      val gt = queries.select(col("query_id"),
+        array(col("query_id")).as("gt"))
+      val mServed = Metrics.ranking(Metrics.rankedToPreds(served), gt,
+          ks = Seq(1, 5, 10))
+        .withColumn("source", lit("coarse_fine"))
+      val mFused = Metrics.ranking(Metrics.rankedToPreds(fused), gt,
+          ks = Seq(1, 5, 10))
+        .withColumn("source", lit("ensemble"))
+      mServed.unionByName(mFused)
+        .select(col("source"), col("k"),
+          round(col("recall"), 6).as("recall"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("hitrate"), 6).as("hitrate"), col("n_queries"))
+        .orderBy("source", "k")
+    }),
+
     // S5-analog: JSON-ish field extraction from event props
     "events_json" -> ((s, dir) =>
       t(s, dir, "events")
@@ -2688,6 +2771,11 @@ object SparkEntry {
       dir.flatMap(d => Option(dirBpeMerges.get(d)))
         .map(merges => Map("text_bpe_tokenize" ->
           graft.oracle.GeneratedOracles.bpeTokenizeSql(merges)))
+        .getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirLifecycle.get(d)))
+        .map { case (merges, cb) => Map("pipeline_index_serve" ->
+          graft.oracle.GeneratedOracles.pipelineIndexServeSql(
+            merges, cb, beams = 4, k = 10, maxQueryId = 20)) }
         .getOrElse(Map.empty)
   }
 

@@ -19,9 +19,20 @@ object TextEmbedder {
 
   /** (idCol, vec ARRAY<FLOAT> of length dim, L2-normalized). */
   def hashEmbed(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", dim: Int = 64): DataFrame = {
+      textCol: String = "text", dim: Int = 64): DataFrame =
+    hashEmbedTokens(
+      docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", dim)
+
+  /** [[hashEmbed]] over a PRE-TOKENIZED stream: same md5-bucket
+    * bag-of-tokens vector, but the token array column is taken as-is —
+    * the seam that lets a learned tokenizer (BPE, P11) feed the V1
+    * encoder in one chained pipeline. Docs with an empty token array
+    * produce no row (an all-zero bag has no L2 direction). */
+  def hashEmbedTokens(docs: DataFrame, idCol: String = "doc_id",
+      toksCol: String = "toks", dim: Int = 64): DataFrame = {
     val counts = docs
-      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), explode(col(toksCol)).as("__t"))
       .select(col(idCol), pmod(Dedup.md5Hash32(col("__t")), lit(dim.toLong)).as("__b"))
       .groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"))

@@ -975,6 +975,93 @@ object GeneratedOracles {
   }
 
   // -------------------------------------------------------------------
+  // Lifecycle: BPE → hash encode → RQ build → serve → ensemble → metrics
+  // -------------------------------------------------------------------
+
+  /** ONE statement replaying the full index-build + serve + eval
+    * lifecycle (ref entry points MEVI/main.py:267-337 and
+    * marco_generate_embedding_n_rq.sh), stage by stage:
+    * trained-BPE tokens (merge list inlined, the [[bpeTokenizeSql]]
+    * fold) → md5-bucket hash embedding (the v1_hash_embed replay, fed
+    * by the BPE tokens) → the inlined RQ codebook's assign + beam CTEs
+    * → coarse→fine candidates + exact re-rank → exact-KNN list fused
+    * with beam cluster ranks (the ensemble_fuse arithmetic, sentinel =
+    * beam width) → Recall/MRR/HitRate@{1,5,10} vs self ground truth.
+    * A hash match certifies the composition end to end — every
+    * upstream bit moves some rank that moves these six rows. */
+  def pipelineIndexServeSql(merges: Seq[(String, String)], cb: Codebook,
+      beams: Int, k: Int, maxQueryId: Int, dim: Int = 16): String = {
+    val encoded = "'(' || array_to_string(string_split(w, ''), ')(') || ')'"
+    val replayed = merges.foldLeft(encoded) { case (acc, (l, r)) =>
+      s"replace($acc, '($l)($r)', '($l$r)')"
+    }
+    val kList = ks(cb).mkString(", ")
+    s"""WITH bw AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS words
+       |  FROM documents),
+       |btk AS (SELECT doc_id,
+       |    string_split(array_to_string(list_transform(words, w ->
+       |      trim(replace($replayed, ')(', ','), '()')), ','), ',') AS toks
+       |  FROM bw WHERE len(words) > 0),
+       |hb AS (SELECT doc_id, CAST('0x' || substr(md5(unnest(toks)), 1, 8) AS BIGINT) % $dim AS bucket FROM btk),
+       |hc AS (SELECT doc_id, bucket, count(*) AS n FROM hb GROUP BY doc_id, bucket),
+       |hm AS (SELECT doc_id, map_from_entries(list(struct_pack(k := bucket, v := n))) AS m
+       |       FROM hc GROUP BY doc_id),
+       |hd AS (SELECT doc_id,
+       |         list_transform(range(0, $dim),
+       |           i -> CAST(coalesce(map_extract(m, i)[1], 0) AS DOUBLE)) AS raw
+       |       FROM hm),
+       |lifevec AS (SELECT doc_id AS vec_id,
+       |         list_transform(raw, x ->
+       |           CAST(x / sqrt(list_sum(list_transform(raw, v -> v * v))) AS REAL)) AS embedding
+       |       FROM hd),
+       |${assignCtes(cb, "lifevec")},
+       |${beamCtesFor(cb, beams, s"WHERE vec_id < $maxQueryId", "", "lifevec")},
+       |cand AS (SELECT DISTINCT bb.query_id, aa.doc_id
+       |         FROM beams bb JOIN assign aa ON ${joinCond(cb, "aa", "bb")}),
+       |scs AS (SELECT cc.query_id, cc.doc_id,
+       |    list_sum(list_transform(list_zip(qq.u0, dd.v0), p -> p[1] * p[2])) AS score
+       |  FROM cand cc JOIN q qq USING (query_id) JOIN d dd USING (doc_id)),
+       |srv AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM scs),
+       |bf0 AS (SELECT qq.query_id, dd.doc_id,
+       |    list_sum(list_transform(list_zip(qq.u0, dd.v0), p -> p[1] * p[2])) AS score
+       |  FROM q qq CROSS JOIN d dd),
+       |bfr AS (SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM bf0),
+       |annl AS (SELECT query_id, doc_id, score FROM bfr WHERE rank <= $k),
+       |brk AS (SELECT query_id, $kList,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cum DESC, $kList) AS crank FROM beams),
+       |crs AS (SELECT bb.query_id, aa.doc_id, bb.crank
+       |        FROM brk bb JOIN assign aa ON ${joinCond(cb, "aa", "bb")}),
+       |fz0 AS (SELECT aa.query_id, aa.doc_id,
+       |    CASE WHEN cc.crank IS NOT NULL
+       |         THEN aa.score + 0.6 / (0.03 * (cc.crank - 1) + 1)
+       |         ELSE (aa.score + 0.6 / (0.03 * $beams + 1)) * (1 - 0.02 * 0.6) END AS fused_score
+       |  FROM annl aa LEFT JOIN crs cc USING (query_id, doc_id)),
+       |fzr AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY fused_score DESC, doc_id) AS rank FROM fz0),
+       |kset AS (SELECT unnest([1, 5, 10]) AS kk),
+       |qset AS (SELECT query_id FROM q),
+       |shit AS (SELECT query_id, min(rank) AS srank FROM srv
+       |         WHERE doc_id = query_id AND rank <= $k GROUP BY query_id),
+       |fhit AS (SELECT query_id, min(rank) AS frank FROM fzr
+       |         WHERE doc_id = query_id AND rank <= $k GROUP BY query_id),
+       |perq AS (
+       |  SELECT 'coarse_fine' AS source, kset.kk AS k, qset.query_id,
+       |    CASE WHEN sh.srank IS NOT NULL AND sh.srank <= kset.kk THEN 1.0 ELSE 0.0 END AS recall,
+       |    CASE WHEN sh.srank IS NOT NULL AND sh.srank <= kset.kk THEN 1.0 / sh.srank ELSE 0.0 END AS rr
+       |  FROM kset CROSS JOIN qset LEFT JOIN shit sh USING (query_id)
+       |  UNION ALL
+       |  SELECT 'ensemble', kset.kk, qset.query_id,
+       |    CASE WHEN fh.frank IS NOT NULL AND fh.frank <= kset.kk THEN 1.0 ELSE 0.0 END,
+       |    CASE WHEN fh.frank IS NOT NULL AND fh.frank <= kset.kk THEN 1.0 / fh.frank ELSE 0.0 END
+       |  FROM kset CROSS JOIN qset LEFT JOIN fhit fh USING (query_id))
+       |SELECT source, k, round(avg(recall), 6) AS recall, round(avg(rr), 6) AS mrr,
+       |  round(avg(recall), 6) AS hitrate, count(*) AS n_queries
+       |FROM perq GROUP BY source, k ORDER BY source, k""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // PageRank with dangling-mass redistribution + ε-stopping
   // -------------------------------------------------------------------
 
