@@ -174,9 +174,14 @@ object TextAnalysis {
     * Deflater (codec setup amortized across the batch, the same
     * batch-shape discipline as the media codecs); no shuffle. This is
     * the one text signal that is deliberately NOT SQL-replayable — the
-    * deflate bitstream has no oracle twin — so it is spec-certified
-    * (determinism, monotonicity on constructed inputs) and the catalog
-    * entry carries a rows-only check.
+    * deflate bitstream has no oracle twin — so it carries a
+    * TWO-IMPLEMENTATION check instead: `InflateCodecSpec` decodes every
+    * fixture document's stream with [[InflateCodec]] (an independent
+    * RFC 1950/1951 decoder sharing nothing with zlib) and requires a
+    * byte-exact round-trip, Adler-32 agreement, and `comp_len` equal to
+    * the verified stream's length; determinism/monotonicity are pinned
+    * in TextAnalysisSpec. The catalog entry stays rows-only at the SQL
+    * gate by necessity, not for lack of verification.
     */
   def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", level: Int = 6): DataFrame = {

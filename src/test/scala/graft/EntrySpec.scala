@@ -44,7 +44,8 @@ class EntrySpec extends SparkSpec {
   }
 
   // the documented rows-only set: operators whose output has no SQL twin
-  // (a deflate bitstream). Anything else missing an oracle is a gap.
+  // (a deflate bitstream — cross-checked instead by InflateCodecSpec's
+  // independent RFC-1951 decoder). Anything else missing an oracle is a gap.
   // Declared AFTER the catalog sweep: the trained-artifact oracles are
   // generated once the sweep has populated the artifact caches, exactly
   // as Verify evaluates oracleSql after running the queries.

@@ -475,4 +475,109 @@ class StressSpec extends SparkSpec {
       "most root cells should be big enough to split at 32k docs")
     assert(sec < 90, s"k=32 depth-2 fit took ${sec}s on 32k vectors")
   }
+
+  test("skewed cluster (30% of 50k docs in one code tuple): chunked index + budget prune keep task input bounded") {
+    // VERDICT r8 #9: the SURVEY §7.4.3 chunking claim gets its adversarial
+    // probe — one code tuple owning ~30% of a 100×-sized corpus (50k docs,
+    // the same count as the sf0.01×100 replica fixture). The pins:
+    //   (a) ClusterIndexBuilder fans the hot cluster into ~csize/maxChunk
+    //       hash-balanced rows (no giant doc_ids array),
+    //   (b) the budgeted retrieve's candidate join broadcasts the tiny
+    //       kept-clusters side, so hot-cluster chunks stream map-side,
+    //   (c) task-metrics witness: no single task shuffle-reads the whole
+    //       hot cluster (the skew bomb the chunking exists to defuse).
+    val nDocs = 50000
+    val dim = 16
+    val hotFrac = 0.3
+    val gen = udf { (id: Long) =>
+      val rng = new scala.util.Random(id * 0x9E3779B97F4A7C15L)
+      val v =
+        if (id < nDocs * hotFrac)
+          // one tight blob: RQ puts all of these in the same code tuple
+          Array.tabulate(dim)(j =>
+            (math.sin(j.toDouble) + 0.01 * rng.nextGaussian()).toFloat)
+        else
+          Array.fill(dim)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"), gen(col("id")).as("vec"))
+      .repartition(16).cache()
+    docs.count()
+
+    val cb = RQTrainer.fit(docs, "vec", numLevels = 2, k = 8, seed = 42L,
+      maxIter = 5)
+    val assignments = CodeAssigner.assign(docs, cb).cache()
+    val maxChunk = 1024
+    val index = ClusterIndexBuilder.build(assignments, maxChunk = maxChunk)
+      .cache()
+
+    // (a) hot cluster exists and is chunked, arrays hash-bounded
+    val hot = index.orderBy(col("csize").desc).select("csize").head.getLong(0)
+    assert(hot >= (nDocs * hotFrac * 0.8).toLong,
+      s"blob didn't land in one tuple (max csize $hot)")
+    val hotRows = index.where(col("csize") === hot)
+    val nChunks = hotRows.count()
+    assert(nChunks >= hot / maxChunk / 2,
+      s"hot cluster in $nChunks chunk rows — not fanned out")
+    val maxArr = hotRows.select(max(size(col("doc_ids")))).head.getInt(0)
+    assert(maxArr <= 4 * maxChunk,
+      s"a chunk row holds $maxArr members — hash balance broken")
+
+    // queries aimed at the blob: budget prune keeps the hot cluster first
+    val queries = docs.where(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+
+    // (c) task-metrics listener: record the largest per-task shuffle read
+    val maxShuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          var cur = maxShuffleRecords.get
+          while (r > cur && !maxShuffleRecords.compareAndSet(cur, r))
+            cur = maxShuffleRecords.get
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (out, sec) = {
+      val t0 = System.nanoTime()
+      val df = CoarseFineRetriever.retrieveBudgeted(
+        queries, index, docs, cb, beams = 4, k = 10, budget = 500)
+      val rows = df.collect()
+      ((df, rows), (System.nanoTime() - t0) / 1e9)
+    }
+    // listener delivery is async with no public flush — poll until the
+    // max stabilizes (two consecutive equal reads), bounded at 10 s
+    var stable = 0; var last = -1L; var waited = 0
+    while (stable < 2 && waited < 100) {
+      Thread.sleep(100); waited += 1
+      val cur = maxShuffleRecords.get
+      if (cur == last) stable += 1 else { stable = 0; last = cur }
+    }
+    spark.sparkContext.removeSparkListener(listener)
+
+    assert(out._2.length === 20 * 10)
+    // every query sits inside the blob → all top hits must be blob members
+    val top1 = out._2.filter(_.getAs[Int]("rank") == 1)
+    assert(top1.forall(_.getAs[Long]("doc_id") < (nDocs * hotFrac).toLong),
+      "top-1 hits escaped the planted blob")
+    assert(sec < 120, s"skewed budgeted retrieve took ${sec}s")
+
+    // (b) the kept→index candidate join broadcasts the kept side
+    val plan = out._1.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"candidate join did not broadcast the kept-clusters side:\n${plan.take(2000)}")
+    // (c) no task read the whole hot cluster through one shuffle: the
+    // chunk fan-out caps any single shuffle partition far below csize
+    val maxTask = maxShuffleRecords.get
+    assert(maxTask < hot,
+      s"a task shuffle-read $maxTask records >= hot csize $hot — skew bomb")
+    info(f"skew probe: hot=$hot chunks=$nChunks maxChunkRow=$maxArr " +
+      f"maxTaskShuffleRecords=$maxTask sec=$sec%.1f")
+  }
 }
