@@ -63,14 +63,23 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBucket = withB.withColumn("__in",
       coalesce(sum(col(nCol)).over(wIn), lit(0L)))
-    // level 2: bucket totals → exclusive cumsum over the TINY bucket table
-    // (#buckets rows — the single-partition window is fine at this size)
-    val wOff = Window.orderBy(col("__b").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withB.groupBy("__b")
+    // level 2: bucket totals → exclusive cumsum. The aggregate is
+    // distributed (map-side combined); the cumsum itself runs on the
+    // DRIVER over ≤ `buckets` rows — a deliberate tiny collect that
+    // replaces the previous one-partition WindowExec, whose "No
+    // Partition Defined" warning sprayed every Verify log and buried
+    // real warnings (it was harmless at 256 rows, but a warning that
+    // cries wolf is worse than a 2 KB collect).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bucketSums = withB.groupBy("__b")
       .agg(sum(col(nCol)).cast("long").as("__bsum"))
-      .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
-      .select("__b", "__off")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offRows = bucketSums.map { case (b, s) =>
+      val off = acc; acc += s; (b, off)
+    }.toSeq
+    val offsets = offRows.toDF("__b", "__off")
     inBucket.join(broadcast(offsets), Seq("__b"))
       .withColumn(outCol, (col("__in") + col("__off")).cast("long"))
       .drop("__b", "__in")
