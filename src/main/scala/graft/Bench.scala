@@ -262,6 +262,23 @@ object Bench {
           docs.select("doc_id", "vec"), cb, beams = 4, k = 10, budget = 100)
           .write.format("noop").mode("overwrite").save()
       }
+      // V7's serving shape (VERDICT r9 #5): the distributed trie-masked
+      // beam over per-level codebook frames — the path that survives the
+      // reference's K=32/depth-4 codebook geometry — gets the same
+      // 2000-query regression number as KNN/coarse-fine. Same tree params
+      // as the hkm_* catalog queries (k=4, depth=2, seed 42).
+      val hkmLevels = {
+        val l = graft.index.HierarchicalKMeans.fitLevels(
+          docs.select("doc_id", "vec"), "vec", k = 4, depth = 2,
+          seed = 42L, maxIter = 10).cache()
+        l.count(); l
+      }
+      val (hkmMed, hkmMax) = serveRuns {
+        graft.index.HierarchicalKMeans.beamSearchByLevels(
+          serveQ, hkmLevels, depth = 2, beams = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      hkmLevels.unpersist()
       serveQ.unpersist()
       def msq(sec: Double): String = d(sec * 1000.0 / nServe, 3)
       // drift pin vs the committed record: BENCH_FULL.json in the work
@@ -276,7 +293,9 @@ object Bench {
           s""""serve_coarse_fine_ms_per_query_med":${msq(cfMed)},""" +
           s""""serve_coarse_fine_ms_per_query_max":${msq(cfMax)},""" +
           s""""serve_budgeted_ms_per_query_med":${msq(cfbMed)},""" +
-          s""""serve_budgeted_ms_per_query_max":${msq(cfbMax)},"""
+          s""""serve_budgeted_ms_per_query_max":${msq(cfbMax)},""" +
+          s""""serve_hkm_beam_ms_per_query_med":${msq(hkmMed)},""" +
+          s""""serve_hkm_beam_ms_per_query_max":${msq(hkmMax)},"""
       try {
         val prevPath = java.nio.file.Paths.get(
           sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
@@ -285,9 +304,18 @@ object Bench {
           def prevVal(key: String): Option[Double] =
             s""""$key":([0-9.]+)""".r.findFirstMatchIn(prev)
               .map(_.group(1).toDouble)
-          Seq(("serve_knn_ms_per_query_med", knnMed),
+          // ms/query is amortized over the batch: a committed record
+          // measured under a DIFFERENT batch size is not comparable —
+          // skip (loudly) rather than flag spurious drift or mask real
+          // drift against numbers with different amortization
+          val prevN = prevVal("serve_batch_n")
+          if (prevN.exists(_.toInt != nServe))
+            System.err.println(s"[bench] serve drift check skipped: " +
+              s"committed serve_batch_n ${prevN.get.toInt} != $nServe")
+          else Seq(("serve_knn_ms_per_query_med", knnMed),
             ("serve_coarse_fine_ms_per_query_med", cfMed),
-            ("serve_budgeted_ms_per_query_med", cfbMed)).foreach {
+            ("serve_budgeted_ms_per_query_med", cfbMed),
+            ("serve_hkm_beam_ms_per_query_med", hkmMed)).foreach {
             case (key, cur) => prevVal(key).foreach { p =>
               val ratio = (cur * 1000.0 / nServe) / p
               if (ratio > 1.15 || ratio < 1.0 / 1.15)
@@ -300,9 +328,13 @@ object Bench {
         System.err.println(s"[bench] serve drift check failed: ${e.getMessage}")
       }
 
-      s"""{$serveJson"index_build_sec":${d(buildSec, 3)},"knn_qps":${d(nQ / knnSec, 2)},""" +
-        s""""coarse_fine_qps":${d(nQ / cfSec, 2)},""" +
-        s""""coarse_fine_budgeted_qps":${d(nQ / cfbSec, 2)},""" +
+      // legacy_ prefix (VERDICT r9 #7): the 20-query qps lines are
+      // planning-latency-bound (±45% same-code spread across three rounds);
+      // the serve_* medians above are the regression-grade signal. Kept
+      // under legacy_ for continuity with r1-r9 records, not for diffing.
+      s"""{$serveJson"index_build_sec":${d(buildSec, 3)},"legacy_knn_qps":${d(nQ / knnSec, 2)},""" +
+        s""""legacy_coarse_fine_qps":${d(nQ / cfSec, 2)},""" +
+        s""""legacy_coarse_fine_budgeted_qps":${d(nQ / cfbSec, 2)},""" +
         s""""recall_at_1":${d(m(1)._1, 4)},""" +
         s""""recall_at_10":${d(m(10)._1, 4)},""" +
         s""""mrr_at_10":${d(m(10)._2, 4)},""" +

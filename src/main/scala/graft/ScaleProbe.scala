@@ -202,14 +202,49 @@ object ScaleProbe {
   private def assemble(path: String, baseDir: String, times: Int,
       perturb: Boolean, hubSkew: Boolean, appendMd: Boolean): Unit = {
     import scala.jdk.CollectionConverters._
-    // last-wins per query name, so a crashed chunk can simply be re-run
+    // last-wins per query name, so a crashed chunk can simply be re-run.
+    // Torn lines (a chunk JVM killed mid-append leaves a partial final
+    // line that a re-run does NOT overwrite — append-only) are skipped
+    // with a warning rather than crashing the whole assembly pass.
     val rows = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get(path)).asScala
       .filter(_.trim.nonEmpty)
-      .map { l => val p = l.split("\t"); p(0) -> ((p(1).toDouble, p(2).toDouble)) }
+      .flatMap { l =>
+        val p = l.split("\t")
+        val parsed =
+          if (p.length == 3)
+            try Some(p(0) -> ((p(1).toDouble, p(2).toDouble)))
+            catch { case _: NumberFormatException => None }
+          else None
+        if (parsed.isEmpty)
+          System.err.println(s"[scale] WARNING skipping torn TSV line: ${l.take(80)}")
+        parsed
+      }
       .foldLeft(scala.collection.immutable.ListMap.empty[String, (Double, Double)])(
         _ + _)
       .toSeq.sortBy(_._1).map { case (n, (t1, t10)) => (n, t1, t10) }
+    // Coverage gate (ADVICE r9 medium): the sweep's chunk regexes are
+    // hand-maintained — a catalog entry matching none of them would
+    // silently never reach the TSV, and folding only present rows would
+    // re-create the subset-choice failure mode this probe exists to kill.
+    // Diff TSV names against the FULL catalog (minus an explicit
+    // regex exclusion list) and fail on any missing name.
+    val excluded: String => Boolean =
+      sys.env.get("SPARK_GRAFT_SCALE_EXCLUDE") match {
+        case Some(spec) =>
+          val res = spec.split(",").map(_.trim).filter(_.nonEmpty).map(_.r)
+          n => res.exists(_.pattern.matcher(n).matches())
+        case None => _ => false
+      }
+    val have = rows.map(_._1).toSet
+    val missing = SparkEntry.queries.keys.toSeq
+      .filterNot(have).filterNot(excluded).sorted
+    if (missing.nonEmpty) {
+      System.err.println(
+        s"[scale] ASSEMBLE FAILED — ${missing.size} catalog queries have no " +
+          s"sweep row (chunk regexes miss them?): ${missing.mkString(",")}")
+      sys.exit(1)
+    }
     report(rows, baseDir, times, perturb, hubSkew, appendMd)
   }
 

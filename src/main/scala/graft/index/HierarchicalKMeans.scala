@@ -282,11 +282,14 @@ object HierarchicalKMeans {
       .as[(Long, Array[Float])]
       .map { case (id, v) => ("", id, v) }
     var cached: Option[Dataset[(String, Long, Array[Float])]] = None
-    // take(1)+null-guard: head() throws on an empty frame (and NPEs on
-    // a null first vector) before fit can reach its graceful
-    // empty-Tree path; an absent dim only matters for the budget check,
-    // so default it to 0 and let the empty frontier drain normally
-    val dim = docs.select(size(col(vecCol))).take(1).headOption
+    // take(1)+null-guard over the NULL-FILTERED frame: probing the raw
+    // frame could land on a null first vector while later rows are real,
+    // yielding dim=0 and silently disabling the budget guard below while
+    // fit proceeds on the filtered frontier; an absent dim (truly empty
+    // frame) only matters for the budget check, so default it to 0 and
+    // let the empty frontier drain normally
+    val dim = docs.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1).headOption
       .collect { case r if !r.isNullAt(0) => r.getInt(0) }.getOrElse(0)
 
     val levelCents = mutable.ArrayBuffer.empty[Map[String, Array[Array[Float]]]]

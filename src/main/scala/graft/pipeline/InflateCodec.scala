@@ -166,7 +166,11 @@ object InflateCodec {
           val nlen = bits(16)
           require((len ^ 0xFFFF) == nlen, "stored-block LEN/NLEN mismatch")
           var i = 0
-          while (i < len) { emit(data((bitPos >> 3).toInt).toByte); bitPos += 8; i += 1 }
+          while (i < len) {
+            val byteI = (bitPos >> 3).toInt
+            require(byteI < data.length, "stored block truncated")
+            emit(data(byteI).toByte); bitPos += 8; i += 1
+          }
         case 1 | 2 =>
           val (lit, dist) =
             if (btype == 1) (fixedLit, fixedDist)
@@ -187,12 +191,17 @@ object InflateCodec {
                   case 16 =>
                     require(n > 0, "repeat with no previous length")
                     val rep = 3 + bits(2)
+                    require(n + rep <= hlit + hdist, "repeat overshoots code lengths")
                     var j = 0
                     while (j < rep) { lens(n) = lens(n - 1); n += 1; j += 1 }
                   case 17 =>
-                    val rep = 3 + bits(3); n += rep
+                    val rep = 3 + bits(3)
+                    require(n + rep <= hlit + hdist, "repeat overshoots code lengths")
+                    n += rep
                   case 18 =>
-                    val rep = 11 + bits(7); n += rep
+                    val rep = 11 + bits(7)
+                    require(n + rep <= hlit + hdist, "repeat overshoots code lengths")
+                    n += rep
                 }
               }
               (new Huffman(lens.take(hlit)), new Huffman(lens.drop(hlit)))
