@@ -958,6 +958,24 @@ object SparkEntry {
           k = 100, weightCol = "n_chars")
         .orderBy(col("doc_id").asc)),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // bucket distributions of a small target slice vs the raw corpus →
+    // per-doc importance log-weight (all-Long micro-units after ONE
+    // ln-grid snap per bucket) → Gumbel-top-k draw ∝ exp(logw). The
+    // distribution-matching selection a domain-targeted pretraining
+    // pipeline runs; the md5 Gumbel makes the DRAW itself replayable
+    "sample_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val target = docs.where(pmod(col("doc_id"), lit(7L)) === 0L)
+      val lr = graft.pipeline.ImportanceResampling.fitLogRatios(
+        target, docs, buckets = 64)
+      val scored = graft.pipeline.ImportanceResampling.score(
+        docs, lr, buckets = 64)
+      graft.pipeline.ImportanceResampling.resample(scored, k = 200, seed = 42L)
+        .select(col("doc_id"), col("logw_micro"), col("key_micro"))
+        .orderBy(col("key_micro").desc, col("doc_id").asc)
+    }),
+
     // Gaps-and-islands interval coalescing: per-user 30-minute activity
     // windows merged into coverage islands — two window passes + one
     // agg on one per-key shuffle
@@ -3277,6 +3295,39 @@ object SparkEntry {
         |          DESC, doc_id ASC LIMIT 100)
         |SELECT doc_id, n_chars, es_lognum FROM sel
         |ORDER BY doc_id ASC""".stripMargin,
+
+    "sample_dsir" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |db AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64 AS b,
+        |    count(*) AS n
+        |  FROM tk WHERE len(w) > 0 GROUP BY doc_id, b),
+        |rawc AS (SELECT b, CAST(sum(n) AS BIGINT) AS rc FROM db GROUP BY b),
+        |tgtc AS (SELECT b, CAST(sum(n) AS BIGINT) AS tc FROM db
+        |         WHERE doc_id % 7 = 0 GROUP BY b),
+        |tot AS (SELECT
+        |    (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM db) AS rtot,
+        |    (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM db
+        |     WHERE doc_id % 7 = 0) AS ttot),
+        |lr AS (SELECT g.b,
+        |    CAST(floor(ln((coalesce(tc, 0) + 1.0e0) / (ttot + 64.0e0))
+        |      * 1000000 + 0.5) AS BIGINT)
+        |  - CAST(floor(ln((coalesce(rc, 0) + 1.0e0) / (rtot + 64.0e0))
+        |      * 1000000 + 0.5) AS BIGINT) AS lrm
+        |  FROM (SELECT unnest(range(0, 64)) AS b) g
+        |  LEFT JOIN tgtc USING (b) LEFT JOIN rawc USING (b) CROSS JOIN tot),
+        |sc AS (SELECT doc_id, CAST(sum(n * lrm) AS BIGINT) AS logw_micro
+        |  FROM db JOIN lr USING (b) GROUP BY doc_id),
+        |ky AS (SELECT doc_id, logw_micro,
+        |    logw_micro + CAST(floor(-ln(-ln(
+        |      (CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT)
+        |        % 1000000 + 1.0e0) / 1000001.0e0))
+        |      * 1000000 + 0.5) AS BIGINT) AS key_micro
+        |  FROM sc)
+        |SELECT doc_id, logw_micro, key_micro FROM ky
+        |ORDER BY key_micro DESC, doc_id ASC LIMIT 200""".stripMargin,
 
     "events_interval_merge" ->
       """WITH iv AS (SELECT user_id, epoch_us(ts) AS lo,
