@@ -82,6 +82,8 @@ object SparkEntry {
   private val dirLifecycle =
     new java.util.concurrent.ConcurrentHashMap[String,
       (Seq[(String, String)], Codebook)]
+  private val dirQualityLR =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]
   @volatile private var lastDir: Option[String] = None
 
   /** Session-memoized RQ artifacts per fixture dir (path-keyed caching,
@@ -252,6 +254,7 @@ object SparkEntry {
     // the one-time LR fit, and the PCA rotation fit (ArtifactCache-backed,
     // all eager at frame-construction time); the plans themselves stay lazy
     queries("v15_rerank")(s, dir)
+    queries("sample_quality_pareto")(s, dir)
     queries("v_opq_rotate")(s, dir)
     queries("hkm_assign")(s, dir)
     queries("hkm_assign_dist")(s, dir)
@@ -974,6 +977,29 @@ object SparkEntry {
       graft.pipeline.ImportanceResampling.resample(scored, k = 200, seed = 42L)
         .select(col("doc_id"), col("logw_micro"), col("key_micro"))
         .orderBy(col("key_micro").desc, col("doc_id").asc)
+    }),
+
+    // GPT-3-style quality-classifier selection (Brown et al. 2020 App. A):
+    // LR trained target-slice-vs-corpus over the SAME md5-bucket features
+    // as sample_dsir, then keep iff σ(w·x+c) > 1 − Pareto(9) draw off the
+    // md5 uniform. The trained weights inline into the generated oracle
+    // (the V15 reranker discipline); scoring is a bucket-ordered fold, so
+    // the kept SET replays bit-for-bit
+    "sample_quality_pareto" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val target = docs.where(pmod(col("doc_id"), lit(7L)) === 0L)
+      val (coefs, icpt) = ArtifactCache.value(s"$dir/qualitylr") {
+        graft.pipeline.QualityClassifier.train(docs, target, buckets = 64)
+      }
+      dirQualityLR.put(dir, (coefs, icpt))
+      lastDir = Some(dir)
+      val scored = graft.pipeline.QualityClassifier.score(
+        docs, coefs, icpt, buckets = 64)
+      graft.pipeline.QualityClassifier.paretoDecide(
+          scored, alpha = 9.0, seed = 42L)
+        .select(col("doc_id"), col("prob_micro"), col("thr_micro"),
+          col("kept"))
+        .orderBy(col("doc_id"))
     }),
 
     // Gaps-and-islands interval coalescing: per-user 30-minute activity
@@ -2749,6 +2775,10 @@ object SparkEntry {
         .map { case (coef, intercept) => Map("v15_rerank" ->
           graft.oracle.GeneratedOracles.rerankSql(
             coef, intercept, k = 10, maxQueryId = 20)) }.getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirQualityLR.get(d)))
+        .map { case (coef, intercept) => Map("sample_quality_pareto" ->
+          graft.oracle.GeneratedOracles.qualityParetoSql(
+            coef, intercept, alpha = 9.0, seed = 42L)) }.getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirRotations.get(d)))
         .map(rot => Map("v_opq_rotate" ->
           graft.oracle.GeneratedOracles.pcaProjectSql(rot.components)))

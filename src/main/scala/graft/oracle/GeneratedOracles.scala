@@ -430,6 +430,50 @@ object GeneratedOracles {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** GPT-3-style quality-filter oracle: replays
+    * [[graft.pipeline.QualityClassifier]] scoring + Pareto keep rule from
+    * the inlined trained weights. The margin unrolls ALL `buckets` terms
+    * left-to-right — w_b · (n_b / n_tokens) with n_b coalesced to 0 —
+    * the EXACT fold the engine's bucket-ordered aggregate performs
+    * (absent buckets contribute the same exact ±0.0 terms), so the two
+    * engines agree bit-for-bit before the micro snap. */
+  def qualityParetoSql(coef: Array[Double], intercept: Double,
+      alpha: Double, seed: Long, buckets: Int = 64): String = {
+    require(coef.length == buckets,
+      s"got ${coef.length} weights for $buckets buckets")
+    val pivots = (0 until buckets).map(b =>
+      s"CAST(coalesce(sum(CASE WHEN b = $b THEN n END), 0) AS BIGINT) AS n$b")
+      .mkString(",\n        ")
+    val terms = (0 until buckets).map(b =>
+      s"${dLit(coef(b))} * (n$b / CAST(nt AS DOUBLE))")
+      .mkString("\n          + ")
+    s"""WITH tk AS (SELECT doc_id,
+       |    unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |  FROM documents),
+       |db AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % $buckets AS b,
+       |    count(*) AS n
+       |  FROM tk WHERE len(w) > 0 GROUP BY doc_id, b),
+       |ft AS (SELECT doc_id,
+       |        $pivots,
+       |        CAST(sum(n) AS BIGINT) AS nt
+       |      FROM db GROUP BY doc_id),
+       |p AS (SELECT doc_id,
+       |        CAST(floor(1.0 / (1.0 + exp(-(($terms) + ${dLit(intercept)})))
+       |          * 1000000 + 0.5) AS BIGINT) AS prob_micro
+       |      FROM ft),
+       |ky AS (SELECT doc_id, prob_micro,
+       |    CAST(floor((1.0 - (power(
+       |      (CAST('0x' || substr(md5('$seed:' || doc_id), 1, 15) AS BIGINT)
+       |        % 1000000 + 1.0e0) / 1000001.0e0,
+       |      ${dLit(-1.0 / alpha)}) - 1.0)) * 1000000 + 0.5) AS BIGINT)
+       |      AS thr_micro
+       |  FROM p)
+       |SELECT doc_id, prob_micro, thr_micro,
+       |  prob_micro > thr_micro AS kept
+       |FROM ky ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Plain-PQ oracles (pq_type pq: per-slice argmin, MEVI/pq.py:249-279)
   // -------------------------------------------------------------------

@@ -45,8 +45,10 @@ object ImportanceResampling {
 
   /** Per-doc hashed-bucket counts (idCol, b, n) — empty tokens dropped,
     * docs with no tokens absent (no features → no evidence either way;
-    * a length gate runs before a selection gate in any real pipeline). */
-  private def docBuckets(docs: DataFrame, buckets: Int, idCol: String,
+    * a length gate runs before a selection gate in any real pipeline).
+    * Shared with [[QualityClassifier]] — the two canonical selection
+    * methods run over the SAME hashed feature space. */
+  private[pipeline] def docBuckets(docs: DataFrame, buckets: Int, idCol: String,
       textCol: String): DataFrame =
     docs
       .select(col(idCol), explode(filter(
