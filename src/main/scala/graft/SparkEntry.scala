@@ -1469,6 +1469,15 @@ object SparkEntry {
           round(col("quality_score"), 6).as("quality_score"))
         .orderBy("doc_id")),
 
+    // The full Gopher rule-set gate (Rae et al. 2021 App. A1.1): raw
+    // integer counts + one flag per rule + the conjunction, every
+    // threshold compared cross-multiplied in Longs (no ratio ever
+    // exists as a float in either engine). The fixture corpus has no
+    // newlines/bullets, so the line rules are additionally exercised on
+    // planted multi-line docs in TextAnalysisSpec
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
+
     // Text analysis #4: rolling-hash document fingerprint
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
@@ -1542,6 +1551,20 @@ object SparkEntry {
       graft.pipeline.NgramLM.score(docs, m)
         .select(col("doc_id"), col("n_bigrams"),
           microUnits(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020):
+    // LM-score every doc, cut the corpus into fluency tertiles. Cutoffs
+    // are exact order statistics of a 300-doc deterministic uniform
+    // sample (the hashReservoir md5-rank rule — identical at any
+    // cluster size), applied as a broadcast CASE; the only sort spans
+    // the bounded sample
+    "text_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.pipeline.NgramLM.train(docs)
+      val scored = graft.pipeline.NgramLM.score(docs, m)
+      graft.pipeline.NgramLM.ccnetBuckets(scored, sampleK = 300)
         .orderBy("doc_id")
     }),
 
@@ -4447,6 +4470,42 @@ object SparkEntry {
          |    + least(swr * 10, 1.0) * 0.3, 6) AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
 
+    "text_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS words,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+        |      + CAST(len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]'))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      sw -> list_contains(list_transform(words, x -> lower(x)), sw))) AS BIGINT) AS n_stop_present
+        |  FROM w)
+        |SELECT doc_id, n_words, sum_word_len, n_symbols, n_lines,
+        |  n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_present,
+        |  n_words >= 50 AND n_words <= 100000 AS pass_words,
+        |  3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AS pass_mwl,
+        |  10 * n_symbols <= n_words AS pass_symbol,
+        |  10 * n_bullet_lines <= 9 * n_lines AS pass_bullet,
+        |  10 * n_ellipsis_lines <= 3 * n_lines AS pass_ellipsis,
+        |  5 * n_alpha_words >= 4 * n_words AS pass_alpha,
+        |  n_stop_present >= 2 AS pass_stop,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+        |    AND 10 * n_symbols <= n_words
+        |    AND 10 * n_bullet_lines <= 9 * n_lines
+        |    AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |    AND 5 * n_alpha_words >= 4 * n_words
+        |    AND n_stop_present >= 2 AS pass_all
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, list_transform(string_split_regex(lower(text), '\s+'),
         |  tok -> CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)) AS hs FROM documents)
@@ -4565,6 +4624,40 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(floor(list_sum(list(lp ORDER BY pos)) / count(*) * 1000000 + 0.5) AS BIGINT) AS avg_logp
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) - 1 AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS l
+        |        FROM documents)),
+        |b AS (SELECT doc_id, pos, w AS w1,
+        |        lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
+        |bg AS (SELECT doc_id, pos, w1, w2 FROM b WHERE w2 IS NOT NULL),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+        |uc AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM bc GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM t),
+        |lp AS (SELECT bg.doc_id, bg.pos,
+        |        ln((COALESCE(bc.c, 0) + 1.0) / (COALESCE(uc.cw, 0) + v.v)) AS lp
+        |      FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v),
+        |sc AS (SELECT doc_id,
+        |        CAST(floor(list_sum(list(lp ORDER BY pos)) / count(*) * 1000000 + 0.5) AS BIGINT) AS lm_micro
+        |      FROM lp GROUP BY doc_id),
+        |sm AS (SELECT doc_id, lm_micro
+        |      FROM sc
+        |      ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT), doc_id
+        |      LIMIT 300),
+        |rk AS (SELECT lm_micro,
+        |        row_number() OVER (ORDER BY lm_micro DESC, doc_id ASC) AS rn,
+        |        count(*) OVER () AS n
+        |      FROM sm),
+        |ct AS (SELECT max(CASE WHEN rn = (n + 2) // 3 THEN lm_micro END) AS t1,
+        |              max(CASE WHEN rn = (n * 2 + 2) // 3 THEN lm_micro END) AS t2
+        |       FROM rk)
+        |SELECT sc.doc_id, sc.lm_micro,
+        |  CASE WHEN sc.lm_micro >= ct.t1 THEN 'head'
+        |       WHEN sc.lm_micro >= ct.t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN ct ORDER BY sc.doc_id""".stripMargin,
 
     "corpus_diff" ->
       """WITH prev AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 450),

@@ -77,4 +77,49 @@ object NgramLM {
         (aggregate(col("a"), lit(0.0),
           (acc, s) => acc + s.getField("lp")) / size(col("a"))).as("avg_logp"))
   }
+
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): split
+    * the corpus into thirds by LM fluency — `head` = most fluent
+    * (highest mean log-prob = lowest perplexity), the slice pretraining
+    * recipes keep or upweight. CCNet computes its percentile cutoffs
+    * ONCE on a reference sample and applies them as constants; this
+    * re-expression does the same in-plan: cutoffs are exact tertile
+    * order statistics of a `sampleK`-doc deterministic uniform sample
+    * (the k smallest md5 ranks — [[Sampling.hashReservoir]]'s rule, so
+    * the sample is the SAME at any cluster size), then every doc
+    * buckets by a broadcast CASE. Scale shape: the only sort is over
+    * the ≤`sampleK`-row sample; the corpus side is one scan + one
+    * broadcast nested-loop join against a single cutoff row. Ties at a
+    * cutoff take the better bucket (>= comparisons on the micro grid).
+    *
+    * @param scored output of [[score]] — (idCol, n_bigrams, avg_logp)
+    * @return (idCol, lm_micro, bucket) with bucket ∈ head|middle|tail
+    */
+  def ccnetBuckets(scored: DataFrame, sampleK: Int = 300,
+      seed: Long = 42L, idCol: String = "doc_id"): DataFrame = {
+    require(sampleK >= 3, s"sampleK=$sampleK")
+    val micro = scored.select(col(idCol),
+      floor(col("avg_logp") * 1000000.0 + lit(0.5)).cast("long")
+        .as("lm_micro"))
+    val h = graft.functions.HashFunctions.md5_prefix(
+      concat(lit(seed.toString), lit(":"), col(idCol).cast("string")), 15)
+    val sample = micro.select(col(idCol), col("lm_micro"), h.as("__h"))
+      .orderBy(col("__h").asc, col(idCol).asc).limit(sampleK)
+    // rank the BOUNDED sample by fluency; tertile cut ranks ceil(n/3),
+    // ceil(2n/3) in integers — the window spans ≤ sampleK rows
+    val w = Window.orderBy(col("lm_micro").desc, col(idCol).asc)
+    val k1 = expr("(__n + 2) div 3")
+    val k2 = expr("(__n * 2 + 2) div 3")
+    val cuts = sample
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      .where(col("__rn") === k1 || col("__rn") === k2)
+      .agg(max(when(col("__rn") === k1, col("lm_micro"))).as("__t1"),
+        max(when(col("__rn") === k2, col("lm_micro"))).as("__t2"))
+    micro.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("lm_micro"),
+        when(col("lm_micro") >= col("__t1"), "head")
+          .when(col("lm_micro") >= col("__t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

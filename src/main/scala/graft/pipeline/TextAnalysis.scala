@@ -303,4 +303,75 @@ object TextAnalysis {
     docGrain.withColumn("_j", lit(1))
       .join(tokenGrain.withColumn("_j", lit(1)), "_j").drop("_j")
   }
+
+  /** The Gopher stop-word presence set (Rae et al. 2021 App. A1.1 —
+    * distinct from [[EnStopwords]], which drives the langid ratio). */
+  val GopherStopSet: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher rule-set quality gate (Rae et al. 2021, App. A1.1)
+    * — the named filter battery pretraining pipelines apply verbatim:
+    *
+    *   1. 50 ≤ word count ≤ 100,000
+    *   2. 3 ≤ mean word length ≤ 10
+    *   3. symbol-to-word ratio ≤ 0.1 (symbols: `#`, `...`, `…`)
+    *   4. ≤ 90% of lines start with a bullet (`-`, `*`, `•`)
+    *   5. ≤ 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain ≥ 1 alphabetic character
+    *   7. ≥ 2 distinct Gopher stop words present
+    *
+    * Emits the RAW integer counts plus one flag per rule and the
+    * conjunction — auditable (a user can re-derive any flag from the
+    * counts) and engine-exact: every threshold is compared
+    * cross-multiplied in Longs (`10·n_sym ≤ n_words`, `5·n_alpha ≥
+    * 4·n_words`, …) so no ratio ever exists as a float in either
+    * engine. Pure per-row expressions — shuffle-free, codegen'd.
+    */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val sumWordLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    def countOf(c: Column, ch: String): Column =
+      (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(ch),
+        ""))).cast("long")
+    // non-overlapping left-to-right '...' occurrences: split-count in both
+    // engines walks the same greedy scan, so '....' counts once in each
+    val nSymbols = countOf(text, "#") + countOf(text, "…") +
+      (size(split(text, "\\.\\.\\.")) - 1).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val nEllipsis = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val lowered = transform(words, w => lower(w))
+    val nStop = size(filter(
+      array(GopherStopSet.map(lit): _*),
+      sw => array_contains(lowered, sw))).cast("long")
+    docs.select(col(idCol),
+        nWords.as("n_words"), sumWordLen.as("sum_word_len"),
+        nSymbols.as("n_symbols"), nLines.as("n_lines"),
+        nBullet.as("n_bullet_lines"), nEllipsis.as("n_ellipsis_lines"),
+        nAlpha.as("n_alpha_words"), nStop.as("n_stop_present"))
+      .withColumn("pass_words",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("pass_mwl",
+        lit(3L) * col("n_words") <= col("sum_word_len") &&
+        col("sum_word_len") <= lit(10L) * col("n_words"))
+      .withColumn("pass_symbol",
+        lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("pass_bullet",
+        lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
+      .withColumn("pass_ellipsis",
+        lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
+      .withColumn("pass_alpha",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("pass_stop", col("n_stop_present") >= 2L)
+      .withColumn("pass_all",
+        col("pass_words") && col("pass_mwl") && col("pass_symbol") &&
+        col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
+        col("pass_stop"))
+  }
 }

@@ -47,4 +47,43 @@ class NgramLMSpec extends SparkSpec {
     val b = NgramLM.score(docs.repartition(13), m).collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("ccnet buckets: tertiles by fluency, head = most fluent") {
+    // doc id carries id junk tokens after a fixed fluent prefix: more
+    // junk bigrams → strictly lower mean log-prob, so scores are
+    // distinct and monotone-decreasing in id
+    val docs = (0L until 60L).map { id =>
+      val fluent = Seq.fill(8)("the cat sat on the mat").mkString(" ")
+      val junk = (0 until id.toInt).map(j => s"zq${id}x$j").mkString(" ")
+      (id, (fluent + " " + junk).trim)
+    }.toDF("doc_id", "text")
+    val m = NgramLM.train(docs)
+    val scored = NgramLM.score(docs, m)
+    // sampleK covers the whole corpus → cutoffs are exact corpus tertiles
+    val r = NgramLM.ccnetBuckets(scored, sampleK = 300).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getString(2)))
+    assert(r.length == 60)
+    // precondition for the exact-tertile expectation: distinct scores,
+    // monotone in id
+    val byId = r.sortBy(_._1).map(_._2)
+    assert(byId.distinct.length == 60)
+    assert(byId.zip(byId.tail).forall { case (a, b) => a > b })
+    val byBucket = r.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket("head") == (0L until 20L).toSet, s"head: $byBucket")
+    assert(byBucket("middle") == (20L until 40L).toSet)
+    assert(byBucket("tail") == (40L until 60L).toSet)
+  }
+
+  test("ccnet buckets: bounded-sample cutoffs are partitioning-independent") {
+    val docs = graft.io.Tables.load(spark, sf("0.001"), "documents")
+    val m = NgramLM.train(docs)
+    val scored = NgramLM.score(docs, m)
+    val a = NgramLM.ccnetBuckets(scored, sampleK = 20).collect().toSet
+    val b = NgramLM.ccnetBuckets(scored.repartition(13), sampleK = 20)
+      .collect().toSet
+    assert(a == b && a.nonEmpty)
+    // with a 20-doc sample the cutoffs still 3-way split the corpus
+    val buckets = a.map(_.getString(2))
+    assert(buckets == Set("head", "middle", "tail"))
+  }
 }

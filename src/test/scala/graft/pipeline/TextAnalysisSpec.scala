@@ -151,4 +151,59 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("gopher rules: hand-computed counts and flags on planted docs") {
+    val goodText = (Seq.fill(13)("the cat and dog sat") :+ "have fun with that")
+      .mkString(" ") // 69 words, all alpha, 4+ distinct stop words
+    val docs = Seq(
+      (1L, goodText),
+      // all 3 lines bulleted, 1 ends with an ellipsis
+      (2L, "- first item\n* second thing goes...\n- third"),
+      // symbol soup: 4 '#' + 2 '...' in 5 words
+      (3L, "## tag ## wait... what... ok"),
+      (4L, "x 12 99 . , ;") // mostly non-alpha words
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
+      .map(row => row.getLong(0) -> row).toMap
+
+    val g = r(1L)
+    assert(g.getAs[Long]("n_words") == 69L)
+    assert(g.getAs[Boolean]("pass_words") && g.getAs[Boolean]("pass_mwl"))
+    assert(g.getAs[Long]("n_stop_present") >= 4L)
+    assert(g.getAs[Boolean]("pass_all"))
+
+    val b = r(2L)
+    assert(b.getAs[Long]("n_lines") == 3L)
+    assert(b.getAs[Long]("n_bullet_lines") == 3L)
+    assert(b.getAs[Long]("n_ellipsis_lines") == 1L)
+    // 10·3 > 9·3 → bullet rule fails; 10·1 > 3·3 → ellipsis rule fails
+    assert(!b.getAs[Boolean]("pass_bullet"))
+    assert(!b.getAs[Boolean]("pass_ellipsis"))
+    assert(!b.getAs[Boolean]("pass_all"))
+
+    val s = r(3L)
+    assert(s.getAs[Long]("n_words") == 6L)
+    assert(s.getAs[Long]("n_symbols") == 6L) // 4 '#' + 2 '...'
+    assert(!s.getAs[Boolean]("pass_symbol")) // 60 > 6
+
+    val a = r(4L)
+    assert(a.getAs[Long]("n_words") == 6L)
+    assert(a.getAs[Long]("n_alpha_words") == 1L) // only "x"
+    assert(!a.getAs[Boolean]("pass_alpha")) // 5·1 < 4·6
+    assert(a.getAs[Long]("n_stop_present") == 0L)
+    assert(!a.getAs[Boolean]("pass_stop"))
+  }
+
+  test("gopher rules: empty text and boundary thresholds") {
+    val fifty = Seq.fill(25)("the cats").mkString(" ") // exactly 50 words
+    val docs = Seq((1L, ""), (2L, fifty)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_words") == 0L)
+    assert(!r(0).getAs[Boolean]("pass_words"))
+    assert(r(0).getAs[Long]("n_lines") == 1L) // split("") → [""]
+    assert(r(1).getAs[Long]("n_words") == 50L)
+    assert(r(1).getAs[Boolean]("pass_words")) // inclusive lower bound
+    // mean word length 175/50 = 3.5 → in [3,10]
+    assert(r(1).getAs[Boolean]("pass_mwl"))
+  }
 }
