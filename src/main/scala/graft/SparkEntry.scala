@@ -1451,6 +1451,20 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("a", "b")),
 
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
+    // the SAME trained ivf16 k-means cells the ANN queries use — within
+    // each cell, τ-similar groups keep only their least-centroid-similar
+    // exemplar. Oracle replays assignment + keep rule from inlined
+    // centroids; τ = the fixture's established near-dup threshold
+    "dedup_semdedup" -> ((s, dir) => {
+      val ivf = ivfOf(s, dir)
+      graft.pipeline.Dedup.semDeDup(
+          t(s, dir, "embeddings"), ivf.cells, ivf.codebook, tau = 0.35)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("cent_sim_micro"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
     // Text analysis #2: language ID (stopword-ratio heuristic)
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2793,7 +2807,9 @@ object SparkEntry {
           "knn_graph_search" -> graft.oracle.GeneratedOracles.knnGraphWalkSql(
             cb, k = 8, rounds = 2, maxDegree = 16, walkK = 10, beam = 16,
             walkRounds = 2, nprobe = 4, perCell = 4,
-            maxQueryId = 20))).getOrElse(Map.empty) ++
+            maxQueryId = 20),
+          "dedup_semdedup" -> graft.oracle.GeneratedOracles.semDeDupSql(
+            cb, tau = 0.35))).getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirRerankers.get(d)))
         .map { case (coef, intercept) => Map("v15_rerank" ->
           graft.oracle.GeneratedOracles.rerankSql(

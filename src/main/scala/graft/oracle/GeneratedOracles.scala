@@ -345,6 +345,35 @@ object GeneratedOracles {
        |FROM rk WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** SemDeDup oracle: replays [[graft.pipeline.Dedup.semDeDup]] from the
+    * inlined 1-level codebook — nearest-centroid assignment (the shared
+    * `assignCtes` chain), centroid-cosine priority key, and the one-pass
+    * τ-dominance drop rule, all compared on the micro grid so the kept
+    * set is bit-exact. */
+  def semDeDupSql(cb: Codebook, tau: Double): String = {
+    require(cb.numLevels == 1, "SemDeDup oracle expects a 1-level codebook")
+    val tauMicro = math.floor(tau * 1000000.0 + 0.5).toLong
+    s"""WITH ${assignCtes(cb)},
+       |e AS (SELECT a0.doc_id, a0.k0 AS cell, a0.v0,
+       |        sqrt(list_sum(list_transform(a0.v0, x -> x * x))) AS nrm,
+       |        sqrt(list_sum(list_transform(a0.cent0, x -> x * x))) AS cnrm,
+       |        list_sum(list_transform(list_zip(a0.v0, a0.cent0), p -> p[1] * p[2])) AS cdot
+       |      FROM a0),
+       |cs AS (SELECT doc_id, cell, v0, nrm,
+       |        CAST(floor(cdot / (nrm * cnrm) * 1000000 + 0.5) AS BIGINT) AS cent_sim_micro
+       |      FROM e),
+       |dr AS (SELECT DISTINCT x.doc_id
+       |      FROM cs x JOIN cs y ON x.cell = y.cell
+       |        AND (y.cent_sim_micro < x.cent_sim_micro OR
+       |             (y.cent_sim_micro = x.cent_sim_micro AND y.doc_id < x.doc_id))
+       |        AND CAST(floor(list_sum(list_transform(list_zip(x.v0, y.v0), p -> p[1] * p[2]))
+       |          / (x.nrm * y.nrm) * 1000000 + 0.5) AS BIGINT) >= $tauMicro)
+       |SELECT cs.doc_id AS vec_id, CAST(cs.cell AS BIGINT) AS cell,
+       |  cs.cent_sim_micro, dr.doc_id IS NULL AS kept
+       |FROM cs LEFT JOIN dr ON dr.doc_id = cs.doc_id
+       |ORDER BY cs.doc_id""".stripMargin
+  }
+
   /** All codebook-derived oracles keyed by SparkEntry query name. */
   def rqOracles(cb: Codebook, beams: Int, topK: Int, budget: Int,
       maxChunk: Int, maxQueryId: Int): Map[String, String] = Map(

@@ -432,6 +432,63 @@ object Dedup {
     embeddingNearDup(blocked, idCol, vecCol, blockCol = "cell", tau = tau)
   }
 
+  /** SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
+    * published method for pruning paraphrase-level duplicates that no
+    * lexical pass catches. K-means-cluster the embeddings, and within
+    * each cluster keep, of every τ-similar group, the doc LEAST similar
+    * to its centroid (the paper's keep rule: "keep the one with lowest
+    * cosine similarity to the centroid" — the most atypical exemplar
+    * preserves diversity). Deterministic one-pass form: keep-priority is
+    * (centroid-sim ASC, id ASC); a doc is dropped iff ANY
+    * strictly-lower-priority doc in its cluster is τ-similar to it —
+    * the paper's own one-pass implementation shape (a dropped doc's
+    * dominators may themselves be dropped; only group minima survive).
+    *
+    * Engine-exact: both the pair cosine and the priority key compare on
+    * the micro grid, so the kept SET replays bit-for-bit from inlined
+    * centroids. Scale: the pair join is cell-blocked (O(Σ cell²) like
+    * [[embeddingNearDupIVF]]); centroids broadcast; cluster count k
+    * bounds cell size ~n/k with AQE handling stragglers.
+    *
+    * @param cells (doc_id, cell) assignment of `emb` to the codebook's
+    *              level-0 centroids (e.g. `IVFIndex.build(...).cells`)
+    * @return every input row as (idCol, cell, cent_sim_micro, kept)
+    */
+  def semDeDup(emb: DataFrame, cells: DataFrame, cb: graft.index.Codebook,
+      tau: Double = 0.9, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.float_dot
+    require(cb.numLevels == 1, "SemDeDup expects a 1-level (k-means) codebook")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val tauMicro = math.floor(tau * 1000000.0 + 0.5).toLong
+    val cents = broadcast(
+      cb.levels(0).zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell", "__cent"))
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(cells.select(col("doc_id").as("id"), col("cell")), Seq("id"))
+      .join(cents, Seq("cell"))
+      .select(col("id"), col("cell"), col("v"),
+        sqrt(float_dot(col("v"), col("v"))).as("nrm"),
+        sqrt(float_dot(col("__cent"), col("__cent"))).as("cnrm"),
+        float_dot(col("v"), col("__cent")).as("cdot"))
+      .select(col("id"), col("cell"), col("v"), col("nrm"),
+        floor(col("cdot") / (col("nrm") * col("cnrm")) * 1000000.0 +
+          lit(0.5)).cast("long").as("cent_sim_micro"))
+    val dropped = e.as("x").join(e.as("y"),
+        col("x.cell") === col("y.cell") &&
+          (col("y.cent_sim_micro") < col("x.cent_sim_micro") ||
+            (col("y.cent_sim_micro") === col("x.cent_sim_micro") &&
+              col("y.id") < col("x.id"))))
+      .where(floor(float_dot(col("x.v"), col("y.v")) /
+          (col("x.nrm") * col("y.nrm")) * 1000000.0 + lit(0.5)).cast("long")
+        >= tauMicro)
+      .select(col("x.id").as("id")).distinct()
+    e.join(dropped.withColumn("__d", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"), col("cent_sim_micro"),
+        col("__d").isNull.as("kept"))
+  }
+
   // -------------------------------------------------------------------
   // Exact-substring duplicate spans (suffix-level dedup, the "50-token
   // repeated substring" pass of published LLM-data pipelines — e.g.

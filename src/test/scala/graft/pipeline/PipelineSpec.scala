@@ -326,6 +326,41 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((0L, 99999L)), s"planted dup not found: ${pairs.toSeq}")
   }
 
+  test("semdedup: τ-groups keep their least-centroid-similar exemplar") {
+    // hand codebook: two unit centroids; vectors planted so cluster 0
+    // holds a τ-similar pair (v0 exact-on-centroid, v1 slightly off)
+    // plus a dissimilar loner, cluster 1 likewise
+    val cb = graft.index.Codebook(Array(Array(
+      Array(1f, 0f), Array(0f, 1f))))
+    val emb = Seq(
+      (0L, Array(1f, 0f)),       // cell 0, cent_sim 1.0     → dropped
+      (1L, Array(0.98f, 0.2f)),  // cell 0, cent_sim ≈0.9798 → kept (min of group)
+      (2L, Array(0.8f, -0.5f)),  // cell 0, cos<τ to both    → kept
+      (3L, Array(0f, 1f)),       // cell 1, cent_sim 1.0     → dropped
+      (4L, Array(0.1f, 0.99f)),  // cell 1, cent_sim ≈0.9949 → kept
+      (5L, Array(-0.9f, 0.5f))   // cell 1, dissimilar       → kept
+    ).toDF("vec_id", "embedding")
+    val cells = graft.index.CodeAssigner.assign(
+        emb.selectExpr("vec_id as doc_id", "embedding as vec"), cb)
+      .select(col("doc_id"), col("codes").getItem(0).as("cell"))
+    val r = Dedup.semDeDup(emb, cells, cb, tau = 0.9)
+      .collect().map(row => row.getLong(0) ->
+        (row.getInt(1), row.getLong(2), row.getBoolean(3))).toMap
+    assert(r.size == 6) // every input row gets a decision
+    assert(r(0L)._1 == 0 && r(1L)._1 == 0 && r(2L)._1 == 0)
+    assert(r(3L)._1 == 1 && r(4L)._1 == 1 && r(5L)._1 == 1)
+    assert(r(0L)._2 == 1000000L) // exact-on-centroid
+    assert(r(1L)._2 < r(0L)._2)  // the off-centroid doc ranks first
+    assert(!r(0L)._3 && r(1L)._3, s"cluster-0 keep rule: $r")
+    assert(r(2L)._3)             // dissimilar loner survives
+    assert(!r(3L)._3 && r(4L)._3 && r(5L)._3, s"cluster-1 keep rule: $r")
+
+    // partitioning invariance: same kept set under a different chopping
+    val again = Dedup.semDeDup(emb.repartition(5), cells, cb, tau = 0.9)
+      .collect().map(row => row.getLong(0) -> row.getBoolean(3)).toMap
+    assert(again == r.map { case (k, v) => k -> v._3 })
+  }
+
   test("query spans are deterministic substrings of the query (P5)") {
     val qs = Seq("what is the capital of assyria", "spark structured streaming")
       .toDF("query")
