@@ -1686,6 +1686,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Composed CURATION pipeline — the published-recipe mixture
+    // construction end-to-end: structural Gopher gate (word count, mean
+    // word length, symbol ratio, alpha-word ratio; the stop-word rule is
+    // inapplicable to the synthetic vocabulary — zero docs contain a
+    // Gopher stop word — and is deliberately excluded here, it stays
+    // exercised by text_gopher_rules) → CCNet tail-bucket drop → exact
+    // dedup (min-id canonical) → per-source token budget in md5-rank
+    // order. Every stage is an already-oracle-verified operator; this
+    // query pins the COMPOSITION in one hash-compared statement
+    "pipeline_curate_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val gate = TextAnalysis.gopherRules(docs)
+        .where(col("pass_words") && col("pass_mwl") &&
+          col("pass_alpha") && col("pass_symbol"))
+        .select(col("doc_id"), col("n_words"))
+      val m = graft.pipeline.NgramLM.train(docs)
+      val buckets = graft.pipeline.NgramLM.ccnetBuckets(
+          graft.pipeline.NgramLM.score(docs, m), sampleK = 300)
+        .where(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("bucket"))
+      val kept = docs.select("doc_id", "source", "text")
+        .join(gate, Seq("doc_id")).join(buckets, Seq("doc_id"))
+      val canon = kept
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
+        .where(col("__rn") === 1).drop("__rn", "text")
+      graft.pipeline.Sampling.tokenBudget(canon, "source", budget = 400L,
+          nTokCol = "n_words")
+        .select("doc_id", "source", "bucket", "n_words")
+        .orderBy("doc_id")
+    }),
+
     // THE LIFECYCLE ENTRY — the reference's two entry points composed as
     // one query (index build, marco_generate_embedding_n_rq.sh; serve +
     // eval, MEVI/main.py:267-337): corpus → trained-BPE tokenize (P11)
@@ -4741,6 +4774,71 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(after_ip, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
         |  regexp_replace(after_ip, '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
         |FROM c2 ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate_corpus" ->
+      """WITH w AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS words
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+        |      + CAST(len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words
+        |  FROM w),
+        |gt AS (SELECT doc_id, n_words FROM c
+        |      WHERE n_words >= 50 AND n_words <= 100000
+        |        AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+        |        AND 10 * n_symbols <= n_words
+        |        AND 5 * n_alpha_words >= 4 * n_words),
+        |t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) - 1 AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS l
+        |        FROM documents)),
+        |b AS (SELECT doc_id, pos, w AS w1,
+        |        lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
+        |bg AS (SELECT doc_id, pos, w1, w2 FROM b WHERE w2 IS NOT NULL),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY w1, w2),
+        |uc AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cw FROM bc GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM t),
+        |lp AS (SELECT bg.doc_id, bg.pos,
+        |        ln((COALESCE(bc.cnt, 0) + 1.0) / (COALESCE(uc.cw, 0) + v.v)) AS lp
+        |      FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v),
+        |sc AS (SELECT doc_id,
+        |        CAST(floor(list_sum(list(lp ORDER BY pos)) / count(*) * 1000000 + 0.5) AS BIGINT) AS lm_micro
+        |      FROM lp GROUP BY doc_id),
+        |sm AS (SELECT doc_id, lm_micro
+        |      FROM sc
+        |      ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT), doc_id
+        |      LIMIT 300),
+        |rk AS (SELECT lm_micro,
+        |        row_number() OVER (ORDER BY lm_micro DESC, doc_id ASC) AS rn,
+        |        count(*) OVER () AS n
+        |      FROM sm),
+        |ct AS (SELECT max(CASE WHEN rn = (n + 2) // 3 THEN lm_micro END) AS t1,
+        |              max(CASE WHEN rn = (n * 2 + 2) // 3 THEN lm_micro END) AS t2
+        |       FROM rk),
+        |bkt AS (SELECT sc.doc_id,
+        |        CASE WHEN sc.lm_micro >= ct.t1 THEN 'head'
+        |             WHEN sc.lm_micro >= ct.t2 THEN 'middle'
+        |             ELSE 'tail' END AS bucket
+        |       FROM sc CROSS JOIN ct),
+        |keep AS (SELECT d.doc_id, d.source, d.text, gt.n_words, bkt.bucket
+        |        FROM documents d JOIN gt USING (doc_id) JOIN bkt USING (doc_id)
+        |        WHERE bkt.bucket <> 'tail'),
+        |canon AS (SELECT doc_id, source, bucket, n_words FROM (
+        |        SELECT keep.*, row_number() OVER (PARTITION BY md5(text)
+        |          ORDER BY doc_id ASC) AS rn FROM keep)
+        |      WHERE rn = 1),
+        |cum AS (SELECT doc_id, source, bucket, n_words,
+        |        SUM(n_words) OVER (PARTITION BY source
+        |          ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
+        |                   doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM canon)
+        |SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= 400
+        |ORDER BY doc_id""".stripMargin,
 
     "pipeline_clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
