@@ -1527,6 +1527,15 @@ object SparkEntry {
         cap = 30)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // mT5/UniMax temperature-flattened language mixing: per-lang quota
+    // ∝ n^0.3 (micro-snapped once, then all-Long arithmetic), selection
+    // by md5-rank — the dominant language's 44% share flattens to ~26%
+    "sample_temperature_mix" -> ((s, dir) =>
+      graft.pipeline.Sampling.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", total = 100L, alpha = 0.3)
+        .orderBy("doc_id")),
+
     // Data-mixture construction: per-source TOKEN budget, docs chosen in
     // deterministic hash-rank order until the budget fills
     "sample_token_budget" -> ((s, dir) =>
@@ -4608,6 +4617,23 @@ object SparkEntry {
         |             doc_id ASC) AS rn
         |  FROM documents)
         |SELECT doc_id, source FROM r WHERE rn <= 30 ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature_mix" ->
+      """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs,
+        |    CAST(floor(power(CAST(n_docs AS DOUBLE), 0.3e0) * 1000000 + 0.5) AS BIGINT) AS wm
+        |  FROM cnt),
+        |tt AS (SELECT SUM(wm) AS tot FROM w),
+        |q AS (SELECT lang, n_docs, CAST(100 * wm // tot AS BIGINT) AS quota
+        |     FROM w CROSS JOIN tt),
+        |r AS (SELECT d.doc_id, d.lang, q.n_docs, q.quota,
+        |      row_number() OVER (PARTITION BY d.lang
+        |        ORDER BY CAST('0x' || substr(md5('42:' || d.doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
+        |                 d.doc_id ASC) AS rn
+        |     FROM documents d JOIN q USING (lang))
+        |SELECT doc_id, lang, n_docs, quota FROM r WHERE rn <= quota
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_token_budget" ->
       """WITH tok AS (SELECT doc_id, source,

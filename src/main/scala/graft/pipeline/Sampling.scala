@@ -178,4 +178,39 @@ object Sampling {
     df.withColumn("__cum", sum(col(nTokCol)).over(w))
       .where(col("__cum") <= budget).drop("__cum")
   }
+
+  /** Temperature-flattened mixture sampling (the mT5/UniMax multilingual
+    * recipe — Xue et al. 2021 §3.2, Chung et al. 2023): per-group quota
+    * ∝ n_g^α with α ∈ (0,1) flattening the head so low-resource groups
+    * keep representation (α=1 is proportional, α→0 uniform). Quotas are
+    * engine-exact: n_g^α snaps ONCE to the micro grid, then
+    * `quota_g = total·w_micro_g div Σw_micro` stays all-Long — no float
+    * ever crosses an engine boundary after the single snap. Selection
+    * inside a group is the md5-rank walk (same uniform rule as
+    * [[hashReservoir]]). Floor division under-fills by < #groups docs —
+    * the published recipes treat quotas as targets, not exact counts.
+    * Scale: two tiny aggs (one row per group), a broadcast quota join
+    * (group counts are inherently few — languages/domains), and one
+    * per-group window. */
+  def temperatureMix(df: DataFrame, groupCol: String, total: Long,
+      alpha: Double, idCol: String = "doc_id",
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(total > 0 && alpha > 0.0 && alpha <= 1.0)
+    val weights = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__w", floor(pow(col("n_docs").cast("double"),
+        lit(alpha)) * 1000000.0 + lit(0.5)).cast("long"))
+    val tot = weights.agg(sum("__w").as("__tot"))
+    val quota = weights.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"CAST($total AS BIGINT) * __w div __tot"))
+      .select(col(groupCol), col("n_docs"), col("quota"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucket(col(idCol), seed).asc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol))
+      .join(broadcast(quota), Seq(groupCol))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .where(col("__rn") <= col("quota"))
+      .select(col(idCol), col(groupCol), col("n_docs"), col("quota"))
+  }
 }

@@ -161,4 +161,28 @@ class SamplingSpec extends SparkSpec {
     val heavy = logSel.count(_ >= 100)
     assert(heavy > 55, s"w=1e6 class must win most of a k=100 draw, got $heavy")
   }
+
+  test("temperature mix: n^alpha quotas flatten the head, all-Long replay") {
+    // 160 docs of lang A, 20 of B, 20 of C: proportional would give A 80%
+    val docs = ((0L until 160L).map((_, "A")) ++
+      (160L until 180L).map((_, "B")) ++
+      (180L until 200L).map((_, "C"))).toDF("doc_id", "lang")
+    val r = Sampling.temperatureMix(docs, "lang", total = 100L, alpha = 0.3)
+      .collect().map(row => (row.getLong(0), row.getString(1), row.getLong(3)))
+    val byLang = r.groupBy(_._2).view.mapValues(_.length).toMap
+    // hand arithmetic: w = floor(n^0.3·1e6 + .5) → A 4583909, B 2456456,
+    // C 2456456; tot 9496821; quotas = 100·w div tot → 48, 25, 25; B and
+    // C hold only 20 docs, so their quota caps at the group size —
+    // proportional would have given A 80 of 100, flattening gives 48
+    assert(byLang == Map("A" -> 48, "B" -> 20, "C" -> 20), s"got $byLang")
+    // every selected row carries its group's quota
+    assert(r.filter(_._2 == "A").forall(_._3 == 48L))
+    assert(r.filter(_._2 == "B").forall(_._3 == 25L))
+    assert(r.length == 88)
+    // determinism across partitionings
+    val again = Sampling.temperatureMix(docs.repartition(7), "lang",
+      total = 100L, alpha = 0.3).collect()
+      .map(row => (row.getLong(0), row.getString(1))).toSet
+    assert(again == r.map(t => (t._1, t._2)).toSet)
+  }
 }
