@@ -190,6 +190,20 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Dir-memoized corpus bigram LM (three catalog queries — lm_score,
+    * ccnet buckets, the curate pipeline — train the identical model;
+    * the count tables persist once per live context). */
+  private def lmOf(s: SparkSession, dir: String): graft.pipeline.NgramLM.Model = {
+    val docs = t(s, dir, "documents")
+    // train() counts the vocab EAGERLY — the lazy cell guarantees at most
+    // one fit per call even when several cache keys miss together
+    lazy val trained = graft.pipeline.NgramLM.train(docs)
+    graft.pipeline.NgramLM.Model(
+      ArtifactCache.frame(s, s"$dir/lm/bigrams")(trained.bigrams),
+      ArtifactCache.frame(s, s"$dir/lm/unigrams")(trained.unigrams),
+      ArtifactCache.value(s"$dir/lm/vocab")(trained.vocabSize))
+  }
+
   /** 16-cell IVF structure over the fixture embeddings (dir-memoized). */
   private def ivfOf(s: SparkSession, dir: String): graft.search.IVFIndex.IVF = {
     val cb = ArtifactCache.codebook(s"$dir/ivf16") {
@@ -1570,8 +1584,7 @@ object SparkEntry {
     // model, docs scored by mean log-prob in position order
     "text_lm_score" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val m = graft.pipeline.NgramLM.train(docs)
-      graft.pipeline.NgramLM.score(docs, m)
+      graft.pipeline.NgramLM.score(docs, lmOf(s, dir))
         .select(col("doc_id"), col("n_bigrams"),
           microUnits(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id")
@@ -1585,8 +1598,7 @@ object SparkEntry {
     // the bounded sample
     "text_ccnet_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val m = graft.pipeline.NgramLM.train(docs)
-      val scored = graft.pipeline.NgramLM.score(docs, m)
+      val scored = graft.pipeline.NgramLM.score(docs, lmOf(s, dir))
       graft.pipeline.NgramLM.ccnetBuckets(scored, sampleK = 300)
         .orderBy("doc_id")
     }),
@@ -1711,9 +1723,8 @@ object SparkEntry {
         .where(col("pass_words") && col("pass_mwl") &&
           col("pass_alpha") && col("pass_symbol"))
         .select(col("doc_id"), col("n_words"))
-      val m = graft.pipeline.NgramLM.train(docs)
       val buckets = graft.pipeline.NgramLM.ccnetBuckets(
-          graft.pipeline.NgramLM.score(docs, m), sampleK = 300)
+          graft.pipeline.NgramLM.score(docs, lmOf(s, dir)), sampleK = 300)
         .where(col("bucket") =!= "tail")
         .select(col("doc_id"), col("bucket"))
       val kept = docs.select("doc_id", "source", "text")

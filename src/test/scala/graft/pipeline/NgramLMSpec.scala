@@ -86,4 +86,19 @@ class NgramLMSpec extends SparkSpec {
     val buckets = a.map(_.getString(2))
     assert(buckets == Set("head", "middle", "tail"))
   }
+
+  test("ccnet buckets: degenerate corpora (one scored doc, all-tied scores)") {
+    import org.apache.spark.sql.functions._
+    // a single scored doc: k1 = k2 = 1, both cutoffs its own score → head
+    val one = Seq((7L, "alpha beta gamma")).toDF("doc_id", "text")
+    val m1 = NgramLM.train(one)
+    val r1 = NgramLM.ccnetBuckets(NgramLM.score(one, m1)).collect()
+    assert(r1.length == 1 && r1(0).getString(2) == "head")
+    // identical docs → fully tied scores: >= cutoffs put EVERY doc in
+    // head (ties take the better bucket; no arbitrary splitting)
+    val tied = (0L until 9L).map((_, "the cat sat")).toDF("doc_id", "text")
+    val m2 = NgramLM.train(tied)
+    val r2 = NgramLM.ccnetBuckets(NgramLM.score(tied, m2)).collect()
+    assert(r2.length == 9 && r2.forall(_.getString(2) == "head"))
+  }
 }

@@ -359,6 +359,15 @@ class PipelineSpec extends SparkSpec {
     val again = Dedup.semDeDup(emb.repartition(5), cells, cb, tau = 0.9)
       .collect().map(row => row.getLong(0) -> row.getBoolean(3)).toMap
     assert(again == r.map { case (k, v) => k -> v._3 })
+
+    // guards: multi-level codebooks refused; empty input → empty output
+    val cb2 = graft.index.Codebook(Array(
+      Array(Array(1f, 0f)), Array(Array(0f, 1f))))
+    intercept[IllegalArgumentException] {
+      Dedup.semDeDup(emb, cells, cb2, tau = 0.9)
+    }
+    val none = Dedup.semDeDup(emb.limit(0), cells, cb, tau = 0.9).collect()
+    assert(none.isEmpty)
   }
 
   test("query spans are deterministic substrings of the query (P5)") {

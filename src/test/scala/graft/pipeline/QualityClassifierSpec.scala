@@ -65,4 +65,24 @@ class QualityClassifierSpec extends SparkSpec {
     assert(other.count(_ % 3 == 0) >= 15,
       s"good survivors at seed 8: ${other.count(_ % 3 == 0)}")
   }
+
+  test("guards: wrong weight width refused, tokenless docs carry no score") {
+    val docs = corpus()
+    val target = docs.where(col("doc_id") % 3 === 0)
+    val (coef, icpt) = QualityClassifier.train(docs, target, buckets = 64)
+    intercept[IllegalArgumentException] {
+      QualityClassifier.score(docs, coef.take(32), icpt, buckets = 64)
+    }
+    intercept[IllegalArgumentException] {
+      QualityClassifier.paretoDecide(
+        QualityClassifier.score(docs, coef, icpt), alpha = 0.0)
+    }
+    // a doc with no tokens has no feature evidence → absent from scoring
+    // (a length gate runs before a selection gate in any real pipeline)
+    val withEmpty = docs.unionByName(
+      Seq((999L, "   ")).toDF("doc_id", "text"))
+    val scored = QualityClassifier.score(withEmpty, coef, icpt)
+    assert(scored.where(col("doc_id") === 999L).count() == 0)
+    assert(scored.count() == 90)
+  }
 }

@@ -185,4 +185,21 @@ class SamplingSpec extends SparkSpec {
       .map(row => (row.getLong(0), row.getString(1))).toSet
     assert(again == r.map(t => (t._1, t._2)).toSet)
   }
+
+  test("temperature mix: tiny totals floor to zero-quota groups, not crashes") {
+    val docs = ((0L until 160L).map((_, "A")) ++
+      (160L until 180L).map((_, "B")) ++
+      (180L until 200L).map((_, "C"))).toDF("doc_id", "lang")
+    // total=3: only A's 3·w div tot reaches 1; B and C floor to 0 and
+    // contribute nothing (floor-division under-allocation, documented)
+    val tiny = Sampling.temperatureMix(docs, "lang", total = 3L, alpha = 0.3)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    assert(tiny.toSeq == Seq(("A", 1L)), s"got ${tiny.toSeq}")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "lang", total = 0L, alpha = 0.3)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(docs, "lang", total = 10L, alpha = 1.5)
+    }
+  }
 }
