@@ -61,9 +61,17 @@ object Bench {
     // carry multi-second GC/scheduler noise, which round-over-round diffs
     // would misread as regressions; min-of-iters is the stable statistic
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=<anchored regex> times just
+    // the matching catalog queries and skips the engine/clustered blocks.
+    // A filtered record is for local iteration only — never commit one.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    if (only.isDefined)
+      System.err.println(s"[bench] PARTIAL run (filter ${only.get}) — not a committable record")
     // (best, worst) per query — the spread across iterations is the
     // per-query noise witness the suspect flag below reads
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(name.matches) }
+      .map { case (name, fn) =>
       var best = Double.MaxValue
       var worst = 0.0
       var i = 0
@@ -128,7 +136,7 @@ object Bench {
     // memory with whatever the newest catalog queries happened to pin —
     // r6's knn_qps drop tracked exactly that growing residue
     spark.catalog.clearCache()
-    val engine = try {
+    val engine = if (only.isDefined) "{}" else try {
       import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
       import graft.search.{BruteForceKNN, CoarseFineRetriever}
       // the SAME doc/query projections the catalog queries use (shared
@@ -359,7 +367,7 @@ object Bench {
     // against the exact KNN on the same corpus — recall floors live in
     // the specs; here a drop below them flags on stderr and in the
     // round-over-round diff.
-    val clustered = try {
+    val clustered = if (only.isDefined) "{}" else try {
       import graft.search.{BruteForceKNN, CoarseFineRetriever, IVFIndex, KnnGraph}
       import graft.index.{RQTrainer, CodeAssigner, ClusterIndexBuilder}
       val nClusters = 80; val perCluster = 50; val dim = 16; val nCq = 200
@@ -519,7 +527,9 @@ object Bench {
     // fixes: (a) persist the full record as a file the judge can read
     // directly; (b) end output with a COMPACT line (same "metric" shape,
     // slowest-12 queries only) guaranteed to fit inside any tail capture.
-    try {
+    // a filtered (SPARK_GRAFT_BENCH_ONLY) run must never clobber the
+    // committed full record — it is the drift pin's baseline
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get(
         sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))

@@ -864,6 +864,11 @@ object SparkEntry {
         .select(col("l_orderkey").cast("long").as("o"),
           col("l_partkey").cast("long").as("p"))
         .distinct()
+      // NOT memoized via ArtifactCache: persisting the pair frame blocks
+      // both the thinning-filter pushdown below the distinct AND AQE's
+      // runtime broadcast conversions downstream — measured 4x slower
+      // from cache (17-24 s vs 5.2 s) even with
+      // canChangeCachedPlanOutputPartitioning=true
       val edges = lo.select(col("o"), col("p").as("src"))
         .join(lo.select(col("o"), col("p").as("dst")), "o")
         .where(col("src") < col("dst"))
