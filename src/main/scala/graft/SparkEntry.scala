@@ -1406,6 +1406,15 @@ object SparkEntry {
       Dedup.trimDuplicateSpans(t(s, dir, "documents"), n = 8)
         .orderBy("doc_id")),
 
+    // Dedup: CCNet PARAGRAPH dedup (Wenzek et al. 2020 §3.1) — duplicate
+    // paragraphs (non-overlapping 8-token blocks on this newline-free
+    // fixture) keep their first corpus occurrence by (doc_id, block_idx),
+    // then each doc reassembles from its surviving blocks. One
+    // hash-keyed count+min agg (map-side combinable), no per-hash sort
+    "dedup_paragraphs" -> ((s, dir) =>
+      Dedup.paragraphDedup(t(s, dir, "documents"), blockWords = 8)
+        .orderBy("doc_id")),
+
     // Dedup #3: exhaustive n-gram Jaccard, top-20 most similar pairs
     // (bounded scan: the exhaustive form is the small-scale oracle; the
     // scale path is the LSH variant above)
@@ -1554,6 +1563,23 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "lang", total = 100L, alpha = 0.3)
         .orderBy("doc_id")),
+
+    // Mixture construction in EMBEDDING space: k-means cell assignment
+    // (the shared trained ivf16 artifact) + the same UniMax n^α
+    // flattening over CELL population — cluster-balanced selection
+    // (the D4/DeepSeekMath recipe: over-represented semantic modes
+    // flatten, rare modes keep their mass). Oracle replays the
+    // nearest-centroid assignment from inlined centroids, then the
+    // all-Long quota + md5-rank draw
+    "sample_cluster_balanced" -> ((s, dir) => {
+      val ivf = ivfOf(s, dir)
+      graft.pipeline.Sampling.temperatureMix(
+          ivf.cells.select(col("doc_id").as("vec_id"),
+            col("cell").cast("long").as("cell")),
+          "cell", total = 100L, alpha = 0.5, idCol = "vec_id")
+        .select(col("vec_id"), col("cell"), col("n_docs"), col("quota"))
+        .orderBy("vec_id")
+    }),
 
     // Data-mixture construction: per-source TOKEN budget, docs chosen in
     // deterministic hash-rank order until the budget fills
@@ -2867,7 +2893,10 @@ object SparkEntry {
             walkRounds = 2, nprobe = 4, perCell = 4,
             maxQueryId = 20),
           "dedup_semdedup" -> graft.oracle.GeneratedOracles.semDeDupSql(
-            cb, tau = 0.35))).getOrElse(Map.empty) ++
+            cb, tau = 0.35),
+          "sample_cluster_balanced" -> graft.oracle.GeneratedOracles
+            .clusterBalancedSql(cb, total = 100L, alpha = 0.5)))
+        .getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirRerankers.get(d)))
         .map { case (coef, intercept) => Map("v15_rerank" ->
           graft.oracle.GeneratedOracles.rerankSql(
@@ -4461,6 +4490,28 @@ object SparkEntry {
          |  coalesce(a.text, '') AS text
          |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
     },
+
+    "dedup_paragraphs" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |b AS (SELECT doc_id, CAST(u.i // 8 AS BIGINT) AS block_idx,
+        |    array_to_string(t[u.i+1 : u.i+8], ' ') AS block
+        |  FROM w, LATERAL unnest(range(0, len(t), 8)) AS u(i)),
+        |h AS (SELECT doc_id, block_idx, block,
+        |    CAST('0x' || substr(md5(block), 1, 15) AS BIGINT) AS bh FROM b),
+        |f AS (SELECT doc_id, block_idx, block FROM h
+        |      QUALIFY row_number() OVER (PARTITION BY bh
+        |        ORDER BY doc_id, block_idx) = 1),
+        |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(block, ' ' ORDER BY block_idx) AS text
+        |  FROM f GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
+        |  FROM b GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(k.text, '') AS text,
+        |  coalesce(tot.n_blocks, CAST(0 AS BIGINT)) AS n_blocks,
+        |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_jaccard_topk" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents WHERE doc_id < 200),

@@ -374,6 +374,32 @@ object GeneratedOracles {
        |ORDER BY cs.doc_id""".stripMargin
   }
 
+  /** Cluster-balanced sampling oracle: replays nearest-centroid cell
+    * assignment from the inlined 1-level codebook (the shared
+    * `assignCtes` chain), then [[graft.pipeline.Sampling.temperatureMix]]
+    * over cell population — the n^α weight snapped once to the Long
+    * micro-grid, `total·w div Σw` quotas, md5-rank draw per cell. */
+  def clusterBalancedSql(cb: Codebook, total: Long, alpha: Double,
+      seed: Long = 42L): String = {
+    require(cb.numLevels == 1, "cluster-balanced oracle expects a 1-level codebook")
+    s"""WITH ${assignCtes(cb)},
+       |asg AS (SELECT doc_id AS vec_id, CAST(k0 AS BIGINT) AS cell FROM assign),
+       |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs FROM asg GROUP BY cell),
+       |w AS (SELECT cell, n_docs,
+       |    CAST(floor(power(CAST(n_docs AS DOUBLE), ${alpha}e0) * 1000000 + 0.5) AS BIGINT) AS wm
+       |  FROM cnt),
+       |tt AS (SELECT SUM(wm) AS tot FROM w),
+       |q AS (SELECT cell, n_docs, CAST($total * wm // tot AS BIGINT) AS quota
+       |     FROM w CROSS JOIN tt),
+       |r AS (SELECT a.vec_id, a.cell, q.n_docs, q.quota,
+       |      row_number() OVER (PARTITION BY a.cell
+       |        ORDER BY CAST('0x' || substr(md5('$seed:' || a.vec_id), 1, 15) AS BIGINT) % 1000000 ASC,
+       |                 a.vec_id ASC) AS rn
+       |     FROM asg a JOIN q USING (cell))
+       |SELECT vec_id, cell, n_docs, quota FROM r WHERE rn <= quota
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** All codebook-derived oracles keyed by SparkEntry query name. */
   def rqOracles(cb: Codebook, beams: Int, topK: Int, budget: Int,
       maxChunk: Int, maxQueryId: Int): Map[String, String] = Map(

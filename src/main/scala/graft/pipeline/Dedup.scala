@@ -604,4 +604,91 @@ object Dedup {
         size(col("__kept")).as("n_kept"),
         concat_ws(" ", col("__kept")).as("text"))
   }
+
+  // -------------------------------------------------------------------
+  // Paragraph-level dedup (CCNet, Wenzek et al. 2020 §3.1): duplicate
+  // PARAGRAPHS keep only their first corpus occurrence, and every
+  // document is reassembled from its surviving paragraphs — the
+  // pre-gate dedup CommonCrawl pipelines run before any doc-level
+  // score exists. Differs from [[trimDuplicateSpans]] (Lee et al.):
+  // the unit is a fixed non-overlapping block, not a sliding n-gram —
+  // cheaper by ~n× in exploded rows, coarser in what it catches.
+  // -------------------------------------------------------------------
+
+  /** (doc_id, block_idx, block) — consecutive non-overlapping
+    * `blockWords`-token blocks in position order, last block possibly
+    * short; blank docs yield no rows. The paragraph unit for flat
+    * (newline-free) text; real CC pipelines split on '\n\n' instead,
+    * which is this with a different `split`. */
+  def paragraphBlocks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", blockWords: Int = 12): DataFrame = {
+    require(blockWords >= 1)
+    val toks = tokens(trim(col(textCol)))
+    ensureParallelism(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        when(trim(col(textCol)) === "", array().cast("array<string>"))
+          .otherwise(transform(
+            // block starts 0, blockWords, 2·blockWords, … (sequence with
+            // step — no float division anywhere near an index)
+            sequence(lit(0), size(toks) - 1, lit(blockWords)),
+            st => concat_ws(" ", slice(toks, st + 1, lit(blockWords)))))
+          .as("__blocks"))
+      .select(col("doc_id"), posexplode(col("__blocks")))
+      .select(col("doc_id"), col("pos").cast("long").as("block_idx"),
+        col("col").as("block"))
+  }
+
+  /** CCNet paragraph dedup: every block keeps only its FIRST corpus
+    * occurrence — the lexicographic-min (doc_id, block_idx) per block
+    * hash, ONE hash-partitioned count+min aggregation exactly like
+    * [[trimDuplicateSpans]]' gram agg (map-side partials absorb a
+    * boilerplate paragraph repeated 10⁸×; no per-hash window sort) —
+    * then documents reassemble from surviving blocks in position
+    * order (a doc-keyed collect of the doc's own blocks; bounded by
+    * doc length). Output: (doc_id, text, n_blocks, n_kept), text = ''
+    * when every block was a duplicate, n_blocks = 0 for blank docs. */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", blockWords: Int = 12): DataFrame = {
+    val blocks = paragraphBlocks(docs, idCol, textCol, blockWords)
+      .withColumn("__h", md5Hash60(col("block")))
+    assembleKeptBlocks(docs.select(col(idCol).cast("long").as("doc_id")),
+      blocks, firstBlockOccurrences(blocks))
+  }
+
+  /** The lexicographic-min (doc_id, block_idx) row per block hash —
+    * "first corpus occurrence" has exactly ONE definition, shared by the
+    * batch path and the streaming twin (which applies it within each
+    * micro-batch before the store check). Input must carry
+    * (doc_id, block_idx, block, __h); output keeps those columns. */
+  private[graft] def firstBlockOccurrences(blocks: DataFrame): DataFrame = {
+    val first = blocks.groupBy("__h")
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("__f"))
+      .select(col("__h"), col("__f.doc_id").as("__fdoc"),
+        col("__f.block_idx").as("__fidx"))
+    blocks.join(first, Seq("__h"))
+      .where(col("doc_id") === col("__fdoc") &&
+        col("block_idx") === col("__fidx"))
+      .select("doc_id", "block_idx", "block", "__h")
+  }
+
+  /** Reassemble (doc_id, text, n_blocks, n_kept) from the doc-id frame,
+    * the full block table, and the surviving subset — the one definition
+    * of "what a doc looks like after paragraph dedup", shared with the
+    * streaming twin. */
+  private[graft] def assembleKeptBlocks(ids: DataFrame, blocks: DataFrame,
+      kept: DataFrame): DataFrame = {
+    val keptAgg = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("block_idx"), col("block")))),
+          b => b.getField("block"))).as("__text"))
+    val total = blocks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"))
+    ids.join(total, Seq("doc_id"), "left")
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__text"), lit("")).as("text"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -202,4 +202,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMix(docs, "lang", total = 10L, alpha = 1.5)
     }
   }
+
+  test("cluster-balanced: planted imbalance flattens under n^0.5 quotas") {
+    // two planted cells at (1,0) and (0,1): 90 docs near cell 0, 10 near
+    // cell 1 — α=0.5 quotas go ∝ √n, so cell 1's 10% share rises to
+    // √90:√10 ≈ 3:1 (25%) instead of 9:1
+    val cb = graft.index.Codebook(Array(Array(
+      Array(1f, 0f), Array(0f, 1f))))
+    val vecs = (0L until 100L).map { i =>
+      if (i < 90L) (i, Array(0.9f + 0.001f * i.toFloat, 0.1f))
+      else (i, Array(0.1f, 0.9f + 0.001f * i.toFloat))
+    }.toDF("doc_id", "vec")
+    val cells = graft.index.CodeAssigner.assign(vecs, cb)
+      .select(col("doc_id").as("vec_id"),
+        col("codes").getItem(0).cast("long").as("cell"))
+    val r = Sampling.temperatureMix(cells, "cell", total = 40L,
+        alpha = 0.5, idCol = "vec_id")
+      .collect().map(row => (row.getLong(1), row.getLong(0))).toSeq
+    val byCell = r.groupBy(_._1).view.mapValues(_.size).toMap
+    // quotas: w0=9486833μ, w1=3162278μ, tot=12649111μ →
+    // 40·w0 div tot = 29 (29.99 floors), 40·w1 div tot = 10 —
+    // cell 1's 10% population share lands at 10/39 ≈ 26%
+    assert(byCell == Map(0L -> 29, 1L -> 10), s"got $byCell")
+    // the draw itself is deterministic
+    val again = Sampling.temperatureMix(cells.repartition(5), "cell",
+        total = 40L, alpha = 0.5, idCol = "vec_id")
+      .collect().map(row => (row.getLong(1), row.getLong(0))).toSet
+    assert(again == r.toSet)
+  }
 }

@@ -65,4 +65,57 @@ class SpanDedupSpec extends SparkSpec {
       .orderBy("doc_id", "span_id").collect().toSeq
     assert(a == b)
   }
+
+  // ---- CCNet paragraph dedup (fixed non-overlapping blocks) ----
+
+  test("paragraphBlocks cuts non-overlapping blocks, last short") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "  "), (3L, "x y")).toDF("doc_id", "text")
+    val b = Dedup.paragraphBlocks(d, blockWords = 3)
+      .orderBy("doc_id", "block_idx")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(b == Seq((1L, 0L, "a b c"), (1L, 1L, "d e f"), (1L, 2L, "g"),
+      (3L, 0L, "x y")))
+  }
+
+  test("paragraphDedup keeps first corpus occurrence and reassembles") {
+    // doc 10 owns blocks [a b c][d e f]; doc 11 repeats [a b c] then adds
+    // its own; doc 12 repeats [a b c] TWICE within itself plus doc 11's
+    // block; doc 13 is blank
+    val d = Seq(
+      (10L, "a b c d e f"),
+      (11L, "a b c u v w"),
+      (12L, "a b c a b c u v w"),
+      (13L, " ")
+    ).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(d, blockWords = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (10L, "a b c d e f", 2L, 2L),   // first owner keeps everything
+      (11L, "u v w", 2L, 1L),         // dup of doc 10's block dropped
+      (12L, "", 3L, 0L),              // all blocks seen earlier (incl. within-doc rule: doc 11 owns "u v w")
+      (13L, "", 0L, 0L)))
+  }
+
+  test("paragraphDedup drops within-doc repeats after the first") {
+    val d = Seq((5L, "p q r p q r s t u")).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(d, blockWords = 3)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq((5L, "p q r s t u", 3L, 2L)))
+  }
+
+  test("paragraphDedup is repartition-invariant and refuses blockWords < 1") {
+    val d = Seq((0L, "a b c d"), (1L, "a b c d"), (2L, "c d a b")).toDF("doc_id", "text")
+    val a = Dedup.paragraphDedup(d, blockWords = 2).orderBy("doc_id").collect().toSeq
+    val b = Dedup.paragraphDedup(d.repartition(3), blockWords = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // doc 1 is an exact dup of doc 0 → empty; doc 2 reuses both blocks
+    // in swapped order → also empty
+    assert(a.map(r => r.getLong(0) -> r.getString(1)) ==
+      Seq(0L -> "a b c d", 1L -> "", 2L -> ""))
+    intercept[IllegalArgumentException] {
+      Dedup.paragraphBlocks(d, blockWords = 0)
+    }
+  }
 }

@@ -454,4 +454,56 @@ class StreamingSpec extends SparkSpec {
       cg, cc, cce, cb, k = 6, compactEvery = 1)
     assert(spark.read.parquet(s"$cc/version=4").count() == 420)
   }
+
+  test("streaming paragraph dedup matches the batch path on ordered arrivals") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val base = "target/tmp/stream_pdedup"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    val storeDir = s"$base/store"; val outDir = s"$base/out"
+    // batch 0 owns blocks; batch 1 repeats cross-batch ([x y z], [m n o])
+    // and within-batch (docs 11/12 identical)
+    val b0 = Seq((0L, "a b c d e f"), (1L, "a b c x y z"), (2L, "m n o"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((10L, "x y z m n o"), (11L, "fresh words only"),
+      (12L, "fresh words only")).toDF("doc_id", "text")
+    IncrementalParagraphDedup.processBatch(spark, b0, 0L, storeDir, outDir,
+      blockWords = 3)
+    IncrementalParagraphDedup.processBatch(spark, b1, 1L, storeDir, outDir,
+      blockWords = 3)
+    def streamed() = spark.read.parquet(outDir)
+      .select("doc_id", "text", "n_blocks", "n_kept").orderBy("doc_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // arrivals respect doc_id order → bit-identical to the batch path
+    val batch = Dedup.paragraphDedup(b0.unionByName(b1), blockWords = 3)
+      .orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed() == batch, s"stream ${streamed()} != batch $batch")
+    assert(batch.find(_._1 == 10L).get._2 == "",
+      "doc 10 should lose both cross-batch blocks")
+    // at-least-once replay: re-running batch 1 leaves both sinks identical
+    IncrementalParagraphDedup.processBatch(spark, b1, 1L, storeDir, outDir,
+      blockWords = 3)
+    assert(streamed() == batch, "retry changed the output sink")
+    assert(spark.read.parquet(storeDir).count() ==
+      spark.read.parquet(storeDir).select("__h").distinct().count(),
+      "retry duplicated store hashes")
+    // the streaming wrapper drives the same step end-to-end
+    FileUtils.deleteDirectory(new java.io.File(base))
+    Files.createDirectories(Paths.get(s"$base/in"))
+    b0.coalesce(1).write.parquet(s"$base/in/b0")
+    b1.coalesce(1).write.parquet(s"$base/in/b1")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = IncrementalParagraphDedup.start(spark, s"$base/in/*", storeDir,
+      outDir, s"$base/ck", schema, blockWords = 3)
+    q.awaitTermination(120000)
+    // whether AvailableNow split the dirs into two batches or folded them
+    // into one, the SET of admitted paragraphs is the batch path's (the
+    // owner of a cross-batch dup depends on the fold; the planted
+    // cross-batch dups here all resolve to the same min-id owner either
+    // way, so the full rows still match)
+    assert(streamed() == batch, s"wrapper ${streamed()} != batch $batch")
+  }
 }
