@@ -104,6 +104,36 @@ class StressSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("paragraphDedup survives a planted 1e5-occurrence boilerplate block") {
+    import spark.implicits._
+    // every doc opens with the SAME 8-token paragraph (100k occurrences
+    // of one block hash) followed by a unique 2-token tail block. The
+    // first-occurrence split must stay the count+min agg shape: map-side
+    // partials bound per-hash reduce input by task count, and the
+    // join-back's one hot build row can't serialize a task.
+    val boiler = "terms of service apply to this document here"
+    val docs = spark.range(100000).select(col("id").as("doc_id"),
+      concat(lit(boiler + " u"), col("id"), lit("a u"), col("id"), lit("b"))
+        .as("text"))
+    val t0 = System.nanoTime()
+    val out = Dedup.paragraphDedup(docs, blockWords = 8).cache()
+    val sums = out.agg(sum("n_blocks"), sum("n_kept"))
+      .as[(Long, Long)].collect().head
+    val sec = (System.nanoTime() - t0) / 1e9
+    // every doc has 2 blocks; doc 0 keeps both, the rest keep their tail
+    assert(sums._1 == 200000L)
+    assert(sums._2 == 2L + 99999L,
+      s"expected one canonical boilerplate copy, got kept=${sums._2}")
+    assert(sec < 120, s"hot-block dedup took ${sec}s — straggler task?")
+    // plan pin: first-occurrence must be agg+join, never a per-hash window
+    val plan = Dedup.paragraphDedup(docs, blockWords = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("RunningWindowFunction") &&
+      !plan.contains("row_number"),
+      s"per-hash window crept into paragraphDedup:\n$plan")
+    out.unpersist()
+  }
+
   test("bloomSemiJoin is byte-identical to the exact semi join") {
     import graft.pipeline.Membership
     val o = Tables.load(spark, sf("0.01"), "orders")
