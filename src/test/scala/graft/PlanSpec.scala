@@ -223,6 +223,30 @@ class PlanSpec extends SparkSpec {
     assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-3))
   }
 
+  test("SQL registration: md5_prefix and nfd_normalize usable from SQL") {
+    GraftExtensions.register(spark)
+    // md5_prefix must agree with its own spelled-out SQL contract
+    // (conv(substring(md5(s),1,n),16,10)) — the portability every
+    // DuckDB oracle relies on
+    val h = spark.sql(
+      """SELECT md5_prefix('abc', 15) AS native,
+        |  CAST(conv(substring(md5('abc'), 1, 15), 16, 10) AS BIGINT) AS spelled
+        |""".stripMargin).collect().head
+    assert(h.getLong(0) == h.getLong(1), s"md5_prefix mismatch: $h")
+    val n = spark.sql("SELECT nfd_normalize('caf\u00e9') AS s").collect().head
+    assert(n.getString(0) == "cafe\u0301", "NFD should decompose the accent")
+    // nibble width is part of the function identity: a foldable width
+    // (length('ab') folds to 2) is fine, a per-row width is refused
+    val folded = spark.sql(
+      "SELECT md5_prefix('a', length('ab')) AS x").collect().head
+    assert(folded.getLong(0) >= 0L)
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT md5_prefix('a', CAST(rand() * 4 + 1 AS INT)) AS x").collect()
+    }
+    assert(err.getMessage.contains("literal"), s"got: ${err.getMessage}")
+  }
+
   test("GraftExtensions injects functions via withExtensions builder") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
