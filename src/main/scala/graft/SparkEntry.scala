@@ -1389,6 +1389,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Dedup POLICY: keep the BEST-QUALITY copy of every near-dup cluster
+    // (dedup_exact's min-id canonical is an arbitrary survivor; curation
+    // keeps the copy worth training on). Connected components over the
+    // confirmed MinHash pairs, singleton clusters for never-matched
+    // docs, arg-max quality on the micro grid (ties -> smaller doc_id) —
+    // one components pass + one quality-keyed max aggregation, both
+    // replayed in SQL (recursive CTE + the inlined quality formula)
+    "dedup_canonical_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = confirmedNearDupPairs(s, dir).select("a", "b")
+        .localCheckpoint()
+      val comp = Dedup.connectedComponents(pairs)
+        .select(col("v").as("doc_id"), col("comp").as("component"))
+      val withComp = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val q = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), microUnits(col("quality_score"), 6).as("score"))
+      Dedup.canonicalByScore(withComp, q)
+        .withColumnRenamed("score", "q_micro")
+        .orderBy("doc_id")
+    }),
+
     // Dedup: exact-substring duplicate SPANS (the suffix-level pass of
     // published LLM-data pipelines, n-gram-anchored for the distributed
     // shape): every maximal token span whose every 8-gram repeats
@@ -4433,6 +4457,37 @@ object SparkEntry {
          |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
          |SELECT c.doc_id, c.component, s.cluster_size
          |FROM comp c JOIN sz s USING (component) ORDER BY doc_id""".stripMargin,
+
+    "dedup_canonical_quality" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |pairs AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+         |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, r.l FROM e JOIN reach r ON r.v = e.dst),
+         |comp AS (SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v),
+         |allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |         FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |qt AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         |qm AS (SELECT doc_id,
+         |        CAST(len(toks) AS DOUBLE) AS nt,
+         |        CAST(length(text) AS DOUBLE) AS nc,
+         |        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS np,
+         |        len(list_filter(toks, x -> x IN ($stopwordListSql))) / greatest(len(toks), 1) AS swr
+         |      FROM qt),
+         |q AS (SELECT doc_id,
+         |        CAST(floor((least(nt / 64.0, 1.0) * 0.4
+         |          + greatest(1.0 - np / greatest(nc, 1.0) * 10, 0.0) * 0.3
+         |          + least(swr * 10, 1.0) * 0.3) * 1000000 + 0.5) AS BIGINT) AS q_micro
+         |      FROM qm),
+         |sc AS (SELECT a.doc_id, a.component, q.q_micro FROM allc a JOIN q USING (doc_id)),
+         |b AS (SELECT component, doc_id AS canonical_id FROM sc
+         |      QUALIFY row_number() OVER (PARTITION BY component
+         |        ORDER BY q_micro DESC, doc_id ASC) = 1)
+         |SELECT sc.doc_id, sc.component, sc.q_micro, b.canonical_id,
+         |  sc.doc_id = b.canonical_id AS kept
+         |FROM sc JOIN b USING (component) ORDER BY sc.doc_id""".stripMargin,
 
     "dedup_spans" -> {
       val gram8 = (0 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")

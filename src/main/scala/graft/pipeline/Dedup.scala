@@ -605,6 +605,27 @@ object Dedup {
         concat_ws(" ", col("__kept")).as("text"))
   }
 
+  /** Dedup survivor POLICY: arg-max score per duplicate cluster (ties →
+    * smaller id) — "keep the copy worth training on" instead of the
+    * arbitrary min-id canonical. Input: (doc_id, component) memberships
+    * (e.g. [[connectedComponents]] plus singletons) and (doc_id, score)
+    * INTEGER scores (snap floats to the micro grid first — a float max
+    * would be partial-agg-order sensitive at equal-looking values).
+    * One max aggregation on a (score, -id) struct — no window, map-side
+    * combinable, so a mega-cluster reduces through partials instead of
+    * serializing one task. Output: (doc_id, component, score,
+    * canonical_id, kept). */
+  def canonicalByScore(members: DataFrame, scores: DataFrame): DataFrame = {
+    val scored = members.join(scores, Seq("doc_id"))
+    val best = scored.groupBy("component")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id"))).as("__b"))
+      .select(col("component"), (-col("__b.neg_id")).as("canonical_id"))
+    scored.join(best, Seq("component"))
+      .select(col("doc_id"), col("component"), col("score"),
+        col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("kept"))
+  }
+
   // -------------------------------------------------------------------
   // Paragraph-level dedup (CCNet, Wenzek et al. 2020 §3.1): duplicate
   // PARAGRAPHS keep only their first corpus occurrence, and every

@@ -118,4 +118,32 @@ class SpanDedupSpec extends SparkSpec {
       Dedup.paragraphBlocks(d, blockWords = 0)
     }
   }
+
+  test("canonicalByScore keeps the arg-max copy, ties break to smaller id") {
+    val members = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), // cluster 100
+      (4L, 200L), (5L, 200L),             // cluster 200 (tied scores)
+      (6L, 6L)                            // singleton
+    ).toDF("doc_id", "component")
+    val scores = Seq(
+      (1L, 10L), (2L, 50L), (3L, 30L),
+      (4L, 7L), (5L, 7L),
+      (6L, 1L)
+    ).toDF("doc_id", "score")
+    val r = Dedup.canonicalByScore(members, scores)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq(
+      (1L, 100L, 10L, 2L, false),
+      (2L, 100L, 50L, 2L, true),   // best quality wins, not min id
+      (3L, 100L, 30L, 2L, false),
+      (4L, 200L, 7L, 4L, true),    // tie -> smaller doc_id
+      (5L, 200L, 7L, 4L, false),
+      (6L, 6L, 1L, 6L, true)))
+    // partitioning-invariant (agg, not window)
+    val again = Dedup.canonicalByScore(members.repartition(4), scores)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(again == r)
+  }
 }
