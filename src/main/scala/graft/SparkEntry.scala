@@ -4747,7 +4747,7 @@ object SparkEntry {
         |    CAST(floor(power(CAST(n_docs AS DOUBLE), 0.3e0) * 1000000 + 0.5) AS BIGINT) AS wm
         |  FROM cnt),
         |tt AS (SELECT SUM(wm) AS tot FROM w),
-        |q AS (SELECT lang, n_docs, CAST(100 * wm // tot AS BIGINT) AS quota
+        |q AS (SELECT lang, n_docs, CAST(CAST(100 AS HUGEINT) * wm // tot AS BIGINT) AS quota
         |     FROM w CROSS JOIN tt),
         |r AS (SELECT d.doc_id, d.lang, q.n_docs, q.quota,
         |      row_number() OVER (PARTITION BY d.lang

@@ -389,7 +389,7 @@ object GeneratedOracles {
        |    CAST(floor(power(CAST(n_docs AS DOUBLE), ${alpha}e0) * 1000000 + 0.5) AS BIGINT) AS wm
        |  FROM cnt),
        |tt AS (SELECT SUM(wm) AS tot FROM w),
-       |q AS (SELECT cell, n_docs, CAST($total * wm // tot AS BIGINT) AS quota
+       |q AS (SELECT cell, n_docs, CAST(CAST($total AS HUGEINT) * wm // tot AS BIGINT) AS quota
        |     FROM w CROSS JOIN tt),
        |r AS (SELECT a.vec_id, a.cell, q.n_docs, q.quota,
        |      row_number() OVER (PARTITION BY a.cell

@@ -184,14 +184,31 @@ object Sampling {
     * ∝ n_g^α with α ∈ (0,1) flattening the head so low-resource groups
     * keep representation (α=1 is proportional, α→0 uniform). Quotas are
     * engine-exact: n_g^α snaps ONCE to the micro grid, then
-    * `quota_g = total·w_micro_g div Σw_micro` stays all-Long — no float
-    * ever crosses an engine boundary after the single snap. Selection
-    * inside a group is the md5-rank walk (same uniform rule as
-    * [[hashReservoir]]). Floor division under-fills by < #groups docs —
-    * the published recipes treat quotas as targets, not exact counts.
-    * Scale: two tiny aggs (one row per group), a broadcast quota join
-    * (group counts are inherently few — languages/domains), and one
-    * per-group window. */
+    * `quota_g = total·w_micro_g div Σw_micro` runs in DECIMAL(38,0) —
+    * no float ever crosses an engine boundary after the single snap,
+    * and the product can't wrap a Long (total·w_micro reaches 2^63 for
+    * a ~1e9-doc group at α near 1; 38 decimal digits carry it exactly
+    * to any corpus size). Selection inside a group is the md5-rank
+    * walk (same uniform rule as [[hashReservoir]]). Floor division
+    * under-fills by < #groups docs — the published recipes treat
+    * quotas as targets, not exact counts.
+    *
+    * Scale — the mega-group shape (UniMax group keys are languages or
+    * k-means cells, power-law by construction: the "en" slice of a
+    * 100 TB corpus is most of it): the quota is a COLUMN, so a plain
+    * `row_number ≤ quota` window gets no WindowGroupLimit rescue and
+    * would sort a whole group in ONE task. Instead the quota-th order
+    * statistic of the md5 rank is computed on a per-(group, rank-value)
+    * HISTOGRAM — the rank grid has only 1e6 values, so the histogram
+    * (and the one window that cumulates it) is bounded by the GRID, not
+    * the group: ≤ 1e6 rows per group at any corpus size. Rows strictly
+    * below the group's boundary rank h* pass a stateless filter (zero
+    * sort, zero shuffle on the corpus side — the quota/threshold tables
+    * broadcast); only the h == h* tie set (expected n_g/1e6 rows) walks
+    * a row_number window to take the leftover `r` ids. The selected SET
+    * is identical to the direct per-group rank walk — SamplingSpec pins
+    * set-equality against the reference window form under a hot group.
+    */
   def temperatureMix(df: DataFrame, groupCol: String, total: Long,
       alpha: Double, idCol: String = "doc_id",
       seed: Long = 42L): DataFrame = {
@@ -203,14 +220,48 @@ object Sampling {
         lit(alpha)) * 1000000.0 + lit(0.5)).cast("long"))
     val tot = weights.agg(sum("__w").as("__tot"))
     val quota = weights.crossJoin(broadcast(tot))
-      .withColumn("quota", expr(s"CAST($total AS BIGINT) * __w div __tot"))
+      .withColumn("quota", expr(
+        s"CAST((CAST($total AS DECIMAL(38,0)) * __w) DIV __tot AS BIGINT)"))
       .select(col(groupCol), col("n_docs"), col("quota"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(bucket(col(idCol), seed).asc, col(idCol).asc)
-    df.select(col(idCol), col(groupCol))
+
+    val base = df.select(col(idCol), col(groupCol))
       .join(broadcast(quota), Seq(groupCol))
-      .withColumn("__rn", row_number().over(w).cast("long"))
-      .where(col("__rn") <= col("quota"))
+      .withColumn("__h", bucket(col(idCol), seed))
+    // per-(group, rank-value) histogram: map-side combinable, key space
+    // ≤ #groups × 1e6 — the ONLY aggregation that sees every row
+    val hist = base.groupBy(col(groupCol), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+    // cumulative count over the histogram (≤ 1e6 rows per group — the
+    // window sort is grid-bounded, never corpus-bounded), then
+    // h* = smallest rank value whose cumulative count reaches the
+    // quota, carrying r = quota − count(h < h*) tie-set slots. A group
+    // whose quota ≥ n_docs never reaches the quota → no h* row → the
+    // left join below keeps ALL its rows.
+    val cumw = Window.partitionBy(col(groupCol)).orderBy(col("__h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.withColumn("__cum", sum(col("__c")).over(cumw))
+      .join(broadcast(quota.select(col(groupCol), col("quota"))),
+        Seq(groupCol))
+      .where(col("__cum") >= col("quota"))
+      .groupBy(col(groupCol))
+      .agg(min(struct(col("__h"),
+        (col("quota") - col("__cum") + col("__c")).as("__r"))).as("__s"))
+      .select(col(groupCol), col("__s.__h").as("__hstar"),
+        col("__s.__r").as("__r"))
+
+    val withThr = base.join(broadcast(thr), Seq(groupCol), "left")
+    // below the boundary rank: a pure filter — the corpus side never
+    // sorts or shuffles (quota and threshold joins both broadcast)
+    val below = withThr
+      .where(col("__hstar").isNull || col("__h") < col("__hstar"))
       .select(col(idCol), col(groupCol), col("n_docs"), col("quota"))
+    // the boundary tie set (expected n_g/1e6 rows): exact-trim to the
+    // r smallest ids; the only row_number over corpus rows runs here
+    val tieW = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+    val ties = withThr.where(col("__h") === col("__hstar"))
+      .withColumn("__rn", row_number().over(tieW).cast("long"))
+      .where(col("__rn") <= col("__r"))
+      .select(col(idCol), col(groupCol), col("n_docs"), col("quota"))
+    below.unionByName(ties)
   }
 }
