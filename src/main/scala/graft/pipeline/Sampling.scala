@@ -206,27 +206,73 @@ object Sampling {
     * sort, zero shuffle on the corpus side — the quota/threshold tables
     * broadcast); only the h == h* tie set (expected n_g/1e6 rows) walks
     * a row_number window to take the leftover `r` ids. The selected SET
-    * is identical to the direct per-group rank walk — SamplingSpec pins
-    * set-equality against the reference window form under a hot group.
+    * is identical to the direct per-group rank walk — SamplingSpec's
+    * "histogram form equals the direct window form" test pins
+    * set-equality against the reference `row_number ≤ quota` window on
+    * a COARSE grid (97 buckets over 30k skewed rows), so every group's
+    * boundary bucket carries a multi-hundred-row tie set and the
+    * h*-and-r trim arithmetic is exercised at the boundary, not
+    * vacuously.
+    *
+    * The corpus side is read TWICE (histogram pass + threshold-filter
+    * pass) where the plain window form read it once — deliberate: both
+    * passes are narrow column-pruned scans that parallelize perfectly,
+    * while the single-pass window form serializes on the biggest
+    * group's sort. Measured at sf0.1/local[32] the histogram form
+    * costs 0.70 s (committed BENCH_FULL, r11) vs 0.30 s for the r10
+    * window form — a 2.4× constant on a fixture where no group is
+    * remotely mega; the trade is that constant against the unbounded
+    * single-task sort a power-law group inflicts at scale. Do NOT
+    * persist `base` to dodge the second scan: caching blocks AQE on
+    * both consumers (the graph_triangles 4× cache regression pattern)
+    * and pins corpus-sized data in executor memory.
+    *
+    * Overflow guard: `total·__w` runs in DECIMAL(38,0); a product
+    * needing > 38 digits would yield NULL under Spark's non-ANSI
+    * decimal arithmetic, and a NULL quota would silently fail OPEN
+    * (no h* row → whole group kept). The quota column therefore
+    * raises on NULL. With both factors Longs the product tops out at
+    * (2^63)² ≈ 8.5e37 < 1e38, so the raise is provably unreachable
+    * TODAY — it exists to fail closed the day the quota arithmetic is
+    * widened (BigInt totals, composite weights), because the failure
+    * it guards is the worst kind: a silently unsampled corpus.
     */
   def temperatureMix(df: DataFrame, groupCol: String, total: Long,
       alpha: Double, idCol: String = "doc_id",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    temperatureMixGrid(df, groupCol, total, alpha, idCol, seed, M)
+
+  /** [[temperatureMix]] with the rank grid exposed — production always
+    * uses the 1e6 grid (the oracle contract); SamplingSpec shrinks it
+    * to force fat boundary tie sets that the 1e6 grid would only
+    * produce on a >1e6-row fixture.
+    */
+  private[pipeline] def temperatureMixGrid(df: DataFrame, groupCol: String,
+      total: Long, alpha: Double, idCol: String, seed: Long,
+      gridM: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(total > 0 && alpha > 0.0 && alpha <= 1.0)
+    require(total > 0 && alpha > 0.0 && alpha <= 1.0 && gridM > 0)
     val weights = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("__w", floor(pow(col("n_docs").cast("double"),
         lit(alpha)) * 1000000.0 + lit(0.5)).cast("long"))
     val tot = weights.agg(sum("__w").as("__tot"))
     val quota = weights.crossJoin(broadcast(tot))
-      .withColumn("quota", expr(
+      .withColumn("__q", expr(
         s"CAST((CAST($total AS DECIMAL(38,0)) * __w) DIV __tot AS BIGINT)"))
+      // NULL means the DECIMAL(38,0) product wrapped — fail CLOSED
+      // (raise) rather than let the no-h*-row branch keep the group
+      .withColumn("quota", when(col("__q").isNotNull, col("__q"))
+        .otherwise(raise_error(concat(
+          lit(s"temperatureMix: quota overflow (total=$total) for group "),
+          col(groupCol).cast("string"))).cast("bigint")))
       .select(col(groupCol), col("n_docs"), col("quota"))
 
     val base = df.select(col(idCol), col(groupCol))
       .join(broadcast(quota), Seq(groupCol))
-      .withColumn("__h", bucket(col(idCol), seed))
+      .withColumn("__h", pmod(graft.functions.HashFunctions.md5_prefix(
+        concat(lit(seed.toString), lit(":"), col(idCol).cast("string")), 15),
+        lit(gridM)))
     // per-(group, rank-value) histogram: map-side combinable, key space
     // ≤ #groups × 1e6 — the ONLY aggregation that sees every row
     val hist = base.groupBy(col(groupCol), col("__h"))

@@ -230,4 +230,65 @@ class SamplingSpec extends SparkSpec {
       .collect().map(row => (row.getLong(1), row.getLong(0))).toSet
     assert(again == r.toSet)
   }
+
+  test("temperature mix histogram form equals the direct window form on a coarse grid") {
+    import org.apache.spark.sql.expressions.Window
+    // The ADVICE-r11 property pin: the histogram/threshold/tie-trim
+    // machinery must select the IDENTICAL row set as the plain
+    // row_number-over-(hash,id) window it replaced. A 1e6-value grid
+    // over a unit-test fixture never collides at the boundary, so the
+    // grid shrinks to 97 buckets over 30k skewed rows: the hot group
+    // packs ~278 rows per bucket, the quota boundary lands mid-bucket,
+    // and the h*/r trim has to split a fat tie set — the exact
+    // arithmetic a vacuous boundary would leave untested. The tiny
+    // 'ar' group's quota exceeds its population, exercising the
+    // keep-all (no h* row) branch in the same run.
+    val gridM = 97L
+    val seed = 7L
+    val d = spark.range(30000).select(col("id").as("doc_id"),
+      when(col("id") < 27000, "en")
+        .when(col("id") < 29700, "zh").otherwise("ar").as("lang"))
+    val out = Sampling.temperatureMixGrid(d, "lang", total = 3000L,
+      alpha = 0.3, idCol = "doc_id", seed = seed, gridM = gridM)
+    val got = out.select("lang", "doc_id")
+      .as[(String, Long)].collect().toSet
+
+    // reference form: per-group row_number over (grid rank, id), kept
+    // while rn <= quota — the mega-group-UNSAFE shape the histogram
+    // form exists to replace, trustworthy as an oracle at 30k rows
+    val h = pmod(graft.functions.HashFunctions.md5_prefix(
+      concat(lit(seed.toString), lit(":"), col("doc_id").cast("string")),
+      15), lit(gridM))
+    val quotas = out.select("lang", "quota").distinct()
+    val w = Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+    val ref = d.join(quotas, Seq("lang"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .where(col("__rn") <= col("quota"))
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(got == ref,
+      s"histogram selection diverged from the window walk: " +
+        s"only-hist=${(got -- ref).take(5)} only-ref=${(ref -- got).take(5)}")
+
+    // boundary sanity: the quota really does land mid-bucket (a tie
+    // set got split) — otherwise this test pins nothing
+    val enQuota = quotas.where(col("lang") === "en")
+      .select("quota").as[Long].head()
+    val enSel = got.count(_._1 == "en").toLong
+    assert(enSel == enQuota, s"en selected $enSel != quota $enQuota")
+    val arAll = d.where(col("lang") === "ar").count()
+    assert(got.count(_._1 == "ar").toLong == arAll,
+      "ar group (quota > n) must keep every row")
+    // the en boundary bucket is shared: selected and unselected rows
+    // coexist at h == h* (i.e. the trim split a tie set)
+    val withH = d.where(col("lang") === "en").withColumn("__h", h)
+    val selIds = got.filter(_._1 == "en").map(_._2)
+    val hStar = withH.where(col("doc_id").isin(selIds.toSeq: _*))
+      .agg(max("__h")).as[Long].head()
+    val atBoundary = withH.where(col("__h") === hStar).count()
+    val selAtBoundary = withH.where(col("__h") === hStar &&
+      col("doc_id").isin(selIds.toSeq: _*)).count()
+    assert(selAtBoundary > 0 && selAtBoundary < atBoundary,
+      s"boundary bucket not split (sel $selAtBoundary of $atBoundary) — " +
+        "grid too fine for the fixture, test is vacuous")
+  }
 }
