@@ -586,13 +586,18 @@ object SparkEntry {
         .orderBy("k")
     }),
 
-    // Dedup #1: exact duplicate groups by content hash
+    // Dedup #1: exact duplicate groups by content hash. The membership
+    // column is a BOUNDED sample (8 smallest ids via the bounded-buffer
+    // MinK aggregator) — the full doc_ids collect_list this replaced
+    // was the report's one scale hazard: a 10⁸× boilerplate dup would
+    // materialize a 10⁸-element array in a single agg buffer. Full
+    // membership stays available as the exploded (text_hash, doc_id)
+    // projection; the report only ever carries bounded cells.
     "dedup_exact" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("doc_id")).as("canonical_id"),
-          concat_ws(",", sort_array(collect_list(col("doc_id"))).cast("array<string>")).as("doc_ids"))
+      graft.pipeline.Dedup.exactGroups(t(s, dir, "documents"))
+        .select(col("text_hash"), col("n_docs"), col("canonical_id"),
+          concat_ws(",", col("sample_ids").cast("array<string>"))
+            .as("sample_ids"))
         .orderBy("text_hash")
     }),
 
@@ -1772,7 +1777,6 @@ object SparkEntry {
     // order. Every stage is an already-oracle-verified operator; this
     // query pins the COMPOSITION in one hash-compared statement
     "pipeline_curate_corpus" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val gate = TextAnalysis.gopherRules(docs)
         .where(col("pass_words") && col("pass_mwl") &&
@@ -1782,12 +1786,13 @@ object SparkEntry {
           graft.pipeline.NgramLM.score(docs, lmOf(s, dir)), sampleK = 300)
         .where(col("bucket") =!= "tail")
         .select(col("doc_id"), col("bucket"))
+      // exact dedup through the ONE shared shape (Dedup.exactDedup's
+      // min-struct agg — no window, nothing for a refactor to un-rescue;
+      // VERDICT r10 #4 unification). Same selected set as the previous
+      // inline row_number window: min doc_id per distinct text.
       val kept = docs.select("doc_id", "source", "text")
         .join(gate, Seq("doc_id")).join(buckets, Seq("doc_id"))
-      val canon = kept
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)))
-        .where(col("__rn") === 1).drop("__rn", "text")
+      val canon = graft.pipeline.Dedup.exactDedup(kept).drop("text")
       graft.pipeline.Sampling.tokenBudget(canon, "source", budget = 400L,
           nTokCol = "n_words")
         .select("doc_id", "source", "bucket", "n_words")
@@ -3121,7 +3126,8 @@ object SparkEntry {
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_docs,
-        |  min(doc_id) AS canonical_id, array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+        |  min(doc_id) AS canonical_id,
+        |  array_to_string((list_sort(list(doc_id)))[1:8], ',') AS sample_ids
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
 
     "text_tokens" ->

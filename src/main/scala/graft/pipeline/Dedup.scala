@@ -71,22 +71,46 @@ object Dedup {
   // Exact dedup: hash-groupBy (one shuffle on the content hash)
   // -------------------------------------------------------------------
 
-  /** (text_hash, n_docs, canonical_id = min doc_id, doc_ids sorted). */
+  /** Duplicate-group REPORT: (text_hash, n_docs, canonical_id = min
+    * doc_id, sample_ids = the `sampleK` smallest member ids). Every
+    * column is a bounded aggregate — the id sample runs through the
+    * bounded-buffer [[graft.search.MinKLongsAggregator]], so a
+    * boilerplate document duplicated 10⁸× costs one k-slot buffer, not
+    * one 10⁸-element array cell (the unbounded `collect_list` this
+    * replaced was the report's only scale hazard; StressSpec pins the
+    * 1e5-dup adversary). Full membership, when a consumer really needs
+    * it, is the EXPLODED table — a plain projection the caller already
+    * has: `docs.select(md5(text) as text_hash, doc_id)` — never an
+    * array cell.
+    */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", sampleK: Int = 8): DataFrame =
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"),
         min(col(idCol)).as("canonical_id"),
-        sort_array(collect_list(col(idCol))).as("doc_ids"))
+        graft.search.TopK.minIds(sampleK)(col(idCol)).as("sample_ids"))
 
-  /** Keep one representative per distinct content (the min-id row). */
+  /** Keep one representative per distinct content (the min-id row).
+    *
+    * Shape: ONE min-on-(id-first struct) aggregation — map-side partials
+    * reduce a 10⁸× duplicate group to one row per task before the
+    * shuffle, and there is no window to depend on Spark's
+    * InferWindowGroupLimit rescue (the previous `row_number = 1` form
+    * was rescued TODAY, but one innocent refactor — a non-literal
+    * limit, a second window column — would silently revert it to a
+    * single-task per-hash sort; an aggregate can't regress that way).
+    * Ids are unique, so min-struct comparison stops at the first field
+    * and never orders by payload columns. This is the ONE exact-dedup
+    * shape — the curation pipelines reuse it rather than re-deriving
+    * their own (VERDICT r10 #4).
+    */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
-      .orderBy(col(idCol).asc)
-    docs.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    val cols = docs.columns.toSeq
+    val ordered = col(idCol) +: cols.filterNot(_ == idCol).map(col)
+    docs.groupBy(md5(col(textCol).cast("binary")).as("__h"))
+      .agg(min(struct(ordered: _*)).as("__r"))
+      .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
   }
 
   // -------------------------------------------------------------------

@@ -56,7 +56,60 @@ class TopKAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredDoc]]()
 }
 
+/** Bounded buffer for [[MinKLongsAggregator]] — same overflow-prune
+  * discipline as [[TopKBuffer]].
+  */
+case class MinKBuffer(k: Int, items: ArrayBuffer[Long])
+
+/** Grouped bounded k-SMALLEST-ids as a partial-aggregatable `Aggregator` —
+  * the capped-sample replacement for `collect_list` in group REPORTS
+  * (e.g. duplicate-group membership samples): a group with 10⁸ members
+  * costs the same bounded buffer as a group with 10. Exact over the full
+  * Long domain (no Double round-trip — ids above 2^53 stay exact).
+  * Output sorted ascending, deterministic for oracle hashing.
+  */
+class MinKLongsAggregator(k: Int)
+    extends Aggregator[Long, MinKBuffer, Seq[Long]] {
+
+  private val overflow = math.max(4 * k, 64)
+
+  override def zero: MinKBuffer = MinKBuffer(k, ArrayBuffer.empty)
+
+  private def prune(buf: MinKBuffer, to: Int): MinKBuffer = {
+    if (buf.items.length > to) {
+      val kept = buf.items.sorted.take(k)
+      MinKBuffer(k, ArrayBuffer.from(kept))
+    } else buf
+  }
+
+  override def reduce(b: MinKBuffer, a: Long): MinKBuffer = {
+    b.items += a
+    prune(b, overflow)
+  }
+
+  override def merge(b1: MinKBuffer, b2: MinKBuffer): MinKBuffer = {
+    b1.items ++= b2.items
+    prune(b1, k)
+  }
+
+  override def finish(r: MinKBuffer): Seq[Long] =
+    r.items.sorted.take(k).toSeq
+
+  override def bufferEncoder: Encoder[MinKBuffer] = Encoders.kryo[MinKBuffer]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 object TopK {
+  /** Untyped column form of the bounded k-smallest-ids sample:
+    * `df.groupBy("h").agg(TopK.minIds(8)($"doc_id"))` → `ARRAY<BIGINT>`
+    * ascending. Replaces `sort_array(collect_list(id))` wherever the
+    * group size is adversary-controlled.
+    */
+  def minIds(k: Int): Column => Column = { id =>
+    udaf(new MinKLongsAggregator(k), Encoders.scalaLong).apply(id)
+  }
+
   /** Untyped column form: `df.groupBy("qid").agg(TopK.topk(10)($"doc_id", $"score"))`
     * → `ARRAY<STRUCT<id BIGINT, score DOUBLE>>` ranked best-first.
     */

@@ -284,6 +284,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("md5"), s"edge-sampling coin missing from plan:\n$p")
   }
 
+  test("grouped rank-limit windows get the WindowGroupLimit rescue") {
+    // VERDICT r10 #4: capPerGroup / grouped hashReservoir survive
+    // mega-groups ONLY because Spark 4.1's InferWindowGroupLimit fires
+    // on their literal rank limits (map-side per-group pruning before
+    // the window sort). Nothing pinned that — so a second window
+    // column over the same spec, or a non-literal limit, would
+    // silently revert them to single-task full-group sorts. These
+    // assertions make that refactor loud.
+    import graft.pipeline.Sampling
+    val d = spark.range(2000).select(col("id").as("doc_id"),
+      (col("id") % 7).cast("string").as("g"))
+    val cap = planString(Sampling.capPerGroup(d, "g", cap = 5))
+    assert(cap.contains("WindowGroupLimit"),
+      s"capPerGroup lost the WindowGroupLimit rescue:\n$cap")
+    val res = planString(Sampling.hashReservoir(d, 5, Seq("g")))
+    assert(res.contains("WindowGroupLimit"),
+      s"grouped hashReservoir lost the WindowGroupLimit rescue:\n$res")
+  }
+
+  test("exact dedup is aggregate-shaped end to end — no per-hash window anywhere") {
+    // The min-struct agg needs no optimizer rescue at all; pin that
+    // neither the library op nor the curate pipeline's dedup stage
+    // reintroduces a row_number window (the shape VERDICT r10 #4
+    // flagged as one refactor away from a single-task group sort).
+    val d = spark.range(500).select(col("id").as("doc_id"),
+      concat(lit("t"), (col("id") % 50).cast("string")).as("text"),
+      (col("id") % 3).cast("string").as("source"))
+    val p1 = planString(graft.pipeline.Dedup.exactDedup(d))
+    assert(!p1.contains("row_number") && !p1.contains("WindowExec"),
+      s"window crept into exactDedup:\n$p1")
+    assert(p1.toLowerCase.contains("partial_min"),
+      s"min-struct agg lost its map-side partial:\n$p1")
+    val p2 = planString(
+      SparkEntry.queries("pipeline_curate_corpus")(spark, sf("0.001")))
+    // the dedup stage runs through the shared min-struct agg (not a
+    // per-hash window); ccnetBuckets' bounded 300-doc sample rank is
+    // the only ranking allowed to remain
+    assert(p2.contains("min(struct(doc_id"),
+      s"curate pipeline lost the shared min-struct dedup shape:\n$p2")
+    assert(!p2.contains("windowspecdefinition(md5("),
+      s"per-hash window crept back into the curate dedup stage:\n$p2")
+  }
+
   test("no query in the catalog plans an unbroadcast cartesian product") {
     // full-catalog sweep: every SparkEntry query's physical plan at
     // sf0.001 — the deliberate small-side crossJoins (BruteForceKNN's

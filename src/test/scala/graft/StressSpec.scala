@@ -134,6 +134,34 @@ class StressSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("exactGroups report stays bounded under a 1e5x duplicate group") {
+    import spark.implicits._
+    // 95k copies of ONE document + 5k uniques: the duplicate-groups
+    // report must cost a k-slot buffer for the hot group, not a
+    // 95k-element array cell. Pins (VERDICT r10 #3): bounded sample,
+    // flat wall-clock, and NO collect_list anywhere in the plan.
+    val boiler = "all work and no play makes jack a dull boy"
+    val docs = spark.range(100000).select(col("id").as("doc_id"),
+      when(col("id") < 95000, boiler)
+        .otherwise(concat(lit("unique "), col("id"))).as("text"))
+    val t0 = System.nanoTime()
+    val rep = Dedup.exactGroups(docs)
+    val rows = rep.collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 5001)
+    val hot = rows.filter(_.getAs[Long]("n_docs") == 95000L)
+    assert(hot.length == 1)
+    assert(hot.head.getAs[Long]("canonical_id") == 0L)
+    assert(hot.head.getAs[scala.collection.Seq[Long]]("sample_ids") ==
+      Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(rows.forall(
+      _.getAs[scala.collection.Seq[Long]]("sample_ids").length <= 8))
+    assert(sec < 60, s"hot-group report took ${sec}s — unbounded buffer?")
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"unbounded collect_list crept back into exactGroups:\n$plan")
+  }
+
   test("bloomSemiJoin is byte-identical to the exact semi join") {
     import graft.pipeline.Membership
     val o = Tables.load(spark, sf("0.01"), "orders")
