@@ -164,19 +164,72 @@ object Sampling {
     * each domain"): walk each group's rows in deterministic hash-rank
     * order and keep a row iff its inclusive running token total still fits
     * the budget. Docs are chosen uniformly (hash order), not by ingest
-    * order, and the same rows are chosen on any engine/partitioning. One
-    * window per group key — hash-partitioned, no global sort.
+    * order, and the same rows are chosen on any engine/partitioning.
+    *
+    * Scale: the kept set is a PREFIX of the (hash, id) order (the
+    * running total is monotone), so this is the same boundary-statistic
+    * problem as [[temperatureMix]] and uses the same grid-bounded
+    * histogram machinery instead of a per-group running-sum window (a
+    * cumulative window gets NO WindowGroupLimit rescue — it needs every
+    * row — so a hot group, e.g. the one source of a single-domain
+    * corpus, would sort in one task): per-(group, rank-value) token
+    * SUMS cumulate over the ≤ gridM-row histogram, the boundary bucket
+    * h* and its leftover token budget r broadcast back, rows below h*
+    * pass a stateless filter, and only the h == h* tie set (expected
+    * n_g/1e6 rows) walks the running-sum window against r. Identical
+    * kept set to the window walk — SamplingSpec pins set-equality on a
+    * coarse grid where the boundary bucket must split mid-tie-set, and
+    * StressSpec pins a 190k-row hot group with a task-metrics witness.
     */
   def tokenBudget(df: DataFrame, groupCol: String, budget: Long,
       nTokCol: String = "n_tokens", idCol: String = "doc_id",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    tokenBudgetGrid(df, groupCol, budget, nTokCol, idCol, seed, M)
+
+  /** [[tokenBudget]] with the rank grid exposed for the coarse-grid
+    * equivalence spec (production always uses the 1e6 grid).
+    */
+  private[graft] def tokenBudgetGrid(df: DataFrame, groupCol: String,
+      budget: Long, nTokCol: String, idCol: String, seed: Long,
+      gridM: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(budget >= 0)
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(bucket(col(idCol), seed).asc, col(idCol).asc)
+    require(budget >= 0 && gridM > 0)
+    val outCols = df.columns.toSeq.map(col)
+    val base = df.withColumn("__h",
+      pmod(graft.functions.HashFunctions.md5_prefix(
+        concat(lit(seed.toString), lit(":"), col(idCol).cast("string")), 15),
+        lit(gridM)))
+    // per-(group, rank-value) token totals: map-side combinable, key
+    // space ≤ #groups × gridM — the only aggregation over every row
+    val hist = base.groupBy(col(groupCol), col("__h"))
+      .agg(sum(col(nTokCol)).as("__c"))
+    // h* = first rank value whose inclusive cumulative token total
+    // EXCEEDS the budget; r = budget − total through h*−1 is the token
+    // allowance left for the boundary tie set. A group whose total fits
+    // the budget has no such bucket → no thr row → left join keeps all.
+    val cumw = Window.partitionBy(col(groupCol)).orderBy(col("__h").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(nTokCol)).over(w))
-      .where(col("__cum") <= budget).drop("__cum")
+    val thr = hist.withColumn("__cum", sum(col("__c")).over(cumw))
+      .where(col("__cum") > budget)
+      .groupBy(col(groupCol))
+      .agg(min(struct(col("__h"),
+        (lit(budget) - col("__cum") + col("__c")).as("__r"))).as("__s"))
+      .select(col(groupCol), col("__s.__h").as("__hstar"),
+        col("__s.__r").as("__r"))
+    val withThr = base.join(broadcast(thr), Seq(groupCol), "left")
+    val below = withThr
+      .where(col("__hstar").isNull || col("__h") < col("__hstar"))
+      .select(outCols: _*)
+    // boundary tie set: inclusive running sum in id order against the
+    // leftover allowance r — the only corpus-row window, spanning the
+    // expected n_g/gridM-row tie set
+    val tieW = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ties = withThr.where(col("__h") === col("__hstar"))
+      .withColumn("__tc", sum(col(nTokCol)).over(tieW))
+      .where(col("__tc") <= col("__r"))
+      .select(outCols: _*)
+    below.unionByName(ties)
   }
 
   /** Temperature-flattened mixture sampling (the mT5/UniMax multilingual
@@ -247,7 +300,7 @@ object Sampling {
     * to force fat boundary tie sets that the 1e6 grid would only
     * produce on a >1e6-row fixture.
     */
-  private[pipeline] def temperatureMixGrid(df: DataFrame, groupCol: String,
+  private[graft] def temperatureMixGrid(df: DataFrame, groupCol: String,
       total: Long, alpha: Double, idCol: String, seed: Long,
       gridM: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

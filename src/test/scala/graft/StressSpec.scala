@@ -765,6 +765,153 @@ class StressSpec extends SparkSpec {
       s"expected ~32 derived cells for 4000/128, got $nCells")
   }
 
+  test("temperatureMix + tokenBudget survive a 190k-row hot group (no full-group sort)") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // UniMax group keys are power-law by construction: one language
+    // owns 95% of this 200k corpus. At a 4096-value grid (≪ group
+    // size — the regime a 100 TB corpus is ALWAYS in, where n_g ≫ 1e6)
+    // the histogram selection must never materialize the hot group in
+    // one task: the only structures a task sees are ≤ grid-sized
+    // histograms and ~n_g/grid tie sets. Witness: with AQE coalescing
+    // off, max per-task shuffle read stays an order of magnitude under
+    // the hot group's membership for BOTH selection operators.
+    val n = 200000L
+    val hotN = 190000L
+    val d = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") < hotN, "en").otherwise(
+        concat(lit("g"), pmod(col("id"), lit(5)))).as("grp"),
+      (pmod(col("id"), lit(37)) + 1).cast("long").as("n_tokens"))
+      .repartition(32).cache()
+    d.count()
+    val gridM = 4096L
+
+    val maxShuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          var cur = maxShuffleRecords.get
+          while (r > cur && !maxShuffleRecords.compareAndSet(cur, r))
+            cur = maxShuffleRecords.get
+        }
+      }
+    }
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey, "true")
+    spark.conf.set(coalesceKey, "false")
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val (nMix, tokSums) = try {
+      val mix = Sampling.temperatureMixGrid(d, "grp", total = 20000L,
+        alpha = 0.3, idCol = "doc_id", seed = 42L, gridM = gridM)
+      val mixCounts = mix.groupBy("grp").count()
+        .as[(String, Long)].collect().toMap
+      val bud = Sampling.tokenBudgetGrid(d, "grp", budget = 100000L,
+        nTokCol = "n_tokens", idCol = "doc_id", seed = 42L, gridM = gridM)
+      val budSums = bud.groupBy("grp").agg(sum("n_tokens").as("s"))
+        .as[(String, Long)].collect().toMap
+      (mixCounts, budSums)
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+    val sec = (System.nanoTime() - t0) / 1e9
+    var stable = 0; var last = -1L; var waited = 0
+    while (stable < 2 && waited < 100) {
+      Thread.sleep(100); waited += 1
+      val cur = maxShuffleRecords.get
+      if (cur == last) stable += 1 else { stable = 0; last = cur }
+    }
+    spark.sparkContext.removeSparkListener(listener)
+
+    // selection correctness on the hot group: quota met exactly /
+    // budget never exceeded (the boundary trim did its job)
+    assert(nMix("en") > 0 && nMix.values.sum <= 20000L,
+      s"quota overshoot: $nMix")
+    assert(tokSums("en") <= 100000L && tokSums("en") > 99000L,
+      s"en budget fill ${tokSums("en")} not within (99k, 100k]")
+    // the witness: nothing saw the hot group whole
+    val maxTask = maxShuffleRecords.get
+    assert(maxTask < hotN / 10,
+      s"a task shuffle-read $maxTask records — the hot group leaked " +
+        s"into a single-task structure (hot=$hotN)")
+    assert(sec < 120, s"hot-group selection took ${sec}s")
+    info(f"selection skew probe: hot=$hotN maxTaskShuffleRecords=$maxTask sec=$sec%.1f")
+    d.unpersist()
+  }
+
+  test("composed curation pipeline survives a duplicate-heavy single-source corpus") {
+    import spark.implicits._
+    import graft.pipeline.{TextAnalysis, NgramLM, Dedup, Sampling}
+    // VERDICT r10 #6: the catalog's pipeline_curate_corpus composition
+    // (Gopher gate → CCNet tail drop → exact dedup → per-source token
+    // budget) under its worst key shape: ONE source owns every doc and
+    // 90% of the corpus is 10 boilerplate texts duplicated 4.5k× each.
+    // Every stage must stay agg/filter/broadcast-shaped: the dedup
+    // min-struct agg absorbs the 4.5k× groups map-side, and the token
+    // budget's histogram selection never sorts the single source's
+    // survivors in one task.
+    val nDocs = 50000L
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    // 60 words/doc (Gopher-passable), unique tail keyed by doc where
+    // not boilerplate
+    val body = (0 until 58).map(i => words(i % words.size)).mkString(" ")
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      lit("web").as("source"),
+      when(pmod(col("id"), lit(10)) < 9,
+        concat(lit(body + " copy "), pmod(col("id"), lit(10))))
+        .otherwise(concat(lit(body + " unique "), col("id")))
+        .as("text"))
+      .repartition(32).cache()
+    docs.count()
+    val t0 = System.nanoTime()
+    val lm = NgramLM.train(docs)
+    val gate = TextAnalysis.gopherRules(docs)
+      .where(col("pass_words") && col("pass_mwl") &&
+        col("pass_alpha") && col("pass_symbol"))
+      .select(col("doc_id"), col("n_words"))
+    val buckets = NgramLM.ccnetBuckets(NgramLM.score(docs, lm),
+        sampleK = 300)
+      .where(col("bucket") =!= "tail")
+      .select(col("doc_id"), col("bucket"))
+    val kept = docs.join(gate, Seq("doc_id")).join(buckets, Seq("doc_id"))
+      .cache()
+    val keptN = kept.count()
+    // the gates must keep the DUPLICATE-HEAVY mass (the boilerplate
+    // texts are the corpus's own dominant register, so CCNet's
+    // head/middle holds them) — that is the adversarial part: dedup
+    // then faces ~4.5k-member hot groups
+    assert(keptN > 20000, s"gates kept only $keptN — adversary defused")
+    val canon = Dedup.exactDedup(kept).drop("text")
+    val canonN = canon.count()
+    // dedup collapsed every duplicate group to one canonical
+    assert(canonN == kept.select("text").distinct().count(),
+      s"dedup canonical count $canonN != distinct text count")
+    val out = Sampling.tokenBudget(canon, "source", budget = 200000L,
+      nTokCol = "n_words")
+    val n = out.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val toks = out.agg(coalesce(sum("n_words"), lit(0L))).as[Long].head()
+    val canonToks = canon.agg(sum("n_words")).as[Long].head()
+    assert(toks <= 200000L, s"token budget exceeded: $toks")
+    if (canonToks > 200000L) assert(toks > 200000L - 61,
+      s"budget underfilled: $toks of 200000 (canon total $canonToks)")
+    else assert(n == canonN, s"budget dropped rows under un-hit budget")
+    assert(sec < 180, s"hot-key curation took ${sec}s")
+    // plan pin on the composed query: dedup stayed agg-shaped (no
+    // per-hash window) and no cumulative window runs over the corpus
+    // (the only windows left are ccnet's ≤300-row sample rank and the
+    // budget's ~n/1e6-row boundary tie walk)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("min(struct(doc_id"),
+      s"curation dedup lost the min-struct agg shape:\n${plan.take(3000)}")
+    assert(!plan.contains("windowspecdefinition(md5("),
+      s"per-hash window crept into the curation dedup:\n${plan.take(3000)}")
+    info(f"curation skew probe: gated=$keptN canon=$canonN kept=$n toks=$toks sec=$sec%.1f")
+    kept.unpersist(); docs.unpersist()
+  }
+
   test("autoBits keeps LSH bucket occupancy flat from 125k to 1M docs") {
     // VERDICT r9 #2's deeper ask: the fixed-bits catalog lsh_neardup is
     // pattern-space-bound by design (2^bits·tables patterns; occupancy

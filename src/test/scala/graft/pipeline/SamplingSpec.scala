@@ -231,6 +231,53 @@ class SamplingSpec extends SparkSpec {
     assert(again == r.toSet)
   }
 
+  test("token budget histogram form equals the direct cumsum window form on a coarse grid") {
+    import org.apache.spark.sql.expressions.Window
+    // same discipline as the temperatureMix pin below: a 97-bucket
+    // grid over 30k skewed rows lands the budget boundary mid-bucket,
+    // so the leftover-allowance (r) walk has to split a fat tie set;
+    // the tiny 'ar' group's total fits its budget, exercising the
+    // keep-all (no h* row) branch
+    val gridM = 97L
+    val seed = 7L
+    val d = spark.range(30000).select(col("id").as("doc_id"),
+      when(col("id") < 27000, "en")
+        .when(col("id") < 29700, "zh").otherwise("ar").as("grp"),
+      (col("id") % 37 + 1).cast("long").as("n_tokens"))
+    val out = Sampling.tokenBudgetGrid(d, "grp", budget = 40000L,
+      nTokCol = "n_tokens", idCol = "doc_id", seed = seed, gridM = gridM)
+    val got = out.select("grp", "doc_id").as[(String, Long)].collect().toSet
+
+    val h = pmod(graft.functions.HashFunctions.md5_prefix(
+      concat(lit(seed.toString), lit(":"), col("doc_id").cast("string")),
+      15), lit(gridM))
+    val w = Window.partitionBy(col("grp")).orderBy(h.asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = d.withColumn("__cum", sum(col("n_tokens")).over(w))
+      .where(col("__cum") <= 40000L)
+      .select("grp", "doc_id").as[(String, Long)].collect().toSet
+    assert(got == ref,
+      s"histogram budget selection diverged from the cumsum window: " +
+        s"only-hist=${(got -- ref).take(5)} only-ref=${(ref -- got).take(5)}")
+
+    // ar's ~5.7k total tokens fit the 40k budget → keep-all branch
+    assert(got.count(_._1 == "ar") == 300)
+    // budget respected exactly per group
+    val sums = out.groupBy("grp").agg(sum("n_tokens").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(sums("en") <= 40000L && sums("zh") <= 40000L)
+    // vacuity check: the en boundary bucket got split mid-tie-set
+    val withH = d.where(col("grp") === "en").withColumn("__h", h)
+    val selIds = got.filter(_._1 == "en").map(_._2)
+    val hStar = withH.where(col("doc_id").isin(selIds.toSeq: _*))
+      .agg(max("__h")).as[Long].head()
+    val atBoundary = withH.where(col("__h") === hStar).count()
+    val selAtBoundary = withH.where(col("__h") === hStar &&
+      col("doc_id").isin(selIds.toSeq: _*)).count()
+    assert(selAtBoundary > 0 && selAtBoundary < atBoundary,
+      s"budget boundary bucket not split (sel $selAtBoundary of $atBoundary)")
+  }
+
   test("temperature mix histogram form equals the direct window form on a coarse grid") {
     import org.apache.spark.sql.expressions.Window
     // The ADVICE-r11 property pin: the histogram/threshold/tie-trim
