@@ -129,6 +129,71 @@ object Bench {
     if (suspects.nonEmpty)
       System.err.println(s"[bench] WARNING load-suspect queries (spread >3x after re-time): ${suspects.mkString(", ")}")
 
+    // per-query drift flag vs the COMMITTED record (VERDICT r10 #5):
+    // the within-run spread check above is blind to SYSTEMATIC load —
+    // r10's driver record ran both iterations under sustained
+    // contention and carried 3-10x outliers (hkm_beam_dist 3.90 s vs
+    // 0.34 s clean) with an EMPTY suspect list. So: compare every
+    // healed best against the committed BENCH_FULL map (the same
+    // baseline the serve-drift pin reads); >2x AND >0.5 s absolute
+    // gets ONE re-time, and a survivor lands in drift_vs_committed —
+    // a tainted record now names its own casualties, and a genuine
+    // regression (or a deliberate trade, like r11's temperatureMix
+    // histogram form) surfaces as a named diff to adjudicate instead
+    // of silent drift.
+    val prevQueryTimes: Map[String, Double] = try {
+      val prevPath = java.nio.file.Paths.get(
+        sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
+      if (java.nio.file.Files.exists(prevPath)) {
+        val prev = new String(
+          java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+        // a record measured at a different scale factor is not a
+        // baseline — skip (loudly) rather than flag cross-sf "drift"
+        val prevSf = """"sf":"([^"]+)"""".r
+          .findFirstMatchIn(prev).map(_.group(1))
+        if (prevSf.exists(_ != sfDir)) {
+          System.err.println(s"[bench] drift check skipped: committed " +
+            s"record sf ${prevSf.get} != $sfDir")
+          Map.empty
+        } else {
+          val body = """"queries":\{([^}]*)\}""".r
+            .findFirstMatchIn(prev).map(_.group(1)).getOrElse("")
+          """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    def isDrift(cur: Double, prev: Double): Boolean =
+      cur > 0.0 && prev > 0.0 && cur > 2.0 * prev && cur - prev > 0.5
+    val driftHealed = healed.map { case (name, (best, worst)) =>
+      if (!prevQueryTimes.get(name).exists(p => isDrift(best, p)))
+        name -> (best, worst)
+      else {
+        System.err.println(f"[bench] re-timing drift suspect $name " +
+          f"($best%.3f s vs committed ${prevQueryTimes(name)}%.3f s)")
+        val (okRun, sec) = timed {
+          try {
+            SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save(); true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name drift re-time failed: ${e.getMessage}")
+            false
+          }
+        }
+        if (okRun) name -> (math.min(best, sec), worst)
+        else name -> (best, worst)
+      }
+    }
+    val driftFlags = driftHealed.collect {
+      case (name, (best, _))
+          if prevQueryTimes.get(name).exists(p => isDrift(best, p)) =>
+        name -> (best, prevQueryTimes(name))
+    }
+    if (driftFlags.nonEmpty)
+      System.err.println("[bench] WARNING drift vs committed record " +
+        "(>2x after re-time): " + driftFlags.map { case (n, (c, p)) =>
+          f"$n $c%.3f/$p%.3f" }.mkString(", "))
+
     // ---- engine metrics (BASELINE.md protocol) ----
     // drop every cached plan the catalog loop left behind (ArtifactCache
     // values, memoized HKM levels, bucketed stores): the engine block's
@@ -490,13 +555,18 @@ object Bench {
     // (BENCH_r03 "parsed: null"); ms resolution is all the diff needs
     def sec3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = healed.map { case (k, (best, _)) => "\"" + k + "\":" + sec3(best) }
+    val qs = driftHealed.map { case (k, (best, _)) => "\"" + k + "\":" + sec3(best) }
       .mkString("{", ",", "}")
     // spreads only for the flagged queries — the full map would double
     // the record for numbers that only matter when they're anomalous
     val spreadJson = suspects.map { name =>
-      val (best, worst) = healed(name)
+      val (best, worst) = driftHealed(name)
       "\"" + name + "\":[" + sec3(best) + "," + sec3(worst) + "]"
+    }.mkString("{", ",", "}")
+    // [current, committed] per surviving drift flag — empty when the
+    // run is consistent with the committed record
+    val driftJson = driftFlags.map { case (name, (cur, prev)) =>
+      "\"" + name + "\":[" + sec3(cur) + "," + sec3(prev) + "]"
     }.mkString("{", ",", "}")
     val loadEnd = osBean.getSystemLoadAverage
     // taint flag (VERDICT r8 #7): a record captured on a box already
@@ -514,8 +584,9 @@ object Bench {
       s"""{"cpus":$nCpus,"loadavg_start":${d(loadStart, 2)},""" +
         s""""loadavg_end":${d(loadEnd, 2)},"iters":$iters,""" +
         s""""tainted":$tainted,""" +
-        s""""suspect_spread":$spreadJson}"""
-    val total = healed.values.map(_._1).filter(_ >= 0).sum
+        s""""suspect_spread":$spreadJson,""" +
+        s""""drift_vs_committed":$driftJson}"""
+    val total = driftHealed.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"load":$loadJson,"engine":$engine,"clustered":$clustered,"sf":"$sfDir"}"""
@@ -537,11 +608,11 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }
-    val slow = healed.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(12)
+    val slow = driftHealed.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(12)
       .map { case (k, (best, _)) => "\"" + k + "\":" + sec3(best) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${healed.size},"queries":$slow,"queries_note":"slowest 12 of ${healed.size}; full map in BENCH_FULL.json","failed":$failedJson,"load":$loadJson,"engine":$engine,"clustered":$clustered,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${driftHealed.size},"queries":$slow,"queries_note":"slowest 12 of ${driftHealed.size}; full map in BENCH_FULL.json","failed":$failedJson,"load":$loadJson,"engine":$engine,"clustered":$clustered,"sf":"$sfDir"}"""
     println(compact)
     System.err.println(compact)
     spark.stop()
