@@ -1444,6 +1444,23 @@ object SparkEntry {
       Dedup.paragraphDedup(t(s, dir, "documents"), blockWords = 8)
         .orderBy("doc_id")),
 
+    // CCNet paragraph dedup over REAL '\n\n' paragraphs (the actual
+    // CCNet unit; the entry above is the flat-text token-block
+    // stand-in). The fixture corpus has no newlines, so the query
+    // plants paragraph structure deterministically: every doc becomes
+    // [its text, one SHARED boilerplate footer, its uppercased text] —
+    // the footer repeats corpus-wide and must survive only at its
+    // first (doc_id, idx) occurrence, while both per-doc paragraphs
+    // survive everywhere. Same first-occurrence agg + reassembly code
+    // as dedup_paragraphs; only the block table differs
+    "dedup_paragraphs_nl" -> ((s, dir) => {
+      val nl = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n\n", col("text"),
+          lit("all rights reserved contact the operator for details"),
+          upper(col("text"))).as("text"))
+      Dedup.paragraphDedupNewline(nl).orderBy("doc_id")
+    }),
+
     // Dedup #3: exhaustive n-gram Jaccard, top-20 most similar pairs
     // (bounded scan: the exhaustive form is the small-scale oracle; the
     // scale path is the LSH variant above)
@@ -4565,6 +4582,32 @@ object SparkEntry {
         |        ORDER BY doc_id, block_idx) = 1),
         |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
         |    string_agg(block, ' ' ORDER BY block_idx) AS text
+        |  FROM f GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
+        |  FROM b GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(k.text, '') AS text,
+        |  coalesce(tot.n_blocks, CAST(0 AS BIGINT)) AS n_blocks,
+        |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_paragraphs_nl" ->
+      """WITH nl AS (SELECT doc_id,
+        |    text || chr(10) || chr(10) ||
+        |    'all rights reserved contact the operator for details' ||
+        |    chr(10) || chr(10) || upper(text) AS t FROM documents),
+        |p AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS parts FROM nl),
+        |b AS (SELECT doc_id, CAST(u.i AS BIGINT) AS block_idx,
+        |    trim(parts[u.i + 1]) AS block
+        |  FROM p, LATERAL unnest(range(0, len(parts))) AS u(i)
+        |  WHERE trim(parts[u.i + 1]) <> ''),
+        |h AS (SELECT doc_id, block_idx, block,
+        |    CAST('0x' || substr(md5(block), 1, 15) AS BIGINT) AS bh FROM b),
+        |f AS (SELECT doc_id, block_idx, block FROM h
+        |      QUALIFY row_number() OVER (PARTITION BY bh
+        |        ORDER BY doc_id, block_idx) = 1),
+        |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(block, chr(10) || chr(10) ORDER BY block_idx) AS text
         |  FROM f GROUP BY doc_id),
         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks
         |  FROM b GROUP BY doc_id)

@@ -752,6 +752,38 @@ object Dedup {
         col("col").as("block"))
   }
 
+  /** Newline paragraph table for corpora with REAL paragraph structure
+    * — the actual CCNet unit (Wenzek et al. 2020 §3.1 dedups on
+    * '\n\n'-separated paragraphs; [[paragraphBlocks]]' fixed-width
+    * token blocks are the flat-text stand-in for fixtures without
+    * newlines). One row per non-blank paragraph: (doc_id, block_idx =
+    * the paragraph's split position, block = trimmed paragraph text).
+    * Blank segments (leading/trailing/double separators) are dropped
+    * but their positions are preserved, so reassembly order is stable.
+    */
+  def paragraphBlocksNewline(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    ensureParallelism(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "raw")))
+      .where(trim(col("raw")) =!= "")
+      .select(col("doc_id"), col("pos").cast("long").as("block_idx"),
+        trim(col("raw")).as("block"))
+
+  /** [[paragraphDedup]] over REAL '\n\n' paragraphs: identical
+    * first-occurrence agg ([[firstBlockOccurrences]]) and reassembly
+    * ([[assembleKeptBlocks]]), only the block table and the join
+    * separator differ — the scale posture (one count+min agg, no
+    * per-hash window) is shared by construction.
+    */
+  def paragraphDedupNewline(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val blocks = paragraphBlocksNewline(docs, idCol, textCol)
+      .withColumn("__h", md5Hash60(col("block")))
+    assembleKeptBlocks(docs.select(col(idCol).cast("long").as("doc_id")),
+      blocks, firstBlockOccurrences(blocks), sep = "\n\n")
+  }
+
   /** CCNet paragraph dedup: every block keeps only its FIRST corpus
     * occurrence — the lexicographic-min (doc_id, block_idx) per block
     * hash, ONE hash-partitioned count+min aggregation exactly like
@@ -790,10 +822,10 @@ object Dedup {
     * of "what a doc looks like after paragraph dedup", shared with the
     * streaming twin. */
   private[graft] def assembleKeptBlocks(ids: DataFrame, blocks: DataFrame,
-      kept: DataFrame): DataFrame = {
+      kept: DataFrame, sep: String = " "): DataFrame = {
     val keptAgg = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__n_kept"),
-        concat_ws(" ", transform(
+        concat_ws(sep, transform(
           sort_array(collect_list(struct(col("block_idx"), col("block")))),
           b => b.getField("block"))).as("__text"))
     val total = blocks.groupBy("doc_id")

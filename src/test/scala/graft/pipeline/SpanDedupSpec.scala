@@ -97,6 +97,36 @@ class SpanDedupSpec extends SparkSpec {
       (13L, "", 0L, 0L)))
   }
 
+  test("paragraphDedupNewline dedups real paragraph structure on '\\n\\n'") {
+    // doc 20: two paragraphs + a footer; doc 21 repeats doc 20's footer
+    // and first paragraph (different \n\n spacing noise: blank segment
+    // from a triple separator must not shift indices of later blocks);
+    // doc 22 is only boilerplate; doc 23 blank
+    val d = Seq(
+      (20L, "first para here\n\nsecond para\n\nCOPYRIGHT FOOTER"),
+      (21L, "first para here\n\n\n\nits own paragraph\n\nCOPYRIGHT FOOTER"),
+      (22L, "COPYRIGHT FOOTER"),
+      (23L, "  ")
+    ).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedupNewline(d)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (20L, "first para here\n\nsecond para\n\nCOPYRIGHT FOOTER", 3L, 3L),
+      (21L, "its own paragraph", 3L, 1L),
+      (22L, "", 1L, 0L),
+      (23L, "", 0L, 0L)))
+    // whitespace-trimmed hashing: a padded copy of a paragraph is the
+    // same paragraph
+    val p = Seq((30L, "alpha beta\n\ngamma"), (31L, "  alpha beta \n\ndelta"))
+      .toDF("doc_id", "text")
+    val rp = Dedup.paragraphDedupNewline(p).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rp == Seq(
+      (30L, "alpha beta\n\ngamma", 2L, 2L),
+      (31L, "delta", 2L, 1L)))
+  }
+
   test("paragraphDedup drops within-doc repeats after the first") {
     val d = Seq((5L, "p q r p q r s t u")).toDF("doc_id", "text")
     val r = Dedup.paragraphDedup(d, blockWords = 3)
