@@ -337,6 +337,11 @@ object ScaleProbe {
     val pairOutput = Set("dedup_simhash_pairs", "dedup_minhash_pairs",
       "lsh_neardup", "dedup_components", "dedup_embedding",
       "multimodal_phash_pairs", "dedup_jaccard_topk_banded")
+    // stable per-query context the raw exponent can't carry (design
+    // facts, not measurements)
+    val explain = Map(
+      "dedup_semdedup" -> ("fixed k=16 is the oracle fixture; the scale " +
+        "path is dedup_semdedup_refined (k derived from n + maxCell cap)"))
     rows.sortBy { case (_, _, _, e) => -(if (e.isNaN) -99 else e) }
       .foreach { case (n, t1, t10, e) =>
         val note =
@@ -344,7 +349,7 @@ object ScaleProbe {
           else if (pairOutput(n) && !perturb) s"pair output ×C($times,2)"
           else if (t1 < 0.3) "ovh"
           else if (e > 1.15) "SUPER-LINEAR"
-          else ""
+          else explain.getOrElse(n, "")
         val es = if (e.isNaN) "—" else d(e, 2)
         md ++= s"| $n | ${d(t1, 3)} | ${d(t10, 3)} | $es | $note |\n"
       }

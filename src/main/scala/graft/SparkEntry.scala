@@ -62,6 +62,11 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, Codebook]
   private val dirIvfCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Codebook]
+  // SemDeDup refinement sub-codebook: None = the refined query RAN at
+  // this dir and found no over-cap cell (oracle replays the base-only
+  // branch); Some(cb) = the trained sub artifact to inline
+  private val dirSemSubCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Codebook]]
   private val dirRerankers =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]
   private val dirRotations =
@@ -1539,6 +1544,37 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup with the maxCell cap DELIBERATELY tripped (maxCell=64 on
+    // ~125-member ivf16 cells at sf0.1) plus the refinement pass: capped
+    // cells' members re-assign to a trained sub-codebook (k derived from
+    // the hot count, the autoBits discipline) and get the same keep rule
+    // inside sub-cells. This certifies the SCALE PATH end-to-end: the
+    // oracle replays both inlined codebooks, the dynamic over-cap cell
+    // detection, and the two-pass union — so "production raises k with
+    // n" is a hash-checked mechanism, not a doc promise
+    "dedup_semdedup_refined" -> ((s, dir) => {
+      val ivf = ivfOf(s, dir)
+      dirSemSubCodebooks.put(dir, None)
+      val trainer = (d: DataFrame, k: Int) => {
+        val cb2 = ArtifactCache.codebook(s"$dir/semsub$k") {
+          graft.index.RQTrainer.fit(d.select("doc_id", "vec"), "vec",
+            numLevels = 1, k = k, seed = 43L, maxIter = 10)
+        }
+        dirSemSubCodebooks.put(dir, Some(cb2))
+        val cells2 = ArtifactCache.frame(s, s"$dir/semsub$k/cells") {
+          graft.index.CodeAssigner.assign(d.select("doc_id", "vec"), cb2)
+            .select(col("doc_id"), col("codes").getItem(0).as("cell"))
+        }
+        graft.search.IVFIndex.IVF(cb2, cells2)
+      }
+      graft.pipeline.Dedup.semDeDupRefined(
+          t(s, dir, "embeddings"), ivf.cells, ivf.codebook, tau = 0.35,
+          maxCell = 64, targetCell = 32, seed = 43L, train = Some(trainer))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("cent_sim_micro"), col("kept"), col("refined"))
+        .orderBy("vec_id")
+    }),
+
     // Text analysis #2: language ID (stopword-ratio heuristic)
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2943,6 +2979,18 @@ object SparkEntry {
           "sample_cluster_balanced" -> graft.oracle.GeneratedOracles
             .clusterBalancedSql(cb, total = 100L, alpha = 0.5)))
         .getOrElse(Map.empty) ++
+      // refined SemDeDup needs BOTH the base ivf codebook and the
+      // refined query to have RUN at this dir (the sub map entry is a
+      // ran-marker: None = ran, no over-cap cell; Some = trained sub) —
+      // emitting it from a stale base codebook alone would claim the
+      // no-hot branch for a query that never executed
+      (for {
+        d <- dir
+        cbBase <- Option(dirIvfCodebooks.get(d))
+        subOpt <- Option(dirSemSubCodebooks.get(d))
+      } yield Map("dedup_semdedup_refined" ->
+        graft.oracle.GeneratedOracles.semDeDupRefinedSql(
+          cbBase, subOpt, tau = 0.35, maxCell = 64))).getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirRerankers.get(d)))
         .map { case (coef, intercept) => Map("v15_rerank" ->
           graft.oracle.GeneratedOracles.rerankSql(

@@ -374,6 +374,98 @@ object GeneratedOracles {
        |ORDER BY cs.doc_id""".stripMargin
   }
 
+  /** 1-level nearest-centroid assignment with PREFIXED CTE names, so a
+    * second codebook's chain can coexist with [[assignCtes]] in one
+    * statement (the SemDeDup refinement pass). `src` must expose
+    * (vec_id, embedding); output `${p}a0(doc_id, v0, k0, cent0)`.
+    */
+  private def assign1Ctes(cb: Codebook, src: String, p: String): String = {
+    require(cb.numLevels == 1)
+    val rows = cb.levels(0).zipWithIndex
+      .map { case (c, code) => s"($code, ${centList(c)})" }
+      .mkString(", ")
+    s"""${p}c0(code, cent) AS (VALUES $rows),
+       |${p}d AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0 FROM $src),
+       |${p}s0 AS (SELECT doc_id, v0, code, cent,
+       |  list_sum(list_transform(list_zip(v0, cent), pp -> (pp[1] - pp[2]) * (pp[1] - pp[2]))) AS dist
+       |  FROM ${p}d CROSS JOIN ${p}c0),
+       |${p}a0 AS (SELECT doc_id, v0, code AS k0, cent AS cent0
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist, code) AS rn FROM ${p}s0)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** SemDeDup with the `maxCell` cap and ONE refinement pass
+    * ([[graft.pipeline.Dedup.semDeDupRefined]]): pass 1 applies the keep
+    * rule only inside cells with ≤ maxCell members; members of over-cap
+    * cells re-assign to the inlined SUB codebook and get the same rule
+    * inside sub-cells, with over-cap SUB-cells failing open exactly like
+    * pass 1 (the Spark side runs the same cap on the second pass).
+    * `sub = None` replays the no-hot-cell branch: pure pass 1 with every
+    * cell under the cap.
+    */
+  def semDeDupRefinedSql(cb: Codebook, sub: Option[Codebook],
+      tau: Double, maxCell: Int): String = {
+    require(cb.numLevels == 1, "SemDeDup oracle expects a 1-level codebook")
+    val tauMicro = math.floor(tau * 1000000.0 + 0.5).toLong
+    def pairCos(x: String, y: String): String =
+      s"""CAST(floor(list_sum(list_transform(list_zip($x.v0, $y.v0), p -> p[1] * p[2]))
+         |          / ($x.nrm * $y.nrm) * 1000000 + 0.5) AS BIGINT) >= $tauMicro""".stripMargin
+    def priority(x: String, y: String): String =
+      s"""($y.cent_sim_micro < $x.cent_sim_micro OR
+         |             ($y.cent_sim_micro = $x.cent_sim_micro AND $y.doc_id < $x.doc_id))""".stripMargin
+    val base =
+      s"""WITH ${assignCtes(cb)},
+         |e AS (SELECT a0.doc_id, a0.k0 AS cell, a0.v0,
+         |        sqrt(list_sum(list_transform(a0.v0, x -> x * x))) AS nrm,
+         |        sqrt(list_sum(list_transform(a0.cent0, x -> x * x))) AS cnrm,
+         |        list_sum(list_transform(list_zip(a0.v0, a0.cent0), p -> p[1] * p[2])) AS cdot
+         |      FROM a0),
+         |cs AS (SELECT doc_id, cell, v0, nrm,
+         |        CAST(floor(cdot / (nrm * cnrm) * 1000000 + 0.5) AS BIGINT) AS cent_sim_micro
+         |      FROM e),
+         |sz AS (SELECT cell, count(*) AS n FROM cs GROUP BY cell),
+         |csok AS (SELECT cs.* FROM cs JOIN sz USING (cell) WHERE sz.n <= $maxCell),
+         |drb AS (SELECT DISTINCT x.doc_id
+         |      FROM csok x JOIN csok y ON x.cell = y.cell
+         |        AND ${priority("x", "y")}
+         |        AND ${pairCos("x", "y")}),
+         |basepass AS (SELECT csok.doc_id AS vec_id, CAST(csok.cell AS BIGINT) AS cell,
+         |        csok.cent_sim_micro, drb.doc_id IS NULL AS kept, FALSE AS refined
+         |      FROM csok LEFT JOIN drb ON drb.doc_id = csok.doc_id)""".stripMargin
+    sub match {
+      case None =>
+        s"""$base
+           |SELECT vec_id, cell, cent_sim_micro, kept, refined
+           |FROM basepass ORDER BY vec_id""".stripMargin
+      case Some(cb2) =>
+        s"""$base,
+           |hotsrc AS (SELECT cs.doc_id AS vec_id, cs.v0 AS embedding
+           |      FROM cs JOIN sz USING (cell) WHERE sz.n > $maxCell),
+           |${assign1Ctes(cb2, "hotsrc", "u")},
+           |ue AS (SELECT ua0.doc_id, ua0.k0 AS cell, ua0.v0,
+           |        sqrt(list_sum(list_transform(ua0.v0, x -> x * x))) AS nrm,
+           |        sqrt(list_sum(list_transform(ua0.cent0, x -> x * x))) AS cnrm,
+           |        list_sum(list_transform(list_zip(ua0.v0, ua0.cent0), p -> p[1] * p[2])) AS cdot
+           |      FROM ua0),
+           |ucs AS (SELECT doc_id, cell, v0, nrm,
+           |        CAST(floor(cdot / (nrm * cnrm) * 1000000 + 0.5) AS BIGINT) AS cent_sim_micro
+           |      FROM ue),
+           |usz AS (SELECT cell, count(*) AS n FROM ucs GROUP BY cell),
+           |ucsok AS (SELECT ucs.* FROM ucs JOIN usz USING (cell) WHERE usz.n <= $maxCell),
+           |udr AS (SELECT DISTINCT x.doc_id
+           |      FROM ucsok x JOIN ucsok y ON x.cell = y.cell
+           |        AND ${priority("x", "y")}
+           |        AND ${pairCos("x", "y")}),
+           |refpass AS (SELECT ucs.doc_id AS vec_id, CAST(ucs.cell AS BIGINT) AS cell,
+           |        ucs.cent_sim_micro, udr.doc_id IS NULL AS kept, TRUE AS refined
+           |      FROM ucs LEFT JOIN udr ON udr.doc_id = ucs.doc_id)
+           |SELECT vec_id, cell, cent_sim_micro, kept, refined FROM basepass
+           |UNION ALL
+           |SELECT vec_id, cell, cent_sim_micro, kept, refined FROM refpass
+           |ORDER BY vec_id""".stripMargin
+    }
+  }
+
   /** Cluster-balanced sampling oracle: replays nearest-centroid cell
     * assignment from the inlined 1-level codebook (the shared
     * `assignCtes` chain), then [[graft.pipeline.Sampling.temperatureMix]]

@@ -563,6 +563,58 @@ object Dedup {
     math.max(minCells,
       math.ceil(math.max(1.0, n.toDouble) / targetCell).toInt)
 
+  /** Close the `maxCell` fail-open loop: re-dedup every capped cell's
+    * members under a FINER codebook. Pass 1 = [[semDeDup]] (over-cap
+    * cells pass through kept = true); pass 2 pools the capped cells'
+    * members, trains a sub-codebook with k = [[autoCells]](n_hot,
+    * targetCell), and applies the SAME keep rule inside the sub-cells
+    * (cross-original-cell matches are legitimate: cells are a blocking
+    * device, τ-similarity is the criterion). One refinement level
+    * suffices by construction — expected sub-cell size is targetCell,
+    * and a sub-cell can only stay over-cap if the embedding mass is
+    * degenerate, in which case it fails open exactly like pass 1 and
+    * stays visible through [[semDeDupSkippedCells]] on the sub
+    * assignment. Output adds `refined`: refined rows report their
+    * SUB-cell id and sub-centroid similarity (the pass that decided
+    * them).
+    *
+    * @param train sub-codebook trainer `(docs(doc_id, vec), k) => IVF`,
+    *              default [[graft.search.IVFIndex.build]] at `seed` —
+    *              the catalog entry wraps it with ArtifactCache so the
+    *              DuckDB oracle replays the identical trained artifact
+    */
+  def semDeDupRefined(emb: DataFrame, cells: DataFrame,
+      cb: graft.index.Codebook, tau: Double = 0.9,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCell: Int = 4096, targetCell: Int = 256, seed: Long = 43L,
+      train: Option[(DataFrame, Int) => graft.search.IVFIndex.IVF] = None)
+      : DataFrame = {
+    val base = semDeDup(emb, cells, cb, tau, idCol, vecCol, maxCell)
+      .withColumn("refined", lit(false))
+    val hotCells = broadcast(
+      semDeDupSkippedCells(cells, maxCell).select("cell"))
+    val hotIds = cells.join(hotCells, Seq("cell"), "left_semi")
+      .select("doc_id")
+    // bucket-sized driver scalar: refinement is a deterministic branch
+    // on whether any cell tripped the cap at this corpus
+    val nHot = hotIds.count()
+    if (nHot == 0L) base
+    else {
+      val embHot = emb.join(
+        hotIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi")
+      val trainer = train.getOrElse((d: DataFrame, k: Int) =>
+        graft.search.IVFIndex.build(d, k, seed))
+      val sub = trainer(
+        embHot.select(col(idCol).as("doc_id"), col(vecCol).as("vec")),
+        autoCells(nHot, targetCell))
+      val second = semDeDup(embHot, sub.cells, sub.codebook, tau,
+        idCol, vecCol, maxCell).withColumn("refined", lit(true))
+      base.join(hotIds.withColumnRenamed("doc_id", idCol),
+          Seq(idCol), "left_anti")
+        .unionByName(second)
+    }
+  }
+
   /** [[semDeDup]] with the cluster count DERIVED from the corpus count
     * — the variant a growing 100 TB corpus runs (a fixed k is only
     * right when n is known and static: the fixtures, and the oracle

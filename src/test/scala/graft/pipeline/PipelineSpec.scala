@@ -370,6 +370,74 @@ class PipelineSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("semdedup refinement: capped cell re-dedups under the sub-codebook, fail-open is closed") {
+    // cell 0 is over-cap (5 members vs maxCell=3): a tight τ-pair
+    // (v0 on-centroid, v1 near), a second τ-pair off-axis (v2, v3),
+    // and a loner (v4). cell 1 stays under cap (2 members, one τ-pair).
+    val cb = graft.index.Codebook(Array(Array(
+      Array(1f, 0f), Array(0f, 1f))))
+    val emb = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.995f, 0.1f)),
+      (2L, Array(0.9f, 0.435f)),
+      (3L, Array(0.88f, 0.47f)),
+      (4L, Array(0.8f, -0.6f)),
+      (5L, Array(0f, 1f)),
+      (6L, Array(0.1f, 0.995f))
+    ).toDF("vec_id", "embedding")
+    def assign(c: graft.index.Codebook) = graft.index.CodeAssigner.assign(
+        emb.selectExpr("vec_id as doc_id", "embedding as vec"), c)
+      .select(col("doc_id"), col("codes").getItem(0).as("cell"))
+    val cells = assign(cb)
+    // hand sub-codebook splitting cell 0's two pairs; the trainer
+    // ignores the derived k (a hand artifact IS the trained artifact)
+    val sub = graft.index.Codebook(Array(Array(
+      Array(1f, 0f), Array(0.88f, 0.46f))))
+    val trainer = (d: org.apache.spark.sql.DataFrame, _: Int) =>
+      graft.search.IVFIndex.IVF(sub,
+        graft.index.CodeAssigner.assign(d, sub)
+          .select(col("doc_id"), col("codes").getItem(0).as("cell")))
+    val r = Dedup.semDeDupRefined(emb, cells, cb, tau = 0.9,
+        maxCell = 3, train = Some(trainer))
+      .collect().map(row => row.getLong(0) ->
+        (row.getInt(1), row.getBoolean(3), row.getBoolean(4))).toMap
+    assert(r.size == 7)
+    // under-cap cell 1 decided by the BASE pass
+    assert(!r(5L)._3 && !r(6L)._3)
+    assert(!r(5L)._2 && r(6L)._2, s"cell-1 base keep rule: $r")
+    // over-cap cell 0 decided by the REFINED pass, and actually deduped
+    assert(Seq(0L, 1L, 2L, 3L, 4L).forall(r(_)._3), s"refined flags: $r")
+    assert(!r(0L)._2 && r(1L)._2, s"sub-cell A keep rule: $r")
+    assert(!r(2L)._2 && r(3L)._2 || r(2L)._2 && !r(3L)._2,
+      s"sub-cell B must drop exactly one of the pair: $r")
+    assert(r(4L)._2, s"loner must survive refinement: $r")
+
+    // degenerate sub-codebook (k=1): the one sub-cell is itself over
+    // cap → second pass fails open too, visibly (all kept)
+    val sub1 = graft.index.Codebook(Array(Array(Array(1f, 0f))))
+    val t1 = (d: org.apache.spark.sql.DataFrame, _: Int) =>
+      graft.search.IVFIndex.IVF(sub1,
+        graft.index.CodeAssigner.assign(d, sub1)
+          .select(col("doc_id"), col("codes").getItem(0).as("cell")))
+    val r1 = Dedup.semDeDupRefined(emb, cells, cb, tau = 0.9,
+        maxCell = 3, train = Some(t1))
+      .collect().map(row => row.getLong(0) ->
+        (row.getBoolean(3), row.getBoolean(4))).toMap
+    assert(Seq(0L, 1L, 2L, 3L, 4L).forall(id => r1(id)._1 && r1(id)._2),
+      s"over-cap sub-cell must fail open: $r1")
+
+    // no over-cap cell → pure base pass, refined all false, verdicts
+    // identical to plain semDeDup
+    val rNone = Dedup.semDeDupRefined(emb, cells, cb, tau = 0.9,
+        maxCell = 100, train = Some(trainer))
+      .collect().map(row => row.getLong(0) ->
+        (row.getBoolean(3), row.getBoolean(4))).toMap
+    val base = Dedup.semDeDup(emb, cells, cb, tau = 0.9)
+      .collect().map(row => row.getLong(0) -> row.getBoolean(3)).toMap
+    assert(rNone.values.forall(!_._2))
+    assert(rNone.map { case (k, v) => k -> v._1 } == base)
+  }
+
   test("query spans are deterministic substrings of the query (P5)") {
     val qs = Seq("what is the capital of assyria", "spark structured streaming")
       .toDF("query")
