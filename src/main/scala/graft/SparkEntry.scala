@@ -1845,6 +1845,15 @@ object SparkEntry {
       // inline row_number window: min doc_id per distinct text.
       val kept = docs.select("doc_id", "source", "text")
         .join(gate, Seq("doc_id")).join(buckets, Seq("doc_id"))
+      // cost note (r12, measured at sf0.1): 1.4 s (window dedup +
+      // window budget) -> 3.3 s with the two mega-group-safe shapes.
+      // Probed alternatives: localCheckpoint before the budget (3.36 s
+      // - no win, Spark's ReusedExchange already serves tokenBudget's
+      // three reads from one shuffle) and the id-semi-join dedup shape
+      // (6.7 s - kept feeds two DIFFERENT subplans, breaking exchange
+      // reuse). The min-struct agg + histogram budget is the fastest
+      // hot-key-immune form; the constant is the trade, named by the
+      // bench drift flag the round it landed.
       val canon = graft.pipeline.Dedup.exactDedup(kept).drop("text")
       graft.pipeline.Sampling.tokenBudget(canon, "source", budget = 400L,
           nTokCol = "n_words")
