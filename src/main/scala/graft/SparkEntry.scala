@@ -1663,6 +1663,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // TRUE UniMax (Chung et al. 2023 Algorithm 1, water-filling closed
+    // form) + epoch expansion: a 900-doc training budget with at most 3
+    // epochs per language — small languages saturate at n·3, the rest
+    // share the common level, and the mixture MATERIALIZES as (doc,
+    // epoch) rows: full epochs carry every doc, the partial epoch draws
+    // by md5-rank through the shared grid-bounded selection.
+    // (sample_temperature_mix above is the mT5 n^α recipe — a different
+    // published flattening; this is the budget/epoch-capped one.)
+    "sample_unimax_epochs" -> ((s, dir) =>
+      graft.pipeline.Sampling.unimaxEpochs(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", budget = 900L, epochCap = 3)
+        .orderBy("doc_id", "epoch")),
+
     // Data-mixture construction: per-source TOKEN budget, docs chosen in
     // deterministic hash-rank order until the budget fills
     "sample_token_budget" -> ((s, dir) =>
@@ -4862,6 +4876,38 @@ object SparkEntry {
         |     FROM documents d JOIN q USING (lang))
         |SELECT doc_id, lang, n_docs, quota FROM r WHERE rn <= quota
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_unimax_epochs" ->
+      """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(*) * 3 AS BIGINT) AS cap FROM documents GROUP BY lang),
+        |lv AS (SELECT lang, n_docs, cap,
+        |    CAST(row_number() OVER (ORDER BY cap ASC, lang ASC) AS BIGINT) AS i,
+        |    SUM(cap) OVER (ORDER BY cap ASC, lang ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS P,
+        |    CAST(count(*) OVER () AS BIGINT) AS k
+        |  FROM cnt),
+        |sat AS (SELECT *, (P - cap + (k - i + 1) * cap) <= 900 AS s FROM lv),
+        |st AS (SELECT coalesce(max(CASE WHEN s THEN i END), 0) AS istar,
+        |    coalesce(max(CASE WHEN s THEN P END), 0) AS pstar,
+        |    max(k) AS k FROM sat),
+        |q AS (SELECT l.lang, l.n_docs,
+        |    CAST(CASE WHEN st.istar = st.k THEN l.cap
+        |         ELSE least(l.cap, (900 - st.pstar) // (st.k - st.istar))
+        |         END AS BIGINT) AS quota
+        |  FROM sat l CROSS JOIN st),
+        |r AS (SELECT d.doc_id, d.lang, q.quota,
+        |    q.quota // q.n_docs AS fullep, q.quota % q.n_docs AS part,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY CAST('0x' || substr(md5('42:' || d.doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
+        |               d.doc_id ASC) AS rn
+        |  FROM documents d JOIN q USING (lang)),
+        |fullr AS (SELECT doc_id, lang, CAST(u.e AS BIGINT) AS epoch, quota
+        |  FROM r, LATERAL unnest(range(0, fullep)) AS u(e)),
+        |partr AS (SELECT doc_id, lang, CAST(fullep AS BIGINT) AS epoch, quota
+        |  FROM r WHERE rn <= part)
+        |SELECT doc_id, lang, epoch, quota FROM fullr
+        |UNION ALL SELECT doc_id, lang, epoch, quota FROM partr
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     "sample_token_budget" ->
       """WITH tok AS (SELECT doc_id, source,

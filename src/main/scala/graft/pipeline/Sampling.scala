@@ -321,26 +321,45 @@ object Sampling {
           col(groupCol).cast("string"))).cast("bigint")))
       .select(col(groupCol), col("n_docs"), col("quota"))
 
+    selectSmallestByHash(df, groupCol,
+        quota.select(col(groupCol), col("quota")), idCol, seed, gridM)
+      .join(broadcast(quota), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("n_docs"), col("quota"))
+  }
+
+  /** The shared grid-bounded selection core: per group, the `quota_g`
+    * rows with the smallest (md5-rank, id) — the machinery
+    * [[temperatureMix]] and [[unimaxEpochs]] both select through.
+    * `quota` is a bucket-sized (groupCol, quota) frame (broadcast).
+    * Output: (idCol, groupCol). Scale: one map-side-combinable
+    * histogram agg over the corpus, one grid-bounded window over the
+    * histogram, a stateless below-boundary filter, and a row_number
+    * over only the expected-n_g/gridM-row boundary tie set — no
+    * full-group sort anywhere (see the temperatureMix scaladoc for the
+    * derivation and the StressSpec 190k-row hot-group witness).
+    */
+  private[graft] def selectSmallestByHash(df: DataFrame, groupCol: String,
+      quota: DataFrame, idCol: String, seed: Long,
+      gridM: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol), col(groupCol))
       .join(broadcast(quota), Seq(groupCol))
       .withColumn("__h", pmod(graft.functions.HashFunctions.md5_prefix(
         concat(lit(seed.toString), lit(":"), col(idCol).cast("string")), 15),
         lit(gridM)))
     // per-(group, rank-value) histogram: map-side combinable, key space
-    // ≤ #groups × 1e6 — the ONLY aggregation that sees every row
+    // ≤ #groups × gridM — the ONLY aggregation that sees every row
     val hist = base.groupBy(col(groupCol), col("__h"))
       .agg(count(lit(1)).as("__c"))
-    // cumulative count over the histogram (≤ 1e6 rows per group — the
-    // window sort is grid-bounded, never corpus-bounded), then
-    // h* = smallest rank value whose cumulative count reaches the
-    // quota, carrying r = quota − count(h < h*) tie-set slots. A group
-    // whose quota ≥ n_docs never reaches the quota → no h* row → the
-    // left join below keeps ALL its rows.
+    // cumulative count over the histogram (grid-bounded, never
+    // corpus-bounded), then h* = smallest rank value whose cumulative
+    // count reaches the quota, carrying r = quota − count(h < h*)
+    // tie-set slots. A group whose quota ≥ n_docs never reaches the
+    // quota → no h* row → the left join below keeps ALL its rows.
     val cumw = Window.partitionBy(col(groupCol)).orderBy(col("__h").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thr = hist.withColumn("__cum", sum(col("__c")).over(cumw))
-      .join(broadcast(quota.select(col(groupCol), col("quota"))),
-        Seq(groupCol))
+      .join(broadcast(quota), Seq(groupCol))
       .where(col("__cum") >= col("quota"))
       .groupBy(col(groupCol))
       .agg(min(struct(col("__h"),
@@ -353,14 +372,104 @@ object Sampling {
     // sorts or shuffles (quota and threshold joins both broadcast)
     val below = withThr
       .where(col("__hstar").isNull || col("__h") < col("__hstar"))
-      .select(col(idCol), col(groupCol), col("n_docs"), col("quota"))
-    // the boundary tie set (expected n_g/1e6 rows): exact-trim to the
+      .select(col(idCol), col(groupCol))
+    // the boundary tie set (expected n_g/gridM rows): exact-trim to the
     // r smallest ids; the only row_number over corpus rows runs here
     val tieW = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
     val ties = withThr.where(col("__h") === col("__hstar"))
       .withColumn("__rn", row_number().over(tieW).cast("long"))
       .where(col("__rn") <= col("__r"))
-      .select(col(idCol), col(groupCol), col("n_docs"), col("quota"))
+      .select(col(idCol), col(groupCol))
     below.unionByName(ties)
+  }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling", Algorithm 1) in its
+    * WATER-FILLING closed form, plus the epoch expansion: given a
+    * training budget of `budget` docs and an epoch cap E, every group
+    * is capped at cap_g = n_g·E and the budget is levelled — groups
+    * with cap ≤ t saturate, the rest get the common level
+    * t = (B − Σ_{saturated} cap) div |unsaturated|. This is exactly the
+    * paper's sequential smallest-first greedy except for ≤ #groups−1
+    * integer-division remainder units (the greedy re-divides the
+    * remainder at each step and hands it to the largest groups; the
+    * level form leaves it unallocated — quotas are targets, the
+    * published recipes' own convention). The level form is one sort +
+    * prefix-sum over the #groups-row cap table: symmetric, engine-
+    * exact, no sequential state.
+    *
+    * Expansion (the data-constrained training mix, cf. Muennighoff et
+    * al. 2023): quota_g = full·n_g + part docs materialize as
+    * `full` complete epochs (every doc, epoch = 0..full−1) plus a
+    * partial epoch of the `part` smallest-md5-rank docs (epoch =
+    * full) — selected through [[selectSmallestByHash]], so the partial
+    * draw is the SAME deterministic uniform rule as every other
+    * sampler here and a mega group cannot serialize a task.
+    * Output: (idCol, groupCol, epoch, quota) — Σ rows per group =
+    * quota_g ≤ budget in total.
+    */
+  def unimaxEpochs(df: DataFrame, groupCol: String, budget: Long,
+      epochCap: Int, idCol: String = "doc_id",
+      seed: Long = 42L): DataFrame =
+    unimaxEpochsGrid(df, groupCol, budget, epochCap, idCol, seed, M)
+
+  private[graft] def unimaxEpochsGrid(df: DataFrame, groupCol: String,
+      budget: Long, epochCap: Int, idCol: String, seed: Long,
+      gridM: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && epochCap > 0 && gridM > 0)
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("cap", col("n_docs") * epochCap)
+    // water level over the #groups-row cap table: group (i) in
+    // cap-ascending order saturates iff the budget can raise EVERY
+    // unsaturated group at least to its cap:
+    //   P_{i−1} + (k−i+1)·cap_i ≤ B.
+    // The predicate is monotone (cap_{i−1} ≤ cap_i ⇒ LHS_{i−1} ≤
+    // LHS_i), so saturated rows form a prefix and one max() finds i*.
+    // These windows span #groups rows — bounded by the group-key
+    // cardinality, the same posture as ccnetBuckets' 300-row sample.
+    val ow = Window.orderBy(col("cap").asc, col(groupCol).asc)
+    val lv = counts
+      .withColumn("__i", row_number().over(ow).cast("long"))
+      .withColumn("__P", sum(col("cap")).over(
+        ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__k", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__sat",
+        col("__P") - col("cap") + (col("__k") - col("__i") + 1) * col("cap")
+          <= budget)
+    val istar = lv.agg(
+      coalesce(max(when(col("__sat"), col("__i"))), lit(0L)).as("__istar"),
+      coalesce(max(when(col("__sat"), col("__P"))), lit(0L)).as("__Pstar"),
+      max(col("__k")).as("__kk"))
+    val quota = lv.crossJoin(broadcast(istar))
+      .withColumn("quota",
+        when(col("__istar") === col("__kk"), col("cap"))
+          .otherwise(least(col("cap"),
+            expr(s"(${budget}L - __Pstar) div (__kk - __istar)"))))
+      .select(col(groupCol), col("n_docs"), col("cap"),
+        col("quota").cast("long").as("quota"))
+
+    val alloc = quota
+      .withColumn("__full", expr("quota div n_docs"))
+      .withColumn("__part", col("quota") % col("n_docs"))
+    val base = df.select(col(idCol), col(groupCol))
+      .join(broadcast(alloc), Seq(groupCol))
+    // full epochs: every doc of the group, epoch 0..full−1 (groups with
+    // full = 0 contribute nothing here — posexplode skips empty arrays)
+    val fullRows = base
+      .withColumn("epoch", explode(when(col("__full") >= 1,
+        sequence(lit(0L), col("__full") - 1))
+        .otherwise(array().cast("array<long>"))))
+      .select(col(idCol), col(groupCol), col("epoch"), col("quota"))
+    // partial epoch: the `part` smallest-md5-rank docs at epoch = full
+    val partRows = selectSmallestByHash(df, groupCol,
+        alloc.where(col("__part") > 0)
+          .select(col(groupCol), col("__part").as("quota")),
+        idCol, seed, gridM)
+      .join(broadcast(alloc), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("__full").as("epoch"),
+        col("quota"))
+    fullRows.unionByName(partRows)
   }
 }

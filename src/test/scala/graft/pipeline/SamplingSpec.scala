@@ -278,6 +278,60 @@ class SamplingSpec extends SparkSpec {
       s"budget boundary bucket not split (sel $selAtBoundary of $atBoundary)")
   }
 
+  test("unimax epochs: water level, saturation, and epoch expansion (hand case)") {
+    // groups a=2, b=5, c=50 docs at E=3 → caps 6, 15, 150. Budget 40:
+    // a saturates (0 + 3·6 = 18 ≤ 40), b saturates (6 + 2·15 = 36 ≤ 40),
+    // c does not (21 + 150 > 40) → level t = (40 − 21) div 1 = 19.
+    // Quotas a=6 (3 full epochs), b=15 (3 full epochs), c=19 (0 full +
+    // 19-doc partial at epoch 0). Σ = 40 = the whole budget.
+    val d = ((0L until 2L).map(i => (i, "a")) ++
+      (10L until 15L).map(i => (i, "b")) ++
+      (100L until 150L).map(i => (i, "c"))).toDF("doc_id", "grp")
+    val out = Sampling.unimaxEpochs(d, "grp", budget = 40L, epochCap = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val byGrp = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byGrp == Map("a" -> 6, "b" -> 15, "c" -> 19), s"got $byGrp")
+    // saturated groups run full epochs 0..2 over EVERY doc
+    assert(out.filter(_._1 == "a").map(_._3).sorted.toSeq ==
+      Seq(0L, 0L, 1L, 1L, 2L, 2L))
+    assert(out.filter(_._1 == "b").count(_._3 == 2L) == 5)
+    // the unsaturated group is one partial epoch, all at epoch 0
+    assert(out.filter(_._1 == "c").forall(_._3 == 0L))
+    assert(out.filter(_._1 == "c").map(_._2).distinct.length == 19)
+
+    // budget ≥ Σ caps: everyone saturates at exactly E epochs
+    val all = Sampling.unimaxEpochs(d, "grp", budget = 1000L, epochCap = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(all.length == (2 + 5 + 50) * 2)
+    assert(all.forall(t => t._2 == 0L || t._2 == 1L))
+
+    // deterministic under repartition
+    val again = Sampling.unimaxEpochs(d.repartition(7), "grp",
+        budget = 40L, epochCap = 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2))).toSet
+    assert(again == out.toSet)
+
+    // the partial-epoch draw equals the direct window walk AT THE SAME
+    // grid (the grid defines the rank order, so this is the meaningful
+    // invariant — the same one the temperatureMix/tokenBudget coarse
+    // pins establish for the shared selection core): c's 19 partial
+    // docs under a 7-bucket grid = the 19 smallest (h%7, id) of c
+    import org.apache.spark.sql.expressions.Window
+    val gridM = 7L
+    val coarse = Sampling.unimaxEpochsGrid(d, "grp", 40L, 3,
+        "doc_id", 42L, gridM)
+      .collect().filter(_.getString(1) == "c").map(_.getLong(0)).toSet
+    val h = pmod(graft.functions.HashFunctions.md5_prefix(
+      concat(lit("42"), lit(":"), col("doc_id").cast("string")), 15),
+      lit(gridM))
+    val w = Window.partitionBy(col("grp")).orderBy(h.asc, col("doc_id").asc)
+    val ref = d.where(col("grp") === "c")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 19).select("doc_id")
+      .as[Long].collect().toSet
+    assert(coarse == ref, "partial draw diverged from the rank walk")
+  }
+
   test("temperature mix histogram form equals the direct window form on a coarse grid") {
     import org.apache.spark.sql.expressions.Window
     // The ADVICE-r11 property pin: the histogram/threshold/tie-trim
