@@ -53,8 +53,13 @@ object IncrementalParagraphDedup {
     * partition the filter only prunes at planning time).
     */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      storeDir: String, outDir: String, blockWords: Int = 8): Unit = {
-    val blocks = Dedup.paragraphBlocks(batch, blockWords = blockWords)
+      storeDir: String, outDir: String, blockWords: Int = 8,
+      newline: Boolean = false): Unit = {
+    // newline = the real CCNet unit ('\n\n' paragraphs, trimmed) for
+    // corpora with structure; token blocks for flat text — the SAME
+    // first-occurrence rule and store either way
+    val blocks = (if (newline) Dedup.paragraphBlocksNewline(batch)
+      else Dedup.paragraphBlocks(batch, blockWords = blockWords))
       .withColumn("__h", Dedup.md5Hash60(col("block")))
       .localCheckpoint()
     val batchFirst = Dedup.firstBlockOccurrences(blocks)
@@ -69,7 +74,7 @@ object IncrementalParagraphDedup {
     val keptC = kept.localCheckpoint()
     Dedup.assembleKeptBlocks(
         batch.select(col("doc_id").cast("long").as("doc_id")),
-        blocks, keptC)
+        blocks, keptC, sep = if (newline) "\n\n" else " ")
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     // one row per hash by construction (batchFirst is unique per __h)
     keptC.select(col("__h"))
@@ -81,14 +86,15 @@ object IncrementalParagraphDedup {
     * at `storeDir`. */
   def start(spark: SparkSession, inputDir: String, storeDir: String,
       outDir: String, checkpointDir: String, schema: StructType,
-      blockWords: Int = 8): StreamingQuery = {
+      blockWords: Int = 8, newline: Boolean = false): StreamingQuery = {
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, storeDir, outDir, blockWords)
+        processBatch(spark, batch, batchId, storeDir, outDir, blockWords,
+          newline)
       }
       .start()
   }

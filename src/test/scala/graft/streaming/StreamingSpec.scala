@@ -506,4 +506,37 @@ class StreamingSpec extends SparkSpec {
     // way, so the full rows still match)
     assert(streamed() == batch, s"wrapper ${streamed()} != batch $batch")
   }
+
+  test("streaming NEWLINE paragraph dedup matches its batch twin on ordered arrivals") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val base = "target/tmp/stream_pdedup_nl"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    val storeDir = s"$base/store"; val outDir = s"$base/out"
+    // real paragraph structure: batch 1 repeats batch 0's footer
+    // cross-batch and carries a within-batch duplicate paragraph
+    val b0 = Seq(
+      (0L, "first doc intro\n\nshared footer paragraph"),
+      (1L, "second doc body\n\nits own ending")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "third doc opener\n\nshared footer paragraph"),
+      (11L, "repeated inside batch\n\nunique tail"),
+      (12L, "repeated inside batch")).toDF("doc_id", "text")
+    IncrementalParagraphDedup.processBatch(spark, b0, 0L, storeDir, outDir,
+      newline = true)
+    IncrementalParagraphDedup.processBatch(spark, b1, 1L, storeDir, outDir,
+      newline = true)
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "text", "n_blocks", "n_kept").orderBy("doc_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = Dedup.paragraphDedupNewline(b0.unionByName(b1))
+      .orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // the cross-batch footer survives only in doc 0; doc 12's paragraph
+    // was admitted earlier in its own batch by doc 11
+    assert(batch.find(_._1 == 10L).get._2 == "third doc opener")
+    assert(batch.find(_._1 == 12L).get._2 == "")
+  }
 }
