@@ -327,6 +327,23 @@ class PlanSpec extends SparkSpec {
       s"per-hash window crept back into the curate dedup stage:\n$p2")
   }
 
+  test("unimax allocation windows run on the group-count table, never the corpus") {
+    // the water-level sort/prefix-sum spans #groups rows (the counts
+    // agg output), and the corpus only ever flows through map-side
+    // partial aggregation + broadcast joins + the shared grid-bounded
+    // selection — pin that the counts aggregate is partial BEFORE any
+    // window sees data, mirroring the hdr-quantile pin
+    val d = spark.range(5000).select(col("id").as("doc_id"),
+      (col("id") % 7).cast("string").as("g"))
+    val p = planString(
+      graft.pipeline.Sampling.unimaxEpochs(d, "g", budget = 600L,
+        epochCap = 2))
+    assert(p.contains("partial_count"), s"counts agg not map-side:\n$p")
+    // broadcast allocation joins — the corpus side never shuffles for
+    // the quota attach
+    assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
+  }
+
   test("no query in the catalog plans an unbroadcast cartesian product") {
     // full-catalog sweep: every SparkEntry query's physical plan at
     // sf0.001 — the deliberate small-side crossJoins (BruteForceKNN's
