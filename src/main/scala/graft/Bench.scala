@@ -158,8 +158,17 @@ object Bench {
         } else {
           val body = """"queries":\{([^}]*)\}""".r
             .findFirstMatchIn(prev).map(_.group(1)).getOrElse("")
-          """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
+          val parsed = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+            .findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // a committed record that parses to ZERO query times means the
+          // format evolved past this regex — the drift check would
+          // silently disappear; say so instead (ADVICE r12)
+          if (parsed.isEmpty)
+            System.err.println("[bench] WARNING committed BENCH_FULL.json " +
+              "exists but no query times parsed — drift check is DEAD; " +
+              "fix the \"queries\":{...} extraction regex")
+          parsed
         }
       } else Map.empty
     } catch { case _: Throwable => Map.empty }
@@ -192,6 +201,25 @@ object Bench {
     if (driftFlags.nonEmpty)
       System.err.println("[bench] WARNING drift vs committed record " +
         "(>2x after re-time): " + driftFlags.map { case (n, (c, p)) =>
+          f"$n $c%.3f/$p%.3f" }.mkString(", "))
+    // second, tighter tier (VERDICT r12 #3): >1.5x AND >0.3 s moves sit
+    // under the hard gate but are exactly where sub-gate creep hides —
+    // r12's sample_dsir 0.68→0.90 spread turned out to be residual-load
+    // sensitivity (time correlates monotonically with loadavg_start
+    // across five records: 0.68@1.3, 0.74@2.2, 0.82@3.5, 0.90@4.1,
+    // 1.19@~5), but it went unlisted for a round. Note, don't re-time;
+    // recorded as drift_note in the JSON so the round diff starts named.
+    val driftNotes = driftHealed.collect {
+      case (name, (best, _))
+          if prevQueryTimes.get(name).exists(p =>
+            best > 0 && p > 0 && !isDrift(best, p) &&
+              best > 1.5 * p && best - p > 0.3) =>
+        name -> (best, prevQueryTimes(name))
+    }
+    if (driftNotes.nonEmpty)
+      System.err.println("[bench] note: sub-gate drift (>1.5x, >0.3s) — " +
+        "check loadavg before reading as regression: " +
+        driftNotes.map { case (n, (c, p)) =>
           f"$n $c%.3f/$p%.3f" }.mkString(", "))
 
     // ---- engine metrics (BASELINE.md protocol) ----
@@ -527,6 +555,76 @@ object Bench {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       }
 
+      // ---- no-broadcast-regime layout pair (VERDICT r12 #6) ----
+      // The pair above runs with auto-broadcast DISABLED to simulate
+      // corpus scale (at 4k docs AQE otherwise broadcasts everything and
+      // the bucketed layout never gets to elide its Exchange). This pair
+      // removes the simulation: every join input is sized past the stock
+      // 10 MB thresholds — 120k docs × dim 48 (~24 MB), 960k ring edges
+      // (~15 MB), 60k queries (~12 MB qvec side, ~15 MB frontier rows) —
+      // so stock AQE itself picks sort-merge joins, and the bucketed
+      // adjacency store is measured doing the exact thing it exists for:
+      // serving the per-round edge join without re-shuffling the
+      // corpus-sized side. Structure is synthetic (ring edges inside
+      // planted 60-doc clusters; entries 30 ring-hops from the answer)
+      // because only the LAYOUT is under test here — graph quality is
+      // the clustered block's job above.
+      val (bigPlainSec, bigBucketedSec, bigNDocs, bigNQ) = {
+        val bDocs = 120000L; val bDim = 48; val clusterSz = 60L
+        val bQ = 60000L
+        val bgen = udf { (id: Long) =>
+          val c = id / clusterSz
+          val rng = new scala.util.Random(id * 0x9E3779B97F4A7C15L)
+          val v = Array.tabulate(bDim)(j =>
+            (math.sin((c * bDim + j).toDouble) + 0.08 * rng.nextGaussian()).toFloat)
+          val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+          v.map(_ / n)
+        }
+        val bdocs = spark.range(bDocs)
+          .select(col("id").as("doc_id"), bgen(col("id")).as("vec"))
+          .localCheckpoint()
+        // ring edges within each cluster: i -> start + (i±1..4 mod 60)
+        val base60 = (col("doc_id") / clusterSz).cast("long") * clusterSz
+        val off = col("doc_id") - base60
+        val bedges = bdocs.select(col("doc_id"),
+            explode(array((1 to 4).flatMap(d => Seq(lit(d.toLong), lit(60L - d))): _*)).as("__d"))
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") - base60 + col("__d")) % clusterSz + base60).as("dst"))
+        val bq = spark.range(bQ)
+          .select(col("id").as("query_id"),
+            ((col("id") * 2L) % bDocs).as("__src"))
+          .join(bdocs.select(col("doc_id").as("__src"), col("vec")), Seq("__src"))
+          .select(col("query_id"),
+            transform(col("vec"), (x, i) =>
+              (x + lit(1e-3f) * sin(col("query_id") * lit(31) + i)).cast("float"))
+              .as("qvec"), col("__src"))
+          .localCheckpoint()
+        // entries: 30 ring-hops away in the same cluster — the walk has
+        // to traverse, not just confirm
+        val bentries = bq.select(col("query_id"),
+          ((col("__src") - (col("__src") / clusterSz) * clusterSz + 30L) %
+            clusterSz + (col("__src") / clusterSz) * clusterSz).as("doc_id"))
+        val bqv = bq.select("query_id", "qvec")
+        val pDir = "target/tmp/bench_biggraph_plain"
+        bedges.write.mode("overwrite").parquet(pDir)
+        val pGraph = spark.read.parquet(pDir)
+        val pSec = bestOf2 {
+          KnnGraph.walk(bqv, pGraph, bdocs, k = 10, beam = 8,
+            rounds = 2, entries = bentries)
+            .write.format("noop").mode("overwrite").save()
+        }
+        graft.io.Bucketing.writeBucketed(bedges, "bench_biggraph_bucketed",
+          "target/tmp/bench_biggraph_bucketed", "src", buckets = 32)
+        val bGraph = graft.io.Bucketing.readBucketed(spark, "bench_biggraph_bucketed")
+        val bSec = bestOf2 {
+          KnnGraph.walk(bqv, bGraph, bdocs, k = 10, beam = 8,
+            rounds = 2, entries = bentries)
+            .write.format("noop").mode("overwrite").save()
+        }
+        bdocs.unpersist(); bq.unpersist()
+        (pSec, bSec, bDocs, bQ)
+      }
+
       // spec-level floors (KnnGraphSpec pins the graph path; IVF/coarse
       // probe the same planted structure) — a breach is a red flag even
       // though only the specs hard-fail
@@ -543,6 +641,9 @@ object Bench {
         s""""graph_ann_qps":${d(nCq / gSec, 2)},""" +
         s""""walk_parquet_qps":${d(nCq / plainWalkSec, 2)},""" +
         s""""bucketed_walk_qps":${d(nCq / bucketedWalkSec, 2)},""" +
+        s""""bigwalk_n_docs":$bigNDocs,"bigwalk_n_queries":$bigNQ,""" +
+        s""""bigwalk_parquet_sec":${d(bigPlainSec, 3)},""" +
+        s""""bigwalk_bucketed_sec":${d(bigBucketedSec, 3)},""" +
         s""""graph_recall_at_10":${d(gRecall, 4)}}"""
     } catch {
       case e: Throwable =>
@@ -568,6 +669,9 @@ object Bench {
     val driftJson = driftFlags.map { case (name, (cur, prev)) =>
       "\"" + name + "\":[" + sec3(cur) + "," + sec3(prev) + "]"
     }.mkString("{", ",", "}")
+    val driftNoteJson = driftNotes.map { case (name, (cur, prev)) =>
+      "\"" + name + "\":[" + sec3(cur) + "," + sec3(prev) + "]"
+    }.mkString("{", ",", "}")
     val loadEnd = osBean.getSystemLoadAverage
     // taint flag (VERDICT r8 #7): a record captured on a box already
     // working (loadavg_start > cpus/4) embeds contention in its
@@ -585,7 +689,8 @@ object Bench {
         s""""loadavg_end":${d(loadEnd, 2)},"iters":$iters,""" +
         s""""tainted":$tainted,""" +
         s""""suspect_spread":$spreadJson,""" +
-        s""""drift_vs_committed":$driftJson}"""
+        s""""drift_vs_committed":$driftJson,""" +
+        s""""drift_note":$driftNoteJson}"""
     val total = driftHealed.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =

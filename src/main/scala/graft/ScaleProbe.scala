@@ -340,8 +340,11 @@ object ScaleProbe {
     // stable per-query context the raw exponent can't carry (design
     // facts, not measurements)
     val explain = Map(
-      "dedup_semdedup" -> ("fixed k=16 is the oracle fixture; the scale " +
-        "path is dedup_semdedup_refined (k derived from n + maxCell cap)"))
+      "dedup_semdedup" -> ("k derived from n (autoCells) — expected cell " +
+        "size stays flat as the corpus grows"),
+      "dedup_semdedup_fixedk" -> ("fixed k=16 oracle fixture: cell size " +
+        "grows with n BY DESIGN; the production shapes are " +
+        "dedup_semdedup (derived k) and _refined (+cap recovery)"))
     rows.sortBy { case (_, _, _, e) => -(if (e.isNaN) -99 else e) }
       .foreach { case (n, t1, t10, e) =>
         val note =

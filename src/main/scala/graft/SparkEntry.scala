@@ -67,6 +67,10 @@ object SparkEntry {
   // branch); Some(cb) = the trained sub artifact to inline
   private val dirSemSubCodebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Codebook]]
+  // derived-k SemDeDup codebook (k = autoCells(n)): the headline
+  // dedup_semdedup entry trains THIS, not the fixed ivf16
+  private val dirSemScaledCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Codebook]
   private val dirRerankers =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]
   private val dirRotations =
@@ -225,6 +229,34 @@ object SparkEntry {
     graft.search.IVFIndex.IVF(cb, cells)
   }
 
+  /** Derived-k IVF for the headline SemDeDup entry: k = autoCells(n,
+    * targetCell=256) — the cluster count production derives from the
+    * corpus so expected cell size stays flat as it grows (VERDICT r12
+    * #4: the first SemDeDup shape a reader meets must be the one a
+    * 100 TB corpus runs; fixed k=16 lives on as the
+    * dedup_semdedup_fixedk oracle fixture). Dir-memoized like ivfOf;
+    * at sf0.01 autoCells floors to the same k=16, at sf0.1 it derives
+    * k=20. */
+  private def semScaledIvfOf(s: SparkSession, dir: String)
+      : graft.search.IVFIndex.IVF = {
+    val n = ArtifactCache.value(s"$dir/semscaled/n") {
+      t(s, dir, "embeddings").count()
+    }
+    val k = graft.pipeline.Dedup.autoCells(n, targetCell = 256)
+    val cb = ArtifactCache.codebook(s"$dir/semscaled$k") {
+      RQTrainer.fit(docVecs(s, dir).select("doc_id", "vec"), "vec",
+        numLevels = 1, k = k, seed = 42L, maxIter = 10)
+    }
+    dirSemScaledCodebooks.put(dir, cb)
+    lastDir = Some(dir)
+    val cells = ArtifactCache.frame(s, s"$dir/semscaled$k/cells") {
+      CodeAssigner.assign(docVecs(s, dir).select("doc_id", "vec"), cb)
+        .select(col("doc_id"), col("codes").getItem(0).as("cell"))
+        .repartition(col("cell"))
+    }
+    graft.search.IVFIndex.IVF(cb, cells)
+  }
+
   /** Plain-PQ codebook over the fixture embeddings: 4 slices × 8 cents
     * (dim 64 → 16-wide sub-vectors), dir-memoized like the RQ artifacts. */
   private def pqCodebookOf(s: SparkSession, dir: String): graft.index.PQCodebook = {
@@ -267,6 +299,7 @@ object SparkEntry {
   def warmArtifacts(s: SparkSession, dir: String): Unit = {
     rqIndex(s, dir).count()
     ivfOf(s, dir).cells.count()
+    semScaledIvfOf(s, dir).cells.count()
     pqCodebookOf(s, dir): Unit
     ivfPqOf(s, dir).codes.count()
     // constructing the v15/PCA frames materializes the candidate frames,
@@ -1530,12 +1563,28 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("a", "b")),
 
-    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup over
-    // the SAME trained ivf16 k-means cells the ANN queries use — within
-    // each cell, τ-similar groups keep only their least-centroid-similar
-    // exemplar. Oracle replays assignment + keep rule from inlined
-    // centroids; τ = the fixture's established near-dup threshold
+    // SemDeDup (Abbas et al. 2023) at the shape PRODUCTION runs: the
+    // cluster count derives from the corpus (k = ⌈n/256⌉ floored at 16,
+    // the autoCells discipline), so expected cell size stays flat as the
+    // corpus grows and the cell-blocked pair join stays linear; maxCell
+    // remains the density-skew backstop. Within each cell, τ-similar
+    // groups keep only their least-centroid-similar exemplar. Oracle
+    // replays assignment + keep rule (incl. the cap) from the inlined
+    // TRAINED derived-k centroids.
     "dedup_semdedup" -> ((s, dir) => {
+      val ivf = semScaledIvfOf(s, dir)
+      graft.pipeline.Dedup.semDeDup(
+          t(s, dir, "embeddings"), ivf.cells, ivf.codebook, tau = 0.35)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("cent_sim_micro"), col("kept"))
+        .orderBy("vec_id")
+    }),
+
+    // The FIXED-k oracle fixture (the pre-r13 dedup_semdedup): the same
+    // keep rule over the shared ivf16 cells the ANN queries use — kept
+    // as the known-k regression anchor; the headline entry above is the
+    // derived-k shape a growing corpus runs
+    "dedup_semdedup_fixedk" -> ((s, dir) => {
       val ivf = ivfOf(s, dir)
       graft.pipeline.Dedup.semDeDup(
           t(s, dir, "embeddings"), ivf.cells, ivf.codebook, tau = 0.35)
@@ -1871,6 +1920,88 @@ object SparkEntry {
       val canon = graft.pipeline.Dedup.exactDedup(kept).drop("text")
       graft.pipeline.Sampling.tokenBudget(canon, "source", budget = 400L,
           nTokCol = "n_words")
+        .select("doc_id", "source", "bucket", "n_words")
+        .orderBy("doc_id")
+    }),
+
+    // The FULL published curation recipe (CCNet/Gopher/RefinedWeb order)
+    // end-to-end in ONE hash-compared statement — `pipeline_curate_corpus`
+    // stops at exact dedup + budget; this entry adds the three stages a
+    // production pretraining pipeline runs between them: MinHash+LSH
+    // fuzzy near-dup (8 perms × 4-row bands → exact-Jaccard confirm
+    // ≥ 0.5) → connected components → QUALITY-canonical survivor (keep
+    // the copy worth training on, not the min id) → benchmark
+    // decontamination (≥ 3 shared distinct 5-grams with the held-out
+    // excerpts) → per-source token budget. Every stage is an
+    // already-oracle-certified operator (dedup_minhash_pairs,
+    // dedup_components, dedup_canonical_quality, contamination_screen,
+    // sample_token_budget); THIS query certifies the COMPOSITION — the
+    // oracle chains gate, LM buckets, exact dedup, banding, the
+    // recursive-CTE components, the survivor policy, the screen, and
+    // the budget walk into one statement, so a hash match is
+    // end-to-end bit-parity. At sf0.01 every stage is non-vacuous:
+    // 277 gate → 174 non-tail canon → 9 confirmed pairs / 7 components
+    // (incl. one 3-doc triangle) → 3 contaminated docs → budget trim.
+    //
+    // Cost decomposition (sf0.1/local[32], best-of-2): 7.6 s total =
+    // 3.7 s for the gate→LM→exact-dedup→budget spine (the measured
+    // pipeline_curate_corpus cost) + ~3.9 s for the added stages, of
+    // which the standalone catalog entries price the work itself at
+    // sig 0.5 + band/confirm 0.8 + components 2.3 + screen 0.4 — i.e.
+    // the composition adds ~12 sequential actions (two stage
+    // checkpoints + 2-3 component rounds × checkpoint each) whose
+    // fixed job overhead dominates at fixture scale and amortizes at
+    // corpus scale (100× exponent 0.17 vs the spine's 0.27).
+    "pipeline_curate_corpus_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gate = TextAnalysis.gopherRules(docs)
+        .where(col("pass_words") && col("pass_mwl") &&
+          col("pass_alpha") && col("pass_symbol"))
+        .select(col("doc_id"), col("n_words"))
+      val buckets = graft.pipeline.NgramLM.ccnetBuckets(
+          graft.pipeline.NgramLM.score(docs, lmOf(s, dir)), sampleK = 300)
+        .where(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("bucket"))
+      val kept = docs.select("doc_id", "source", "text")
+        .join(gate, Seq("doc_id")).join(buckets, Seq("doc_id"))
+      // staged write: the exact-dedup survivor set feeds FIVE downstream
+      // consumers (signatures, the Jaccard confirm's doc side, quality
+      // scoring, the contamination screen, the budget), and the fuzzy
+      // stage's internal localCheckpoints force separate actions — so
+      // each consumer would re-run gate + LM scoring + dedup from the
+      // parquet scan. A real pipeline writes the post-dedup corpus
+      // between stages; localCheckpoint is that staged write (measured
+      // at sf0.1: 27.0 s without it, 7.6 s with).
+      val canon = graft.pipeline.Dedup.exactDedup(kept).localCheckpoint()
+      // fuzzy near-dup among the exact-dedup survivors
+      val sigs = Dedup.minhashSignatures(canon, numPerms = 8)
+      val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
+        .localCheckpoint()
+      val confirmed = Dedup.jaccardPairsByHash(canon, cands)
+        .where(col("jaccard") >= 0.5).select("a", "b").localCheckpoint()
+      val comp = Dedup.connectedComponents(confirmed)
+        .select(col("v").as("doc_id"), col("comp").as("component"))
+      val withComp = canon.select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val q = TextAnalysis.qualityScore(canon)
+        .select(col("doc_id"), microUnits(col("quality_score"), 6).as("score"))
+      val surv = Dedup.canonicalByScore(withComp, q)
+        .where(col("kept")).select("doc_id")
+      val canonSurv = canon.join(surv, Seq("doc_id"), "left_semi")
+      // decontamination: the held-out set is excerpts of the first 10
+      // raw docs (the contamination_screen fixture) — an EXTERNAL
+      // benchmark, screened against the post-dedup survivors
+      val bench = docs.where(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 21, 80).as("text"))
+      val contaminated = graft.pipeline.Contamination
+        .screen(canonSurv, bench, n = 5, minShared = 3)
+        .select("doc_id").distinct()
+      val clean = canonSurv.join(contaminated, Seq("doc_id"), "left_anti")
+      graft.pipeline.Sampling.tokenBudget(clean.drop("text"), "source",
+          budget = 400L, nTokCol = "n_words")
         .select("doc_id", "source", "bucket", "n_words")
         .orderBy("doc_id")
     }),
@@ -2997,10 +3128,15 @@ object SparkEntry {
             cb, k = 8, rounds = 2, maxDegree = 16, walkK = 10, beam = 16,
             walkRounds = 2, nprobe = 4, perCell = 4,
             maxQueryId = 20),
-          "dedup_semdedup" -> graft.oracle.GeneratedOracles.semDeDupSql(
-            cb, tau = 0.35),
+          "dedup_semdedup_fixedk" -> graft.oracle.GeneratedOracles
+            .semDeDupSql(cb, tau = 0.35),
           "sample_cluster_balanced" -> graft.oracle.GeneratedOracles
             .clusterBalancedSql(cb, total = 100L, alpha = 0.5)))
+        .getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirSemScaledCodebooks.get(d)))
+        .map(cb => Map(
+          "dedup_semdedup" -> graft.oracle.GeneratedOracles.semDeDupSql(
+            cb, tau = 0.35)))
         .getOrElse(Map.empty) ++
       // refined SemDeDup needs BOTH the base ivf codebook and the
       // refined query to have RUN at this dir (the sub map entry is a
@@ -5140,6 +5276,112 @@ object SparkEntry {
         |SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= 400
         |ORDER BY doc_id""".stripMargin,
 
+    "pipeline_curate_corpus_full" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS words
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(words) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+         |      + CAST(len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
+         |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words
+         |  FROM w),
+         |gt AS (SELECT doc_id, n_words FROM c
+         |      WHERE n_words >= 50 AND n_words <= 100000
+         |        AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+         |        AND 10 * n_symbols <= n_words
+         |        AND 5 * n_alpha_words >= 4 * n_words),
+         |t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) - 1 AS pos
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS l
+         |        FROM documents)),
+         |b AS (SELECT doc_id, pos, w AS w1,
+         |        lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
+         |bg AS (SELECT doc_id, pos, w1, w2 FROM b WHERE w2 IS NOT NULL),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY w1, w2),
+         |uc AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cw FROM bc GROUP BY w1),
+         |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM t),
+         |lp AS (SELECT bg.doc_id, bg.pos,
+         |        ln((COALESCE(bc.cnt, 0) + 1.0) / (COALESCE(uc.cw, 0) + v.v)) AS lp
+         |      FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v),
+         |sc AS (SELECT doc_id,
+         |        CAST(floor(list_sum(list(lp ORDER BY pos)) / count(*) * 1000000 + 0.5) AS BIGINT) AS lm_micro
+         |      FROM lp GROUP BY doc_id),
+         |sm AS (SELECT doc_id, lm_micro
+         |      FROM sc
+         |      ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT), doc_id
+         |      LIMIT 300),
+         |rk AS (SELECT lm_micro,
+         |        row_number() OVER (ORDER BY lm_micro DESC, doc_id ASC) AS rn,
+         |        count(*) OVER () AS n
+         |      FROM sm),
+         |ct AS (SELECT max(CASE WHEN rn = (n + 2) // 3 THEN lm_micro END) AS t1,
+         |              max(CASE WHEN rn = (n * 2 + 2) // 3 THEN lm_micro END) AS t2
+         |       FROM rk),
+         |bkt AS (SELECT sc.doc_id,
+         |        CASE WHEN sc.lm_micro >= ct.t1 THEN 'head'
+         |             WHEN sc.lm_micro >= ct.t2 THEN 'middle'
+         |             ELSE 'tail' END AS bucket
+         |       FROM sc CROSS JOIN ct),
+         |keep AS (SELECT d.doc_id, d.source, d.text, gt.n_words, bkt.bucket
+         |        FROM documents d JOIN gt USING (doc_id) JOIN bkt USING (doc_id)
+         |        WHERE bkt.bucket <> 'tail'),
+         |canon AS (SELECT doc_id, source, bucket, n_words, text FROM (
+         |        SELECT keep.*, row_number() OVER (PARTITION BY md5(text)
+         |          ORDER BY doc_id ASC) AS rn FROM keep)
+         |      WHERE rn = 1),
+         |${minhashPairsCteFrom("canon", "m")},
+         |pairs AS (SELECT a, b FROM mjac WHERE jaccard >= 0.5),
+         |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(vv, l) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, r.l FROM e JOIN reach r ON r.vv = e.dst),
+         |comp AS (SELECT vv AS doc_id, min(l) AS component FROM reach GROUP BY vv),
+         |allc AS (SELECT canon.doc_id, coalesce(comp.component, canon.doc_id) AS component
+         |         FROM canon LEFT JOIN comp USING (doc_id)),
+         |qm AS (SELECT doc_id,
+         |        CAST(len(toks) AS DOUBLE) AS nt,
+         |        CAST(length(text) AS DOUBLE) AS nc,
+         |        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS np,
+         |        len(list_filter(toks, x -> x IN ($stopwordListSql))) / greatest(len(toks), 1) AS swr
+         |      FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM canon)),
+         |q AS (SELECT doc_id,
+         |        CAST(floor((least(nt / 64.0, 1.0) * 0.4
+         |          + greatest(1.0 - np / greatest(nc, 1.0) * 10, 0.0) * 0.3
+         |          + least(swr * 10, 1.0) * 0.3) * 1000000 + 0.5) AS BIGINT) AS q_micro
+         |      FROM qm),
+         |scq AS (SELECT a.doc_id, a.component, q.q_micro FROM allc a JOIN q USING (doc_id)),
+         |best AS (SELECT component, doc_id AS canonical_id FROM scq
+         |      QUALIFY row_number() OVER (PARTITION BY component
+         |        ORDER BY q_micro DESC, doc_id ASC) = 1),
+         |surv AS (SELECT canon.* FROM canon JOIN best ON canon.doc_id = best.canonical_id),
+         |sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+         |      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM surv)),
+         |sgh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hh FROM sg),
+         |b0 AS (SELECT doc_id AS bench_id, substr(text, 21, 80) AS text FROM documents WHERE doc_id < 10),
+         |bgr AS (SELECT bench_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+         |      FROM (SELECT bench_id, string_split_regex(lower(text), '\\s+') AS toks FROM b0)),
+         |bgh AS (SELECT bench_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hh FROM bgr),
+         |contam AS (SELECT DISTINCT doc_id FROM (
+         |        SELECT sgh.doc_id, bgh.bench_id FROM sgh JOIN bgh USING (hh)
+         |        GROUP BY sgh.doc_id, bgh.bench_id HAVING count(*) >= 3)),
+         |clean AS (SELECT surv.doc_id, surv.source, surv.bucket, surv.n_words
+         |        FROM surv LEFT JOIN contam ON surv.doc_id = contam.doc_id
+         |        WHERE contam.doc_id IS NULL),
+         |cum AS (SELECT doc_id, source, bucket, n_words,
+         |        SUM(n_words) OVER (PARTITION BY source
+         |          ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
+         |                   doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM clean)
+         |SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= 400
+         |ORDER BY doc_id""".stripMargin,
+
     "pipeline_clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
          |m AS (SELECT doc_id, text,
@@ -5321,23 +5563,29 @@ object SparkEntry {
   /** Shared CTE chain: documents → shingles → 8-perm signatures → capped
     * LSH bands → candidate pairs → exact-Jaccard (`jac`). Mirrors
     * `confirmedNearDupPairs`; consumers filter `jac` at 0.5. */
-  private def minhashPairsCte: String =
-    s"""t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
-       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
-       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
-       |h AS (SELECT doc_id, list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS hs FROM sh),
-       |sig AS (SELECT doc_id, [$minhashSigSql8] AS sig FROM h),
-       |banded AS (SELECT doc_id, unnest([
+  private def minhashPairsCte: String = minhashPairsCteFrom("documents", "")
+
+  /** [[minhashPairsCte]] over an arbitrary (doc_id, text) source CTE with
+    * prefixed internal names, so a composed oracle (the full curation
+    * pipeline) can band its own intermediate survivor set without name
+    * collisions. Final CTE: `${p}jac(a, b, jaccard)`. */
+  private def minhashPairsCteFrom(src: String, p: String): String =
+    s"""${p}t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM $src),
+       |${p}sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM ${p}t),
+       |${p}h AS (SELECT doc_id, list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647) AS hs FROM ${p}sh),
+       |${p}sig AS (SELECT doc_id, [$minhashSigSql8] AS sig FROM ${p}h),
+       |${p}banded AS (SELECT doc_id, unnest([
        |  concat('0:', sig[1], ',', sig[2], ',', sig[3], ',', sig[4]),
-       |  concat('1:', sig[5], ',', sig[6], ',', sig[7], ',', sig[8])]) AS band_key FROM sig),
-       |ok AS (SELECT band_key FROM banded GROUP BY band_key HAVING count(*) <= 1000),
-       |capped AS (SELECT b.* FROM banded b JOIN ok USING (band_key)),
-       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x JOIN capped y
+       |  concat('1:', sig[5], ',', sig[6], ',', sig[7], ',', sig[8])]) AS band_key FROM ${p}sig),
+       |${p}ok AS (SELECT band_key FROM ${p}banded GROUP BY band_key HAVING count(*) <= 1000),
+       |${p}capped AS (SELECT b.* FROM ${p}banded b JOIN ${p}ok USING (band_key)),
+       |${p}cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM ${p}capped x JOIN ${p}capped y
        |         ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
-       |jac AS (SELECT cand.a, cand.b,
+       |${p}jac AS (SELECT ${p}cand.a, ${p}cand.b,
        |          len(list_intersect(sa.shingles, sb.shingles))
        |            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
-       |        FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b)""".stripMargin
+       |        FROM ${p}cand JOIN ${p}sh sa ON sa.doc_id = ${p}cand.a JOIN ${p}sh sb ON sb.doc_id = ${p}cand.b)""".stripMargin
 
   private def stopwordListSql: String =
     TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(", ")

@@ -350,9 +350,14 @@ object GeneratedOracles {
     * `assignCtes` chain), centroid-cosine priority key, and the one-pass
     * τ-dominance drop rule, all compared on the micro grid so the kept
     * set is bit-exact. */
-  def semDeDupSql(cb: Codebook, tau: Double): String = {
+  def semDeDupSql(cb: Codebook, tau: Double, maxCell: Int = 4096): String = {
     require(cb.numLevels == 1, "SemDeDup oracle expects a 1-level codebook")
     val tauMicro = math.floor(tau * 1000000.0 + 0.5).toLong
+    // the sz/csok cap CTEs model Dedup.semDeDup's maxCell fail-open rule
+    // at ANY scale (over-cap cells never enter the pair join, so their
+    // members fall out of `dr` and surface kept = true) — without them a
+    // fixture crossing the cap would silently diverge from the oracle
+    // while semDeDupRefinedSql stayed exact
     s"""WITH ${assignCtes(cb)},
        |e AS (SELECT a0.doc_id, a0.k0 AS cell, a0.v0,
        |        sqrt(list_sum(list_transform(a0.v0, x -> x * x))) AS nrm,
@@ -362,8 +367,10 @@ object GeneratedOracles {
        |cs AS (SELECT doc_id, cell, v0, nrm,
        |        CAST(floor(cdot / (nrm * cnrm) * 1000000 + 0.5) AS BIGINT) AS cent_sim_micro
        |      FROM e),
+       |sz AS (SELECT cell, count(*) AS n FROM cs GROUP BY cell),
+       |csok AS (SELECT cs.* FROM cs JOIN sz USING (cell) WHERE sz.n <= $maxCell),
        |dr AS (SELECT DISTINCT x.doc_id
-       |      FROM cs x JOIN cs y ON x.cell = y.cell
+       |      FROM csok x JOIN csok y ON x.cell = y.cell
        |        AND (y.cent_sim_micro < x.cent_sim_micro OR
        |             (y.cent_sim_micro = x.cent_sim_micro AND y.doc_id < x.doc_id))
        |        AND CAST(floor(list_sum(list_transform(list_zip(x.v0, y.v0), p -> p[1] * p[2]))

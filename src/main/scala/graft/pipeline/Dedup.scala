@@ -100,17 +100,32 @@ object Dedup {
     * limit, a second window column — would silently revert it to a
     * single-task per-hash sort; an aggregate can't regress that way).
     * Ids are unique, so min-struct comparison stops at the first field
-    * and never orders by payload columns. This is the ONE exact-dedup
-    * shape — the curation pipelines reuse it rather than re-deriving
-    * their own (VERDICT r10 #4).
+    * and never orders by payload columns — but Spark's analyzer still
+    * requires every struct field ORDERABLE, so a frame carrying a
+    * MapType (or other unorderable) payload takes the two-pass form:
+    * min(id) per hash, then a semi-join back on the (unique) id. Same
+    * kept set, same map-side-partial scale posture, one extra corpus
+    * scan. This is the ONE exact-dedup shape — the curation pipelines
+    * reuse it rather than re-deriving their own (VERDICT r10 #4).
     */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val cols = docs.columns.toSeq
-    val ordered = col(idCol) +: cols.filterNot(_ == idCol).map(col)
-    docs.groupBy(md5(col(textCol).cast("binary")).as("__h"))
-      .agg(min(struct(ordered: _*)).as("__r"))
-      .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
+    val orderable = docs.schema.fields.forall(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+    if (orderable) {
+      val ordered = col(idCol) +: cols.filterNot(_ == idCol).map(col)
+      docs.groupBy(md5(col(textCol).cast("binary")).as("__h"))
+        .agg(min(struct(ordered: _*)).as("__r"))
+        .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
+    } else {
+      val canonIds = docs
+        .groupBy(md5(col(textCol).cast("binary")).as("__h"))
+        .agg(min(col(idCol)).as(idCol))
+        .select(idCol)
+      docs.join(canonIds, Seq(idCol), "left_semi")
+    }
   }
 
   // -------------------------------------------------------------------

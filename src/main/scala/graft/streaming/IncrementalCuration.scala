@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Streaming CURATION twin (VERDICT r12 #5): the batch recipe's
+  * gate → dedup → budget composition as a continuously-ingesting door —
+  * every arriving document is gated, deduped against the ADMITTED
+  * corpus, and charged against the per-source token budget, in one
+  * foreachBatch pipeline over versioned stores.
+  *
+  * Per micro-batch:
+  *   1. Gopher structural gate (per-row, stateless — the same
+  *      [[TextAnalysis.gopherRules]] predicates as the batch recipe).
+  *   2. EXACT dedup at the door: first corpus occurrence wins — the
+  *      batch's min-id per content hash, minus hashes already in the
+  *      admitted-hash store.
+  *   3. FUZZY dedup at the door through the [[IncrementalDedup]]
+  *      primitives: a doc matching a stored (admitted) signature at
+  *      sim ≥ `simThreshold` is rejected; within the batch the
+  *      one-pass dominance rule applies (drop a doc iff a LOWER-id
+  *      batch member matches it — the published SemDeDup one-pass
+  *      convention: dominators may themselves be dropped).
+  *   4. Per-source TOKEN budget: the batch's survivors admit in
+  *      deterministic (md5-rank, id) order while the source's stored
+  *      spent-total plus the running batch total fits `budget`. The
+  *      only window spans ONE micro-batch partition — the micro-batch
+  *      is an operator-controlled bound; the stores are what grow.
+  *
+  * Versioned-store discipline (idempotent under foreachBatch's
+  * at-least-once replays): every store writes `batch=<id>` partitions
+  * in OVERWRITE mode and reads exclude the current batch's own
+  * partition, so a retried batch replaces its previous (possibly
+  * partial) writes instead of double-counting them. The stores mirror
+  * the ADMITTED output exactly — hashes, signatures, and spent tokens
+  * are appended only for docs that made it through every stage, so
+  * the door's notion of "the corpus" is precisely what it admitted.
+  */
+object IncrementalCuration {
+
+  private def storeRead(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      excludeBatch: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read
+      .schema(schema.add(org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+      .parquet(dir)
+      .where(col("batch") =!= excludeBatch))
+  }
+
+  /** One micro-batch step over (doc_id, source, text). Admitted rows
+    * land at `outDir/batch=<id>` as (doc_id, source, n_words); the
+    * hash/signature/spent stores live under `storeDir`. Exposed for
+    * the parity spec; [[start]] wires it into foreachBatch. */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      storeDir: String, outDir: String, budget: Long,
+      numPerms: Int = 8, rowsPerBand: Int = 4,
+      simThreshold: Double = 0.75, maxBucket: Int = 1000): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+
+    // 1. structural gate (stateless)
+    val gated = TextAnalysis.gopherRules(batch)
+      .where(col("pass_words") && col("pass_mwl") &&
+        col("pass_alpha") && col("pass_symbol"))
+      .select(col("doc_id"), col("n_words"))
+    val docs = batch.select("doc_id", "source", "text")
+      .join(gated, Seq("doc_id"))
+      .withColumn("__h", md5(col("text").cast("binary")))
+      .localCheckpoint() // feeds 4 consumers below; gate+hash run once
+
+    // 2. exact door: batch-first occurrence minus the admitted-hash store
+    val batchFirst = docs
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val hashSchema = StructType(Seq(StructField("__h", StringType)))
+    val exactAdmitted = storeRead(spark, s"$storeDir/hashes", hashSchema,
+        batchId) match {
+      case Some(store) =>
+        docs.join(batchFirst, Seq("doc_id"), "left_semi")
+          .join(store.select("__h"), Seq("__h"), "left_anti")
+      case None => docs.join(batchFirst, Seq("doc_id"), "left_semi")
+    }
+
+    // 3. fuzzy door: the IncrementalDedup signature machinery, store =
+    // admitted corpus signatures. Docs shorter than one shingle have no
+    // signature and pass the fuzzy stage vacuously (batch-path semantics:
+    // a 2-token doc is a degenerate row the gate already bounds).
+    val banded = IncrementalDedup.bandedSignatures(
+      exactAdmitted.select("doc_id", "text"), numPerms, rowsPerBand)
+      .localCheckpoint()
+    val sigSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("band_key", StringType),
+      StructField("sig", ArrayType(LongType))))
+    val vsStore = storeRead(spark, s"$storeDir/sigs", sigSchema, batchId)
+      .map(store => IncrementalDedup.matchesAgainst(banded, store,
+        simThreshold, maxBucket).select(col("a").as("doc_id")))
+      .getOrElse(spark.emptyDataFrame.withColumn("doc_id", lit(0L))
+        .select("doc_id").limit(0))
+    // one-pass dominance within the batch: drop the higher id of every
+    // matching pair (a < b by construction in intraBatchMatches)
+    val intra = IncrementalDedup.intraBatchMatches(banded,
+      simThreshold, maxBucket).select(col("b").as("doc_id"))
+    val fuzzyRejected = vsStore.unionByName(intra).distinct()
+    val fuzzyAdmitted = exactAdmitted
+      .join(fuzzyRejected, Seq("doc_id"), "left_anti")
+
+    // 4. per-source token budget against the spent store: the batch's
+    // survivors walk in (md5-rank, id) order — the batch recipe's
+    // deterministic uniform rule — while spent + running total ≤ budget
+    val spentSchema = StructType(Seq(
+      StructField("source", StringType), StructField("spent", LongType)))
+    val spent = storeRead(spark, s"$storeDir/spent", spentSchema, batchId)
+      .map(_.groupBy("source").agg(sum("spent").as("__spent")))
+      .getOrElse(spark.emptyDataFrame
+        .withColumn("source", lit("")).withColumn("__spent", lit(0L))
+        .select("source", "__spent").limit(0))
+    val rank = pmod(graft.functions.HashFunctions.md5_prefix(
+      concat(lit("42:"), col("doc_id").cast("string")), 15), lit(1000000L))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(rank.asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val admitted = fuzzyAdmitted
+      .join(broadcast(spent), Seq("source"), "left")
+      .withColumn("__cum",
+        coalesce(col("__spent"), lit(0L)) +
+          sum(coalesce(col("n_words"), lit(0L))).over(w))
+      .where(col("__cum") <= budget)
+      .localCheckpoint() // feeds output + all three store appends
+
+    // output + store appends (admitted docs only), all idempotent
+    admitted.select("doc_id", "source", "n_words")
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    admitted.select("__h")
+      .write.mode("overwrite").parquet(s"$storeDir/hashes/batch=$batchId")
+    banded.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
+    admitted.groupBy("source").agg(sum("n_words").as("spent"))
+      .write.mode("overwrite").parquet(s"$storeDir/spent/batch=$batchId")
+  }
+
+  /** Start the door: parquet (doc_id, source, text) arrivals under
+    * `inputDir`, curated admissions under `outDir`, stores under
+    * `storeDir`. */
+  def start(spark: SparkSession, inputDir: String, storeDir: String,
+      outDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType, budget: Long,
+      numPerms: Int = 8, rowsPerBand: Int = 4,
+      simThreshold: Double = 0.75, maxBucket: Int = 1000,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+      .parquet(inputDir)
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, storeDir, outDir, budget,
+          numPerms, rowsPerBand, simThreshold, maxBucket)
+      }
+      .start()
+  }
+}

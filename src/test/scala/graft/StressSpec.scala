@@ -912,6 +912,113 @@ class StressSpec extends SparkSpec {
     kept.unpersist(); docs.unpersist()
   }
 
+  test("FULL curation recipe survives duplicate-heavy + near-dup-heavy + contaminated corpus") {
+    import spark.implicits._
+    import graft.pipeline.{TextAnalysis, Dedup, Sampling, Contamination}
+    // VERDICT r12 #1: pipeline_curate_corpus_full's composition under its
+    // worst shapes AT ONCE — the test above pins gate→ccnet→exact-dedup→
+    // budget hot keys; this one pins the three NEW stages (fuzzy near-dup,
+    // quality survivor, decontamination) composed behind them:
+    //  - 10 boilerplate texts duplicated 2000× each (exact-dedup hot
+    //    groups — min-struct agg absorbs them map-side),
+    //  - ONE 2500-member near-dup family (same body, unique suffix):
+    //    its shared band key exceeds lshCandidatePairs' maxBucket, so the
+    //    bucket is DROPPED (fail-open) and the family must pass through
+    //    un-vetted instead of planting a 2500²/2-pair join task,
+    //  - 200 honest near-dup families of 10 (family-prefixed vocab, so
+    //    cross-family jaccard ≈ 0): each must collapse to its components
+    //    and keep ONE quality-canonical survivor,
+    //  - a benchmark excerpted from 3 small families AND the mega family:
+    //    decontamination must drop every τ-overlapping survivor,
+    //    including the 2500-doc hot hit (map-side-combinable screen).
+    val nBoiler = 20000L; val nMega = 2500L; val nFam = 200; val famSz = 10
+    val nDocs = nBoiler + nMega + nFam * famSz
+    def body(f: Int): String = {
+      val rng = new scala.util.Random(f * 0x9E3779B97F4A7C15L)
+      (0 until 58).map(_ => s"f${f}w${rng.nextInt(500)}").mkString(" ")
+    }
+    val gen = udf { (id: Long) =>
+      if (id < nBoiler) body((id % 10).toInt)
+      else if (id < nBoiler + nMega) body(10) + s" u$id"
+      else body(11 + ((id - nBoiler - nMega) % nFam).toInt) + s" u$id"
+    }
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        lit("web").as("source"), gen(col("id")).as("text"))
+      .repartition(32).cache()
+    docs.count()
+    val t0 = System.nanoTime()
+    val gate = TextAnalysis.gopherRules(docs)
+      .where(col("pass_words") && col("pass_mwl") &&
+        col("pass_alpha") && col("pass_symbol"))
+      .select(col("doc_id"), col("n_words"))
+    val kept = docs.join(gate, Seq("doc_id"))
+    val canon = Dedup.exactDedup(kept)
+    val canonN = canon.count()
+    assert(canonN == 10 + nMega + nFam * famSz,
+      s"exact dedup canon $canonN != ${10 + nMega + nFam * famSz}")
+    // fuzzy near-dup, the catalog query's exact stage chain
+    val sigs = Dedup.minhashSignatures(canon, numPerms = 8)
+    val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
+      .localCheckpoint()
+    val nCands = cands.count()
+    // the cap witness: the mega family alone would be ~3.1M pairs in one
+    // join task; the honest families are ≤ C(10,2)·2 bands each
+    assert(nCands < 100000L,
+      s"candidate pairs $nCands — the mega family's bucket leaked past maxBucket")
+    val confirmed = Dedup.jaccardPairsByHash(canon, cands)
+      .where(col("jaccard") >= 0.5).select("a", "b").localCheckpoint()
+    val comp = Dedup.connectedComponents(confirmed)
+      .select(col("v").as("doc_id"), col("comp").as("component"))
+    val withComp = canon.select("doc_id").join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val q = TextAnalysis.qualityScore(canon).select(col("doc_id"),
+      floor(col("quality_score") * 1000000 + lit(0.5)).cast("long").as("score"))
+    val surv = Dedup.canonicalByScore(withComp, q)
+      .where(col("kept")).select("doc_id").localCheckpoint()
+    val nSurv = surv.count()
+    // every mega-family doc passed through fail-open (un-vetted singletons)
+    val megaSurv = surv.where(col("doc_id") >= nBoiler &&
+      col("doc_id") < nBoiler + nMega).count()
+    assert(megaSurv == nMega,
+      s"mega family lost $megaSurv/$nMega — capped bucket was not fail-open")
+    // the 200 honest families collapsed to ~1 survivor each (a doc whose
+    // BOTH band keys drew a unique-suffix min-hash stays an honest
+    // singleton — rare, bounded)
+    val famSurv = nSurv - megaSurv - 10
+    assert(famSurv >= nFam && famSurv < nFam * 3,
+      s"family survivors $famSurv not in [${nFam}, ${nFam * 3}) — components broke")
+    // decontamination: excerpts of 3 honest families + the mega body
+    val benchIds = Seq(nBoiler + nMega, nBoiler + nMega + 1,
+      nBoiler + nMega + 2, nBoiler)
+    val bench = docs.where(col("doc_id").isin(benchIds: _*))
+      .select(col("doc_id").as("bench_id"),
+        substring(col("text"), 21, 120).as("text"))
+    val canonSurv = canon.join(surv, Seq("doc_id"), "left_semi")
+    val contaminated = Contamination.screen(canonSurv, bench,
+        n = 5, minShared = 3)
+      .select("doc_id").distinct().localCheckpoint()
+    val nContam = contaminated.count()
+    // the mega excerpt alone hits all 2500 survivors of its family
+    assert(nContam >= nMega + 3,
+      s"contamination flagged only $nContam — the hot bench hit was missed")
+    val clean = canonSurv.join(contaminated, Seq("doc_id"), "left_anti")
+    val out = Sampling.tokenBudget(clean.drop("text"), "source",
+      budget = 5000L, nTokCol = "n_words")
+    val toks = out.agg(coalesce(sum("n_words"), lit(0L))).as[Long].head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(toks <= 5000L && toks > 5000L - 61,
+      s"token budget fill $toks not within (4939, 5000]")
+    assert(sec < 240, s"full curation recipe took ${sec}s")
+    // plan pin: the dedup stage stayed agg-shaped through the composition
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(md5("),
+      s"per-hash window crept into the full-recipe dedup:\n${plan.take(3000)}")
+    info(f"full recipe: canon=$canonN cands=$nCands surv=$nSurv " +
+      f"(mega=$megaSurv fam=$famSurv) contam=$nContam toks=$toks sec=$sec%.1f")
+    docs.unpersist()
+  }
+
   test("autoBits keeps LSH bucket occupancy flat from 125k to 1M docs") {
     // VERDICT r9 #2's deeper ask: the fixed-bits catalog lsh_neardup is
     // pattern-space-bound by design (2^bits·tables patterns; occupancy

@@ -18,6 +18,21 @@ class PipelineSpec extends SparkSpec {
     assert(deduped.where(col("doc_id") >= 10000).count() == 0)
   }
 
+  test("exactDedup handles unorderable payload columns (ADVICE r12)") {
+    // a MapType payload can't sit inside the min-struct agg (Spark
+    // requires orderable struct fields) — the two-pass min(id)+semi-join
+    // form must kick in transparently with the same kept set
+    val withMap = Seq(
+      (1L, "same text", Map("k" -> 1)),
+      (2L, "same text", Map("k" -> 2)),
+      (3L, "other text", Map("k" -> 3))).toDF("doc_id", "text", "meta")
+    val out = Dedup.exactDedup(withMap).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // payload survives the roundtrip
+    assert(out.map(r => r.getMap[String, Int](2)("k")).sorted.toSeq ==
+      Seq(1, 3))
+  }
+
   test("short docs (< shingleN tokens) are dropped, not crashed") {
     val mixed = Seq((1L, "one two"), (2L, "a"), (3L, ""),
       (4L, "alpha beta gamma delta")).toDF("doc_id", "text")

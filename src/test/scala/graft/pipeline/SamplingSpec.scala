@@ -332,6 +332,52 @@ class SamplingSpec extends SparkSpec {
     assert(coarse == ref, "partial draw diverged from the rank walk")
   }
 
+  test("unimax epochs fails fast when the group key is finer than maxGroups") {
+    // VERDICT r12 #3: the water-level windows sort the #groups-row cap
+    // table in ONE task; a fine key (k-means cells, domains) must trip
+    // the guard BEFORE any window runs, with an actionable message
+    val fine = spark.range(500).select(col("id").as("doc_id"),
+      col("id").cast("string").as("grp")) // 500 groups of 1
+    val e = intercept[IllegalArgumentException] {
+      Sampling.unimaxEpochs(fine, "grp", budget = 100L, epochCap = 2,
+        maxGroups = 100L)
+    }
+    assert(e.getMessage.contains("500 distinct") &&
+      e.getMessage.contains("maxGroups=100") &&
+      e.getMessage.contains("coarser group key"), e.getMessage)
+    // at the default bound the same frame allocates normally (budget 600
+    // over 500 singleton groups → water level 1 → one doc per group)
+    assert(Sampling.unimaxEpochs(fine, "grp", budget = 600L,
+      epochCap = 2).count() == 500)
+  }
+
+  test("token budget treats NULL token counts as 0 (ADVICE r12)") {
+    // the direct cumsum-window form skips NULLs (sum ignores them), so a
+    // NULL-token row rides along for free; the histogram form must agree
+    // — before the coalesce fix an all-NULL boundary bucket nulled __r
+    // and dropped its whole tie set
+    val d = spark.range(200).select(col("id").as("doc_id"),
+      lit("g").as("grp"),
+      when(col("id") % 3 === 0, lit(null).cast("long"))
+        .otherwise(lit(10L)).as("n_tokens"))
+    val gridM = 7L
+    val got = Sampling.tokenBudgetGrid(d, "grp", budget = 300L,
+        nTokCol = "n_tokens", idCol = "doc_id", seed = 42L, gridM = gridM)
+      .select("doc_id").as[Long].collect().toSet
+    // reference: inclusive running sum over coalesce(n,0) in the same
+    // (hash % grid, id) order
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(graft.functions.HashFunctions.md5_prefix(
+      concat(lit("42"), lit(":"), col("doc_id").cast("string")), 15),
+      lit(gridM))
+    val w = Window.partitionBy("grp").orderBy(h.asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = d.withColumn("__c", sum(coalesce(col("n_tokens"), lit(0L))).over(w))
+      .where(col("__c") <= 300L).select("doc_id").as[Long].collect().toSet
+    assert(got == ref, s"NULL-token selection diverged: got ${got.size}, ref ${ref.size}")
+    assert(got.nonEmpty)
+  }
+
   test("temperature mix histogram form equals the direct window form on a coarse grid") {
     import org.apache.spark.sql.expressions.Window
     // The ADVICE-r11 property pin: the histogram/threshold/tie-trim
