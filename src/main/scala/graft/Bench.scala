@@ -555,20 +555,25 @@ object Bench {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       }
 
-      // ---- no-broadcast-regime layout pair (VERDICT r12 #6) ----
+      // ---- stock-AQE layout pair at 30x the corpus (VERDICT r12 #6) ----
       // The pair above runs with auto-broadcast DISABLED to simulate
       // corpus scale (at 4k docs AQE otherwise broadcasts everything and
       // the bucketed layout never gets to elide its Exchange). This pair
-      // removes the simulation: every join input is sized past the stock
-      // 10 MB thresholds — 120k docs × dim 48 (~24 MB), 960k ring edges
-      // (~15 MB), 60k queries (~12 MB qvec side, ~15 MB frontier rows) —
-      // so stock AQE itself picks sort-merge joins, and the bucketed
-      // adjacency store is measured doing the exact thing it exists for:
-      // serving the per-round edge join without re-shuffling the
-      // corpus-sized side. Structure is synthetic (ring edges inside
-      // planted 60-doc clusters; entries 30 ring-hops from the answer)
-      // because only the LAYOUT is under test here — graph quality is
-      // the clustered block's job above.
+      // re-measures the same layout question WITHOUT the override, at
+      // 120k docs x dim 48 / 960k ring edges / 60k queries. Measured
+      // finding (r13 probe, this geometry): stock AQE still broadcasts —
+      // the walk's frontier/entry sides are (long, long) rows that stay
+      // under the 10 MB threshold even at a 250k-query batch — and that
+      // choice is RIGHT (forcing SMJ costs 2.0x: 4.2 -> 8.5 s at 60k
+      // queries, 4.9 -> 9.7 s at 250k), while the bucketed scan is pure
+      // overhead when nothing shuffles on the graph side (+25%). So the
+      // committed pair documents the honest boundary: the bucketed
+      // adjacency store pays exactly when the probe side outgrows the
+      // broadcast threshold (the forced-SMJ pair above, i.e. multi-M-row
+      // frontiers), and stock AQE should be left to broadcast below it.
+      // Structure is synthetic (ring edges inside planted 60-doc
+      // clusters; entries 30 ring-hops from the answer) because only
+      // the LAYOUT is under test — graph quality is the block above.
       val (bigPlainSec, bigBucketedSec, bigNDocs, bigNQ) = {
         val bDocs = 120000L; val bDim = 48; val clusterSz = 60L
         val bQ = 60000L
