@@ -590,7 +590,6 @@ object Bench {
           .localCheckpoint()
         // ring edges within each cluster: i -> start + (i±1..4 mod 60)
         val base60 = (col("doc_id") / clusterSz).cast("long") * clusterSz
-        val off = col("doc_id") - base60
         val bedges = bdocs.select(col("doc_id"),
             explode(array((1 to 4).flatMap(d => Seq(lit(d.toLong), lit(60L - d))): _*)).as("__d"))
           .select(col("doc_id").as("src"),

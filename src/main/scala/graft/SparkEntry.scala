@@ -1443,7 +1443,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = confirmedNearDupPairs(s, dir).select("a", "b")
         .localCheckpoint()
-      val comp = Dedup.connectedComponents(pairs)
+      // the operator under test here is the SURVIVOR POLICY; components
+      // go through the size-gated auto path (driver union-find on the
+      // tiny checkpointed pair list, distributed fallback past 100k)
+      val comp = Dedup.connectedComponentsAuto(pairs)
         .select(col("v").as("doc_id"), col("comp").as("component"))
       val withComp = docs.select(col("doc_id"))
         .join(comp, Seq("doc_id"), "left")
@@ -1943,15 +1946,15 @@ object SparkEntry {
     // 277 gate → 174 non-tail canon → 9 confirmed pairs / 7 components
     // (incl. one 3-doc triangle) → 3 contaminated docs → budget trim.
     //
-    // Cost decomposition (sf0.1/local[32], best-of-2): 7.6 s total =
+    // Cost decomposition (sf0.1/local[32], best-of-2): 6.2 s total =
     // 3.7 s for the gate→LM→exact-dedup→budget spine (the measured
-    // pipeline_curate_corpus cost) + ~3.9 s for the added stages, of
-    // which the standalone catalog entries price the work itself at
-    // sig 0.5 + band/confirm 0.8 + components 2.3 + screen 0.4 — i.e.
-    // the composition adds ~12 sequential actions (two stage
-    // checkpoints + 2-3 component rounds × checkpoint each) whose
-    // fixed job overhead dominates at fixture scale and amortizes at
-    // corpus scale (100× exponent 0.17 vs the spine's 0.27).
+    // pipeline_curate_corpus cost) + ~2.5 s for the added stages
+    // (sig 0.5 + band/confirm 0.8 + size-gated components + screen
+    // 0.4 + the two stage checkpoints' job overhead, which dominates
+    // at fixture scale and amortizes at corpus scale — 100× exponent
+    // ~0.17 vs the spine's 0.27). Components route through
+    // connectedComponentsAuto: the confirmed pair list is checkpointed
+    // and tiny here (driver union-find), distributed past 100k pairs.
     "pipeline_curate_corpus_full" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val gate = TextAnalysis.gopherRules(docs)
@@ -1979,7 +1982,11 @@ object SparkEntry {
         .localCheckpoint()
       val confirmed = Dedup.jaccardPairsByHash(canon, cands)
         .where(col("jaccard") >= 0.5).select("a", "b").localCheckpoint()
-      val comp = Dedup.connectedComponents(confirmed)
+      // size-gated components: the checkpointed confirm list is tiny at
+      // fixture scale (driver union-find, ~2 s of per-round scheduling
+      // saved) and falls back to the distributed propagation past 100k
+      // pairs — dedup_components keeps certifying the distributed path
+      val comp = Dedup.connectedComponentsAuto(confirmed)
         .select(col("v").as("doc_id"), col("comp").as("component"))
       val withComp = canon.select("doc_id")
         .join(comp, Seq("doc_id"), "left")

@@ -267,6 +267,52 @@ object Dedup {
     labels
   }
 
+  /** [[connectedComponents]] with a size-gated DRIVER shortcut: a
+    * confirmed near-dup pair list that fits `maxDriverEdges` (default
+    * 100k edges ≈ 1.6 MB of longs) is union-found on the driver in one
+    * collect — identical output semantics (component id = min member) —
+    * while anything larger takes the distributed min-label propagation
+    * unchanged. Rationale: the distributed path costs 3 fixed jobs per
+    * round (two localCheckpoints + a convergence probe) regardless of
+    * graph size, so a composed pipeline whose confirm stage emits a few
+    * thousand pairs pays ~2 s of pure scheduling for a graph that
+    * union-finds in microseconds. The gate is ONE count over the edge
+    * list (callers hold it checkpointed — counting is free) and the
+    * fallback is the scale path, so this is the inverse of the HKM
+    * driver-budget guard: bounded work may come to the driver, anything
+    * else stays distributed. The `dedup_components` catalog entry keeps
+    * calling [[connectedComponents]] directly — the distributed path
+    * stays oracle-certified on its own.
+    */
+  def connectedComponentsAuto(edges: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxDriverEdges: Long = 100000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val n = edges.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).count()
+    if (n > maxDriverEdges) connectedComponents(edges, aCol, bCol)
+    else {
+      val pairs = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by min root: the smaller id becomes the root, so the
+        // final find IS the min member — the distributed path's label
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keys.toSeq.map(v => (v, find(v)))
+      labels.toDF("v", "comp")
+    }
+  }
+
   // -------------------------------------------------------------------
   // Exact n-gram Jaccard
   // -------------------------------------------------------------------

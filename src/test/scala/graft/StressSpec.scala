@@ -967,7 +967,7 @@ class StressSpec extends SparkSpec {
       s"candidate pairs $nCands — the mega family's bucket leaked past maxBucket")
     val confirmed = Dedup.jaccardPairsByHash(canon, cands)
       .where(col("jaccard") >= 0.5).select("a", "b").localCheckpoint()
-    val comp = Dedup.connectedComponents(confirmed)
+    val comp = Dedup.connectedComponentsAuto(confirmed)
       .select(col("v").as("doc_id"), col("comp").as("component"))
     val withComp = canon.select("doc_id").join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),

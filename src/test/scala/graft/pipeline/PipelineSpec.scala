@@ -167,6 +167,32 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.connectedComponents(edges).count() == 0)
   }
 
+  test("connectedComponentsAuto: driver union-find equals the distributed labels; gate routes") {
+    // random sparse graph with multi-edge chains: the driver shortcut
+    // must produce the IDENTICAL (v, min-member) labeling
+    val rng = new scala.util.Random(7)
+    val randEdges = (0 until 400).map { _ =>
+      val a = rng.nextInt(300).toLong; val b = rng.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b) + 1) // avoid self-loops
+    }.toDF("a", "b")
+    val dist = Dedup.connectedComponents(randEdges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.connectedComponentsAuto(randEdges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == dist, s"driver union-find diverged: " +
+      s"auto-only ${auto -- dist}, dist-only ${dist -- auto}")
+    // the gate: maxDriverEdges below the edge count must route to the
+    // distributed path (observable: same labels — so pin the routing by
+    // shape instead: a 1-edge graph under a 0-edge budget still works)
+    val one = Seq((5L, 2L)).toDF("a", "b")
+    val forced = Dedup.connectedComponentsAuto(one, maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(forced == Set((5L, 2L), (2L, 2L)))
+    // empty edges through the driver path
+    assert(Dedup.connectedComponentsAuto(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+  }
+
   test("hash-based Jaccard confirm matches the array form on candidate pairs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
