@@ -435,9 +435,15 @@ object Sampling {
       gridM: Long, maxGroups: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0 && epochCap > 0 && gridM > 0 && maxGroups > 0)
+    // the cap table is read by the guard count, the water-level windows,
+    // and BOTH expansion branches (full epochs + partial draw) — since
+    // the guard forces an action anyway, checkpoint the ≤ maxGroups-row
+    // table at that moment so the corpus-wide counts agg runs ONCE
+    // instead of once per consumer
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("cap", col("n_docs") * epochCap)
+      .localCheckpoint()
     // fail FAST before the unpartitioned cap-table windows, not inside
     // them: one map-side-combined count-agg pass whose result is exactly
     // the row count those windows would otherwise sort in ONE task
