@@ -288,7 +288,19 @@ object Dedup {
       bCol: String = "b", maxDriverEdges: Long = 100000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val n = edges.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).count()
+    // the driver path works in Longs; non-integral vertex ids (strings,
+    // decimals) would silently null-cast — route them distributed, where
+    // min-label works over any orderable id type
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(aCol, bCol).forall(c => edges.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    val n = if (integralIds)
+      edges.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).count()
+    else Long.MaxValue
     if (n > maxDriverEdges) connectedComponents(edges, aCol, bCol)
     else {
       val pairs = edges.select(col(aCol).cast("long"), col(bCol).cast("long"))

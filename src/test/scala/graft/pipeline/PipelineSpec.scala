@@ -191,6 +191,12 @@ class PipelineSpec extends SparkSpec {
     // empty edges through the driver path
     assert(Dedup.connectedComponentsAuto(
       Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+    // non-integral vertex ids must route DISTRIBUTED (the driver path
+    // works in Longs; a string id would silently null-cast)
+    val strComp = Dedup.connectedComponentsAuto(
+      Seq(("x", "y"), ("y", "z")).toDF("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(strComp == Set(("x", "x"), ("y", "x"), ("z", "x")))
   }
 
   test("hash-based Jaccard confirm matches the array form on candidate pairs") {
