@@ -255,7 +255,11 @@ object Dedup {
         .join(propagated.select(col("v").as("comp"),
           col("comp").as("pcomp")), Seq("comp"))
         .select(col("v"), col("pcomp").as("comp"), col("old"))
-        .localCheckpoint()
+        // LAZY checkpoint: the convergence probe right below runs the
+        // round and stores it in one job instead of two (the scheduling
+        // saving is inside fixture noise at |V|~1e2; the job count is
+        // the principled reason)
+        .localCheckpoint(false)
       // labels only ever decrease; any strict decrease means another
       // round — read off the checkpointed blocks, zero extra joins
       val changed =

@@ -105,7 +105,11 @@ object PageRank {
             .as("rank"))
       if (epsilonMicro > 0L) {
         // materialize the round so the delta action and the next round
-        // share one computation (and lineage stays linear in rounds)
+        // share one computation (and lineage stays linear in rounds).
+        // EAGER deliberately: the lazy form (delta action materializes
+        // the round) measured 3.4 -> 4.2-5.1 s on graph_pagerank —
+        // fusing the round plan into the delta job loses the dedicated
+        // full-parallelism round pass
         val u = updated.localCheckpoint()
         // coalesce: max over an EMPTY node set (empty/all-null edge
         // list) is null — treat as converged so the empty graph falls
