@@ -1738,6 +1738,24 @@ object SparkEntry {
         "source", budget = 800L)
         .select("doc_id", "source", "n_tokens").orderBy("doc_id")),
 
+    // PER-SOURCE token budgets — the mixture recipe as production
+    // writes it (each domain gets its OWN budget) through the same
+    // grid-bounded histogram selection. Budgets derive
+    // deterministically from the source name (src<k> → 400 + (k%5)·200,
+    // and every fifth source is LEFT OUT of the budgets frame → its
+    // docs drop, the missing-stratum convention), so the oracle
+    // replays the budget table, the drop, and the per-source walk.
+    "sample_token_budget_per_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      val srcNum = substring(col("source"), 4, 10).cast("long")
+      val budgets = docs.select("source").distinct()
+        .where(pmod(srcNum, lit(5L)) =!= 4L)
+        .withColumn("budget", lit(400L) + pmod(srcNum, lit(5L)) * 200L)
+      graft.pipeline.Sampling.tokenBudgetPerGroup(docs, "source", budgets)
+        .select("doc_id", "source", "n_tokens").orderBy("doc_id")
+    }),
+
     // LLM training prep: GPT-style concat-and-chunk sequence packing —
     // the whitespace token stream in doc_id order cut every 128 tokens;
     // the exclusive prefix sum underneath is the two-level distributed
@@ -5063,6 +5081,23 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM tok)
         |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_token_budget_per_source" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |bud AS (SELECT source,
+        |    400 + (CAST(substr(source, 4, 10) AS BIGINT) % 5) * 200 AS budget
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |  WHERE CAST(substr(source, 4, 10) AS BIGINT) % 5 <> 4),
+        |c AS (SELECT tok.doc_id, tok.source, tok.n_tokens, bud.budget,
+        |    SUM(tok.n_tokens) OVER (PARTITION BY tok.source
+        |      ORDER BY CAST('0x' || substr(md5('42:' || tok.doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
+        |               tok.doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tok JOIN bud USING (source))
+        |SELECT doc_id, source, n_tokens FROM c WHERE cum <= budget
         |ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->

@@ -237,6 +237,69 @@ object Sampling {
     below.unionByName(ties)
   }
 
+  /** PER-GROUP token budgets — the mixture recipe as production writes
+    * it ("100B tokens of web, 20B of code, 5B of books"): the same
+    * grid-bounded histogram selection as [[tokenBudget]], with each
+    * group's budget drawn from a bucket-sized `(groupCol, budget)`
+    * frame (broadcast) instead of one shared scalar. Groups present in
+    * the corpus but ABSENT from `budgets` are DROPPED — they are not
+    * part of the mix, the [[stratified]] missing-stratum convention. A
+    * NULL or negative budget raises (fail closed — a silently-skipped
+    * domain is the worst failure a mixture builder can have). Scale
+    * posture identical to [[tokenBudget]]: one map-side-combinable
+    * histogram agg over the corpus, grid-bounded cumulative window,
+    * stateless below-boundary filter, and an expected-n_g/1e6-row
+    * boundary tie walk — a mega domain cannot serialize a task.
+    */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String,
+      budgets: DataFrame, nTokCol: String = "n_tokens",
+      idCol: String = "doc_id", seed: Long = 42L): DataFrame =
+    tokenBudgetPerGroupGrid(df, groupCol, budgets, nTokCol, idCol, seed, M)
+
+  private[graft] def tokenBudgetPerGroupGrid(df: DataFrame,
+      groupCol: String, budgets: DataFrame, nTokCol: String,
+      idCol: String, seed: Long, gridM: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gridM > 0)
+    val outCols = df.columns.toSeq.map(col)
+    val ntok = coalesce(col(nTokCol), lit(0L))
+    val b = broadcast(budgets.select(col(groupCol),
+      when(col("budget").isNotNull && col("budget") >= 0,
+        col("budget").cast("long"))
+        .otherwise(raise_error(concat(
+          lit("tokenBudgetPerGroup: budget must be a non-negative Long "),
+          lit("for group "), col(groupCol).cast("string"))).cast("long"))
+        .as("__b")))
+    // inner join: a group without a budget row is not in the mix
+    val base = df.join(b, Seq(groupCol))
+      .withColumn("__h",
+        pmod(graft.functions.HashFunctions.md5_prefix(
+          concat(lit(seed.toString), lit(":"), col(idCol).cast("string")),
+          15), lit(gridM)))
+    val hist = base.groupBy(col(groupCol), col("__h"))
+      .agg(sum(ntok).as("__c"), max(col("__b")).as("__b"))
+    val cumw = Window.partitionBy(col(groupCol)).orderBy(col("__h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.withColumn("__cum", sum(col("__c")).over(cumw))
+      .where(col("__cum") > col("__b"))
+      .groupBy(col(groupCol))
+      .agg(min(struct(col("__h"),
+        (col("__b") - col("__cum") + col("__c")).as("__r"))).as("__s"))
+      .select(col(groupCol), col("__s.__h").as("__hstar"),
+        col("__s.__r").as("__r"))
+    val withThr = base.join(broadcast(thr), Seq(groupCol), "left")
+    val below = withThr
+      .where(col("__hstar").isNull || col("__h") < col("__hstar"))
+      .select(outCols: _*)
+    val tieW = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ties = withThr.where(col("__h") === col("__hstar"))
+      .withColumn("__tc", sum(ntok).over(tieW))
+      .where(col("__tc") <= col("__r"))
+      .select(outCols: _*)
+    below.unionByName(ties)
+  }
+
   /** Temperature-flattened mixture sampling (the mT5/UniMax multilingual
     * recipe — Xue et al. 2021 §3.2, Chung et al. 2023): per-group quota
     * ∝ n_g^α with α ∈ (0,1) flattening the head so low-resource groups

@@ -24,10 +24,12 @@ import graft.pipeline.{Dedup, TextAnalysis}
   *      batch member matches it — the published SemDeDup one-pass
   *      convention: dominators may themselves be dropped).
   *   4. Per-source TOKEN budget: the batch's survivors admit in
-  *      deterministic (md5-rank, id) order while the source's stored
-  *      spent-total plus the running batch total fits `budget`. The
-  *      only window spans ONE micro-batch partition — the micro-batch
-  *      is an operator-controlled bound; the stores are what grow.
+  *      deterministic (md5-rank, id) order against each source's
+  *      REMAINING budget (budget − stored spend), selected through
+  *      [[graft.pipeline.Sampling.tokenBudgetPerGroup]] — the batch
+  *      mixture op's own grid-bounded histogram machinery, so even a
+  *      single-source mega micro-batch cannot serialize the budget
+  *      walk into one task.
   *
   * Versioned-store discipline (idempotent under foreachBatch's
   * at-least-once replays): every store writes `batch=<id>` partitions
@@ -61,7 +63,6 @@ object IncrementalCuration {
       storeDir: String, outDir: String, budget: Long,
       numPerms: Int = 8, rowsPerBand: Int = 4,
       simThreshold: Double = 0.75, maxBucket: Int = 1000): Unit = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
 
     // 1. structural gate (stateless)
@@ -111,9 +112,14 @@ object IncrementalCuration {
     val fuzzyAdmitted = exactAdmitted
       .join(fuzzyRejected, Seq("doc_id"), "left_anti")
 
-    // 4. per-source token budget against the spent store: the batch's
-    // survivors walk in (md5-rank, id) order — the batch recipe's
-    // deterministic uniform rule — while spent + running total ≤ budget
+    // 4. per-source token budget against the spent store: each source's
+    // REMAINING budget (budget − stored spend) feeds the batch recipe's
+    // own per-group selection — the same grid-bounded histogram
+    // machinery as Sampling.tokenBudget, same (md5-rank, id) order and
+    // prefix rule as the window this replaced, so even a single-source
+    // mega micro-batch cannot serialize the budget walk into one task.
+    // The door's __h content hash would collide with the selector's
+    // internal rank column — drop and re-derive it around the call.
     val spentSchema = StructType(Seq(
       StructField("source", StringType), StructField("spent", LongType)))
     val spent = storeRead(spark, s"$storeDir/spent", spentSchema, batchId)
@@ -121,17 +127,15 @@ object IncrementalCuration {
       .getOrElse(spark.emptyDataFrame
         .withColumn("source", lit("")).withColumn("__spent", lit(0L))
         .select("source", "__spent").limit(0))
-    val rank = pmod(graft.functions.HashFunctions.md5_prefix(
-      concat(lit("42:"), col("doc_id").cast("string")), 15), lit(1000000L))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(rank.asc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val admitted = fuzzyAdmitted
-      .join(broadcast(spent), Seq("source"), "left")
-      .withColumn("__cum",
-        coalesce(col("__spent"), lit(0L)) +
-          sum(coalesce(col("n_words"), lit(0L))).over(w))
-      .where(col("__cum") <= budget)
+    val budgets = fuzzyAdmitted.select("source").distinct()
+      .join(spent, Seq("source"), "left")
+      .withColumn("budget",
+        greatest(lit(0L), lit(budget) - coalesce(col("__spent"), lit(0L))))
+      .select("source", "budget")
+    val admitted = graft.pipeline.Sampling.tokenBudgetPerGroup(
+        fuzzyAdmitted.drop("__h"), "source", budgets,
+        nTokCol = "n_words", idCol = "doc_id")
+      .withColumn("__h", md5(col("text").cast("binary")))
       .localCheckpoint() // feeds output + all three store appends
 
     // output + store appends (admitted docs only), all idempotent

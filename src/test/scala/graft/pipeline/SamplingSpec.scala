@@ -378,6 +378,47 @@ class SamplingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("per-group token budgets: constant budgets equal the scalar form; missing groups drop; NULL raises") {
+    val d = spark.range(6000).select(col("id").as("doc_id"),
+      when(col("id") < 5000, "web").when(col("id") < 5800, "code")
+        .otherwise("books").as("src"),
+      (col("id") % 7 + 3).as("n_tokens"))
+    val gridM = 13L // coarse: boundary buckets must split mid-tie-set
+    // 1. a constant budgets frame selects the IDENTICAL set as the
+    // scalar form at the same grid
+    val const = Seq(("web", 900L), ("code", 900L), ("books", 900L))
+      .toDF("src", "budget")
+    val got = Sampling.tokenBudgetPerGroupGrid(d, "src", const,
+        "n_tokens", "doc_id", 42L, gridM)
+      .select("doc_id").as[Long].collect().toSet
+    val ref = Sampling.tokenBudgetGrid(d, "src", 900L,
+        "n_tokens", "doc_id", 42L, gridM)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == ref, s"per-group(const) diverged from scalar: " +
+      s"got-only ${(got -- ref).take(5)}, ref-only ${(ref -- got).take(5)}")
+    // the boundary machinery was exercised, not vacuous: some group's
+    // budget actually bound (drops happened)
+    assert(got.size < 6000)
+    // 2. distinct budgets fill each group to ITS own cap
+    val mix = Seq(("web", 2000L), ("code", 500L)).toDF("src", "budget")
+    val out = Sampling.tokenBudgetPerGroup(d, "src", mix,
+      nTokCol = "n_tokens", idCol = "doc_id")
+    val sums = out.groupBy("src").agg(sum("n_tokens").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(sums("web") <= 2000L && sums("web") > 2000L - 10L, s"web fill $sums")
+    assert(sums("code") <= 500L && sums("code") > 500L - 10L, s"code fill $sums")
+    // books has no budget row → not in the mix
+    assert(!sums.contains("books"), s"unbudgeted group leaked: $sums")
+    // 3. a NULL budget fails closed
+    val bad = Seq(("web", Some(100L)), ("code", None))
+      .toDF("src", "budget")
+    val e = intercept[Exception] {
+      Sampling.tokenBudgetPerGroup(d, "src", bad,
+        nTokCol = "n_tokens", idCol = "doc_id").count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("temperature mix histogram form equals the direct window form on a coarse grid") {
     import org.apache.spark.sql.expressions.Window
     // The ADVICE-r11 property pin: the histogram/threshold/tie-trim
