@@ -605,9 +605,10 @@ object Bench {
           .localCheckpoint()
         // entries: 30 ring-hops away in the same cluster — the walk has
         // to traverse, not just confirm
+        val bcluster = (col("__src") / clusterSz).cast("long")
         val bentries = bq.select(col("query_id"),
-          ((col("__src") - (col("__src") / clusterSz) * clusterSz + 30L) %
-            clusterSz + (col("__src") / clusterSz) * clusterSz).as("doc_id"))
+          ((col("__src") - bcluster * clusterSz + 30L) %
+            clusterSz + bcluster * clusterSz).as("doc_id"))
         val bqv = bq.select("query_id", "qvec")
         val pDir = "target/tmp/bench_biggraph_plain"
         bedges.write.mode("overwrite").parquet(pDir)

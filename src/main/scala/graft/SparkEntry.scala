@@ -88,6 +88,8 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (Codebook, Codebook, Array[Array[Int]])]
   private val dirBpeMerges =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]
+  private val dirUnigram =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.Unigram.Model]
   private val dirLifecycle =
     new java.util.concurrent.ConcurrentHashMap[String,
       (Seq[(String, String)], Codebook)]
@@ -1745,6 +1747,11 @@ object SparkEntry {
     // and every fifth source is LEFT OUT of the budgets frame → its
     // docs drop, the missing-stratum convention), so the oracle
     // replays the budget table, the drop, and the per-source walk.
+    // ASSUMES src<digits> source names: a non-conforming name parses to
+    // NULL on the Spark side (cast → null, pmod null filter drops it)
+    // and to NULL in the oracle (TRY_CAST — a plain CAST would hard
+    // error in DuckDB where Spark silently drops), so both engines drop
+    // it consistently.
     "sample_token_budget_per_source" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
@@ -1838,6 +1845,24 @@ object SparkEntry {
       dirBpeMerges.put(dir, merges)
       lastDir = Some(dir)
       graft.pipeline.Bpe.applyMerges(t(s, dir, "documents"), merges)
+        .orderBy("doc_id")
+    }),
+
+    // ...and the reference's ACTUAL tokenizer family (VERDICT r13 #4):
+    // the T5 tokenizer MEVI loads is SentencePiece unigram-LM, not BPE
+    // (prepare_passage_tokenized.py:49-156) — hard-EM piece induction
+    // over the same distinct-word stats table, Viterbi segmentation as
+    // a broadcast-table mapPartitions; the oracle replays the Viterbi
+    // walk as an unrolled DP from the inlined trained piece table
+    // (GeneratedOracles.unigramTokenizeSql, exact Long micro scores)
+    "text_unigram_tokenize" -> ((s, dir) => {
+      val model = ArtifactCache.value(s"$dir/unigram48") {
+        graft.pipeline.Unigram.train(t(s, dir, "documents"),
+          vocabSize = 48, maxPieceLen = 4, seedSize = 200, nIters = 4)
+      }
+      dirUnigram.put(dir, model)
+      lastDir = Some(dir)
+      graft.pipeline.Unigram.tokenize(t(s, dir, "documents"), model)
         .orderBy("doc_id")
     }),
 
@@ -2025,8 +2050,20 @@ object SparkEntry {
         .screen(canonSurv, bench, n = 5, minShared = 3)
         .select("doc_id").distinct()
       val clean = canonSurv.join(contaminated, Seq("doc_id"), "left_anti")
-      graft.pipeline.Sampling.tokenBudget(clean.drop("text"), "source",
-          budget = 400L, nTokCol = "n_words")
+      // PER-SOURCE budgets (VERDICT r13 #2): the recipe's real users
+      // write "100B web / 20B code / 5B books", so the composition ends
+      // in tokenBudgetPerGroup — budgets derive from the source name
+      // (src<k> → 400 + (k%5)·200, the sample_token_budget_per_source
+      // convention) and every fifth source is deliberately UNBUDGETED,
+      // exercising the missing-stratum drop inside the composition
+      // (reference analog: the per-dataset qg/doc/gtq mixture weights,
+      // MEVI/main.py:374-376)
+      val srcNum = substring(col("source"), 4, 10).cast("long")
+      val budgets = clean.select("source").distinct()
+        .where(pmod(srcNum, lit(5L)) =!= 4L)
+        .withColumn("budget", lit(400L) + pmod(srcNum, lit(5L)) * 200L)
+      graft.pipeline.Sampling.tokenBudgetPerGroup(clean.drop("text"),
+          "source", budgets, nTokCol = "n_words")
         .select("doc_id", "source", "bucket", "n_words")
         .orderBy("doc_id")
     }),
@@ -3223,6 +3260,10 @@ object SparkEntry {
       dir.flatMap(d => Option(dirBpeMerges.get(d)))
         .map(merges => Map("text_bpe_tokenize" ->
           graft.oracle.GeneratedOracles.bpeTokenizeSql(merges)))
+        .getOrElse(Map.empty) ++
+      dir.flatMap(d => Option(dirUnigram.get(d)))
+        .map(model => Map("text_unigram_tokenize" ->
+          graft.oracle.GeneratedOracles.unigramTokenizeSql(model)))
         .getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirLifecycle.get(d)))
         .map { case (merges, cb) => Map("pipeline_index_serve" ->
@@ -5088,9 +5129,9 @@ object SparkEntry {
         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |bud AS (SELECT source,
-        |    400 + (CAST(substr(source, 4, 10) AS BIGINT) % 5) * 200 AS budget
+        |    400 + (TRY_CAST(substr(source, 4, 10) AS BIGINT) % 5) * 200 AS budget
         |  FROM (SELECT DISTINCT source FROM documents)
-        |  WHERE CAST(substr(source, 4, 10) AS BIGINT) % 5 <> 4),
+        |  WHERE TRY_CAST(substr(source, 4, 10) AS BIGINT) % 5 <> 4),
         |c AS (SELECT tok.doc_id, tok.source, tok.n_tokens, bud.budget,
         |    SUM(tok.n_tokens) OVER (PARTITION BY tok.source
         |      ORDER BY CAST('0x' || substr(md5('42:' || tok.doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
@@ -5415,13 +5456,17 @@ object SparkEntry {
          |clean AS (SELECT surv.doc_id, surv.source, surv.bucket, surv.n_words
          |        FROM surv LEFT JOIN contam ON surv.doc_id = contam.doc_id
          |        WHERE contam.doc_id IS NULL),
-         |cum AS (SELECT doc_id, source, bucket, n_words,
+         |bud AS (SELECT source,
+         |        400 + (TRY_CAST(substr(source, 4, 10) AS BIGINT) % 5) * 200 AS budget
+         |      FROM (SELECT DISTINCT source FROM clean)
+         |      WHERE TRY_CAST(substr(source, 4, 10) AS BIGINT) % 5 <> 4),
+         |cum AS (SELECT doc_id, source, bucket, n_words, budget,
          |        SUM(n_words) OVER (PARTITION BY source
          |          ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
          |                   doc_id ASC
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |      FROM clean)
-         |SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= 400
+         |      FROM clean JOIN bud USING (source))
+         |SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= budget
          |ORDER BY doc_id""".stripMargin,
 
     "pipeline_clean_corpus" ->

@@ -1026,6 +1026,62 @@ object GeneratedOracles {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  /** Replays [[graft.pipeline.Unigram.tokenize]] with the TRAINED piece
+    * table inlined (piece, length, log-prob on the integer micro grid).
+    * The Viterbi walk is an UNROLLED dynamic program: dpJ holds, per
+    * distinct word, the best segmentation of its first J characters —
+    * score = exact BIGINT sum of inlined micro log-probs, ties broken
+    * on the lexicographically smallest comma-joined token string, the
+    * engine's own rule (within a dp cell no candidate is a string
+    * prefix of another, so per-cell pruning is globally consistent —
+    * see the Unigram scaladoc). Unrolls to the trained `maxWordLen`
+    * (the generator is corpus-specific, like the inlined-round
+    * PageRank oracles). Coverage holds because every single character
+    * of the training corpus survives pruning and the oracle replays
+    * apply-on-the-training-corpus. */
+  def unigramTokenizeSql(model: graft.pipeline.Unigram.Model): String = {
+    val mpl = model.maxPieceLen
+    val maxLen = model.maxWordLen
+    val vals = model.pieces
+      .map { case (p, lp) => s"('$p', ${p.length}, CAST($lp AS BIGINT))" }
+      .mkString(",\n|    ")
+    val dps = (1 to maxLen).map { j =>
+      val branches = (1 to math.min(mpl, j)).map { l =>
+        s"""    SELECT pr.w, pr.wl, pr.s + p.lp AS s,
+           |      CASE WHEN pr.toks = '' THEN p.piece
+           |           ELSE pr.toks || ',' || p.piece END AS toks
+           |    FROM dp${j - l} pr JOIN p
+           |      ON p.pl = $l AND substr(pr.w, ${j - l + 1}, $l) = p.piece
+           |    WHERE pr.wl >= $j""".stripMargin
+      }.mkString("\n|    UNION ALL\n|")
+      s"""dp$j AS (SELECT w, wl, s, toks FROM (
+         |  SELECT w, wl, s, toks,
+         |    row_number() OVER (PARTITION BY w ORDER BY s DESC, toks ASC) AS rn
+         |  FROM (
+         |$branches))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n|")
+    val best = (1 to maxLen)
+      .map(j => s"SELECT w, toks FROM dp$j WHERE wl = $j")
+      .mkString("\n|      UNION ALL ")
+    s"""WITH p(piece, pl, lp) AS (VALUES
+       |    $vals),
+       |d AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS words
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT w, length(w) AS wl
+       |  FROM (SELECT unnest(words) AS w FROM d)),
+       |dp0 AS (SELECT w, wl, CAST(0 AS BIGINT) AS s, '' AS toks FROM dw),
+       |$dps,
+       |best AS ($best),
+       |wx AS (SELECT doc_id, unnest(words) AS w,
+       |    generate_subscripts(words, 1) AS i FROM d),
+       |tok AS (SELECT wx.doc_id, string_agg(b.toks, ',' ORDER BY wx.i) AS tokens
+       |  FROM wx JOIN best b ON b.w = wx.w GROUP BY wx.doc_id)
+       |SELECT d2.doc_id, coalesce(tok.tokens, '') AS tokens
+       |FROM documents d2 LEFT JOIN tok ON d2.doc_id = tok.doc_id
+       |ORDER BY d2.doc_id""".stripMargin
+  }
+
   /** Personalized-PageRank twin of [[pagerankDanglingSql]] on the same
     * forward-only supplier→part fixture: seeds are the supplier nodes
     * (node ≥ 1000000), each getting teleport `15·10⁴·N div |S|` and the

@@ -194,6 +194,13 @@ object Sampling {
       gridM: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 0 && gridM > 0)
+    // withColumn REPLACES an existing column, so a caller column named
+    // like one of the internals would be silently overwritten and then
+    // returned in its place — fail loudly instead (ADVICE r13)
+    val reserved = df.columns.toSet.intersect(Set("__h", "__hstar", "__r", "__tc"))
+    require(reserved.isEmpty,
+      s"tokenBudget: input columns ${reserved.mkString(", ")} collide with " +
+        "internal names (__h, __hstar, __r, __tc) — rename them first")
     val outCols = df.columns.toSeq.map(col)
     // NULL tokens count as 0 in BOTH the histogram and the tie walk — a
     // boundary bucket whose sum were all-NULL would otherwise yield a
@@ -261,6 +268,14 @@ object Sampling {
       idCol: String, seed: Long, gridM: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(gridM > 0)
+    // same loud-collision contract as [[tokenBudgetGrid]], plus __b
+    // (the joined per-group budget column)
+    val reservedPg =
+      df.columns.toSet.intersect(Set("__h", "__b", "__hstar", "__r", "__tc"))
+    require(reservedPg.isEmpty,
+      s"tokenBudgetPerGroup: input columns ${reservedPg.mkString(", ")} " +
+        "collide with internal names (__h, __b, __hstar, __r, __tc) — " +
+        "rename them first")
     val outCols = df.columns.toSeq.map(col)
     val ntok = coalesce(col(nTokCol), lit(0L))
     val b = broadcast(budgets.select(col(groupCol),

@@ -1,0 +1,242 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-family) tokenizer induction — Kudo 2018
+  * "Subword Regularization", the tokenizer family the reference's T5
+  * models actually load (MEVI loads a SentencePiece T5 tokenizer,
+  * prepare_passage_tokenized.py:49-156; the earlier [[Bpe]] stand-in is
+  * merge-based, a different family). Hard (Viterbi) EM over the same
+  * DISTINCT-WORD statistics table [[Bpe.train]] uses, so training cost
+  * is vocabulary-sized regardless of corpus size:
+  *
+  *   1. SEED: every substring of length ≤ `maxPieceLen` of every
+  *      distinct word, weighted by corpus word frequency; keep every
+  *      single character (coverage) plus the top multi-character
+  *      candidates by weight (`seedSize` total).
+  *   2. EM (`nIters` rounds of hard EM): E-step Viterbi-segments each
+  *      distinct word under the current piece log-probs (corpus
+  *      frequency as weight); M-step re-estimates p(piece) =
+  *      count/total by maximum likelihood. Pieces unused by every best
+  *      path get the floor log-prob (used only if coverage demands).
+  *      Each round's complete-data log-likelihood
+  *      Σ_w cnt(w)·score(w) is NON-DECREASING (classic hard-EM
+  *      monotonicity: the Viterbi step maximizes over segmentations,
+  *      the ML step over parameters — UnigramSpec pins it).
+  *   3. PRUNE to `vocabSize`: all single characters survive (coverage),
+  *      multi-character pieces keep the highest final counts;
+  *      probabilities renormalize over the kept set.
+  *
+  * All log-probs live on the integer MICRO grid (floor(ln p ·1e6 +0.5))
+  * from the moment they are estimated: Viterbi scores are exact Long
+  * sums, so the DuckDB oracle replays the walk bit-for-bit from the
+  * inlined trained piece table (the rq_assign inlined-artifact
+  * discipline). Ties between equal-score segmentations break on the
+  * lexicographically smallest comma-joined token string — within one
+  * DP cell no candidate string is a prefix of another (same word chars,
+  * different separator positions), so per-cell tie-breaking is globally
+  * consistent and the SQL replay's per-prefix row_number() = 1 pick
+  * matches the engine's fold exactly.
+  *
+  * Scale shape: one corpus-wide pass ([[Bpe.wordCounts]] — explode +
+  * map-side-combinable hash agg); seeding is one substring explode of
+  * the distinct-word table + one TakeOrdered; each EM round is one
+  * mapPartitions Viterbi over the distinct-word table with the piece
+  * table BROADCAST, one hash agg, and a piece-table-sized collect (the
+  * [[graft.index.RQ]] codebook convention — the model crosses the
+  * driver, never the corpus). Application ([[tokenize]]) is the
+  * [[Bpe.applyMerges]] pattern: broadcast pieces, per-partition
+  * word→tokens memo, zero joins.
+  */
+object Unigram {
+
+  /** Floor log-prob (micro grid) for seeded-but-unused pieces: chosen
+    * by Viterbi only when coverage leaves no alternative. */
+  val FloorLpMicro: Long = -40000000L
+
+  /** The trained model: (piece → log-prob micro) plus the longest piece
+    * and longest distinct word seen at train time (the oracle generator
+    * unrolls its DP to `maxWordLen`). */
+  final case class Model(pieces: Seq[(String, Long)], maxPieceLen: Int,
+      maxWordLen: Int) {
+    require(pieces.nonEmpty)
+  }
+
+  /** Viterbi-segment one word under a piece→lpMicro table. Returns the
+    * best-scoring segmentation (ties: lexicographically smallest
+    * comma-joined token string). A character absent from the table
+    * becomes its own token at [[FloorLpMicro]] (UNK fallback — cannot
+    * happen when the apply corpus is the training corpus, since every
+    * seen character survives pruning). */
+  private[pipeline] def tokenizeWord(word: String,
+      pieces: scala.collection.Map[String, Long],
+      maxPieceLen: Int): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    // dp over prefix length: (score, comma-joined toks)
+    val score = new Array[Long](n + 1)
+    val toks = new Array[String](n + 1)
+    java.util.Arrays.fill(score, Long.MinValue)
+    score(0) = 0L; toks(0) = ""
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        val i = j - l
+        if (score(i) != Long.MinValue) {
+          val piece = word.substring(i, j)
+          val lp = pieces.getOrElse(piece,
+            if (l == 1) FloorLpMicro else Long.MinValue)
+          if (lp != Long.MinValue) {
+            val s = score(i) + lp
+            val t = if (toks(i).isEmpty) piece else toks(i) + "," + piece
+            if (s > score(j) || (s == score(j) && t < toks(j))) {
+              score(j) = s; toks(j) = t
+            }
+          }
+        }
+        l += 1
+      }
+      j += 1
+    }
+    toks(n).split(",")
+  }
+
+  private[pipeline] def viterbiScore(word: String,
+      pieces: scala.collection.Map[String, Long],
+      maxPieceLen: Int): Long = {
+    val segs = tokenizeWord(word, pieces, maxPieceLen)
+    segs.map(p => pieces.getOrElse(p, FloorLpMicro)).sum
+  }
+
+  private def lpMicro(p: Double): Long =
+    math.floor(math.log(p) * 1000000.0 + 0.5).toLong
+
+  /** One E-step: Viterbi piece-usage counts over the distinct-word
+    * table — mapPartitions with the piece table broadcast, one hash
+    * agg, and a PIECE-TABLE-sized collect (never the word table). */
+  private def usageCounts(words: DataFrame,
+      probs: Map[String, Long], maxPieceLen: Int): Map[String, Long] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((probs, maxPieceLen))
+    words.as[(String, Long)]
+      .mapPartitions { it =>
+        val (ps, mpl) = bc.value
+        it.flatMap { case (w, c) =>
+          tokenizeWord(w, ps, mpl).iterator.map(p => (p, c))
+        }
+      }
+      .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+      .collect().toMap
+  }
+
+  /** Train a unigram tokenizer over the corpus. Deterministic: seeds,
+    * EM and pruning all tie-break on (weight desc, piece asc). Every
+    * corpus-scale structure stays distributed — only piece-table-sized
+    * results cross to the driver (the RQ-codebook convention). */
+  def train(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 4,
+      seedSize: Int = 400, nIters: Int = 4,
+      textCol: String = "text"): Model = {
+    require(vocabSize >= 2 && seedSize >= vocabSize && maxPieceLen >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the distinct-word stats table (the Bpe.train leverage) feeds
+    // nIters + 3 jobs below
+    val words = Bpe.wordCounts(docs, textCol).localCheckpoint()
+    val maxWordLen = Option(
+      words.agg(max(length(col("word")))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    require(maxWordLen > 0, "unigram train: empty corpus")
+
+    // 1. seed: frequency-weighted substring candidates (one explode of
+    // the word table + hash agg; top-k is a TakeOrdered, no global sort)
+    val subs = words.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, least(length(word), $maxPieceLen)),
+           |  l -> transform(sequence(1, length(word) - l + 1),
+           |    i -> substring(word, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("w"))
+      .localCheckpoint()
+    val chars = subs.where(length(col("piece")) === 1)
+      .select("piece").as[String].collect().sorted.toSeq
+    val multi = subs.where(length(col("piece")) > 1)
+      .orderBy(col("w").desc, col("piece").asc)
+      .limit(math.max(0, seedSize - chars.length))
+      .select("piece").as[String].collect().toSeq
+    val pieceSet: Seq[String] = (chars ++ multi).sorted
+    val seedW: Map[String, Long] = subs
+      .join(pieceSet.toDF("piece"), Seq("piece"), "left_semi")
+      .as[(String, Long)].collect().toMap
+    var probs: Map[String, Long] = {
+      val tot = pieceSet.iterator.map(seedW).sum.toDouble
+      pieceSet.map(p => p -> lpMicro(seedW(p) / tot)).toMap
+    }
+
+    // 2. hard EM; the round's complete-data log-likelihood falls out of
+    // the usage counts themselves (score(w) sums piece lps, so
+    // Σ_w cnt·score = Σ_p count(p)·lp(p)) — no second pass
+    val llTrace = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to nIters) {
+      val counts = usageCounts(words, probs, maxPieceLen)
+      llTrace += counts.iterator
+        .map { case (p, c) => c * probs.getOrElse(p, FloorLpMicro) }.sum
+      val tot = counts.valuesIterator.sum.toDouble
+      probs = pieceSet.map { p =>
+        val c = counts.getOrElse(p, 0L)
+        p -> (if (c > 0) lpMicro(c / tot) else FloorLpMicro)
+      }.toMap
+    }
+    lastTrainLLTrace = llTrace.toSeq
+
+    // 3. prune to vocabSize: chars always survive (coverage);
+    // multi-char pieces by final usage (count desc, piece asc),
+    // renormalized over the kept set
+    val finalCounts = usageCounts(words, probs, maxPieceLen)
+    val keptMulti = finalCounts.iterator
+      .filter { case (p, _) => p.length > 1 }
+      .toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - chars.length)).map(_._1)
+    val kept = (chars ++ keptMulti).sorted
+    val tot = kept.iterator
+      .map(p => math.max(finalCounts.getOrElse(p, 0L), 1L)).sum.toDouble
+    val finalPieces = kept.map { p =>
+      // unused chars keep coverage with a floor count of 1
+      p -> lpMicro(math.max(finalCounts.getOrElse(p, 0L), 1L) / tot)
+    }
+    Model(finalPieces, maxPieceLen, maxWordLen)
+  }
+
+  /** Complete-data log-likelihood after each EM round of the most
+    * recent [[train]] call — exposed for the monotonicity spec. */
+  @volatile private[pipeline] var lastTrainLLTrace: Seq[Long] = Nil
+
+  /** Tokenize a corpus with a trained model: (idCol, tokens) with every
+    * word's Viterbi pieces flattened in document order, comma-joined —
+    * the [[Bpe.applyMerges]] shape (broadcast model, per-partition
+    * word→tokens memo). */
+  def tokenize(docs: DataFrame, model: Model, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      (model.pieces.toMap, model.maxPieceLen))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (pieces, mpl) = bc.value
+        val pat = java.util.regex.Pattern.compile("[a-z0-9]+")
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          val m = pat.matcher(
+            if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+          val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (m.find())
+            toks ++= memo.getOrElseUpdate(m.group(),
+              tokenizeWord(m.group(), pieces, mpl))
+          (id, toks.mkString(","))
+        }
+      }.toDF(idCol, "tokens")
+  }
+}

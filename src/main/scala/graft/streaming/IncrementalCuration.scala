@@ -5,24 +5,43 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.pipeline.{Dedup, TextAnalysis}
 
-/** Streaming CURATION twin (VERDICT r12 #5): the batch recipe's
-  * gate → dedup → budget composition as a continuously-ingesting door —
-  * every arriving document is gated, deduped against the ADMITTED
-  * corpus, and charged against the per-source token budget, in one
+/** Streaming CURATION twin (VERDICT r12 #5, extended to the FULL batch
+  * recipe in r14): the batch flagship's gate → LM bucket → dedup →
+  * decontamination → budget composition as a continuously-ingesting
+  * door — every arriving document is gated, LM-screened, deduped
+  * against the seen corpus, decontaminated against the held-out
+  * benchmarks, and charged against the per-source token budget, in one
   * foreachBatch pipeline over versioned stores.
   *
-  * Per micro-batch:
+  * Per micro-batch (the `pipeline_curate_corpus_full` stage order):
   *   1. Gopher structural gate (per-row, stateless — the same
   *      [[TextAnalysis.gopherRules]] predicates as the batch recipe).
+  *   1b. CCNet LM tail drop (when [[FrozenArtifacts]] are supplied):
+  *      gated docs are scored with the FROZEN n-gram LM and docs whose
+  *      micro-grid mean log-prob falls below the FROZEN tail cutoff are
+  *      rejected. The LM counts and the cutoff are batch artifacts read
+  *      by the door as constants — the frozen-codebook convention of
+  *      [[IncrementalIndexer]]/[[IncrementalGraph]], and CCNet's own
+  *      published shape (Wenzek et al. 2020 compute percentile cutoffs
+  *      ONCE on a reference sample and apply them as constants).
+  *      Re-deriving cutoffs per micro-batch would make a doc's bucket
+  *      depend on what else happened to arrive alongside it — tiny
+  *      batches give noisy tertiles and admission becomes
+  *      batching-dependent — so the door deliberately does not.
   *   2. EXACT dedup at the door: first corpus occurrence wins — the
   *      batch's min-id per content hash, minus hashes already in the
-  *      admitted-hash store.
+  *      seen-hash store.
   *   3. FUZZY dedup at the door through the [[IncrementalDedup]]
-  *      primitives: a doc matching a stored (admitted) signature at
+  *      primitives: a doc matching a stored signature at
   *      sim ≥ `simThreshold` is rejected; within the batch the
   *      one-pass dominance rule applies (drop a doc iff a LOWER-id
   *      batch member matches it — the published SemDeDup one-pass
   *      convention: dominators may themselves be dropped).
+  *   3b. Benchmark DECONTAMINATION (when [[FrozenArtifacts]] are
+  *      supplied): dedup survivors sharing ≥ `minShared` distinct
+  *      n-gram hashes with a held-out benchmark item are rejected. The
+  *      benchmark gram set is the frozen artifact
+  *      ([[graft.pipeline.Contamination.hashedGrams]], broadcast).
   *   4. Per-source TOKEN budget: the batch's survivors admit in
   *      deterministic (md5-rank, id) order against each source's
   *      REMAINING budget (budget − stored spend), selected through
@@ -35,12 +54,39 @@ import graft.pipeline.{Dedup, TextAnalysis}
   * at-least-once replays): every store writes `batch=<id>` partitions
   * in OVERWRITE mode and reads exclude the current batch's own
   * partition, so a retried batch replaces its previous (possibly
-  * partial) writes instead of double-counting them. The stores mirror
-  * the ADMITTED output exactly — hashes, signatures, and spent tokens
-  * are appended only for docs that made it through every stage, so
-  * the door's notion of "the corpus" is precisely what it admitted.
+  * partial) writes instead of double-counting them.
+  *
+  * Store semantics (ADVICE r13): the hash and signature stores mirror
+  * the DEDUP SURVIVORS — every doc that passed the gate, LM, dedup and
+  * decontamination doors, whether or not the budget then admitted it —
+  * while the spent store (and the output) mirror the ADMITTED set only.
+  * This makes the door's dedup memory independent of budget timing:
+  * without it, a doc B dominance-rejected inside a batch because a
+  * lower-id member A matched it, where A was then itself rejected by
+  * the token budget, would leave NO trace in the stores, and a later
+  * near-identical arrival would be admitted — the admitted set would
+  * depend on how arrivals happened to be batched. Budget-rejected
+  * survivors are good content dropped only for quota (a source's
+  * remaining budget never grows, so they could never be admitted
+  * later anyway); gate-failed, LM-tail and contaminated docs are
+  * rejected FOR CAUSE and deliberately leave no dedup trace — a later
+  * near-dup of theirs is judged on its own merits.
   */
 object IncrementalCuration {
+
+  /** The batch artifacts the door reads as constants (stage 1b and 3b):
+    * the trained n-gram LM and its tail cutoff on the micro grid (docs
+    * with `floor(avg_logp·1e6 + 0.5) < tailCutoffMicro` drop — the
+    * `bucket != "tail"` rule of the batch flagship with the cutoff
+    * frozen), and the held-out benchmarks' distinct n-gram hash table
+    * (`(bench_id, h)`, [[graft.pipeline.Contamination.hashedGrams]]
+    * built with `n = contaminationN`). */
+  case class FrozenArtifacts(
+      lm: graft.pipeline.NgramLM.Model,
+      tailCutoffMicro: Long,
+      benchGrams: DataFrame,
+      contaminationN: Int = 5,
+      minShared: Int = 3)
 
   private def storeRead(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -62,7 +108,8 @@ object IncrementalCuration {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       storeDir: String, outDir: String, budget: Long,
       numPerms: Int = 8, rowsPerBand: Int = 4,
-      simThreshold: Double = 0.75, maxBucket: Int = 1000): Unit = {
+      simThreshold: Double = 0.75, maxBucket: Int = 1000,
+      frozen: Option[FrozenArtifacts] = None): Unit = {
     import org.apache.spark.sql.types._
 
     // 1. structural gate (stateless)
@@ -70,10 +117,25 @@ object IncrementalCuration {
       .where(col("pass_words") && col("pass_mwl") &&
         col("pass_alpha") && col("pass_symbol"))
       .select(col("doc_id"), col("n_words"))
+    // 1b. frozen-LM tail drop: score only the gated docs (the batch
+    // recipe's stage order — a length gate runs before an LM gate), keep
+    // docs at or above the frozen micro-grid cutoff
+    val lmKept = frozen match {
+      case Some(fa) =>
+        val keep = graft.pipeline.NgramLM.score(
+            batch.select("doc_id", "text")
+              .join(gated.select("doc_id"), Seq("doc_id"), "left_semi"),
+            fa.lm)
+          .where(floor(col("avg_logp") * 1000000.0 + lit(0.5)).cast("long")
+            >= fa.tailCutoffMicro)
+          .select("doc_id")
+        gated.join(keep, Seq("doc_id"), "left_semi")
+      case None => gated
+    }
     val docs = batch.select("doc_id", "source", "text")
-      .join(gated, Seq("doc_id"))
+      .join(lmKept, Seq("doc_id"))
       .withColumn("__h", md5(col("text").cast("binary")))
-      .localCheckpoint() // feeds 4 consumers below; gate+hash run once
+      .localCheckpoint() // feeds 4 consumers below; gate+LM+hash run once
 
     // 2. exact door: batch-first occurrence minus the admitted-hash store
     val batchFirst = docs
@@ -112,14 +174,28 @@ object IncrementalCuration {
     val fuzzyAdmitted = exactAdmitted
       .join(fuzzyRejected, Seq("doc_id"), "left_anti")
 
+    // 3b. decontamination: dedup survivors sharing ≥ minShared distinct
+    // n-gram hashes with any frozen benchmark item are rejected — the
+    // benchmark side is a broadcast constant, so the probe adds no
+    // shuffle beyond the bounded (doc, bench) collision agg
+    val survivors = (frozen match {
+      case Some(fa) =>
+        val contaminated = graft.pipeline.Contamination.screenHashed(
+            fuzzyAdmitted.select("doc_id", "text"), fa.benchGrams,
+            n = fa.contaminationN, minShared = fa.minShared)
+          .select("doc_id").distinct()
+        fuzzyAdmitted.join(contaminated, Seq("doc_id"), "left_anti")
+      case None => fuzzyAdmitted
+    }).localCheckpoint() // feeds budget + the two dedup-store appends
+
     // 4. per-source token budget against the spent store: each source's
     // REMAINING budget (budget − stored spend) feeds the batch recipe's
     // own per-group selection — the same grid-bounded histogram
     // machinery as Sampling.tokenBudget, same (md5-rank, id) order and
     // prefix rule as the window this replaced, so even a single-source
     // mega micro-batch cannot serialize the budget walk into one task.
-    // The door's __h content hash would collide with the selector's
-    // internal rank column — drop and re-derive it around the call.
+    // Only the selection columns go in (the door's __h content hash
+    // would collide with the selector's internal rank column).
     val spentSchema = StructType(Seq(
       StructField("source", StringType), StructField("spent", LongType)))
     val spent = storeRead(spark, s"$storeDir/spent", spentSchema, batchId)
@@ -127,23 +203,24 @@ object IncrementalCuration {
       .getOrElse(spark.emptyDataFrame
         .withColumn("source", lit("")).withColumn("__spent", lit(0L))
         .select("source", "__spent").limit(0))
-    val budgets = fuzzyAdmitted.select("source").distinct()
+    val budgets = survivors.select("source").distinct()
       .join(spent, Seq("source"), "left")
       .withColumn("budget",
         greatest(lit(0L), lit(budget) - coalesce(col("__spent"), lit(0L))))
       .select("source", "budget")
     val admitted = graft.pipeline.Sampling.tokenBudgetPerGroup(
-        fuzzyAdmitted.drop("__h"), "source", budgets,
+        survivors.select("doc_id", "source", "n_words"), "source", budgets,
         nTokCol = "n_words", idCol = "doc_id")
-      .withColumn("__h", md5(col("text").cast("binary")))
-      .localCheckpoint() // feeds output + all three store appends
+      .localCheckpoint() // feeds output + the spent append
 
-    // output + store appends (admitted docs only), all idempotent
+    // output + spent mirror the ADMITTED set; the hash/sig stores mirror
+    // the dedup SURVIVORS (see object doc — dedup memory must be
+    // independent of budget timing). All writes idempotent.
     admitted.select("doc_id", "source", "n_words")
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    admitted.select("__h")
+    survivors.select("__h")
       .write.mode("overwrite").parquet(s"$storeDir/hashes/batch=$batchId")
-    banded.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+    banded.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
     admitted.groupBy("source").agg(sum("n_words").as("spent"))
       .write.mode("overwrite").parquet(s"$storeDir/spent/batch=$batchId")
@@ -157,7 +234,8 @@ object IncrementalCuration {
       schema: org.apache.spark.sql.types.StructType, budget: Long,
       numPerms: Int = 8, rowsPerBand: Int = 4,
       simThreshold: Double = 0.75, maxBucket: Int = 1000,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      frozen: Option[FrozenArtifacts] = None): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
@@ -168,7 +246,7 @@ object IncrementalCuration {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, storeDir, outDir, budget,
-          numPerms, rowsPerBand, simThreshold, maxBucket)
+          numPerms, rowsPerBand, simThreshold, maxBucket, frozen)
       }
       .start()
   }

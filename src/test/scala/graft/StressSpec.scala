@@ -1003,8 +1003,14 @@ class StressSpec extends SparkSpec {
     assert(nContam >= nMega + 3,
       s"contamination flagged only $nContam — the hot bench hit was missed")
     val clean = canonSurv.join(contaminated, Seq("doc_id"), "left_anti")
-    val out = Sampling.tokenBudget(clean.drop("text"), "source",
-      budget = 5000L, nTokCol = "n_words")
+    // the flagship's r14 form: per-group budgets (single-group frame —
+    // identical selection to the scalar for that group, pinned by
+    // SamplingSpec's per-group ≡ scalar test — so the hot-key
+    // assertions below are unchanged while the composition exercises
+    // the production call shape)
+    val out = Sampling.tokenBudgetPerGroup(clean.drop("text"), "source",
+      spark.createDataFrame(Seq(("web", 5000L))).toDF("source", "budget"),
+      nTokCol = "n_words")
     val toks = out.agg(coalesce(sum("n_words"), lit(0L))).as[Long].head()
     val sec = (System.nanoTime() - t0) / 1e9
     assert(toks <= 5000L && toks > 5000L - 61,

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Unigram-LM tokenizer induction (VERDICT r13 #4): hard-EM
+  * monotonicity, exact Viterbi semantics (micro-Long scores, the
+  * comma-joined lexicographic tie-break the oracle replays), coverage
+  * after pruning, and the apply path. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (0L, "the cat sat on the mat the cat sat"),
+    (1L, "a banana and a bandana in the cabana"),
+    (2L, "cats eat bananas and rats eat mats"),
+    (3L, "the theme of the theater is thespian"),
+    (4L, "banana bandana cabana banana the the the"))
+    .toDF("doc_id", "text")
+
+  test("viterbi picks the higher-probability segmentation") {
+    val pieces = Map("a" -> -100L, "b" -> -100L, "ab" -> -150L)
+    assert(Unigram.tokenizeWord("ab", pieces, 4).toSeq == Seq("ab"))
+    assert(Unigram.tokenizeWord("aab", pieces, 4).toSeq == Seq("a", "ab"))
+  }
+
+  test("viterbi tie breaks on the lexicographically smaller token string") {
+    // "a,b" (-200) ties "ab" (-200); ',' < 'b' so the split form wins —
+    // the same rule the SQL oracle's ORDER BY toks ASC applies
+    val pieces = Map("a" -> -100L, "b" -> -100L, "ab" -> -200L)
+    assert(Unigram.tokenizeWord("ab", pieces, 4).toSeq == Seq("a", "b"))
+  }
+
+  test("unknown characters fall back to single-char UNK tokens") {
+    val pieces = Map("a" -> -100L)
+    assert(Unigram.tokenizeWord("axa", pieces, 4).toSeq == Seq("a", "x", "a"))
+  }
+
+  test("hard-EM complete-data log-likelihood is non-decreasing") {
+    val model = Unigram.train(fixture, vocabSize = 32, maxPieceLen = 4,
+      seedSize = 120, nIters = 5)
+    val trace = Unigram.lastTrainLLTrace
+    assert(trace.size == 5)
+    trace.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"EM regressed: $trace")
+    }
+    assert(model.pieces.nonEmpty)
+  }
+
+  test("pruned vocab keeps every corpus character and respects the cap") {
+    val model = Unigram.train(fixture, vocabSize = 24, maxPieceLen = 4,
+      seedSize = 120, nIters = 3)
+    val corpusChars = fixture.as[(Long, String)].collect()
+      .flatMap(_._2.toLowerCase.replaceAll("[^a-z0-9]", ""))
+      .map(_.toString).toSet
+    val pieceSet = model.pieces.map(_._1).toSet
+    assert(corpusChars.subsetOf(pieceSet),
+      s"coverage lost: ${corpusChars -- pieceSet}")
+    assert(model.pieces.size <= math.max(24, corpusChars.size))
+    // multi-char pieces were actually learned (the corpus repeats
+    // "the"/"banana" heavily)
+    assert(model.pieces.exists(_._1.length > 1), "no subwords learned")
+    // log-probs are negative micro values
+    assert(model.pieces.forall(_._2 < 0L))
+  }
+
+  test("tokenize concatenates per-word viterbi pieces in document order") {
+    val model = Unigram.train(fixture, vocabSize = 32, maxPieceLen = 4,
+      seedSize = 120, nIters = 3)
+    val pieces = model.pieces.toMap
+    val got = Unigram.tokenize(fixture, model)
+      .as[(Long, String)].collect().toMap
+    val pat = java.util.regex.Pattern.compile("[a-z0-9]+")
+    fixture.as[(Long, String)].collect().foreach { case (id, text) =>
+      val m = pat.matcher(text.toLowerCase)
+      val want = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find())
+        want ++= Unigram.tokenizeWord(m.group(), pieces, model.maxPieceLen)
+      assert(got(id) == want.mkString(","), s"doc $id")
+      // tokens re-join to the original words
+      assert(got(id).replace(",", "") ==
+        text.toLowerCase.replaceAll("[^a-z0-9]", ""))
+    }
+  }
+}
