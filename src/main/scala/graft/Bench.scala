@@ -574,7 +574,8 @@ object Bench {
       // Structure is synthetic (ring edges inside planted 60-doc
       // clusters; entries 30 ring-hops from the answer) because only
       // the LAYOUT is under test — graph quality is the block above.
-      val (bigPlainSec, bigBucketedSec, bigNDocs, bigNQ) = {
+      val (bigPlainSec, bigBucketedSec, bigNDocs, bigNQ,
+          cfServePlainSec, cfServeBucketedIndexSec, cfServeBucketedDocsSec) = {
         val bDocs = 120000L; val bDim = 48; val clusterSz = 60L
         val bQ = 60000L
         val bgen = udf { (id: Long) =>
@@ -626,8 +627,68 @@ object Bench {
             rounds = 2, entries = bentries)
             .write.format("noop").mode("overwrite").save()
         }
+        // ---- coarse-fine serving twin of the layout pair (r14,
+        // VERDICT r13 #7): same planted corpus, stock AQE, serving
+        // shape = J3 (probe → cluster index) + J4 (candidates →
+        // embedding fetch) + exact re-rank + bounded top-k. Layout
+        // variables, one at a time: (a) the cluster-index store, J3's
+        // static side, bucketed on the cluster key; (b) the embedding
+        // store, J4's static side, bucketed on doc_id. Probe side:
+        // each query probes its own cluster and the next (nprobe=2) →
+        // 120 candidates/query, 7.2M scored rows at 60k queries. The
+        // index here is keyed by a LONG cluster id (the 1-level/IVF
+        // J3 form; the RQ form's ARRAY<INT> codes key hashes the same
+        // way once serialized). Only the LAYOUT is under test — the
+        // retrieval quality of the real operator chain is the
+        // coarse_fine recall block above. Measured (r14 record, quiet
+        // box): plain 2.25 s, bucketed index 1.49 s (the doc_ids
+        // payload keeps the index above the broadcast threshold, so
+        // eliding its exchange+sort is pure win), bucketed docs 2.58 s
+        // (the 7.2M-row candidate side must sort into the bucketed
+        // SMJ that replaces AQE's shuffled-hash pick) — bucket the
+        // index store for J3; for J4 bucketing pays only past a far
+        // larger embedding side.
+        val nClusters = bDocs / clusterSz
+        val cIdx = bdocs
+          .select((col("doc_id") / clusterSz).cast("long").as("cluster"),
+            col("doc_id"))
+          .groupBy("cluster").agg(collect_list(col("doc_id")).as("doc_ids"))
+        val probes = bq.select(col("query_id"),
+          explode(array(
+            (col("__src") / clusterSz).cast("long"),
+            pmod((col("__src") / clusterSz).cast("long") + 1L,
+              lit(nClusters)))).as("cluster"))
+          .localCheckpoint()
+        val dot = graft.functions.VectorFunctions.float_dot(
+          col("qvec"), col("vec"))
+        def cfServe(index: org.apache.spark.sql.DataFrame,
+            docsT: org.apache.spark.sql.DataFrame): Double = bestOf2 {
+          val cand = probes.join(index, Seq("cluster"))
+            .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
+          val scored = cand.join(docsT, Seq("doc_id"))
+            .join(bqv, Seq("query_id"))
+            .select(col("query_id"), col("doc_id"),
+              dot.cast("double").as("score"))
+          graft.search.TopK.ranked(scored, 10)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val ciDir = "target/tmp/bench_cf_index_plain"
+        cIdx.write.mode("overwrite").parquet(ciDir)
+        val dDir = "target/tmp/bench_cf_docs_plain"
+        bdocs.write.mode("overwrite").parquet(dDir)
+        val pIdx = spark.read.parquet(ciDir)
+        val pD = spark.read.parquet(dDir)
+        val cfPlainSec = cfServe(pIdx, pD)
+        graft.io.Bucketing.writeBucketed(cIdx, "bench_cf_index_bucketed",
+          "target/tmp/bench_cf_index_bucketed", "cluster", buckets = 32)
+        val cfBIdxSec = cfServe(
+          graft.io.Bucketing.readBucketed(spark, "bench_cf_index_bucketed"), pD)
+        graft.io.Bucketing.writeBucketed(bdocs, "bench_cf_docs_bucketed",
+          "target/tmp/bench_cf_docs_bucketed", "doc_id", buckets = 32)
+        val cfBDocsSec = cfServe(pIdx,
+          graft.io.Bucketing.readBucketed(spark, "bench_cf_docs_bucketed"))
         bdocs.unpersist(); bq.unpersist()
-        (pSec, bSec, bDocs, bQ)
+        (pSec, bSec, bDocs, bQ, cfPlainSec, cfBIdxSec, cfBDocsSec)
       }
 
       // spec-level floors (KnnGraphSpec pins the graph path; IVF/coarse
@@ -649,6 +710,9 @@ object Bench {
         s""""bigwalk_n_docs":$bigNDocs,"bigwalk_n_queries":$bigNQ,""" +
         s""""bigwalk_parquet_sec":${d(bigPlainSec, 3)},""" +
         s""""bigwalk_bucketed_sec":${d(bigBucketedSec, 3)},""" +
+        s""""cf_serve_parquet_sec":${d(cfServePlainSec, 3)},""" +
+        s""""cf_serve_bucketed_index_sec":${d(cfServeBucketedIndexSec, 3)},""" +
+        s""""cf_serve_bucketed_docs_sec":${d(cfServeBucketedDocsSec, 3)},""" +
         s""""graph_recall_at_10":${d(gRecall, 4)}}"""
     } catch {
       case e: Throwable =>

@@ -2019,7 +2019,18 @@ object SparkEntry {
       // between stages; localCheckpoint is that staged write (measured
       // at sf0.1: 27.0 s without it, 7.6 s with).
       val canon = graft.pipeline.Dedup.exactDedup(kept).localCheckpoint()
-      // fuzzy near-dup among the exact-dedup survivors
+      // fuzzy near-dup among the exact-dedup survivors. The cands
+      // checkpoint is MEASURED load-bearing (r14, VERDICT #5 asked to
+      // try dropping it — JobProbe, sf0.1/local[32], steady-state,
+      // interleaved A/B): with it 63 jobs / 7.9-10.6 s; without it 57
+      // jobs but 9.7-12.3 s — the candidate list feeds FOUR subplans
+      // inside jaccardPairsByHash (the id semi-join side and three pair
+      // joins) and the band-self-join+distinct recompute past
+      // ReusedExchange coverage costs more than the one saved
+      // materialization; a persist()+unpersist() middle form measured
+      // 79 jobs / 8.5-8.9 s (InMemoryRelation splits the confirm into
+      // more jobs). Fewer jobs ≠ faster here; the eager checkpoint
+      // stays.
       val sigs = Dedup.minhashSignatures(canon, numPerms = 8)
       val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
         .localCheckpoint()

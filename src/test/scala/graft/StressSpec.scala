@@ -742,6 +742,76 @@ class StressSpec extends SparkSpec {
     out.unpersist(); emb.unpersist(); cells.unpersist()
   }
 
+  test("semDeDupRefined one-level bound: degenerate mass trips the SUB cap, " +
+      "fail-open accounting names every survivor") {
+    import spark.implicits._
+    // VERDICT r13 #6's adversary, with the REAL sub-trainer: 200
+    // IDENTICAL embeddings (an exact-dup blob — the densest possible
+    // mass) plus 60 spread vectors land in one original cell (260 >
+    // maxCell=50 → pass-1 fail-open → refinement pools them). k-means
+    // puts the identical 200 in ONE sub-cell no matter how many
+    // sub-cells autoCells derives, so the SUB pass trips the same cap —
+    // the one-level design bound. The pin: every degenerate doc comes
+    // back kept=true/refined=true (fail-open, never silently dropped
+    // OR vetted), and semDeDupSkippedCells over the refined rows'
+    // (doc, sub-cell) assignment names exactly the un-vetted survivors.
+    val dim = 8
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val e1 = Array.tabulate(dim)(i => if (i == 0) 1f else 0f)
+    val e2 = Array.tabulate(dim)(i => if (i == 1) 1f else 0f)
+    val rng = new scala.util.Random(7L)
+    val blob = unit(Array.tabulate(dim)(i =>
+      (if (i == 0) 1f else 0f) + 0.05f * (i % 3)))
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 200L).map(id => id -> blob) ++
+      (200L until 260L).map { id =>
+        id -> unit(Array.tabulate(dim)(i =>
+          (if (i == 0) 1f else 0f) + 0.3f * rng.nextFloat()))
+      } ++
+      (300L until 330L).map { id =>
+        id -> unit(Array.tabulate(dim)(i =>
+          (if (i == 1) 1f else 0f) + 0.05f * rng.nextFloat()))
+      }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cb = graft.index.Codebook(Array(Array(e1, e2)))
+    val cells = graft.index.CodeAssigner.assign(
+        emb.selectExpr("vec_id as doc_id", "embedding as vec"), cb)
+      .select(col("doc_id"), col("codes").getItem(0).as("cell"))
+      .localCheckpoint()
+    val out = Dedup.semDeDupRefined(emb, cells, cb, tau = 0.9,
+        maxCell = 50, targetCell = 16).localCheckpoint()
+    val byId = out.select("vec_id", "cell", "kept", "refined")
+      .as[(Long, Int, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byId.size == 290)
+    // the degenerate blob: refined, and fail-open KEPT every member
+    (0L until 200L).foreach { id =>
+      assert(byId(id)._4, s"doc $id not refined")
+      assert(byId(id)._3, s"doc $id dropped — over-cap sub-cell was vetted")
+    }
+    // the accounting closes the loop: over-cap SUB-cells (from the
+    // refined rows' own assignment) name every un-vetted survivor,
+    // including the whole blob
+    val subCells = out.where(col("refined"))
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val overIds = subCells.join(
+        Dedup.semDeDupSkippedCells(subCells, maxCell = 50).select("cell"),
+        Seq("cell"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert((0L until 200L).forall(overIds.contains),
+      s"accounting missed blob members: ${overIds.size} named")
+    assert(overIds.forall(id => byId(id)._3),
+      "an over-cap sub-cell member was not kept — accounting lies")
+    // under-cap original cell still dedups normally (non-vacuous base):
+    // 30 near-identical vectors keep exactly one
+    val keptCell1 = (300L until 330L).count(id => byId(id)._3)
+    assert(keptCell1 == 1, s"base pass kept $keptCell1 of the tight cell")
+    out.unpersist()
+  }
+
   test("semDeDupScaled derives k from corpus size (autoCells keeps cells near target)") {
     import spark.implicits._
     // the autoBits discipline for k-means k: 4k embeddings at
