@@ -97,29 +97,53 @@ object NgramLM {
     */
   def ccnetBuckets(scored: DataFrame, sampleK: Int = 300,
       seed: Long = 42L, idCol: String = "doc_id"): DataFrame = {
-    require(sampleK >= 3, s"sampleK=$sampleK")
-    val micro = scored.select(col(idCol),
+    val micro = lmMicro(scored, idCol)
+    micro.crossJoin(broadcast(cutsFrame(micro, sampleK, seed, idCol)))
+      .select(col(idCol), col("lm_micro"),
+        when(col("lm_micro") >= col("__t1"), "head")
+          .when(col("lm_micro") >= col("__t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  private def lmMicro(scored: DataFrame, idCol: String): DataFrame =
+    scored.select(col(idCol),
       floor(col("avg_logp") * 1000000.0 + lit(0.5)).cast("long")
         .as("lm_micro"))
+
+  // the one-row (__t1, __t2) cutoff frame over the bounded
+  // deterministic sample (the k smallest md5 ranks — cluster-size
+  // independent); tertile cut ranks ceil(n/3), ceil(2n/3) in integers —
+  // the window spans ≤ sampleK rows
+  private def cutsFrame(micro: DataFrame, sampleK: Int, seed: Long,
+      idCol: String): DataFrame = {
+    require(sampleK >= 3, s"sampleK=$sampleK")
     val h = graft.functions.HashFunctions.md5_prefix(
       concat(lit(seed.toString), lit(":"), col(idCol).cast("string")), 15)
     val sample = micro.select(col(idCol), col("lm_micro"), h.as("__h"))
       .orderBy(col("__h").asc, col(idCol).asc).limit(sampleK)
-    // rank the BOUNDED sample by fluency; tertile cut ranks ceil(n/3),
-    // ceil(2n/3) in integers — the window spans ≤ sampleK rows
     val w = Window.orderBy(col("lm_micro").desc, col(idCol).asc)
     val k1 = expr("(__n + 2) div 3")
     val k2 = expr("(__n * 2 + 2) div 3")
-    val cuts = sample
+    sample
       .withColumn("__rn", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
       .where(col("__rn") === k1 || col("__rn") === k2)
       .agg(max(when(col("__rn") === k1, col("lm_micro"))).as("__t1"),
         max(when(col("__rn") === k2, col("lm_micro"))).as("__t2"))
-    micro.crossJoin(broadcast(cuts))
-      .select(col(idCol), col("lm_micro"),
-        when(col("lm_micro") >= col("__t1"), "head")
-          .when(col("lm_micro") >= col("__t2"), "middle")
-          .otherwise("tail").as("bucket"))
+  }
+
+  /** The FROZEN-artifact form of [[ccnetBuckets]]'s cutoffs: (t1, t2)
+    * on the micro grid, computed over the same bounded deterministic
+    * sample — the pair a batch curation job freezes and the streaming
+    * door ([[graft.streaming.IncrementalCuration.FrozenArtifacts]])
+    * reads as a constant. `lm_micro >= t2` is exactly `bucket !=
+    * "tail"`, `>= t1` exactly `bucket == "head"` (ties take the better
+    * bucket, the `>=` rule). The collect is ONE row. */
+  def cutoffsMicro(scored: DataFrame, sampleK: Int = 300,
+      seed: Long = 42L, idCol: String = "doc_id"): (Long, Long) = {
+    val r = cutsFrame(lmMicro(scored, idCol), sampleK, seed, idCol).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      "cutoffsMicro: no scored docs to sample")
+    (r.getLong(0), r.getLong(1))
   }
 }

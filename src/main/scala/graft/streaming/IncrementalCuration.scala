@@ -78,9 +78,11 @@ object IncrementalCuration {
     * the trained n-gram LM and its tail cutoff on the micro grid (docs
     * with `floor(avg_logp·1e6 + 0.5) < tailCutoffMicro` drop — the
     * `bucket != "tail"` rule of the batch flagship with the cutoff
-    * frozen), and the held-out benchmarks' distinct n-gram hash table
-    * (`(bench_id, h)`, [[graft.pipeline.Contamination.hashedGrams]]
-    * built with `n = contaminationN`). */
+    * frozen; produce it as `NgramLM.cutoffsMicro(scored)._2`, the
+    * t2 the batch job's tertile sample yields), and the held-out
+    * benchmarks' distinct n-gram hash table (`(bench_id, h)`,
+    * [[graft.pipeline.Contamination.hashedGrams]] built with
+    * `n = contaminationN`). */
   case class FrozenArtifacts(
       lm: graft.pipeline.NgramLM.Model,
       tailCutoffMicro: Long,

@@ -101,4 +101,27 @@ class NgramLMSpec extends SparkSpec {
     val r2 = NgramLM.ccnetBuckets(NgramLM.score(tied, m2)).collect()
     assert(r2.length == 9 && r2.forall(_.getString(2) == "head"))
   }
+
+  test("cutoffsMicro: the frozen (t1, t2) reproduce ccnetBuckets exactly") {
+    // the artifact-production API the streaming door's FrozenArtifacts
+    // consume: bucketing every doc by the frozen cutoffs must equal the
+    // in-plan ccnetBuckets assignment, incl. >= tie semantics
+    val docs = graft.io.Tables.load(spark, sf("0.001"), "documents")
+    val m = NgramLM.train(docs)
+    val scored = NgramLM.score(docs, m)
+    val (t1, t2) = NgramLM.cutoffsMicro(scored, sampleK = 20)
+    assert(t1 >= t2, s"t1=$t1 t2=$t2")
+    val want = NgramLM.ccnetBuckets(scored, sampleK = 20).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(want.nonEmpty)
+    want.foreach { case (id, (micro, bucket)) =>
+      val frozen =
+        if (micro >= t1) "head" else if (micro >= t2) "middle" else "tail"
+      assert(frozen == bucket, s"doc $id: frozen=$frozen vs $bucket")
+    }
+    // degenerate input fails loudly instead of returning nulls
+    intercept[IllegalArgumentException] {
+      NgramLM.cutoffsMicro(scored.limit(0))
+    }
+  }
 }

@@ -138,6 +138,13 @@ class PipelineSpec extends SparkSpec {
     val hits = Contamination.screen(corpus, bench, n = 3, minShared = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hits == Set((1L, 100L)))
+    // the frozen-artifact split (r14): screen ≡ screenHashed over the
+    // precomputed gram table — the form the streaming door consumes
+    val grams = Contamination.hashedGrams(bench, n = 3)
+    val viaFrozen = Contamination
+      .screenHashed(corpus, grams, n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaFrozen == hits)
   }
 
   test("connected components: chains, cliques, and singleton pairs") {
