@@ -221,6 +221,26 @@ object Bench {
         "check loadavg before reading as regression: " +
         driftNotes.map { case (n, (c, p)) =>
           f"$n $c%.3f/$p%.3f" }.mkString(", "))
+    // inverse tier (VERDICT r13 "what's wrong"): the gate above is
+    // asymmetric — a committed entry cut under load can never flag
+    // again, because current < committed always passes, so an inflated
+    // baseline silently weakens the gate up to its own noise level
+    // (r13's text_gopher_rules sat at 2.87 s committed vs 1.5 s
+    // honest). Surface the inversion: a committed time >2x SLOWER than
+    // this run's best means the BASELINE is the outlier — re-cut the
+    // record on a quiet box instead of banking the free headroom.
+    val inflatedBaseline = driftHealed.collect {
+      case (name, (best, _))
+          if prevQueryTimes.get(name).exists(p =>
+            best > 0 && p > 0 && p > 2.0 * best && p - best > 0.5) =>
+        name -> (best, prevQueryTimes(name))
+    }
+    if (inflatedBaseline.nonEmpty)
+      System.err.println("[bench] note: committed baseline looks INFLATED " +
+        "(>2x slower than this run): " +
+        inflatedBaseline.map { case (n, (c, p)) =>
+          f"$n $c%.3f/$p%.3f" }.mkString(", ") +
+        " — re-cut BENCH_FULL.json on a quiet box")
 
     // ---- engine metrics (BASELINE.md protocol) ----
     // drop every cached plan the catalog loop left behind (ArtifactCache
@@ -741,6 +761,10 @@ object Bench {
     val driftNoteJson = driftNotes.map { case (name, (cur, prev)) =>
       "\"" + name + "\":[" + sec3(cur) + "," + sec3(prev) + "]"
     }.mkString("{", ",", "}")
+    // [current, committed] per inflated-baseline flag (see above)
+    val inflatedJson = inflatedBaseline.map { case (name, (cur, prev)) =>
+      "\"" + name + "\":[" + sec3(cur) + "," + sec3(prev) + "]"
+    }.mkString("{", ",", "}")
     val loadEnd = osBean.getSystemLoadAverage
     // taint flag (VERDICT r8 #7): a record captured on a box already
     // working (loadavg_start > cpus/4) embeds contention in its
@@ -759,7 +783,8 @@ object Bench {
         s""""tainted":$tainted,""" +
         s""""suspect_spread":$spreadJson,""" +
         s""""drift_vs_committed":$driftJson,""" +
-        s""""drift_note":$driftNoteJson}"""
+        s""""drift_note":$driftNoteJson,""" +
+        s""""baseline_inflated":$inflatedJson}"""
     val total = driftHealed.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
