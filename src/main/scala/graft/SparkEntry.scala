@@ -37,6 +37,36 @@ object SparkEntry {
     floor(x.cast("double") * scale + lit(0.5)).cast("long")
   }
 
+  /** Shared CTE prefix for the suffix-LCP oracles (dedup_suffix_lens /
+    * _spans): capped 24-token suffixes at every position, sorted by
+    * their space-joined string (the exact order the engine
+    * range-partitions on), neighbor rows via lag/lead, token-LCP =
+    * (index of the first element-wise mismatch − 1), clamped by both
+    * lengths — element-wise `IS NOT DISTINCT FROM` runs true past BOTH
+    * list ends, which the length clamp corrects, matching the engine's
+    * loop bound exactly. `tail` is either a final SELECT over `lcp` or
+    * (withFlagged) further CTEs + SELECT. */
+  private def suffixLcpSql(tail: String, withFlagged: Boolean = false): String = {
+    def side(o: String): String =
+      // list_position returns 0 (NOT NULL) when no element mismatches —
+      // nullif routes the all-equal case to 25-1 = 24, the full cap
+      s"""CASE WHEN $o IS NULL THEN 0 ELSE least(
+         |      coalesce(nullif(list_position(list_transform(range(1, 25),
+         |        i -> s[i] IS NOT DISTINCT FROM $o[i]), false), 0), 25) - 1,
+         |      len(s), len($o)) END""".stripMargin
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |sfx AS (SELECT doc_id, i - 1 AS pos, toks[i : i + 23] AS s
+       |  FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
+       |ord AS (SELECT doc_id, pos, s, lag(s) OVER w AS ps, lead(s) OVER w AS ns
+       |  FROM sfx WINDOW w AS (ORDER BY array_to_string(s, ' '), doc_id, pos)),
+       |lcp AS (SELECT doc_id, pos,
+       |    greatest(${side("ps")},
+       |      ${side("ns")}) AS dup_len
+       |  FROM ord)${if (withFlagged) "," else ""}
+       |$tail""".stripMargin
+  }
+
   /** Query-side of the embeddings table: first 20 vectors play "queries"
     * (the fixtures carry no separate query table; deterministic + SQL-
     * expressible so oracles can reproduce it).
@@ -1477,6 +1507,25 @@ object SparkEntry {
     "dedup_span_trim" -> ((s, dir) =>
       Dedup.trimDuplicateSpans(t(s, dir, "documents"), n = 8)
         .orderBy("doc_id")),
+
+    // Dedup: VARIABLE-length exact-substring lengths via suffix ordering
+    // + neighbor LCP (Lee et al.'s actual suffix-array method; the two
+    // entries above fix n=8). Per position: the maximal duplicated
+    // substring length starting there (≥ 8, capped at 24). One
+    // range-partitioned sort of the capped-suffix table + a strictly
+    // per-partition LCP pass (partition boundaries stitched by a
+    // 2-rows-per-partition collect — no single-task global window); the
+    // oracle replays the identical sort + lag/lead LCP in SQL
+    "dedup_suffix_lens" -> ((s, dir) =>
+      Dedup.suffixDupLengths(t(s, dir, "documents"), minLen = 8, cap = 24)
+        .orderBy("doc_id", "pos")),
+
+    // Dedup: the suffix-LCP lengths merged into maximal per-doc spans —
+    // the mergeSpans interval pass with the VARIABLE per-position length
+    // instead of a fixed n
+    "dedup_suffix_spans" -> ((s, dir) =>
+      Dedup.suffixDupSpans(t(s, dir, "documents"), minLen = 8, cap = 24)
+        .orderBy("doc_id", "span_id")),
 
     // Dedup: CCNet PARAGRAPH dedup (Wenzek et al. 2020 §3.1) — duplicate
     // paragraphs (non-overlapping 8-token blocks on this newline-free
@@ -4852,6 +4901,33 @@ object SparkEntry {
          |  coalesce(a.text, '') AS text
          |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
     },
+
+    // suffix-LCP dedup: the neighbor-LCP definition replayed exactly —
+    // sort the capped suffixes by their space-joined string (the same
+    // order Spark range-partitions on), lag/lead one row, LCP = index of
+    // the first element-wise token mismatch clamped by both lengths
+    "dedup_suffix_lens" -> suffixLcpSql(
+      """SELECT doc_id, CAST(pos AS INT) AS pos, CAST(dup_len AS INT) AS dup_len
+        |FROM lcp WHERE dup_len >= 8 ORDER BY doc_id, pos""".stripMargin),
+
+    "dedup_suffix_spans" -> suffixLcpSql(
+      """flagged AS (SELECT doc_id, pos, dup_len FROM lcp WHERE dup_len >= 8),
+        |m AS (SELECT doc_id, pos, dup_len,
+        |        CASE WHEN pos > coalesce(max(pos + dup_len) OVER (
+        |               PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM flagged),
+        |sp AS (SELECT doc_id, pos, dup_len,
+        |        sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |      FROM m)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |  CAST(min(pos) AS INT) AS span_start,
+        |  CAST(max(pos + dup_len) AS INT) AS span_end,
+        |  CAST(max(dup_len) AS INT) AS max_dup_len,
+        |  CAST(max(pos + dup_len) - min(pos) AS INT) AS span_tokens
+        |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_id""".stripMargin,
+      withFlagged = true),
 
     "dedup_paragraphs" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

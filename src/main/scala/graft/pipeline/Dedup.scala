@@ -837,6 +837,155 @@ object Dedup {
         concat_ws(" ", col("__kept")).as("text"))
   }
 
+  // -------------------------------------------------------------------
+  // Variable-length exact-substring detection via suffix ordering +
+  // neighbor LCP — the SUFFIX-ARRAY method of Lee et al. 2022
+  // (ExactSubstr; the reference-adjacent published pipeline builds a
+  // corpus suffix array and thresholds on duplicated-substring LENGTH).
+  // [[duplicateSpans]] answers "which spans have every fixed-n-gram
+  // repeated"; this answers the exact question "at each token position,
+  // how LONG is the longest substring starting here that also occurs
+  // elsewhere in the corpus" — no fixed n, maximal lengths reported
+  // (capped at `cap` tokens; a longer duplicate reports as `cap`).
+  // -------------------------------------------------------------------
+
+  /** Token-LCP of two space-joined suffix strings (tokens never contain
+    * whitespace, so the join round-trips exactly; split limit −1 keeps
+    * a trailing empty token, matching Spark SQL `split` and DuckDB
+    * `string_split_regex`). */
+  private[pipeline] def tokenLcp(a: String, b: String): Int = {
+    val ta = a.split(" ", -1); val tb = b.split(" ", -1)
+    val m = math.min(ta.length, tb.length)
+    var k = 0
+    while (k < m && ta(k) == tb(k)) k += 1
+    k
+  }
+
+  /** Per-position maximal duplicated-substring length: (doc_id, pos,
+    * dup_len) for every token position whose longest substring starting
+    * there that ALSO occurs elsewhere in the corpus (in-document
+    * self-repeats count, as in [[duplicateSpans]]) is ≥ `minLen` tokens;
+    * `dup_len` is that maximal length, capped at `cap`.
+    *
+    * Method: in lexicographic order of the (capped) suffixes, all
+    * suffixes sharing a token prefix form one contiguous block, so each
+    * suffix's maximal common prefix with ANY other suffix is achieved at
+    * an ADJACENT suffix — one global sort + one neighbor pass replaces
+    * the all-pairs comparison. (The block-contiguity argument needs the
+    * join separator to compare below every token character: the ASCII
+    * space 0x20 is below every printable, so only a control character
+    * INSIDE a token could split a block — and then both engines still
+    * compute the identical neighbor-LCP answer, since the oracle sorts
+    * and compares the same joined strings.)
+    *
+    * Scale shape: ONE range-partitioned sort of the capped-suffix table
+    * (O(`cap` · corpus tokens) shuffle bytes — `cap` is the cost knob),
+    * then a strictly per-partition linear LCP pass. Global adjacency
+    * across partition boundaries costs one partition-count-sized collect
+    * (each sorted partition's first and last row) broadcast back — no
+    * single-task global window anywhere, unlike a naive
+    * `Window.orderBy(sfx)`. The sorted table is localCheckpointed
+    * because two passes read it (boundary scan, LCP pass) and the
+    * upstream explode is cap× the corpus. */
+  def suffixDupLengths(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 8, cap: Int = 24): DataFrame = {
+    require(minLen >= 1 && cap >= minLen,
+      s"need 1 <= minLen <= cap, got minLen=$minLen cap=$cap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // __toks materialized BELOW the generator (the gramTable lesson:
+    // Generate inlines its child expression per output row — no CSE)
+    val sfx = ensureParallelism(docs
+        .select(col(idCol).cast("long").as("doc_id"),
+          tokens(col(textCol)).as("__toks")))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(__toks) - 1),
+           |  i -> concat_ws(' ', slice(__toks, i + 1, $cap)))"""
+          .stripMargin)).as(Seq("pos", "sfx")))
+    val sorted = sfx
+      .repartitionByRange(col("sfx"), col("doc_id"), col("pos"))
+      .sortWithinPartitions("sfx", "doc_id", "pos")
+      .select(col("sfx"), col("doc_id"), col("pos"))
+      .localCheckpoint()
+    val rdd: org.apache.spark.rdd.RDD[(String, Long, Int)] =
+      sorted.as[(String, Long, Int)].rdd
+    // first and last suffix of each sorted partition — 2 strings per
+    // partition cross the driver, nothing corpus-sized
+    val bounds = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var row = it.next(); val first = row._1
+        while (it.hasNext) row = it.next()
+        Iterator((i, first, row._1))
+      }
+    }.collect().sortBy(_._1)
+    // nearest non-empty neighbor on each side (empty partitions skipped)
+    val prevLast = scala.collection.mutable.Map.empty[Int, String]
+    var lastSeen: Option[String] = None
+    bounds.foreach { case (i, _, l) =>
+      lastSeen.foreach(prevLast(i) = _); lastSeen = Some(l)
+    }
+    val nextFirst = scala.collection.mutable.Map.empty[Int, String]
+    var firstSeen: Option[String] = None
+    bounds.reverseIterator.foreach { case (i, f, _) =>
+      firstSeen.foreach(nextFirst(i) = _); firstSeen = Some(f)
+    }
+    val bc = spark.sparkContext.broadcast(
+      (prevLast.toMap, nextFirst.toMap, minLen))
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      val (pl, nf, minL) = bc.value
+      var prev: String = pl.getOrElse(i, null)
+      val rows = it.buffered
+      new Iterator[(Long, Int, Int)] {
+        private var nextRow: (Long, Int, Int) = null
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && rows.hasNext) {
+            val cur: (String, Long, Int) = rows.next()
+            val s: String = cur._1
+            val nxt: String =
+              if (rows.hasNext) rows.head._1
+              else nf.getOrElse(i, null)
+            var dl: Int = if (prev == null) 0 else tokenLcp(s, prev)
+            if (nxt != null) dl = math.max(dl, tokenLcp(s, nxt))
+            prev = s
+            if (dl >= minL) nextRow = (cur._2, cur._3, dl)
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nextRow != null
+        override def next(): (Long, Int, Int) = {
+          val r = nextRow; advance(); r
+        }
+      }
+    }.toDF("doc_id", "pos", "dup_len")
+  }
+
+  /** [[suffixDupLengths]] merged into maximal per-doc duplicated spans:
+    * position p covers tokens [p, p+dup_len), a new span starts where p
+    * exceeds the furthest end reached by earlier flagged positions —
+    * the [[mergeSpans]] interval pass with the VARIABLE per-position
+    * length instead of a fixed n. Output (doc_id, span_id, span_start,
+    * span_end exclusive, span_tokens, max_dup_len); bounded by the
+    * flagged positions, strictly smaller than the corpus. */
+  def suffixDupSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 8, cap: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = suffixDupLengths(docs, idCol, textCol, minLen, cap)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val reach = max(col("pos") + col("dup_len"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__new",
+        when(reach.isNull || col("pos") > reach, 1).otherwise(0))
+      .withColumn("span_id", sum(col("__new")).over(w))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"),
+        max(col("pos") + col("dup_len")).as("span_end"),
+        max("dup_len").as("max_dup_len"))
+      .withColumn("span_tokens", col("span_end") - col("span_start"))
+  }
+
   /** Dedup survivor POLICY: arg-max score per duplicate cluster (ties →
     * smaller id) — "keep the copy worth training on" instead of the
     * arbitrary min-id canonical. Input: (doc_id, component) memberships

@@ -176,4 +176,85 @@ class SpanDedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
     assert(again == r)
   }
+
+  // ---- variable-length suffix-LCP dedup (Lee et al. suffix-array way) ----
+
+  test("suffixDupLengths reports exact maximal duplicate lengths") {
+    val lens = Dedup.suffixDupLengths(docs, minLen = 3)
+      .orderBy("doc_id", "pos")
+      .as[(Long, Int, Int)].collect().toSeq
+    // doc 0/1 share the 5-token run a..e: maximal lengths 5,4,3 at the
+    // run's successive starts in BOTH docs; doc 2 self-repeats with
+    // period 3 (pos 0 vs pos 3 share "p q r p q r" = 6, etc.); doc 3
+    // has nothing ≥ 3
+    assert(lens == Seq(
+      (0L, 0, 5), (0L, 1, 4), (0L, 2, 3),
+      (1L, 2, 5), (1L, 3, 4), (1L, 4, 3),
+      (2L, 0, 6), (2L, 1, 5), (2L, 2, 4),
+      (2L, 3, 6), (2L, 4, 5), (2L, 5, 4), (2L, 6, 3)))
+  }
+
+  test("suffixDupLengths equals a brute-force all-pairs reference") {
+    // 40 docs with planted exact duplicates (runs of equal suffixes that
+    // must cross range-partition boundaries), shared runs, self-repeats
+    // — pinned against an independent O(n²) plain-Scala fold
+    val corpus = (0 until 30).map(i => (i.toLong, "dup dup text body one two three")) ++
+      Seq((30L, "alpha beta gamma delta epsilon zeta"),
+        (31L, "omega alpha beta gamma delta epsilon end"),
+        (32L, "self self self self self self"),
+        (33L, "lone words without any twin here")) ++
+      (34 until 40).map(i => (i.toLong, s"noise$i filler mixed dup dup text tail$i"))
+    val df = corpus.toDF("doc_id", "text")
+    val minLen = 2; val cap = 5
+    val got = Dedup.suffixDupLengths(df, minLen = minLen, cap = cap)
+      .orderBy("doc_id", "pos").as[(Long, Int, Int)].collect().toSeq
+    // reference: all capped suffixes, all-pairs token LCP
+    val sufs = corpus.flatMap { case (d, t) =>
+      val toks = t.toLowerCase.split("\\s+", -1)
+      toks.indices.map(p => (d, p, toks.slice(p, p + cap).toSeq))
+    }
+    def lcp(a: Seq[String], b: Seq[String]): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val want = sufs.flatMap { case (d, p, s) =>
+      val best = sufs.iterator
+        .filter { case (d2, p2, _) => (d2, p2) != ((d, p)) }
+        .map { case (_, _, o) => lcp(s, o) }.max
+      if (best >= minLen) Some((d, p, best)) else None
+    }.sortBy(x => (x._1, x._2))
+    assert(got == want)
+  }
+
+  test("suffixDupLengths caps reported lengths at cap") {
+    val d = Seq(
+      (0L, "one two three four five six seven eight nine ten"),
+      (1L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val lens = Dedup.suffixDupLengths(d, minLen = 2, cap = 4)
+      .as[(Long, Int, Int)].collect().toSeq
+    // 10-token exact dup, but no reported length exceeds the 4-token cap
+    assert(lens.nonEmpty && lens.forall(_._3 <= 4))
+    assert(lens.count(_._3 == 4) == 14) // positions 0..6 in both docs
+  }
+
+  test("suffixDupSpans merges variable-length flags into maximal spans") {
+    val spans = Dedup.suffixDupSpans(docs, minLen = 3)
+      .orderBy("doc_id", "span_id")
+      .select("doc_id", "span_start", "span_end", "max_dup_len", "span_tokens")
+      .as[(Long, Int, Int, Int, Int)].collect().toSeq
+    assert(spans == Seq(
+      (0L, 0, 5, 5, 5),   // the shared a..e run
+      (1L, 2, 7, 5, 5),
+      (2L, 0, 9, 6, 9)))  // the whole periodic doc, maximal piece 6
+  }
+
+  test("suffixDupLengths is partitioning-invariant") {
+    val a = Dedup.suffixDupLengths(docs.repartition(7), minLen = 3)
+      .orderBy("doc_id", "pos").collect().toSeq
+    val b = Dedup.suffixDupLengths(docs.coalesce(1), minLen = 3)
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Dedup.suffixDupLengths(docs, minLen = 9, cap = 8)
+    }
+  }
 }
