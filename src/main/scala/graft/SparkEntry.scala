@@ -1833,6 +1833,47 @@ object SparkEntry {
         budget = 256L, groups = 8)
         .orderBy("doc_id")),
 
+    // EXPORT composition — the artifact a training run actually mounts:
+    // the deduplicated corpus packed into fixed-length sequences and
+    // dealt into SHUFFLED shards. Stages: plant 5 exact dups (doc_id +
+    // 100000 — the dedup stage must be live at every sf; the fixture has
+    // no exact dups below sf0.1) → exactDedup min-id survivor →
+    // whitespace token counts → GPT-style concat-and-chunk at 128
+    // (pack_sequences' two-level distributed prefix scan) →
+    // DETERMINISTIC SHUFFLE: sequences ranked by the md5-60 hash of
+    // their seq_id (a reproducible pseudorandom permutation, identical
+    // on any engine) → round-robin deal into 8 equal shards. The rank
+    // itself comes from the SAME exclusivePrefixSum machinery (count
+    // of smaller hashes), so there is no global-order window anywhere;
+    // the oracle chains the dedup QUALIFY, the running-sum chunk
+    // explode, and the hash-order row_number into one statement
+    "pipeline_export_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val uniq = Dedup.exactDedup(docs.unionByName(planted))
+      val counted = uniq.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      // two consumers below (the distinct seq table and the final join)
+      val packed = graft.pipeline.Packing.chunkSpans(counted, seqLen = 128)
+        .localCheckpoint()
+      val seqs = packed.select(col("seq_id")).distinct()
+        .withColumn("__hk", Dedup.md5Hash60(col("seq_id").cast("string")))
+        .withColumn("__one", lit(1L))
+      // pos = count of sequences with a smaller shuffle hash — the
+      // shuffled global position, scan-built (no single-task window);
+      // 60-bit hash ties would need ~2^30 sequences to appear once
+      val positioned = graft.pipeline.Packing
+        .exclusivePrefixSum(seqs, "__hk", "__one", outCol = "pos")
+        .select(col("seq_id"), col("pos"),
+          pmod(col("pos"), lit(8L)).as("shard"),
+          expr("pos div 8").as("shard_pos"))
+      packed.join(positioned, Seq("seq_id"))
+        .select("shard", "shard_pos", "seq_id", "doc_id",
+          "off_in_seq", "n_tok")
+        .orderBy("shard", "shard_pos", "doc_id")
+    }),
+
     // LM-based quality gate (CCNet-style): corpus-trained smoothed bigram
     // model, docs scored by mean log-prob in position order
     "text_lm_score" -> ((s, dir) => {
@@ -5261,6 +5302,41 @@ object SparkEntry {
         |         THEN d.n ELSE r.running + d.n END
         |  FROM r JOIN d ON d.grp = r.grp AND d.rn = r.rn + 1)
         |SELECT doc_id, grp, bin, n AS n_tokens FROM r ORDER BY doc_id""".stripMargin,
+
+    // export composition: planted dups → min-id exact dedup → token
+    // counts → running-sum chunk explode (the pack_sequences replay) →
+    // md5-60 hash order (the deterministic shuffle) → round-robin shard
+    "pipeline_export_train" ->
+      """WITH raw AS (SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5),
+        |u AS (SELECT doc_id, text FROM raw
+        |      QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |        ORDER BY doc_id) = 1),
+        |tok AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        |  FROM u),
+        |c AS (SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+        |  FROM tok),
+        |sp AS (SELECT seq_id, doc_id,
+        |    GREATEST(seq_id * 128, st) AS lo,
+        |    LEAST((seq_id + 1) * 128, st + n) AS hi
+        |  FROM c, unnest(generate_series(st // 128, (st + n - 1) // 128)) AS g(seq_id)
+        |  WHERE n > 0),
+        |hk AS (SELECT DISTINCT seq_id FROM sp),
+        |ps AS (SELECT seq_id,
+        |    row_number() OVER (ORDER BY
+        |      CAST('0x' || substr(md5(CAST(seq_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |      seq_id) - 1 AS pos
+        |  FROM hk)
+        |SELECT CAST(ps.pos % 8 AS BIGINT) AS shard,
+        |  CAST(ps.pos // 8 AS BIGINT) AS shard_pos,
+        |  sp.seq_id, sp.doc_id,
+        |  sp.lo - sp.seq_id * 128 AS off_in_seq, sp.hi - sp.lo AS n_tok
+        |FROM sp JOIN ps USING (seq_id)
+        |ORDER BY shard, shard_pos, doc_id""".stripMargin,
 
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) - 1 AS pos

@@ -92,4 +92,54 @@ class PackingSpec extends SparkSpec {
       .select("doc_id", "bin").as[(Long, Long)].collect().toMap
     assert(out(0L) == 0L && out(8L) == 1L && out(16L) == 2L)
   }
+
+  test("export composition invariants: dedup, conservation, shuffle, shards") {
+    import org.apache.spark.sql.functions._
+    // mirrors the pipeline_export_train catalog stages on a fixture
+    // small enough to check every invariant by hand
+    val docs = graft.io.Tables.load(spark, sf("0.001"), "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val uniq = Dedup.exactDedup(docs.unionByName(planted))
+    // planted exact dups are gone; all original survivors remain
+    assert(uniq.count() == docs.count())
+    assert(uniq.where(col("doc_id") >= 100000L).count() == 0)
+    val counted = uniq.select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+    val packed = Packing.chunkSpans(counted, seqLen = 128).localCheckpoint()
+    // token conservation: each doc's chunk pieces sum to its count
+    val bad = packed.groupBy("doc_id").agg(sum("n_tok").as("got"))
+      .join(counted, Seq("doc_id"))
+      .where(col("got") =!= col("n_tokens")).count()
+    assert(bad == 0L)
+    val seqs = packed.select(col("seq_id")).distinct()
+      .withColumn("__hk", Dedup.md5Hash60(col("seq_id").cast("string")))
+      .withColumn("__one", lit(1L))
+    val positioned = Packing
+      .exclusivePrefixSum(seqs, "__hk", "__one", outCol = "pos")
+      .select(col("seq_id"), col("pos"),
+        pmod(col("pos"), lit(8L)).as("shard"),
+        expr("pos div 8").as("shard_pos"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val nSeq = positioned.size
+    // pos is a permutation of 0..n-1 and equals the hash-order rank
+    assert(positioned.map(_._2).sorted == (0L until nSeq).toSeq)
+    def hk(s: String): Long = { // independent md5-60 reference
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val hashOrder = positioned
+      .sortBy(p => (hk(p._1.toString), p._1))
+      .map(_._1)
+    assert(positioned.sortBy(_._2).map(_._1) == hashOrder)
+    // round-robin dealing: shard sizes differ by at most 1, and
+    // (shard, shard_pos) is 1:1 with pos
+    val sizes = positioned.groupBy(_._3).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1)
+    assert(positioned.forall { case (_, pos, sh, sp) =>
+      sh == pos % 8 && sp == pos / 8 })
+  }
 }
