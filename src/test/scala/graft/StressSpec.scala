@@ -1148,4 +1148,86 @@ class StressSpec extends SparkSpec {
     info(f"autoBits occupancy: 125k/b$bitsSmall max=$maxSmall cpd=$cpdSmall%.1f, " +
       f"1M/b$bitsBig max=$maxBig cpd=$cpdBig%.1f")
   }
+  test("suffixDupLengths: a 3000-deep equal-suffix run splits across tasks") {
+    import spark.implicits._
+    // adversary for the suffix-LCP sort: 3000 IDENTICAL 24-token docs
+    // make every suffix position a 3000-row run of EQUAL sort keys.
+    // The range partitioner keys on (sfx, doc_id, pos), so the runs
+    // must SPLIT across partitions (no hot-key single task), and the
+    // boundary stitch then has to compute full-cap LCPs across the
+    // split points — both the skew posture and the stitch correctness
+    // in one fixture.
+    val hot = 3000; val L = 24; val cap = 16; val minLen = 8
+    val hotText = (0 until L).map(i => s"tok$i").mkString(" ")
+    val docs = ((0 until hot).map(i => (i.toLong, hotText)) ++
+      (0 until 500).map(i =>
+        ((hot + i).toLong, (0 until 12).map(j => s"u${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+
+    val maxShuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          var cur = maxShuffleRecords.get
+          while (r > cur && !maxShuffleRecords.compareAndSet(cur, r))
+            cur = maxShuffleRecords.get
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the fixture's suffix shuffle COMPRESSES to a few KB (3000
+    // identical docs — lz4 eats the repetition), so AQE's partition
+    // coalescing correctly folds it into ONE post-shuffle partition at
+    // any sane advisory size (right-sizing, not skew; the first run of
+    // this test caught exactly that). A 100 TB run's partitions dwarf
+    // the advisory and never coalesce — so pin THAT regime by disabling
+    // coalescing here, which exposes what this test is really about:
+    // the range partitioner keys on (sfx, doc_id, pos) and must SPLIT
+    // the 3000-deep equal-sfx runs across tasks, and the boundary
+    // stitch must then compute full-cap LCPs across the split points.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    var out: org.apache.spark.sql.DataFrame = null
+    val (total, sec) =
+      try {
+        val t0 = System.nanoTime()
+        out = Dedup.suffixDupLengths(docs, minLen = minLen, cap = cap)
+          .localCheckpoint()
+        (out.count(), (System.nanoTime() - t0) / 1e9)
+      } finally prevCoalesce match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
+    var stable = 0; var last = -1L; var waited = 0
+    while (stable < 2 && waited < 100) {
+      Thread.sleep(100); waited += 1
+      val cur = maxShuffleRecords.get
+      if (cur == last) stable += 1 else { stable = 0; last = cur }
+    }
+    spark.sparkContext.removeSparkListener(listener)
+
+    // exact expected output: every copy flags positions p <= L - minLen
+    // with dup_len = min(cap, L - p); the unique docs flag nothing
+    assert(total == hot.toLong * (L - minLen + 1))
+    assert(out.where(col("doc_id") >= hot).count() == 0)
+    val one = out.where(col("doc_id") === 7).orderBy("pos")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(one == (0 to L - minLen).map(p => (7L, p, math.min(cap, L - p))))
+
+    // skew witness: the suffix table is hot×L + 500×12 rows; a plan that
+    // serialized the equal runs through one task (a global-order window,
+    // or a range partitioner keyed on sfx alone) would shuffle-read the
+    // whole table there. The 8-partition sort must keep every task well
+    // under half of it.
+    val suffixRows = hot.toLong * L + 500L * 12
+    val maxTask = maxShuffleRecords.get
+    assert(maxTask < suffixRows / 2,
+      s"a task shuffle-read $maxTask of $suffixRows suffix rows — equal-run skew")
+    assert(sec < 120, s"hot-suffix probe took $sec s")
+    info(f"hot-suffix probe: rows=$total maxTaskShuffleRecords=$maxTask sec=$sec%.1f")
+  }
 }
