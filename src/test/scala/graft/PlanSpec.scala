@@ -355,4 +355,41 @@ class PlanSpec extends SparkSpec {
         s"query $name plans a cartesian product:\n$p")
     }
   }
+
+  test("no catalog query plans a partition-less window beyond the documented bounded set") {
+    // mechanizes the r13 hand-audit: every "No Partition Defined for
+    // Window operation" in a Verify log must trace to one of exactly TWO
+    // bounded driver-sized frames — UniMax's cap table
+    // (Sampling.unimaxEpochs: ≤ maxGroups rows behind a fail-fast
+    // count guard) and NgramLM's cutoff sample (ccnetBuckets: the
+    // 300-row md5-rank sample). Queries whose plans reach those two
+    // sites are whitelisted BY NAME; any other partition-less WindowExec
+    // is a single-task global sort waiting to happen at scale and fails
+    // the sweep.
+    // the empirical whitelist (each name → which bounded site its final
+    // plan reaches; composed pipelines whose ccnetBuckets sample window
+    // runs in an INTERNAL action — pipeline_curate_corpus_full — do not
+    // appear here because this audit covers the final submitted plan):
+    val boundedWindowQueries = Set(
+      "sample_unimax_epochs",     // UniMax cap table (≤ maxGroups, fail-fast)
+      "text_ccnet_buckets",       // NgramLM 300-row md5-rank cutoff sample
+      "pipeline_curate_corpus",   // composes ccnetBuckets inline
+      "sketch_topk_merge")        // MG count-of-counts histogram (distinct
+                                  // count VALUES per group, Zipf-bounded)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val noPart = fn(spark, sf("0.001")).queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (boundedWindowQueries(name))
+        assert(noPart.nonEmpty,
+          s"whitelist entry $name no longer plans a partition-less window — prune it")
+      else
+        assert(noPart.isEmpty,
+          s"query $name plans ${noPart.size} partition-less window(s) — " +
+            s"a single-task global sort at scale:\n${noPart.headOption.getOrElse("")}")
+    }
+  }
 }
