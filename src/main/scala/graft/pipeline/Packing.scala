@@ -134,18 +134,30 @@ object Packing {
       .as[(Long, Long)]
       .groupByKey { case (id, _) => id % groups }
       .flatMapGroups { (g: Long, it: Iterator[(Long, Long)]) =>
-        val docs = it.toArray.sortBy(_._1)
-        var bin = 0L
-        var running = 0L
-        docs.iterator.map { case (id, n) =>
-          // close the open bin iff the doc overflows it AND the bin is
-          // non-empty (an oversized doc starts, and fully occupies, its
-          // own bin — it must not burn an extra empty bin number first)
-          if (running + n > budget && running > 0L) { bin += 1; running = 0L }
-          running += n
-          (id, g, bin, n)
-        }
+        nextFitWalk(g, it, budget)
       }
       .toDF(idCol, "grp", "bin", nCol)
+  }
+
+  /** The ONE next-fit walk definition, shared by [[nextFit]] and the
+    * streaming twin ([[graft.streaming.IncrementalPacking]]): docs in
+    * ascending id order; the open bin closes iff the next doc overflows
+    * it AND the bin is non-empty (an oversized doc starts, and fully
+    * occupies, its own bin — it must not burn an extra empty bin number
+    * first). `bin0`/`fill0` carry an OPEN bin's state into the walk —
+    * (0, 0) for the batch path, the store snapshot for the door. The
+    * post-walk state is recoverable from the output alone: (max emitted
+    * bin, Σ n in it, plus the carried fill when that bin IS bin0). */
+  private[graft] def nextFitWalk(g: Long, it: Iterator[(Long, Long)],
+      budget: Long, bin0: Long = 0L,
+      fill0: Long = 0L): Iterator[(Long, Long, Long, Long)] = {
+    val docs = it.toArray.sortBy(_._1)
+    var bin = bin0
+    var running = fill0
+    docs.iterator.map { case (id, n) =>
+      if (running + n > budget && running > 0L) { bin += 1; running = 0L }
+      running += n
+      (id, g, bin, n)
+    }
   }
 }

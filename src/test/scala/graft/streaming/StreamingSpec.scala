@@ -539,4 +539,61 @@ class StreamingSpec extends SparkSpec {
     assert(batch.find(_._1 == 10L).get._2 == "third doc opener")
     assert(batch.find(_._1 == 12L).get._2 == "")
   }
+
+  test("streaming next-fit packing matches the batch packer on ordered arrivals") {
+    import spark.implicits._
+    import graft.pipeline.Packing
+    val base = "target/tmp/stream_pack"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    val storeDir = s"$base/store"; val outDir = s"$base/out"
+    // budget 10, 2 hash groups; the sizes force every interesting
+    // transition at a BATCH BOUNDARY: a bin continuing across batches
+    // (g0: 7 carried + 2), a close on carried fill (g0: 9 + 9), an
+    // oversized doc (g1: 12 > budget gets its own bin), and the
+    // post-oversized close (g1: 12 carried + 2)
+    val b0 = Seq((0L, 4L), (2L, 3L), (1L, 5L)).toDF("doc_id", "n_tokens")
+    val b1 = Seq((4L, 2L), (6L, 9L), (3L, 12L)).toDF("doc_id", "n_tokens")
+    val b2 = Seq((8L, 1L), (5L, 2L)).toDF("doc_id", "n_tokens")
+    for ((b, id) <- Seq((b0, 0L), (b1, 1L), (b2, 2L)))
+      IncrementalPacking.processBatch(spark, b, id, storeDir, outDir,
+        budget = 10L, groups = 2)
+    def streamed() = spark.read.parquet(outDir)
+      .select("doc_id", "grp", "bin", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val union = b0.unionByName(b1).unionByName(b2)
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      Packing.nextFit(df, budget = 10L, groups = 2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = packed(union)
+    assert(streamed() == batch, s"stream ${streamed()} != batch $batch")
+    // the oversized doc sits alone in its own bin
+    assert(batch.count(_._1 == 3L) == 1 &&
+      batch.count(r => r._2 == batch.find(_._1 == 3L).get._2 &&
+        r._3 == batch.find(_._1 == 3L).get._3) == 1)
+    // at-least-once replay: re-running batch 2 leaves both sinks identical
+    IncrementalPacking.processBatch(spark, b2, 2L, storeDir, outDir,
+      budget = 10L, groups = 2)
+    assert(streamed() == batch, "retry changed the output sink")
+    // restart hand-off: a FRESH door call (state only from the store)
+    // continues the open bins exactly where the batch walk would
+    val b3 = Seq((10L, 6L), (7L, 1L)).toDF("doc_id", "n_tokens")
+    IncrementalPacking.processBatch(spark, b3, 3L, storeDir, outDir,
+      budget = 10L, groups = 2)
+    assert(streamed() == packed(union.unionByName(b3)),
+      "restarted door diverged from the batch walk")
+    // the streaming wrapper drives the same step end-to-end (whether
+    // AvailableNow folds the files into one batch or several, the walk
+    // of ordered arrivals is the batch walk)
+    FileUtils.deleteDirectory(new java.io.File(base))
+    Files.createDirectories(Paths.get(s"$base/in"))
+    b0.coalesce(1).write.parquet(s"$base/in/b0")
+    b1.coalesce(1).write.parquet(s"$base/in/b1")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_tokens", LongType)))
+    val q = IncrementalPacking.start(spark, s"$base/in/*", storeDir, outDir,
+      s"$base/ck", schema, budget = 10L, groups = 2)
+    q.awaitTermination(120000)
+    assert(streamed() == packed(b0.unionByName(b1)),
+      "wrapper-driven door diverged from the batch walk")
+  }
 }
