@@ -67,6 +67,227 @@ object SparkEntry {
        |$tail""".stripMargin
   }
 
+  /** The FULL curation recipe's stage chain — ONE definition consumed by
+    * BOTH `pipeline_curate_corpus_full` (the admitted rows) and
+    * `pipeline_curate_funnel` (per-stage survivor accounting). Returns
+    * (ord, stage, survivors-so-far); the LAST frame is the
+    * budget-admitted output. Checkpoint decisions are measured — see
+    * the flagship entry's comment.
+    */
+  private def curateFullStages(s: SparkSession,
+      dir: String): Seq[(Int, String, DataFrame)] = {
+      val docs = t(s, dir, "documents")
+      val gate = TextAnalysis.gopherRules(docs)
+        .where(col("pass_words") && col("pass_mwl") &&
+          col("pass_alpha") && col("pass_symbol"))
+        .select(col("doc_id"), col("n_words"))
+      val buckets = graft.pipeline.NgramLM.ccnetBuckets(
+          graft.pipeline.NgramLM.score(docs, lmOf(s, dir)), sampleK = 300)
+        .where(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("bucket"))
+      val kept = docs.select("doc_id", "source", "text")
+        .join(gate, Seq("doc_id")).join(buckets, Seq("doc_id"))
+      // staged write: the exact-dedup survivor set feeds FIVE downstream
+      // consumers (signatures, the Jaccard confirm's doc side, quality
+      // scoring, the contamination screen, the budget), and the fuzzy
+      // stage's internal localCheckpoints force separate actions — so
+      // each consumer would re-run gate + LM scoring + dedup from the
+      // parquet scan. A real pipeline writes the post-dedup corpus
+      // between stages; localCheckpoint is that staged write (measured
+      // at sf0.1: 27.0 s without it, 7.6 s with).
+      val canon = graft.pipeline.Dedup.exactDedup(kept).localCheckpoint()
+      // fuzzy near-dup among the exact-dedup survivors. The cands
+      // checkpoint is MEASURED load-bearing (r14, VERDICT #5 asked to
+      // try dropping it — JobProbe, sf0.1/local[32], steady-state,
+      // interleaved A/B): with it 63 jobs / 7.9-10.6 s; without it 57
+      // jobs but 9.7-12.3 s — the candidate list feeds FOUR subplans
+      // inside jaccardPairsByHash (the id semi-join side and three pair
+      // joins) and the band-self-join+distinct recompute past
+      // ReusedExchange coverage costs more than the one saved
+      // materialization; a persist()+unpersist() middle form measured
+      // 79 jobs / 8.5-8.9 s (InMemoryRelation splits the confirm into
+      // more jobs). Fewer jobs ≠ faster here; the eager checkpoint
+      // stays.
+      val sigs = Dedup.minhashSignatures(canon, numPerms = 8)
+      val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
+        .localCheckpoint()
+      val confirmed = Dedup.jaccardPairsByHash(canon, cands)
+        .where(col("jaccard") >= 0.5).select("a", "b").localCheckpoint()
+      // size-gated components: the checkpointed confirm list is tiny at
+      // fixture scale (driver union-find, ~2 s of per-round scheduling
+      // saved) and falls back to the distributed propagation past 100k
+      // pairs — dedup_components keeps certifying the distributed path
+      val comp = Dedup.connectedComponentsAuto(confirmed)
+        .select(col("v").as("doc_id"), col("comp").as("component"))
+      val withComp = canon.select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val q = TextAnalysis.qualityScore(canon)
+        .select(col("doc_id"), microUnits(col("quality_score"), 6).as("score"))
+      val surv = Dedup.canonicalByScore(withComp, q)
+        .where(col("kept")).select("doc_id")
+      val canonSurv = canon.join(surv, Seq("doc_id"), "left_semi")
+      // decontamination: the held-out set is excerpts of the first 10
+      // raw docs (the contamination_screen fixture) — an EXTERNAL
+      // benchmark, screened against the post-dedup survivors
+      val bench = docs.where(col("doc_id") < 10)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 21, 80).as("text"))
+      val contaminated = graft.pipeline.Contamination
+        .screen(canonSurv, bench, n = 5, minShared = 3)
+        .select("doc_id").distinct()
+      val clean = canonSurv.join(contaminated, Seq("doc_id"), "left_anti")
+      // PER-SOURCE budgets (VERDICT r13 #2): the recipe's real users
+      // write "100B web / 20B code / 5B books", so the composition ends
+      // in tokenBudgetPerGroup — budgets derive from the source name
+      // (src<k> → 400 + (k%5)·200, the sample_token_budget_per_source
+      // convention) and every fifth source is deliberately UNBUDGETED,
+      // exercising the missing-stratum drop inside the composition
+      // (reference analog: the per-dataset qg/doc/gtq mixture weights,
+      // MEVI/main.py:374-376)
+      val srcNum = substring(col("source"), 4, 10).cast("long")
+      val budgets = clean.select("source").distinct()
+        .where(pmod(srcNum, lit(5L)) =!= 4L)
+        .withColumn("budget", lit(400L) + pmod(srcNum, lit(5L)) * 200L)
+      val admitted = graft.pipeline.Sampling.tokenBudgetPerGroup(
+        clean.drop("text"), "source", budgets, nTokCol = "n_words")
+    Seq(
+      (1, "raw", docs),
+      (2, "gopher_gate", gate),
+      (3, "lm_headmid", kept),
+      (4, "exact_dedup", canon),
+      (5, "fuzzy_canonical", canonSurv),
+      (6, "decontaminated", clean),
+      (7, "budget_admitted", admitted))
+  }
+
+  /** The flagship curation recipe oracle's CTE chain (gate, LM
+    * buckets, exact dedup, banding, recursive components, survivor
+    * policy, decontamination grams, budget walk), shared by the
+    * admitted-rows oracle and the funnel accounting oracle — one
+    * SQL definition for both, mirroring curateFullStages. */
+  private def curateFullSql(finalSelect: String,
+      materializeStages: Boolean = false): String = {
+    // the funnel's final select counts SEVEN stage CTEs via scalar
+    // subqueries; DuckDB inlines single-reference CTEs, so without
+    // materialization each count re-evaluates the whole upstream chain
+    // concurrently — OOM at sf0.1 (observed). MATERIALIZED pins each
+    // counted stage to one evaluation; the admitted-rows oracle keeps
+    // the default inlining (hash-green at all sfs as-is).
+    def m(name: String) =
+      if (materializeStages) s"$name AS MATERIALIZED" else s"$name AS"
+    val sql =
+      s"""WITH RECURSIVE w AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS words
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(words) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+         |      + CAST(len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
+         |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words
+         |  FROM w),
+         |${m("gt")} (SELECT doc_id, n_words FROM c
+         |      WHERE n_words >= 50 AND n_words <= 100000
+         |        AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+         |        AND 10 * n_symbols <= n_words
+         |        AND 5 * n_alpha_words >= 4 * n_words),
+         |t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) - 1 AS pos
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS l
+         |        FROM documents)),
+         |b AS (SELECT doc_id, pos, w AS w1,
+         |        lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
+         |bg AS (SELECT doc_id, pos, w1, w2 FROM b WHERE w2 IS NOT NULL),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY w1, w2),
+         |uc AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cw FROM bc GROUP BY w1),
+         |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM t),
+         |lp AS (SELECT bg.doc_id, bg.pos,
+         |        ln((COALESCE(bc.cnt, 0) + 1.0) / (COALESCE(uc.cw, 0) + v.v)) AS lp
+         |      FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v),
+         |sc AS (SELECT doc_id,
+         |        CAST(floor(list_sum(list(lp ORDER BY pos)) / count(*) * 1000000 + 0.5) AS BIGINT) AS lm_micro
+         |      FROM lp GROUP BY doc_id),
+         |sm AS (SELECT doc_id, lm_micro
+         |      FROM sc
+         |      ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT), doc_id
+         |      LIMIT 300),
+         |rk AS (SELECT lm_micro,
+         |        row_number() OVER (ORDER BY lm_micro DESC, doc_id ASC) AS rn,
+         |        count(*) OVER () AS n
+         |      FROM sm),
+         |ct AS (SELECT max(CASE WHEN rn = (n + 2) // 3 THEN lm_micro END) AS t1,
+         |              max(CASE WHEN rn = (n * 2 + 2) // 3 THEN lm_micro END) AS t2
+         |       FROM rk),
+         |bkt AS (SELECT sc.doc_id,
+         |        CASE WHEN sc.lm_micro >= ct.t1 THEN 'head'
+         |             WHEN sc.lm_micro >= ct.t2 THEN 'middle'
+         |             ELSE 'tail' END AS bucket
+         |       FROM sc CROSS JOIN ct),
+         |${m("keep")} (SELECT d.doc_id, d.source, d.text, gt.n_words, bkt.bucket
+         |        FROM documents d JOIN gt USING (doc_id) JOIN bkt USING (doc_id)
+         |        WHERE bkt.bucket <> 'tail'),
+         |${m("canon")} (SELECT doc_id, source, bucket, n_words, text FROM (
+         |        SELECT keep.*, row_number() OVER (PARTITION BY md5(text)
+         |          ORDER BY doc_id ASC) AS rn FROM keep)
+         |      WHERE rn = 1),
+         |${minhashPairsCteFrom("canon", "m")},
+         |pairs AS (SELECT a, b FROM mjac WHERE jaccard >= 0.5),
+         |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(vv, l) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, r.l FROM e JOIN reach r ON r.vv = e.dst),
+         |${m("comp")} (SELECT vv AS doc_id, min(l) AS component FROM reach GROUP BY vv),
+         |allc AS (SELECT canon.doc_id, coalesce(comp.component, canon.doc_id) AS component
+         |         FROM canon LEFT JOIN comp USING (doc_id)),
+         |qm AS (SELECT doc_id,
+         |        CAST(len(toks) AS DOUBLE) AS nt,
+         |        CAST(length(text) AS DOUBLE) AS nc,
+         |        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS np,
+         |        len(list_filter(toks, x -> x IN ($stopwordListSql))) / greatest(len(toks), 1) AS swr
+         |      FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM canon)),
+         |q AS (SELECT doc_id,
+         |        CAST(floor((least(nt / 64.0, 1.0) * 0.4
+         |          + greatest(1.0 - np / greatest(nc, 1.0) * 10, 0.0) * 0.3
+         |          + least(swr * 10, 1.0) * 0.3) * 1000000 + 0.5) AS BIGINT) AS q_micro
+         |      FROM qm),
+         |scq AS (SELECT a.doc_id, a.component, q.q_micro FROM allc a JOIN q USING (doc_id)),
+         |best AS (SELECT component, doc_id AS canonical_id FROM scq
+         |      QUALIFY row_number() OVER (PARTITION BY component
+         |        ORDER BY q_micro DESC, doc_id ASC) = 1),
+         |${m("surv")} (SELECT canon.* FROM canon JOIN best ON canon.doc_id = best.canonical_id),
+         |sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+         |      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM surv)),
+         |sgh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hh FROM sg),
+         |b0 AS (SELECT doc_id AS bench_id, substr(text, 21, 80) AS text FROM documents WHERE doc_id < 10),
+         |bgr AS (SELECT bench_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+         |      FROM (SELECT bench_id, string_split_regex(lower(text), '\\s+') AS toks FROM b0)),
+         |bgh AS (SELECT bench_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hh FROM bgr),
+         |contam AS (SELECT DISTINCT doc_id FROM (
+         |        SELECT sgh.doc_id, bgh.bench_id FROM sgh JOIN bgh USING (hh)
+         |        GROUP BY sgh.doc_id, bgh.bench_id HAVING count(*) >= 3)),
+         |${m("clean")} (SELECT surv.doc_id, surv.source, surv.bucket, surv.n_words
+         |        FROM surv LEFT JOIN contam ON surv.doc_id = contam.doc_id
+         |        WHERE contam.doc_id IS NULL),
+         |bud AS (SELECT source,
+         |        400 + (TRY_CAST(substr(source, 4, 10) AS BIGINT) % 5) * 200 AS budget
+         |      FROM (SELECT DISTINCT source FROM clean)
+         |      WHERE TRY_CAST(substr(source, 4, 10) AS BIGINT) % 5 <> 4),
+         |${m("cum")} (SELECT doc_id, source, bucket, n_words, budget,
+         |        SUM(n_words) OVER (PARTITION BY source
+         |          ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
+         |                   doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM clean JOIN bud USING (source))
+         |$finalSelect""".stripMargin
+    sql
+  }
+
   /** Query-side of the embeddings table: first 20 vectors play "queries"
     * (the fixtures carry no separate query table; deterministic + SQL-
     * expressible so oracles can reproduce it).
@@ -2088,86 +2309,25 @@ object SparkEntry {
     // ~0.17 vs the spine's 0.27). Components route through
     // connectedComponentsAuto: the confirmed pair list is checkpointed
     // and tiny here (driver union-find), distributed past 100k pairs.
-    "pipeline_curate_corpus_full" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val gate = TextAnalysis.gopherRules(docs)
-        .where(col("pass_words") && col("pass_mwl") &&
-          col("pass_alpha") && col("pass_symbol"))
-        .select(col("doc_id"), col("n_words"))
-      val buckets = graft.pipeline.NgramLM.ccnetBuckets(
-          graft.pipeline.NgramLM.score(docs, lmOf(s, dir)), sampleK = 300)
-        .where(col("bucket") =!= "tail")
-        .select(col("doc_id"), col("bucket"))
-      val kept = docs.select("doc_id", "source", "text")
-        .join(gate, Seq("doc_id")).join(buckets, Seq("doc_id"))
-      // staged write: the exact-dedup survivor set feeds FIVE downstream
-      // consumers (signatures, the Jaccard confirm's doc side, quality
-      // scoring, the contamination screen, the budget), and the fuzzy
-      // stage's internal localCheckpoints force separate actions — so
-      // each consumer would re-run gate + LM scoring + dedup from the
-      // parquet scan. A real pipeline writes the post-dedup corpus
-      // between stages; localCheckpoint is that staged write (measured
-      // at sf0.1: 27.0 s without it, 7.6 s with).
-      val canon = graft.pipeline.Dedup.exactDedup(kept).localCheckpoint()
-      // fuzzy near-dup among the exact-dedup survivors. The cands
-      // checkpoint is MEASURED load-bearing (r14, VERDICT #5 asked to
-      // try dropping it — JobProbe, sf0.1/local[32], steady-state,
-      // interleaved A/B): with it 63 jobs / 7.9-10.6 s; without it 57
-      // jobs but 9.7-12.3 s — the candidate list feeds FOUR subplans
-      // inside jaccardPairsByHash (the id semi-join side and three pair
-      // joins) and the band-self-join+distinct recompute past
-      // ReusedExchange coverage costs more than the one saved
-      // materialization; a persist()+unpersist() middle form measured
-      // 79 jobs / 8.5-8.9 s (InMemoryRelation splits the confirm into
-      // more jobs). Fewer jobs ≠ faster here; the eager checkpoint
-      // stays.
-      val sigs = Dedup.minhashSignatures(canon, numPerms = 8)
-      val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
-        .localCheckpoint()
-      val confirmed = Dedup.jaccardPairsByHash(canon, cands)
-        .where(col("jaccard") >= 0.5).select("a", "b").localCheckpoint()
-      // size-gated components: the checkpointed confirm list is tiny at
-      // fixture scale (driver union-find, ~2 s of per-round scheduling
-      // saved) and falls back to the distributed propagation past 100k
-      // pairs — dedup_components keeps certifying the distributed path
-      val comp = Dedup.connectedComponentsAuto(confirmed)
-        .select(col("v").as("doc_id"), col("comp").as("component"))
-      val withComp = canon.select("doc_id")
-        .join(comp, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"))
-      val q = TextAnalysis.qualityScore(canon)
-        .select(col("doc_id"), microUnits(col("quality_score"), 6).as("score"))
-      val surv = Dedup.canonicalByScore(withComp, q)
-        .where(col("kept")).select("doc_id")
-      val canonSurv = canon.join(surv, Seq("doc_id"), "left_semi")
-      // decontamination: the held-out set is excerpts of the first 10
-      // raw docs (the contamination_screen fixture) — an EXTERNAL
-      // benchmark, screened against the post-dedup survivors
-      val bench = docs.where(col("doc_id") < 10)
-        .select(col("doc_id").as("bench_id"),
-          substring(col("text"), 21, 80).as("text"))
-      val contaminated = graft.pipeline.Contamination
-        .screen(canonSurv, bench, n = 5, minShared = 3)
-        .select("doc_id").distinct()
-      val clean = canonSurv.join(contaminated, Seq("doc_id"), "left_anti")
-      // PER-SOURCE budgets (VERDICT r13 #2): the recipe's real users
-      // write "100B web / 20B code / 5B books", so the composition ends
-      // in tokenBudgetPerGroup — budgets derive from the source name
-      // (src<k> → 400 + (k%5)·200, the sample_token_budget_per_source
-      // convention) and every fifth source is deliberately UNBUDGETED,
-      // exercising the missing-stratum drop inside the composition
-      // (reference analog: the per-dataset qg/doc/gtq mixture weights,
-      // MEVI/main.py:374-376)
-      val srcNum = substring(col("source"), 4, 10).cast("long")
-      val budgets = clean.select("source").distinct()
-        .where(pmod(srcNum, lit(5L)) =!= 4L)
-        .withColumn("budget", lit(400L) + pmod(srcNum, lit(5L)) * 200L)
-      graft.pipeline.Sampling.tokenBudgetPerGroup(clean.drop("text"),
-          "source", budgets, nTokCol = "n_words")
+    "pipeline_curate_corpus_full" -> ((s, dir) =>
+      curateFullStages(s, dir).last._3
         .select("doc_id", "source", "bucket", "n_words")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // Funnel ACCOUNTING for the recipe above — the per-stage survivor
+    // counts a pipeline operator actually watches (what did the gate
+    // cost me? how much did fuzzy dedup remove beyond exact?). One row
+    // per stage, survivors-so-far semantics, from the SAME
+    // curateFullStages chain as the flagship (one definition), so the
+    // funnel can never drift from what the pipeline actually does; the
+    // oracle reuses the flagship CTE chain with per-stage COUNTs
+    "pipeline_curate_funnel" -> ((s, dir) =>
+      curateFullStages(s, dir).map { case (ord, nm, df) =>
+        df.agg(count(lit(1)).cast("long").as("n_docs"))
+          .select(lit(ord).as("stage_ord"), lit(nm).as("stage"),
+            col("n_docs"))
+      }.reduce(_.unionByName(_)).orderBy("stage_ord")),
+
 
     // THE LIFECYCLE ENTRY — the reference's two entry points composed as
     // one query (index build, marco_generate_embedding_n_rq.sh; serve +
@@ -5522,115 +5682,24 @@ object SparkEntry {
         |SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= 400
         |ORDER BY doc_id""".stripMargin,
 
-    "pipeline_curate_corpus_full" ->
-      s"""WITH RECURSIVE w AS (SELECT doc_id, text,
-         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS words
-         |  FROM documents),
-         |c AS (SELECT doc_id,
-         |    CAST(len(words) AS BIGINT) AS n_words,
-         |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
-         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-         |      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
-         |      + CAST(len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
-         |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words
-         |  FROM w),
-         |gt AS (SELECT doc_id, n_words FROM c
-         |      WHERE n_words >= 50 AND n_words <= 100000
-         |        AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
-         |        AND 10 * n_symbols <= n_words
-         |        AND 5 * n_alpha_words >= 4 * n_words),
-         |t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) - 1 AS pos
-         |  FROM (SELECT doc_id,
-         |          list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS l
-         |        FROM documents)),
-         |b AS (SELECT doc_id, pos, w AS w1,
-         |        lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
-         |bg AS (SELECT doc_id, pos, w1, w2 FROM b WHERE w2 IS NOT NULL),
-         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY w1, w2),
-         |uc AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cw FROM bc GROUP BY w1),
-         |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM t),
-         |lp AS (SELECT bg.doc_id, bg.pos,
-         |        ln((COALESCE(bc.cnt, 0) + 1.0) / (COALESCE(uc.cw, 0) + v.v)) AS lp
-         |      FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v),
-         |sc AS (SELECT doc_id,
-         |        CAST(floor(list_sum(list(lp ORDER BY pos)) / count(*) * 1000000 + 0.5) AS BIGINT) AS lm_micro
-         |      FROM lp GROUP BY doc_id),
-         |sm AS (SELECT doc_id, lm_micro
-         |      FROM sc
-         |      ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT), doc_id
-         |      LIMIT 300),
-         |rk AS (SELECT lm_micro,
-         |        row_number() OVER (ORDER BY lm_micro DESC, doc_id ASC) AS rn,
-         |        count(*) OVER () AS n
-         |      FROM sm),
-         |ct AS (SELECT max(CASE WHEN rn = (n + 2) // 3 THEN lm_micro END) AS t1,
-         |              max(CASE WHEN rn = (n * 2 + 2) // 3 THEN lm_micro END) AS t2
-         |       FROM rk),
-         |bkt AS (SELECT sc.doc_id,
-         |        CASE WHEN sc.lm_micro >= ct.t1 THEN 'head'
-         |             WHEN sc.lm_micro >= ct.t2 THEN 'middle'
-         |             ELSE 'tail' END AS bucket
-         |       FROM sc CROSS JOIN ct),
-         |keep AS (SELECT d.doc_id, d.source, d.text, gt.n_words, bkt.bucket
-         |        FROM documents d JOIN gt USING (doc_id) JOIN bkt USING (doc_id)
-         |        WHERE bkt.bucket <> 'tail'),
-         |canon AS (SELECT doc_id, source, bucket, n_words, text FROM (
-         |        SELECT keep.*, row_number() OVER (PARTITION BY md5(text)
-         |          ORDER BY doc_id ASC) AS rn FROM keep)
-         |      WHERE rn = 1),
-         |${minhashPairsCteFrom("canon", "m")},
-         |pairs AS (SELECT a, b FROM mjac WHERE jaccard >= 0.5),
-         |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
-         |reach(vv, l) AS (
-         |  SELECT src, src FROM e
-         |  UNION
-         |  SELECT e.src, r.l FROM e JOIN reach r ON r.vv = e.dst),
-         |comp AS (SELECT vv AS doc_id, min(l) AS component FROM reach GROUP BY vv),
-         |allc AS (SELECT canon.doc_id, coalesce(comp.component, canon.doc_id) AS component
-         |         FROM canon LEFT JOIN comp USING (doc_id)),
-         |qm AS (SELECT doc_id,
-         |        CAST(len(toks) AS DOUBLE) AS nt,
-         |        CAST(length(text) AS DOUBLE) AS nc,
-         |        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) AS np,
-         |        len(list_filter(toks, x -> x IN ($stopwordListSql))) / greatest(len(toks), 1) AS swr
-         |      FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM canon)),
-         |q AS (SELECT doc_id,
-         |        CAST(floor((least(nt / 64.0, 1.0) * 0.4
-         |          + greatest(1.0 - np / greatest(nc, 1.0) * 10, 0.0) * 0.3
-         |          + least(swr * 10, 1.0) * 0.3) * 1000000 + 0.5) AS BIGINT) AS q_micro
-         |      FROM qm),
-         |scq AS (SELECT a.doc_id, a.component, q.q_micro FROM allc a JOIN q USING (doc_id)),
-         |best AS (SELECT component, doc_id AS canonical_id FROM scq
-         |      QUALIFY row_number() OVER (PARTITION BY component
-         |        ORDER BY q_micro DESC, doc_id ASC) = 1),
-         |surv AS (SELECT canon.* FROM canon JOIN best ON canon.doc_id = best.canonical_id),
-         |sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
-         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
-         |      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM surv)),
-         |sgh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hh FROM sg),
-         |b0 AS (SELECT doc_id AS bench_id, substr(text, 21, 80) AS text FROM documents WHERE doc_id < 10),
-         |bgr AS (SELECT bench_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
-         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
-         |      FROM (SELECT bench_id, string_split_regex(lower(text), '\\s+') AS toks FROM b0)),
-         |bgh AS (SELECT bench_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hh FROM bgr),
-         |contam AS (SELECT DISTINCT doc_id FROM (
-         |        SELECT sgh.doc_id, bgh.bench_id FROM sgh JOIN bgh USING (hh)
-         |        GROUP BY sgh.doc_id, bgh.bench_id HAVING count(*) >= 3)),
-         |clean AS (SELECT surv.doc_id, surv.source, surv.bucket, surv.n_words
-         |        FROM surv LEFT JOIN contam ON surv.doc_id = contam.doc_id
-         |        WHERE contam.doc_id IS NULL),
-         |bud AS (SELECT source,
-         |        400 + (TRY_CAST(substr(source, 4, 10) AS BIGINT) % 5) * 200 AS budget
-         |      FROM (SELECT DISTINCT source FROM clean)
-         |      WHERE TRY_CAST(substr(source, 4, 10) AS BIGINT) % 5 <> 4),
-         |cum AS (SELECT doc_id, source, bucket, n_words, budget,
-         |        SUM(n_words) OVER (PARTITION BY source
-         |          ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
-         |                   doc_id ASC
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |      FROM clean JOIN bud USING (source))
-         |SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= budget
-         |ORDER BY doc_id""".stripMargin,
+    "pipeline_curate_corpus_full" -> curateFullSql(
+      """SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= budget
+        |ORDER BY doc_id""".stripMargin),
+
+    // funnel accounting: the SAME CTE chain, per-stage COUNTs
+    "pipeline_curate_funnel" -> curateFullSql(materializeStages = true,
+      finalSelect = """SELECT * FROM (
+        |  SELECT 1 AS stage_ord, 'raw' AS stage,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+        |  UNION ALL SELECT 2, 'gopher_gate', (SELECT CAST(count(*) AS BIGINT) FROM gt)
+        |  UNION ALL SELECT 3, 'lm_headmid', (SELECT CAST(count(*) AS BIGINT) FROM keep)
+        |  UNION ALL SELECT 4, 'exact_dedup', (SELECT CAST(count(*) AS BIGINT) FROM canon)
+        |  UNION ALL SELECT 5, 'fuzzy_canonical', (SELECT CAST(count(*) AS BIGINT) FROM surv)
+        |  UNION ALL SELECT 6, 'decontaminated', (SELECT CAST(count(*) AS BIGINT) FROM clean)
+        |  UNION ALL SELECT 7, 'budget_admitted',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cum WHERE cum <= budget)
+        |) ORDER BY stage_ord""".stripMargin),
+
 
     "pipeline_clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
