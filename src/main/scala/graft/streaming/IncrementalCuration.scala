@@ -226,6 +226,26 @@ object IncrementalCuration {
       .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
     admitted.groupBy("source").agg(sum("n_words").as("spent"))
       .write.mode("overwrite").parquet(s"$storeDir/spent/batch=$batchId")
+    // per-batch funnel accounting — the door-side twin of
+    // pipeline_curate_funnel's stage counts (what did THIS batch lose
+    // at each stage?). Counts land on checkpointed frames where one
+    // exists (docs/survivors/admitted); the two gate-stage counts
+    // re-run only the stateless structural gate. Same idempotent
+    // batch-partition discipline as every other sink.
+    locally {
+      import spark.implicits._
+      Seq(
+        (1, "arrived", batch.count()),
+        (2, "gopher_gate", gated.count()),
+        (3, "lm_kept", docs.count()),
+        (4, "exact_admitted", exactAdmitted.count()),
+        (5, "fuzzy_admitted", fuzzyAdmitted.count()),
+        (6, "decontaminated", survivors.count()),
+        (7, "admitted", admitted.count()))
+        .toDF("stage_ord", "stage", "n_docs")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$storeDir/funnel/batch=$batchId")
+    }
   }
 
   /** Start the door: parquet (doc_id, source, text) arrivals under

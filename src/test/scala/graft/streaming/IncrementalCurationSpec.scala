@@ -146,17 +146,22 @@ class IncrementalCurationSpec extends SparkSpec {
     grams5(text).count(benchGramSet.contains) >= 3
 
   /** The documented door semantics, folded sequentially over batches. */
-  private def referenceFold(): Set[Long] = {
+  /** Per-batch stage counts alongside the admitted set — the funnel
+    * twin's independent reference (same fold, counts taken at each
+    * stage boundary). */
+  private def referenceFoldCounts(): (Set[Long], Seq[Seq[(Int, String, Long)]]) = {
     var hashStore = Set.empty[String]
     var sigStore = Map.empty[Long, Seq[Long]]
     var spent = Map.empty[String, Long].withDefaultValue(0L)
     val admitted = scala.collection.mutable.Set.empty[Long]
+    val funnel = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, String, Long)]]
     for (batch <- batches) {
       // 1. gate (the fixture only varies word count; other rules pass
       // by construction — asserted in the spec body)
       // 1b. frozen-LM tail drop
-      val gated = batch
+      val gateOnly = batch
         .filter(_._3.split("\\s+").count(_.nonEmpty) >= 50)
+      val gated = gateOnly
         .filter(d => lmMicro(d._3) >= TailCutoffMicro)
       // 2. exact: batch-min-id per hash, minus the store
       val first = gated.groupBy(d => md5hex(d._3)).values
@@ -202,9 +207,19 @@ class IncrementalCurationSpec extends SparkSpec {
         spent += d._2 -> (spent(d._2) +
           d._3.split("\\s+").count(_.nonEmpty).toLong)
       }
+      funnel += Seq(
+        (1, "arrived", batch.size.toLong),
+        (2, "gopher_gate", gateOnly.size.toLong),
+        (3, "lm_kept", gated.size.toLong),
+        (4, "exact_admitted", exactAdm.size.toLong),
+        (5, "fuzzy_admitted", fuzzyAdm.size.toLong),
+        (6, "decontaminated", survivors.size.toLong),
+        (7, "admitted", batchAdmitted.size.toLong))
     }
-    admitted.toSet
+    (admitted.toSet, funnel.toSeq)
   }
+
+  private def referenceFold(): Set[Long] = referenceFoldCounts()._1
 
   private val schema = StructType(Seq(
     StructField("doc_id", LongType), StructField("source", StringType),
@@ -298,5 +313,38 @@ class IncrementalCurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got == referenceFold(),
       "restarted stream diverged from the reference fold")
+  }
+
+  test("door funnel accounting matches the reference fold's stage counts") {
+    val base = "target/tmp/stream_curate_funnel"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IncrementalCuration.processBatch(spark,
+        b.toDF("doc_id", "source", "text"), i.toLong,
+        s"$base/store", s"$base/out", Budget, frozen = Some(frozen))
+    }
+    val want = referenceFoldCounts()._2
+    val gotRows = spark.read.parquet(s"$base/store/funnel")
+      .select(col("batch"), col("stage_ord"), col("stage"), col("n_docs"))
+      .as[(Long, Int, String, Long)].collect()
+    val got = gotRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq }
+    assert(got == want,
+      s"door funnel diverged from the fold:\n got $got\nwant $want")
+    // the fixture makes every stage bite somewhere: across all batches
+    // each adjacent stage pair must show at least one strict drop
+    val byStage = (1 to 7).map(o =>
+      want.map(_.find(_._1 == o).get._3).sum)
+    assert((0 until 6).forall(i => byStage(i) >= byStage(i + 1)) &&
+      (0 until 6).count(i => byStage(i) > byStage(i + 1)) >= 5,
+      s"funnel totals not a strictly-biting chain: $byStage")
+    // replaying the last batch leaves the accounting identical
+    IncrementalCuration.processBatch(spark,
+      batches.last.toDF("doc_id", "source", "text"),
+      (batches.size - 1).toLong,
+      s"$base/store", s"$base/out", Budget, frozen = Some(frozen))
+    val again = spark.read.parquet(s"$base/store/funnel").count()
+    assert(again == gotRows.length.toLong, "retry changed funnel rows")
   }
 }
