@@ -886,7 +886,12 @@ object Dedup {
     * single-task global window anywhere, unlike a naive
     * `Window.orderBy(sfx)`. The sorted table is localCheckpointed
     * because two passes read it (boundary scan, LCP pass) and the
-    * upstream explode is cap× the corpus. */
+    * upstream explode is cap× the corpus. One per-ROW bound to know:
+    * the generator materializes a doc's full suffix array (len · cap
+    * tokens) before exploding, so a pathological single document of
+    * 10⁸ tokens would build a ~`cap`×-that string array in one task —
+    * chunk such docs upstream (the Gopher gate's 100k-word ceiling
+    * already bounds any gated corpus far below this). */
   def suffixDupLengths(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minLen: Int = 8, cap: Int = 24): DataFrame = {
     require(minLen >= 1 && cap >= minLen,

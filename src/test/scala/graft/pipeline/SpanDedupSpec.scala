@@ -205,23 +205,51 @@ class SpanDedupSpec extends SparkSpec {
         (33L, "lone words without any twin here")) ++
       (34 until 40).map(i => (i.toLong, s"noise$i filler mixed dup dup text tail$i"))
     val df = corpus.toDF("doc_id", "text")
-    val minLen = 2; val cap = 5
-    val got = Dedup.suffixDupLengths(df, minLen = minLen, cap = cap)
+    val got = Dedup.suffixDupLengths(df, minLen = 2, cap = 5)
       .orderBy("doc_id", "pos").as[(Long, Int, Int)].collect().toSeq
-    // reference: all capped suffixes, all-pairs token LCP
+    assert(got == bruteForceDupLengths(corpus, minLen = 2, cap = 5))
+  }
+
+  /** Independent O(n²) reference: all capped suffixes, all-pairs token
+    * LCP, max per position. */
+  private def bruteForceDupLengths(corpus: Seq[(Long, String)],
+      minLen: Int, cap: Int): Seq[(Long, Int, Int)] = {
     val sufs = corpus.flatMap { case (d, t) =>
       val toks = t.toLowerCase.split("\\s+", -1)
       toks.indices.map(p => (d, p, toks.slice(p, p + cap).toSeq))
     }
     def lcp(a: Seq[String], b: Seq[String]): Int =
       a.zip(b).takeWhile { case (x, y) => x == y }.size
-    val want = sufs.flatMap { case (d, p, s) =>
+    sufs.flatMap { case (d, p, s) =>
       val best = sufs.iterator
         .filter { case (d2, p2, _) => (d2, p2) != ((d, p)) }
         .map { case (_, _, o) => lcp(s, o) }.max
       if (best >= minLen) Some((d, p, best)) else None
     }.sortBy(x => (x._1, x._2))
-    assert(got == want)
+  }
+
+  test("suffixDupLengths matches brute force on randomized tiny-alphabet corpora") {
+    // fixed-seed randomized sweep: 2-4 letter alphabets make near-maximal
+    // tie structure (equal suffixes everywhere, every prefix shared by
+    // many positions) — the hardest regime for the neighbor-adjacency
+    // argument and the partition-boundary stitch
+    val rng = new scala.util.Random(20260816L)
+    for (round <- 1 to 6) {
+      val alphabet = (0 until 2 + rng.nextInt(3)).map(i => ('a' + i).toChar.toString)
+      val corpus = (0 until 5 + rng.nextInt(20)).map { d =>
+        val len = 1 + rng.nextInt(15)
+        (d.toLong,
+          (0 until len).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString(" "))
+      }
+      val minLen = 1 + rng.nextInt(3)
+      val cap = minLen + rng.nextInt(4)
+      val got = Dedup.suffixDupLengths(corpus.toDF("doc_id", "text"),
+          minLen = minLen, cap = cap)
+        .orderBy("doc_id", "pos").as[(Long, Int, Int)].collect().toSeq
+      val want = bruteForceDupLengths(corpus, minLen, cap)
+      assert(got == want,
+        s"round $round minLen=$minLen cap=$cap corpus=$corpus")
+    }
   }
 
   test("suffixDupLengths caps reported lengths at cap") {
