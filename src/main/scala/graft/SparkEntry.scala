@@ -178,7 +178,7 @@ object SparkEntry {
     def m(name: String) =
       if (materializeStages) s"$name AS MATERIALIZED" else s"$name AS"
     val sql =
-      s"""WITH RECURSIVE w AS (SELECT doc_id, text,
+      s"""WITH RECURSIVE ${m("w")} (SELECT doc_id, text,
          |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS words
          |  FROM documents),
          |c AS (SELECT doc_id,
@@ -2323,9 +2323,18 @@ object SparkEntry {
     // oracle reuses the flagship CTE chain with per-stage COUNTs
     "pipeline_curate_funnel" -> ((s, dir) =>
       curateFullStages(s, dir).map { case (ord, nm, df) =>
-        df.agg(count(lit(1)).cast("long").as("n_docs"))
+        // token mass per stage alongside doc counts — the budget stage
+        // trims TOKENS, so that is the funnel column operators actually
+        // watch. Post-gate stages carry Gopher's n_words; the raw stage
+        // recomputes the same non-empty-token count the gate uses
+        val tok =
+          if (df.columns.contains("n_words")) col("n_words")
+          else size(filter(split(col("text"), "\\s+"),
+            x => length(x) > 0)).cast("long")
+        df.agg(count(lit(1)).cast("long").as("n_docs"),
+            coalesce(sum(tok), lit(0L)).cast("long").as("n_tokens"))
           .select(lit(ord).as("stage_ord"), lit(nm).as("stage"),
-            col("n_docs"))
+            col("n_docs"), col("n_tokens"))
       }.reduce(_.unionByName(_)).orderBy("stage_ord")),
 
 
@@ -5690,14 +5699,21 @@ object SparkEntry {
     "pipeline_curate_funnel" -> curateFullSql(materializeStages = true,
       finalSelect = """SELECT * FROM (
         |  SELECT 1 AS stage_ord, 'raw' AS stage,
-        |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
-        |  UNION ALL SELECT 2, 'gopher_gate', (SELECT CAST(count(*) AS BIGINT) FROM gt)
-        |  UNION ALL SELECT 3, 'lm_headmid', (SELECT CAST(count(*) AS BIGINT) FROM keep)
-        |  UNION ALL SELECT 4, 'exact_dedup', (SELECT CAST(count(*) AS BIGINT) FROM canon)
-        |  UNION ALL SELECT 5, 'fuzzy_canonical', (SELECT CAST(count(*) AS BIGINT) FROM surv)
-        |  UNION ALL SELECT 6, 'decontaminated', (SELECT CAST(count(*) AS BIGINT) FROM clean)
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |    (SELECT CAST(coalesce(sum(len(words)), 0) AS BIGINT) FROM w) AS n_tokens
+        |  UNION ALL SELECT 2, 'gopher_gate', (SELECT CAST(count(*) AS BIGINT) FROM gt),
+        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM gt)
+        |  UNION ALL SELECT 3, 'lm_headmid', (SELECT CAST(count(*) AS BIGINT) FROM keep),
+        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM keep)
+        |  UNION ALL SELECT 4, 'exact_dedup', (SELECT CAST(count(*) AS BIGINT) FROM canon),
+        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM canon)
+        |  UNION ALL SELECT 5, 'fuzzy_canonical', (SELECT CAST(count(*) AS BIGINT) FROM surv),
+        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM surv)
+        |  UNION ALL SELECT 6, 'decontaminated', (SELECT CAST(count(*) AS BIGINT) FROM clean),
+        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM clean)
         |  UNION ALL SELECT 7, 'budget_admitted',
-        |    (SELECT CAST(count(*) AS BIGINT) FROM cum WHERE cum <= budget)
+        |    (SELECT CAST(count(*) AS BIGINT) FROM cum WHERE cum <= budget),
+        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM cum WHERE cum <= budget)
         |) ORDER BY stage_ord""".stripMargin),
 
 
