@@ -39,6 +39,13 @@ object Packing {
     * bucket balance, not correctness). Adds `outCol` = Σ n over all rows
     * with smaller id.
     *
+    * `tieCol` (ADVICE r14): when `idCol` values can COLLIDE (e.g. a
+    * 60-bit shuffle hash), pass the unique column that breaks the tie —
+    * the in-bucket window then orders by (id, tie), so equal ids get
+    * distinct, deterministic positions instead of leaving the window
+    * frame to physical row order. Bucketing stays on `idCol` alone
+    * (equal ids land in the same bucket by construction).
+    *
     * The input is materialized once (localCheckpoint): three consumers
     * read it — the id-bounds probe, the in-bucket window, and the
     * bucket-offset aggregate — and re-running an expensive upstream
@@ -46,7 +53,8 @@ object Packing {
     * scan. Pass a narrow (id, n) projection.
     */
   def exclusivePrefixSum(df: DataFrame, idCol: String, nCol: String,
-      outCol: String = "start", buckets: Int = 256): DataFrame = {
+      outCol: String = "start", buckets: Int = 256,
+      tieCol: Option[String] = None): DataFrame = {
     val in = df.localCheckpoint()
     val bounds = in.agg(min(col(idCol)).cast("long"),
       max(col(idCol)).cast("long")).head
@@ -59,7 +67,8 @@ object Packing {
     val withB = in.withColumn("__b",
       expr(s"(CAST(`$idCol` AS BIGINT) - ${mn}L) div ${width}L"))
     // level 1: exclusive cumsum WITHIN each bucket (parallel over buckets)
-    val wIn = Window.partitionBy("__b").orderBy(col(idCol).asc)
+    val ordering = col(idCol).asc +: tieCol.map(c => col(c).asc).toSeq
+    val wIn = Window.partitionBy("__b").orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBucket = withB.withColumn("__in",
       coalesce(sum(col(nCol)).over(wIn), lit(0L)))

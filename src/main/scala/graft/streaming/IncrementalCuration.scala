@@ -144,13 +144,14 @@ object IncrementalCuration {
       .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val hashSchema = StructType(Seq(StructField("__h", StringType)))
-    val exactAdmitted = storeRead(spark, s"$storeDir/hashes", hashSchema,
+    val exactAdmitted = (storeRead(spark, s"$storeDir/hashes", hashSchema,
         batchId) match {
       case Some(store) =>
         docs.join(batchFirst, Seq("doc_id"), "left_semi")
           .join(store.select("__h"), Seq("__h"), "left_anti")
       case None => docs.join(batchFirst, Seq("doc_id"), "left_semi")
-    }
+    }).localCheckpoint() // feeds banding, the fuzzy anti-join AND the
+    // funnel count — without it each re-runs the hash-store anti-join
 
     // 3. fuzzy door: the IncrementalDedup signature machinery, store =
     // admitted corpus signatures. Docs shorter than one shingle have no
@@ -175,6 +176,8 @@ object IncrementalCuration {
     val fuzzyRejected = vsStore.unionByName(intra).distinct()
     val fuzzyAdmitted = exactAdmitted
       .join(fuzzyRejected, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds the screen AND the funnel count — the
+    // store/intra LSH match subplans run once, not per consumer
 
     // 3b. decontamination: dedup survivors sharing ≥ minShared distinct
     // n-gram hashes with any frozen benchmark item are rejected — the
@@ -228,10 +231,13 @@ object IncrementalCuration {
       .write.mode("overwrite").parquet(s"$storeDir/spent/batch=$batchId")
     // per-batch funnel accounting — the door-side twin of
     // pipeline_curate_funnel's stage counts (what did THIS batch lose
-    // at each stage?). Counts land on checkpointed frames where one
-    // exists (docs/survivors/admitted); the two gate-stage counts
-    // re-run only the stateless structural gate. Same idempotent
-    // batch-partition discipline as every other sink.
+    // at each stage?). Every stateful stage's count reads a CHECKPOINTED
+    // frame (docs/exactAdmitted/fuzzyAdmitted/survivors/admitted —
+    // ADVICE r14), so no count re-scans the stores after the writes
+    // above and the Gopher/LSH/anti-join subplans never re-run here;
+    // the two gate-stage counts re-run only the stateless structural
+    // gate on the raw batch. Same idempotent batch-partition discipline
+    // as every other sink.
     locally {
       import spark.implicits._
       Seq(

@@ -16,9 +16,12 @@ import graft.pipeline.Packing
   *
   * Per micro-batch (foreachBatch — state is read and rewritten within
   * one batch):
-  *   1. Load the per-group open-bin state — (grp, bin, fill) — from the
-  *      latest store snapshot (each batch writes a FULL snapshot, so
-  *      "latest surviving partition" IS the state).
+  *   1. Load the per-group open-bin state — (grp, bin, fill, max_id) —
+  *      from the latest store snapshot (each batch writes a FULL
+  *      snapshot, so "latest surviving partition" IS the state;
+  *      snapshots older than [[KeepSnapshots]] generations are deleted
+  *      after each successful write, so state files stay O(1) over the
+  *      door's lifetime instead of growing per batch — ADVICE r14).
   *   2. Walk each group's batch docs through the SHARED
   *      [[Packing.nextFitWalk]] starting from the carried (bin, fill) —
   *      one definition of "when does a bin close" for both worlds.
@@ -31,7 +34,9 @@ import graft.pipeline.Packing
   * (doc_id, grp, bin, n_tokens) set is bit-identical to
   * [[Packing.nextFit]] — StreamingSpec pins this across batches and a
   * restart hand-off. Out-of-order arrival keeps bins budget-respecting
-  * but assigns by arrival order, not id order.
+  * but assigns by arrival order, not id order — and is now DETECTED:
+  * the snapshot carries each group's max packed doc_id, and a batch
+  * whose min arrival undercuts it logs a parity warning (ADVICE r14).
   *
   * `budget` and `groups` must be CONSTANT across a door's lifetime —
   * bin numbering continues from the stored state, which is only
@@ -53,7 +58,16 @@ object IncrementalPacking {
     StructField("grp", LongType),
     StructField("bin", LongType),
     StructField("fill", LongType),
+    StructField("max_id", LongType),
     StructField("batch", LongType)))
+
+  /** Superseded snapshots kept per door (ADVICE r14): each batch writes
+    * a FULL snapshot, so only the latest is ever read — but a replayed
+    * batch N must still find batch N−1's snapshot, and keeping a couple
+    * more guards operator-driven rewinds. Everything older is deleted
+    * after a successful write, so state-store file count is O(K), not
+    * O(door lifetime). */
+  private val KeepSnapshots = 3
 
   /** One micro-batch step. Exposed for tests; [[start]] wires it into
     * foreachBatch. */
@@ -64,16 +78,39 @@ object IncrementalPacking {
     import spark.implicits._
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
     val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prev: Map[Long, (Long, Long)] =
+    // (grp -> (bin, fill, maxId)): max_id is the out-of-order witness —
+    // the largest doc_id the group has ever packed
+    val prev: Map[Long, (Long, Long, Long)] =
       if (fs.exists(storePath)) {
         val st = spark.read.schema(StoreSchema).parquet(storeDir)
           .where(col("batch") =!= batchId)
         val mb = st.agg(max("batch")).head()
         if (mb.isNullAt(0)) Map.empty
         else st.where(col("batch") === mb.getLong(0))
-          .select("grp", "bin", "fill").as[(Long, Long, Long)]
-          .collect().map { case (g, b, f) => g -> ((b, f)) }.toMap
+          .select(col("grp"), col("bin"), col("fill"),
+            coalesce(col("max_id"), lit(Long.MinValue)).as("max_id"))
+          .as[(Long, Long, Long, Long)]
+          .collect().map { case (g, b, f, m) => g -> ((b, f, m)) }.toMap
       } else Map.empty
+    // out-of-order detection (ADVICE r14): the stream ≡ batch parity in
+    // the object doc needs arrivals in id order per group — an arrival
+    // at or below the group's stored max_id silently degrades parity to
+    // "budget-respecting, arrival-ordered", so FLAG it instead of
+    // silence (one bounded agg over the batch; ≤ `groups` rows collect)
+    val bMinMax = batch
+      .select((col("doc_id").cast("long") % groups.toLong).as("grp"),
+        col("doc_id").cast("long").as("id"))
+      .groupBy("grp").agg(min("id").as("mn"), max("id").as("mx"))
+      .as[(Long, Long, Long)].collect()
+    val outOfOrder = bMinMax.filter { case (g, mn, _) =>
+      prev.get(g).exists(_._3 >= mn)
+    }
+    if (outOfOrder.nonEmpty)
+      System.err.println(s"[incremental-packing] WARNING batch $batchId " +
+        s"out-of-order arrivals in ${outOfOrder.length} group(s) " +
+        s"(e.g. grp ${outOfOrder.head._1} min id ${outOfOrder.head._2} <= " +
+        s"stored max ${prev(outOfOrder.head._1)._3}) — bins stay " +
+        "budget-respecting but stream/batch bit-parity no longer holds")
     val bc = spark.sparkContext.broadcast((prev, budget))
     val assigned = batch
       .select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
@@ -81,7 +118,7 @@ object IncrementalPacking {
       .groupByKey { case (id, _) => id % groups }
       .flatMapGroups { (g: Long, it: Iterator[(Long, Long)]) =>
         val (pm, bud) = bc.value
-        val (b0, f0) = pm.getOrElse(g, (0L, 0L))
+        val (b0, f0) = pm.get(g).map(s => (s._1, s._2)).getOrElse((0L, 0L))
         Packing.nextFitWalk(g, it, bud, b0, f0)
       }
       .toDF("doc_id", "grp", "bin", "n_tokens")
@@ -91,20 +128,44 @@ object IncrementalPacking {
     // its fill is the Σ n landed there, plus the carried fill when the
     // open bin CONTINUED (max bin == stored bin — nextFitWalk's state
     // is recoverable from output exactly this way, see its scaladoc)
-    val mx = assigned.groupBy("grp").agg(max("bin").as("bin"))
+    val mx = assigned.groupBy("grp").agg(max("bin").as("bin"),
+      max("doc_id").as("__mxid"))
     val sums = assigned.join(mx, Seq("grp", "bin"))
-      .groupBy("grp", "bin").agg(sum("n_tokens").as("__s"))
-    val prevDf = prev.toSeq.map { case (g, (b, f)) => (g, b, f) }
-      .toDF("grp", "__b0", "__f0")
+      .groupBy("grp", "bin").agg(sum("n_tokens").as("__s"),
+        max("__mxid").as("__mxid"))
+    val prevDf = prev.toSeq.map { case (g, (b, f, m)) => (g, b, f, m) }
+      .toDF("grp", "__b0", "__f0", "__m0")
     val updated = sums.join(prevDf, Seq("grp"), "left")
       .select(col("grp"), col("bin"),
         (col("__s") + when(col("bin") === col("__b0"), col("__f0"))
-          .otherwise(0L)).as("fill"))
+          .otherwise(0L)).as("fill"),
+        greatest(col("__mxid"),
+          coalesce(col("__m0"), lit(Long.MinValue))).as("max_id"))
     val carried = prevDf
       .join(sums.select("grp"), Seq("grp"), "left_anti")
-      .select(col("grp"), col("__b0").as("bin"), col("__f0").as("fill"))
+      .select(col("grp"), col("__b0").as("bin"), col("__f0").as("fill"),
+        col("__m0").as("max_id"))
     updated.unionByName(carried)
       .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    compactSnapshots(fs, storePath, batchId)
+  }
+
+  /** Delete snapshot partitions superseded by more than [[KeepSnapshots]]
+    * generations (ADVICE r14). Runs AFTER the new snapshot lands, so a
+    * crash mid-compaction at worst leaves extra (harmless) history; a
+    * replay of batch N always finds a batch < N snapshot because only
+    * ids ≤ N − KeepSnapshots are removed. */
+  private def compactSnapshots(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    if (!fs.exists(storePath)) return
+    val BatchDir = "batch=(-?\\d+)".r
+    fs.listStatus(storePath).foreach { st =>
+      st.getPath.getName match {
+        case BatchDir(id) if id.toLong <= batchId - KeepSnapshots =>
+          fs.delete(st.getPath, true): Unit
+        case _ => ()
+      }
+    }
   }
 
   /** Start the stream: parquet (doc_id, n_tokens) arrivals under
