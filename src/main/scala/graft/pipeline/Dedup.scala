@@ -865,7 +865,14 @@ object Dedup {
     * dup_len) for every token position whose longest substring starting
     * there that ALSO occurs elsewhere in the corpus (in-document
     * self-repeats count, as in [[duplicateSpans]]) is ≥ `minLen` tokens;
-    * `dup_len` is that maximal length, capped at `cap`.
+    * `dup_len` is that maximal length, capped at `cap`. "Maximal" is
+    * exact under the JOINED-STRING order the sort uses (ADVICE r14): a
+    * token containing a control character below 0x20 (below the space
+    * separator) can split a shared-prefix block across non-adjacent
+    * sort positions, under-reporting that prefix — for printable-token
+    * corpora (any whitespace-tokenized text) the two orders coincide
+    * and the lengths are exactly maximal. Engine/oracle parity holds
+    * either way (both sort and compare the same joined strings).
     *
     * Method: in lexicographic order of the (capped) suffixes, all
     * suffixes sharing a token prefix form one contiguous block, so each
@@ -893,7 +900,29 @@ object Dedup {
     * chunk such docs upstream (the Gopher gate's 100k-word ceiling
     * already bounds any gated corpus far below this). */
   def suffixDupLengths(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", minLen: Int = 8, cap: Int = 24): DataFrame = {
+      textCol: String = "text", minLen: Int = 8, cap: Int = 24): DataFrame =
+    suffixDupFlagged(docs, idCol, textCol, minLen, cap)
+      .select("doc_id", "pos", "dup_len")
+
+  /** Prefix of a space-joined token string covering its first `k`
+    * tokens (the flagged position's duplicated CONTENT — what
+    * [[suffixDupTrim]] groups first-occurrences by). */
+  private[pipeline] def tokenPrefix(s: String, k: Int): String = {
+    var i = 0; var seen = 0
+    while (i < s.length && seen < k) {
+      if (s.charAt(i) == ' ') seen += 1
+      i += 1
+    }
+    if (seen == k) s.substring(0, i - 1) else s
+  }
+
+  /** [[suffixDupLengths]] plus each flagged position's duplicated
+    * content (its first dup_len tokens, space-joined) — the extra
+    * column only exists on flagged (output-proportional) rows, so the
+    * carry is free at corpus scale. */
+  private[pipeline] def suffixDupFlagged(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minLen: Int = 8, cap: Int = 24): DataFrame = {
     require(minLen >= 1 && cap >= minLen,
       s"need 1 <= minLen <= cap, got minLen=$minLen cap=$cap")
     val spark = docs.sparkSession
@@ -941,8 +970,8 @@ object Dedup {
       val (pl, nf, minL) = bc.value
       var prev: String = pl.getOrElse(i, null)
       val rows = it.buffered
-      new Iterator[(Long, Int, Int)] {
-        private var nextRow: (Long, Int, Int) = null
+      new Iterator[(Long, Int, Int, String)] {
+        private var nextRow: (Long, Int, Int, String) = null
         private def advance(): Unit = {
           nextRow = null
           while (nextRow == null && rows.hasNext) {
@@ -954,16 +983,16 @@ object Dedup {
             var dl: Int = if (prev == null) 0 else tokenLcp(s, prev)
             if (nxt != null) dl = math.max(dl, tokenLcp(s, nxt))
             prev = s
-            if (dl >= minL) nextRow = (cur._2, cur._3, dl)
+            if (dl >= minL) nextRow = (cur._2, cur._3, dl, tokenPrefix(s, dl))
           }
         }
         advance()
         override def hasNext: Boolean = nextRow != null
-        override def next(): (Long, Int, Int) = {
+        override def next(): (Long, Int, Int, String) = {
           val r = nextRow; advance(); r
         }
       }
-    }.toDF("doc_id", "pos", "dup_len")
+    }.toDF("doc_id", "pos", "dup_len", "content")
   }
 
   /** [[suffixDupLengths]] merged into maximal per-doc duplicated spans:
@@ -974,9 +1003,15 @@ object Dedup {
     * span_end exclusive, span_tokens, max_dup_len); bounded by the
     * flagged positions, strictly smaller than the corpus. */
   def suffixDupSpans(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", minLen: Int = 8, cap: Int = 24): DataFrame = {
+      textCol: String = "text", minLen: Int = 8, cap: Int = 24): DataFrame =
+    mergeVarSpans(suffixDupLengths(docs, idCol, textCol, minLen, cap))
+
+  /** Merge VARIABLE-length flagged positions (doc_id, pos, dup_len)
+    * into maximal per-doc spans — the [[mergeSpans]] interval pass with
+    * the per-position length instead of a fixed n. Shared by
+    * [[suffixDupSpans]] (reporting) and [[suffixDupTrim]] (removal). */
+  private def mergeVarSpans(flagged: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val flagged = suffixDupLengths(docs, idCol, textCol, minLen, cap)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val reach = max(col("pos") + col("dup_len"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -989,6 +1024,63 @@ object Dedup {
         max(col("pos") + col("dup_len")).as("span_end"),
         max("dup_len").as("max_dup_len"))
       .withColumn("span_tokens", col("span_end") - col("span_start"))
+  }
+
+  /** Variable-length exact-substring TRIM — the removal half of the Lee
+    * et al. 2022 ExactSubstr pipeline ([[suffixDupLengths]] landed the
+    * detection half; VERDICT r14 #2 asked for the half users actually
+    * run). Every flagged position's duplicated CONTENT (its first
+    * dup_len tokens) keeps ONE canonical copy — the globally smallest
+    * (doc_id, pos) occurrence of that exact content — and every other
+    * flagged occurrence is merged into maximal spans
+    * ([[mergeVarSpans]]) and cut from its document's token stream.
+    * Output (doc_id, n_tokens, n_kept, text) — the
+    * [[trimDuplicateSpans]] shape.
+    *
+    * Guarantees: at least one copy of every duplicated content survives
+    * (its canonical position is never flagged for cutting by its OWN
+    * content group — though a different overlapping span in the same
+    * doc may still cut through it, exactly as in the fixed-n-gram
+    * trim); nested contents (a shorter duplicate whose own canonical
+    * differs from its covering span's) may keep one extra copy — the
+    * rule errs toward keeping, never toward deleting every copy.
+    *
+    * Scale shape: the first/later split is ONE min-struct aggregation
+    * per content (map-side combinable — a boilerplate substring
+    * repeated 10⁸× reduces through partials, no per-content window
+    * sort); the flagged table feeds two consumers, so it is
+    * localCheckpointed rather than re-running the suffix LCP pass; the
+    * cut is a per-row higher-order filter against the doc's own
+    * collected span list — no token-level join. */
+  def suffixDupTrim(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 8, cap: Int = 24): DataFrame = {
+    val flagged = suffixDupFlagged(docs, idCol, textCol, minLen, cap)
+      .localCheckpoint()
+    val first = flagged.groupBy("content")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__f"))
+    val later = flagged.join(first, Seq("content"))
+      .where(!(col("doc_id") === col("__f.doc_id") &&
+        col("pos") === col("__f.pos")))
+      .select("doc_id", "pos", "dup_len")
+    val spans = mergeVarSpans(later)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__toks"),
+        coalesce(col("__spans"),
+          array().cast("array<struct<span_start:int,span_end:int>>"))
+          .as("__spans"))
+      .select(col("doc_id"),
+        size(col("__toks")).as("n_tokens"),
+        filter(col("__toks"), (_, i) =>
+          !exists(col("__spans"),
+            sp => i >= sp("span_start") && i < sp("span_end"))).as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("__kept")).as("n_kept"),
+        concat_ws(" ", col("__kept")).as("text"))
   }
 
   /** Dedup survivor POLICY: arg-max score per duplicate cluster (ties →

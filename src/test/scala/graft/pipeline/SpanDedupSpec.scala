@@ -275,6 +275,116 @@ class SpanDedupSpec extends SparkSpec {
       (2L, 0, 9, 6, 9)))  // the whole periodic doc, maximal piece 6
   }
 
+  test("suffixDupTrim keeps one canonical copy of each duplicated content") {
+    val out = Dedup.suffixDupTrim(docs, minLen = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "text")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    // doc 0 owns every content's first occurrence → untouched; doc 1's
+    // copies of a..e (flagged pos 2,3,4) merge into span [2,7) and cut;
+    // doc 2's pos 0,1,2,6 are first occurrences of their contents, pos
+    // 3,4,5 are later copies → span [3,9) cut; doc 3 untouched
+    assert(out == Seq(
+      (0L, 8, 8, "a b c d e f g h"),
+      (1L, 8, 3, "x y z"),
+      (2L, 10, 4, "p q r s"),
+      (3L, 4, 4, "unique tokens only here")))
+  }
+
+  /** Independent plain-Scala trim reference: brute-force flagged
+    * positions + contents, min-(doc,pos) canonical per content, interval
+    * merge of the non-canonical flags, token cut — no Spark anywhere. */
+  private def bruteForceTrim(corpus: Seq[(Long, String)],
+      minLen: Int, cap: Int): Seq[(Long, Int, Int, String)] = {
+    val sufs = corpus.flatMap { case (d, t) =>
+      val toks = t.toLowerCase.split("\\s+", -1)
+      toks.indices.map(p => (d, p, toks.slice(p, p + cap).toSeq))
+    }
+    def lcp(a: Seq[String], b: Seq[String]): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val flagged = sufs.flatMap { case (d, p, s) =>
+      val best = sufs.iterator
+        .filter { case (d2, p2, _) => (d2, p2) != ((d, p)) }
+        .map { case (_, _, o) => lcp(s, o) }.max
+      if (best >= minLen) Some((d, p, best, s.take(best).mkString(" ")))
+      else None
+    }
+    val firstOf = flagged.groupBy(_._4)
+      .map { case (c, fs) => c -> fs.map(f => (f._1, f._2)).min }
+    val cut = flagged.filter { case (d, p, _, c) => firstOf(c) != ((d, p)) }
+    corpus.map { case (d, t) =>
+      val toks = t.toLowerCase.split("\\s+", -1)
+      // interval merge in pos order, then cut
+      var reach = -1
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      cut.filter(_._1 == d).sortBy(_._2).foreach { case (_, p, dl, _) =>
+        if (spans.nonEmpty && p <= reach) {
+          val (st, en) = spans.last
+          spans(spans.length - 1) = (st, math.max(en, p + dl))
+        } else spans += ((p, p + dl))
+        reach = math.max(reach, p + dl)
+      }
+      val kept = toks.zipWithIndex.collect {
+        case (tk, i) if !spans.exists(sp => i >= sp._1 && i < sp._2) => tk
+      }
+      (d, toks.length, kept.length, kept.mkString(" "))
+    }.sortBy(_._1)
+  }
+
+  test("suffixDupTrim matches the brute-force reference incl. cross-partition equal runs") {
+    // 30 identical docs force equal-suffix runs across range-partition
+    // boundaries; the canonical copy must be the single (min doc, pos)
+    // one, with exact kept-token accounting everywhere
+    val corpus = (0 until 30).map(i => (i.toLong, "dup dup text body one two three")) ++
+      Seq((30L, "alpha beta gamma delta epsilon zeta"),
+        (31L, "omega alpha beta gamma delta epsilon end"),
+        (32L, "self self self self self self"),
+        (33L, "lone words without any twin here")) ++
+      (34 until 40).map(i => (i.toLong, s"noise$i filler mixed dup dup text tail$i"))
+    val got = Dedup.suffixDupTrim(corpus.toDF("doc_id", "text"),
+        minLen = 2, cap = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "text")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == bruteForceTrim(corpus, minLen = 2, cap = 5))
+    // cross-doc conservation: the content shared by the 30 identical
+    // docs survives EXACTLY once (doc 0, the global first occurrence,
+    // untouched; docs 1..29 fully cut) — the keep-one rule across
+    // range-partition-crossing equal-suffix runs. (A universal
+    // every-content check would be wrong: an in-document overlapping
+    // span may cut through a canonical copy, the documented ExactSubstr
+    // caveat — doc 32's periodic 'self' run exercises it here.)
+    assert(got.count(_._4.contains("dup dup text body one two three")) == 1)
+    assert(got.head == ((0L, 7, 7, "dup dup text body one two three")))
+    assert((1 until 30).forall(i => got(i) == ((i.toLong, 7, 0, ""))))
+    // the cross-doc 5-token run alpha..epsilon keeps its doc-30 copy and
+    // is cut from doc 31 (doc 31 keeps its unique frame words)
+    assert(got(30)._4 == "alpha beta gamma delta epsilon zeta")
+    assert(got(31)._4 == "omega end")
+  }
+
+  test("suffixDupTrim matches brute force on randomized tiny-alphabet corpora") {
+    val rng = new scala.util.Random(20260815L)
+    for (round <- 1 to 4) {
+      val alphabet = (0 until 2 + rng.nextInt(3)).map(i => ('a' + i).toChar.toString)
+      val corpus = (0 until 5 + rng.nextInt(15)).map { d =>
+        val len = 1 + rng.nextInt(12)
+        (d.toLong,
+          (0 until len).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString(" "))
+      }
+      val minLen = 1 + rng.nextInt(3)
+      val cap = minLen + rng.nextInt(4)
+      val got = Dedup.suffixDupTrim(corpus.toDF("doc_id", "text"),
+          minLen = minLen, cap = cap)
+        .orderBy("doc_id")
+        .select("doc_id", "n_tokens", "n_kept", "text")
+        .as[(Long, Int, Int, String)].collect().toSeq
+      val want = bruteForceTrim(corpus, minLen, cap)
+      assert(got == want,
+        s"round $round minLen=$minLen cap=$cap corpus=$corpus")
+    }
+  }
+
   test("suffixDupLengths is partitioning-invariant") {
     val a = Dedup.suffixDupLengths(docs.repartition(7), minLen = 3)
       .orderBy("doc_id", "pos").collect().toSeq
