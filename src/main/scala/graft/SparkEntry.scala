@@ -60,7 +60,7 @@ object SparkEntry {
        |  FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
        |ord AS (SELECT doc_id, pos, s, lag(s) OVER w AS ps, lead(s) OVER w AS ns
        |  FROM sfx WINDOW w AS (ORDER BY array_to_string(s, ' '), doc_id, pos)),
-       |lcp AS (SELECT doc_id, pos,
+       |lcp AS (SELECT doc_id, pos, s,
        |    greatest(${side("ps")},
        |      ${side("ns")}) AS dup_len
        |  FROM ord)${if (withFlagged) "," else ""}
@@ -68,25 +68,58 @@ object SparkEntry {
   }
 
   /** The FULL curation recipe's stage chain — ONE definition consumed by
-    * BOTH `pipeline_curate_corpus_full` (the admitted rows) and
-    * `pipeline_curate_funnel` (per-stage survivor accounting). Returns
-    * (ord, stage, survivors-so-far); the LAST frame is the
+    * `pipeline_curate_corpus_full` (the admitted rows),
+    * `pipeline_curate_funnel` (per-stage survivor accounting) and
+    * `pipeline_curate_export` (the packed/sharded training artifact).
+    * Returns (ord, stage, survivors-so-far); the LAST frame is the
     * budget-admitted output. Checkpoint decisions are measured — see
     * the flagship entry's comment.
+    *
+    * Session-memoized per dir (VERDICT r14 #3): the chain's staged
+    * localCheckpoints materialize at CONSTRUCTION time, so without the
+    * memo every consumer re-paid the full gate→LM→dedup→screen→budget
+    * build (~9 s at sf0.1 — the funnel was the slowest catalog entry
+    * purely from re-running the flagship's chain). With it the first
+    * consumer in a session pays the build and the rest reuse the
+    * checkpointed frames; each query stays independently
+    * oracle-checkable because the frames (and hashes) are identical
+    * either way.
     */
   private def curateFullStages(s: SparkSession,
+      dir: String): Seq[(Int, String, DataFrame)] =
+    ArtifactCache.sessionValue(s.sparkContext, s"$dir/curate/stages") {
+      buildCurateStages(s, dir)
+    }
+
+  private def buildCurateStages(s: SparkSession,
       dir: String): Seq[(Int, String, DataFrame)] = {
       val docs = t(s, dir, "documents")
+      // with the chain session-memoized (one build per dir), EVERY
+      // returned stage frame is a staged write (localCheckpoint): the
+      // flagship reads stage 7, the funnel counts all of them twice
+      // (best-of-2), the export chunks stage 7 — un-materialized
+      // tails would re-run the gate/LM/fuzzy/screen subplans per
+      // consumer action, which is exactly what the memoization exists
+      // to stop. gate is (doc_id, n_words)-narrow; the text-bearing
+      // frames are the post-gate corpus a real pipeline stages anyway.
       val gate = TextAnalysis.gopherRules(docs)
         .where(col("pass_words") && col("pass_mwl") &&
           col("pass_alpha") && col("pass_symbol"))
         .select(col("doc_id"), col("n_words"))
+        .localCheckpoint()
       val buckets = graft.pipeline.NgramLM.ccnetBuckets(
           graft.pipeline.NgramLM.score(docs, lmOf(s, dir)), sampleK = 300)
         .where(col("bucket") =!= "tail")
         .select(col("doc_id"), col("bucket"))
+      // staged write #0 (r15): the gated+LM-bucketed corpus is the
+      // chain's first expensive product (the LM scoring pass lives
+      // under `buckets`), and with the chain session-memoized it is
+      // built ONCE — materializing it makes the funnel's stage-2/3
+      // counts (and the dedup stage's read) pure accounting over staged
+      // data instead of re-running gate + LM per count action
       val kept = docs.select("doc_id", "source", "text")
         .join(gate, Seq("doc_id")).join(buckets, Seq("doc_id"))
+        .localCheckpoint()
       // staged write: the exact-dedup survivor set feeds FIVE downstream
       // consumers (signatures, the Jaccard confirm's doc side, quality
       // scoring, the contamination screen, the budget), and the fuzzy
@@ -128,6 +161,7 @@ object SparkEntry {
       val surv = Dedup.canonicalByScore(withComp, q)
         .where(col("kept")).select("doc_id")
       val canonSurv = canon.join(surv, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
       // decontamination: the held-out set is excerpts of the first 10
       // raw docs (the contamination_screen fixture) — an EXTERNAL
       // benchmark, screened against the post-dedup survivors
@@ -138,6 +172,7 @@ object SparkEntry {
         .screen(canonSurv, bench, n = 5, minShared = 3)
         .select("doc_id").distinct()
       val clean = canonSurv.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       // PER-SOURCE budgets (VERDICT r13 #2): the recipe's real users
       // write "100B web / 20B code / 5B books", so the composition ends
       // in tokenBudgetPerGroup — budgets derive from the source name
@@ -152,6 +187,7 @@ object SparkEntry {
         .withColumn("budget", lit(400L) + pmod(srcNum, lit(5L)) * 200L)
       val admitted = graft.pipeline.Sampling.tokenBudgetPerGroup(
         clean.drop("text"), "source", budgets, nTokCol = "n_words")
+        .localCheckpoint()
     Seq(
       (1, "raw", docs),
       (2, "gopher_gate", gate),
@@ -162,13 +198,80 @@ object SparkEntry {
       (7, "budget_admitted", admitted))
   }
 
+  /** Curated-corpus EXPORT frames (VERDICT r14 #1): the budget-admitted
+    * survivors packed into fixed 128-token sequences and dealt into 8
+    * shards by the deterministic md5-rank shuffle — the artifact a
+    * training run actually mounts. Returns (packed, sharded): `packed`
+    * is the chunkSpans overlap table (seq_id, doc_id, off_in_seq,
+    * n_tok) the funnel's stage-8 row counts; `sharded` adds the
+    * shuffled (shard, shard_pos) layout. Session-memoized like the
+    * stage chain it extends. Unlike `pipeline_export_train` (which
+    * certifies the export MECHANICS on the raw corpus with planted
+    * dups), this starts from the curation chain's admitted output —
+    * exact and fuzzy dedup already ran inside the chain, so no dedup
+    * stage is repeated here, and the token counts are the gate's
+    * n_words (the chain's own accounting unit). */
+  private def curateExportFrames(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    ArtifactCache.sessionValue(s.sparkContext, s"$dir/curate/export") {
+      val admitted = curateFullStages(s, dir).last._3
+      val counted = admitted.select(col("doc_id"),
+        col("n_words").cast("long").as("n_tokens"))
+      val packed = graft.pipeline.Packing.chunkSpans(counted, seqLen = 128)
+        .localCheckpoint()
+      val seqs = packed.select(col("seq_id")).distinct()
+        .withColumn("__hk", Dedup.md5Hash60(col("seq_id").cast("string")))
+        .withColumn("__one", lit(1L))
+      // shuffled global position = count of smaller (hash, seq_id) keys,
+      // scan-built; seq_id tiebreak matches the oracle's row_number
+      val positioned = graft.pipeline.Packing
+        .exclusivePrefixSum(seqs, "__hk", "__one", outCol = "pos",
+          tieCol = Some("seq_id"))
+        .select(col("seq_id"),
+          pmod(col("pos"), lit(8L)).as("shard"),
+          expr("pos div 8").as("shard_pos"))
+      val sharded = packed.join(positioned, Seq("seq_id"))
+        .select("shard", "shard_pos", "seq_id", "doc_id",
+          "off_in_seq", "n_tok")
+      (packed, sharded)
+    }
+
+  /** Export CTE chain appended after the curation oracle's `cum` CTE
+    * (shared by the `pipeline_curate_export` oracle and the funnel's
+    * stage-8 row): admitted rows → running n_words sum in doc_id order
+    * → 128-token chunk explode → md5-rank row_number over (hash,
+    * seq_id) → shard deal. `m` is the caller's MATERIALIZED wrapper —
+    * `esp` is read twice (the distinct-seq table and the final join /
+    * both funnel counts), which is exactly where DuckDB's
+    * single-reference CTE inlining re-evaluates the whole upstream
+    * chain (the funnel OOM lesson), so callers materialize. */
+  private def exportCtesSql(m: String => String): String =
+    s"""${m("adm")} (SELECT doc_id, n_words FROM cum WHERE cum <= budget),
+       |ec AS (SELECT doc_id, n_words AS n,
+       |    CAST(COALESCE(SUM(n_words) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |  FROM adm),
+       |${m("esp")} (SELECT seq_id, doc_id,
+       |    GREATEST(seq_id * 128, st) AS lo,
+       |    LEAST((seq_id + 1) * 128, st + n) AS hi
+       |  FROM ec, unnest(generate_series(st // 128, (st + n - 1) // 128)) AS g(seq_id)
+       |  WHERE n > 0),
+       |ehk AS (SELECT DISTINCT seq_id FROM esp),
+       |eps AS (SELECT seq_id,
+       |    row_number() OVER (ORDER BY
+       |      CAST('0x' || substr(md5(CAST(seq_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |      seq_id) - 1 AS pos
+       |  FROM ehk)""".stripMargin
+
   /** The flagship curation recipe oracle's CTE chain (gate, LM
     * buckets, exact dedup, banding, recursive components, survivor
     * policy, decontamination grams, budget walk), shared by the
-    * admitted-rows oracle and the funnel accounting oracle — one
-    * SQL definition for both, mirroring curateFullStages. */
+    * admitted-rows oracle, the funnel accounting oracle and the export
+    * oracle — one SQL definition for all three, mirroring
+    * curateFullStages. `withExport` appends [[exportCtesSql]]. */
   private def curateFullSql(finalSelect: String,
-      materializeStages: Boolean = false): String = {
+      materializeStages: Boolean = false,
+      withExport: Boolean = false): String = {
     // the funnel's final select counts SEVEN stage CTEs via scalar
     // subqueries; DuckDB inlines single-reference CTEs, so without
     // materialization each count re-evaluates the whole upstream chain
@@ -283,7 +386,8 @@ object SparkEntry {
          |          ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
          |                   doc_id ASC
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |      FROM clean JOIN bud USING (source))
+         |      FROM clean JOIN bud USING (source))${
+             if (withExport) ",\n" + exportCtesSql(m) else ""}
          |$finalSelect""".stripMargin
     sql
   }
@@ -575,6 +679,18 @@ object SparkEntry {
       Dedup.minhashSignatures(t(s, dir, "documents"), numPerms = 8)
         .localCheckpoint()
     }: Unit
+  }
+
+  /** Force-build the session-memoized curation stage chain + export
+    * frames (r15). Separated from [[warmArtifacts]] so Bench can TIME
+    * it as its own named line: with the chain memoized, best-of-N
+    * per-query timings would otherwise silently exclude the one-time
+    * build (iteration 2 reuses the checkpoints), and the cost would
+    * vanish from the record instead of being reported like
+    * index_build_sec is. */
+  def warmCurateChain(s: SparkSession, dir: String): Unit = {
+    curateFullStages(s, dir): Unit
+    curateExportFrames(s, dir): Unit
   }
 
   /** LSH-banded + exact-Jaccard-confirmed near-dup pairs (≥ 0.5) over the
@@ -1748,6 +1864,17 @@ object SparkEntry {
       Dedup.suffixDupSpans(t(s, dir, "documents"), minLen = 8, cap = 24)
         .orderBy("doc_id", "span_id")),
 
+    // Dedup: variable-length exact-substring TRIM (VERDICT r14 #2) —
+    // the removal half of Lee et al.'s ExactSubstr: each duplicated
+    // content keeps its globally-first (doc_id, pos) occurrence, every
+    // other flagged occurrence is merged into spans and cut from the
+    // token stream. The oracle chains the suffix sort + neighbor LCP +
+    // first-occurrence row_number + NOT-the-canonical join + interval
+    // merge + token cut in one statement
+    "dedup_suffix_trim" -> ((s, dir) =>
+      Dedup.suffixDupTrim(t(s, dir, "documents"), minLen = 8, cap = 24)
+        .orderBy("doc_id")),
+
     // Dedup: CCNet PARAGRAPH dedup (Wenzek et al. 2020 §3.1) — duplicate
     // paragraphs (non-overlapping 8-token blocks on this newline-free
     // fixture) keep their first corpus occurrence by (doc_id, block_idx),
@@ -2081,11 +2208,15 @@ object SparkEntry {
       val seqs = packed.select(col("seq_id")).distinct()
         .withColumn("__hk", Dedup.md5Hash60(col("seq_id").cast("string")))
         .withColumn("__one", lit(1L))
-      // pos = count of sequences with a smaller shuffle hash — the
-      // shuffled global position, scan-built (no single-task window);
-      // 60-bit hash ties would need ~2^30 sequences to appear once
+      // pos = count of sequences with a smaller (hash, seq_id) key — the
+      // shuffled global position, scan-built (no single-task window).
+      // seq_id is the tie column (ADVICE r14): a 60-bit hash collision
+      // (~2^30 sequences for one expected tie) now resolves exactly the
+      // way the oracle's row_number(hash, seq_id) does instead of
+      // leaving two sequences sharing a shard slot
       val positioned = graft.pipeline.Packing
-        .exclusivePrefixSum(seqs, "__hk", "__one", outCol = "pos")
+        .exclusivePrefixSum(seqs, "__hk", "__one", outCol = "pos",
+          tieCol = Some("seq_id"))
         .select(col("seq_id"), col("pos"),
           pmod(col("pos"), lit(8L)).as("shard"),
           expr("pos div 8").as("shard_pos"))
@@ -2320,9 +2451,14 @@ object SparkEntry {
     // per stage, survivors-so-far semantics, from the SAME
     // curateFullStages chain as the flagship (one definition), so the
     // funnel can never drift from what the pipeline actually does; the
-    // oracle reuses the flagship CTE chain with per-stage COUNTs
-    "pipeline_curate_funnel" -> ((s, dir) =>
-      curateFullStages(s, dir).map { case (ord, nm, df) =>
+    // oracle reuses the flagship CTE chain with per-stage COUNTs.
+    // Stage 8 (r15) counts the EXPORT: n_docs carries the number of
+    // packed 128-token training sequences, n_tokens the packed token
+    // mass — which must equal stage 7's (every admitted token is
+    // packed; chunkSpans drops only zero-token docs and the gate floors
+    // n_words at 50), so the pair is a built-in conservation check
+    "pipeline_curate_funnel" -> ((s, dir) => {
+      val stageRows = curateFullStages(s, dir).map { case (ord, nm, df) =>
         // token mass per stage alongside doc counts — the budget stage
         // trims TOKENS, so that is the funnel column operators actually
         // watch. Post-gate stages carry Gopher's n_words; the raw stage
@@ -2335,7 +2471,29 @@ object SparkEntry {
             coalesce(sum(tok), lit(0L)).cast("long").as("n_tokens"))
           .select(lit(ord).as("stage_ord"), lit(nm).as("stage"),
             col("n_docs"), col("n_tokens"))
-      }.reduce(_.unionByName(_)).orderBy("stage_ord")),
+      }
+      val packedRow = curateExportFrames(s, dir)._1
+        .agg(countDistinct(col("seq_id")).cast("long").as("n_docs"),
+          coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("n_tokens"))
+        .select(lit(8).as("stage_ord"), lit("packed_sequences").as("stage"),
+          col("n_docs"), col("n_tokens"))
+      (stageRows :+ packedRow).reduce(_.unionByName(_)).orderBy("stage_ord")
+    }),
+
+    // The CURATED-corpus export (VERDICT r14 #1) — the artifact a
+    // training run actually mounts: the flagship chain's budget-admitted
+    // survivors packed into 128-token sequences, md5-rank shuffled, and
+    // dealt into 8 balanced shards. `pipeline_export_train` certifies
+    // the export mechanics on the raw corpus (with planted dups);
+    // THIS entry certifies the curation→export COMPOSITION — the oracle
+    // chains curateFullSql's admitted CTE into the export CTEs, so a
+    // hash match is end-to-end bit-parity from raw documents to shard
+    // layout. No dedup stage is repeated here: exact + fuzzy dedup
+    // already ran inside the curation chain (the r14 verdict's point —
+    // the two halves previously never met).
+    "pipeline_curate_export" -> ((s, dir) =>
+      curateExportFrames(s, dir)._2
+        .orderBy("shard", "shard_pos", "doc_id")),
 
 
     // THE LIFECYCLE ENTRY — the reference's two entry points composed as
@@ -5139,6 +5297,46 @@ object SparkEntry {
         |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_id""".stripMargin,
       withFlagged = true),
 
+    // suffix-trim: first-occurrence canonical per duplicated CONTENT
+    // (the flagged position's first dup_len tokens), non-canonical
+    // occurrences merged into variable-length spans and cut from the
+    // token stream — the engine's min-struct agg replayed as a
+    // row_number() = 1 pick plus a NOT-the-canonical join
+    "dedup_suffix_trim" -> suffixLcpSql(
+      """flagged AS (SELECT doc_id, pos, dup_len,
+        |        array_to_string(s[1 : dup_len], ' ') AS content
+        |      FROM lcp WHERE dup_len >= 8),
+        |fo AS (SELECT content, doc_id, pos FROM flagged
+        |      QUALIFY row_number() OVER (PARTITION BY content
+        |        ORDER BY doc_id, pos) = 1),
+        |cut AS (SELECT f.doc_id, f.pos, f.dup_len
+        |      FROM flagged f JOIN fo ON fo.content = f.content
+        |      WHERE NOT (f.doc_id = fo.doc_id AND f.pos = fo.pos)),
+        |mm AS (SELECT doc_id, pos, dup_len,
+        |        CASE WHEN pos > coalesce(max(pos + dup_len) OVER (
+        |               PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM cut),
+        |spn AS (SELECT doc_id, min(pos) AS span_start, max(pos + dup_len) AS span_end
+        |       FROM (SELECT doc_id, pos, dup_len, sum(is_new) OVER (
+        |               PARTITION BY doc_id ORDER BY pos) AS span_id FROM mm)
+        |       GROUP BY doc_id, span_id),
+        |tok AS (SELECT doc_id, i - 1 AS p, toks[i] AS tk
+        |        FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
+        |kept AS (SELECT k.doc_id, k.p, k.tk FROM tok k
+        |         WHERE NOT EXISTS (SELECT 1 FROM spn s2
+        |           WHERE s2.doc_id = k.doc_id
+        |             AND k.p >= s2.span_start AND k.p < s2.span_end)),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(tk, ' ' ORDER BY p) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+        |  CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+        |  coalesce(a.text, '') AS text
+        |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+      withFlagged = true),
+
     "dedup_paragraphs" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         |  FROM documents WHERE trim(text) <> ''),
@@ -5695,8 +5893,10 @@ object SparkEntry {
       """SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= budget
         |ORDER BY doc_id""".stripMargin),
 
-    // funnel accounting: the SAME CTE chain, per-stage COUNTs
+    // funnel accounting: the SAME CTE chain, per-stage COUNTs; stage 8
+    // counts the export CTEs (packed sequences / packed token mass)
     "pipeline_curate_funnel" -> curateFullSql(materializeStages = true,
+      withExport = true,
       finalSelect = """SELECT * FROM (
         |  SELECT 1 AS stage_ord, 'raw' AS stage,
         |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
@@ -5714,7 +5914,22 @@ object SparkEntry {
         |  UNION ALL SELECT 7, 'budget_admitted',
         |    (SELECT CAST(count(*) AS BIGINT) FROM cum WHERE cum <= budget),
         |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM cum WHERE cum <= budget)
+        |  UNION ALL SELECT 8, 'packed_sequences',
+        |    (SELECT CAST(count(DISTINCT seq_id) AS BIGINT) FROM esp),
+        |    (SELECT CAST(coalesce(sum(hi - lo), 0) AS BIGINT) FROM esp)
         |) ORDER BY stage_ord""".stripMargin),
+
+    // curated export: the flagship chain's admitted CTE fed through the
+    // export CTEs (running-sum chunk, md5-rank shuffle, shard deal) in
+    // ONE statement — materialized like the funnel (esp is read twice)
+    "pipeline_curate_export" -> curateFullSql(materializeStages = true,
+      withExport = true,
+      finalSelect = """SELECT CAST(eps.pos % 8 AS BIGINT) AS shard,
+        |  CAST(eps.pos // 8 AS BIGINT) AS shard_pos,
+        |  esp.seq_id, esp.doc_id,
+        |  esp.lo - esp.seq_id * 128 AS off_in_seq, esp.hi - esp.lo AS n_tok
+        |FROM esp JOIN eps USING (seq_id)
+        |ORDER BY shard, shard_pos, doc_id""".stripMargin),
 
 
     "pipeline_clean_corpus" ->

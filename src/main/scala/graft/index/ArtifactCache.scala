@@ -59,6 +59,28 @@ object ArtifactCache {
     }
   }
 
+  /** Arbitrary value whose validity is TIED to a live SparkContext —
+    * for composite artifacts holding DataFrames (e.g. the curation
+    * recipe's whole stage chain) that [[frame]]'s one-frame-per-key
+    * shape can't express. Rebuilt when the context that built it has
+    * stopped; the build must materialize anything it wants cached
+    * (localCheckpoint) itself. Serialized like [[frame]]: the builds
+    * here run corpus-sized jobs, and two concurrent misses of the same
+    * key would double-run the chain. */
+  def sessionValue[T](sc: org.apache.spark.SparkContext, key: String)(
+      build: => T): T = sessionValues.synchronized {
+    sessionValues.get(key) match {
+      case Some((c, v)) if !c.isStopped => v.asInstanceOf[T]
+      case _ =>
+        val v = build
+        sessionValues.put(key, (sc, v))
+        v
+    }
+  }
+
+  private val sessionValues =
+    TrieMap.empty[String, (org.apache.spark.SparkContext, Any)]
+
   def clear(): Unit = {
     frames.synchronized {
       frames.values.foreach { df =>
@@ -67,5 +89,6 @@ object ArtifactCache {
       frames.clear()
     }
     values.clear()
+    sessionValues.clear()
   }
 }

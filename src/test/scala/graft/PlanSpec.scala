@@ -374,9 +374,10 @@ class PlanSpec extends SparkSpec {
       "sample_unimax_epochs",     // UniMax cap table (≤ maxGroups, fail-fast)
       "text_ccnet_buckets",       // NgramLM 300-row md5-rank cutoff sample
       "pipeline_curate_corpus",   // composes ccnetBuckets inline
-      "pipeline_curate_funnel",   // its stage-3 count plans the same
-                                  // 300-row cutoff sample (the flagship's
-                                  // own copy hides behind a checkpoint)
+                                  // (the funnel left this list in r15:
+                                  // every stage frame is now a staged
+                                  // localCheckpoint, so its submitted
+                                  // plans are all checkpoint-truncated)
       "sketch_topk_merge")        // MG count-of-counts histogram (distinct
                                   // count VALUES per group, Zipf-bounded)
     SparkEntry.queries.foreach { case (name, fn) =>
