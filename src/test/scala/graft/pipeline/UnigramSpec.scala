@@ -63,6 +63,30 @@ class UnigramSpec extends SparkSpec {
     assert(model.pieces.forall(_._2 < 0L))
   }
 
+  test("likelihood-loss prune drops a redundant piece count-ranking would keep") {
+    // 'xy' occurs 200x but its chars are individually frequent (the
+    // standalone words x, y), so removing it re-segments cheaply; 'zq'
+    // occurs only 30x but z and q appear NOWHERE else, so removing it
+    // costs two floor-probability fallbacks per occurrence. Count-prune
+    // (the r14 form) would keep 'xy' (200 > 30); the likelihood-loss
+    // criterion must keep 'zq'.
+    //   loss(xy) = 200·(lp(xy) − lp(x) − lp(y)) ≈ 200·2.15 nats
+    //   loss(zq) = 30·(lp(zq) − 2·floor)       ≈ 30·77 nats  ≫
+    val corpus = Seq((0L,
+      (Seq.fill(200)("xy") ++ Seq.fill(100)("x") ++ Seq.fill(100)("y") ++
+        Seq.fill(30)("zq")).mkString(" ")))
+      .toDF("doc_id", "text")
+    // vocabSize 5 = 4 chars + exactly ONE multi-char survivor
+    val model = Unigram.train(corpus, vocabSize = 5, maxPieceLen = 2,
+      seedSize = 8, nIters = 2)
+    val kept = model.pieces.map(_._1).toSet
+    assert(kept.contains("zq"), s"high-loss piece pruned: $kept")
+    assert(!kept.contains("xy"), s"redundant piece survived: $kept")
+    // and the survivor is actually used by the apply path
+    assert(Unigram.tokenizeWord("zq", model.pieces.toMap, 2).toSeq ==
+      Seq("zq"))
+  }
+
   test("tokenize concatenates per-word viterbi pieces in document order") {
     val model = Unigram.train(fixture, vocabSize = 32, maxPieceLen = 4,
       seedSize = 120, nIters = 3)
