@@ -34,6 +34,24 @@ object Bench {
     def bestOf2(f: => Unit): Double = {
       val (_, s1) = timed(f); val (_, s2) = timed(f); math.min(s1, s2)
     }
+    // interleaved A/B(/C) layout arms (VERDICT r14 #4): one loop, `iters`
+    // rounds, each arm timed once per round — a contention window hits
+    // all arms of a round alike instead of landing wholly on whichever
+    // arm happened to run in it (the r14 driver record measured the
+    // cf-serve pair INVERTED for exactly that reason). Returns (best-of
+    // per arm, winner-stable): stable = every round agrees on which arm
+    // is fastest; a false flag means the record's ordering is a noise
+    // sample, not a conclusion.
+    def interleaved(arms: Seq[() => Unit],
+        iters: Int = 3): (Seq[Double], Boolean) = {
+      val best = Array.fill(arms.size)(Double.MaxValue)
+      val winners = (1 to iters).map { _ =>
+        val ts = arms.map(a => timed(a())._2)
+        ts.zipWithIndex.foreach { case (t, i) => best(i) = math.min(best(i), t) }
+        ts.indexOf(ts.min)
+      }
+      (best.toSeq, winners.distinct.size == 1)
+    }
     // Locale.ROOT formatting: the f"" interpolator is locale-sensitive
     // and a comma-decimal default locale would emit invalid JSON
     def d(v: Double, digits: Int): String =
@@ -48,6 +66,12 @@ object Bench {
     // build cost is reported separately as index_build_sec below
     val (_, warmSec) = timed(SparkEntry.warmArtifacts(spark, sfDir))
     System.err.println(f"[bench] artifact warmup ${warmSec}%.1f s")
+    // the curation stage chain is session-memoized (r15): pay its
+    // one-time build here and REPORT it (curate_chain_build_sec below)
+    // — otherwise best-of-N would take the post-memo iteration and the
+    // build cost would silently vanish from the record
+    val (_, curateChainSec) = timed(SparkEntry.warmCurateChain(spark, sfDir))
+    System.err.println(f"[bench] curate chain build ${curateChainSec}%.1f s")
 
     // machine-load fingerprint: BENCH_r06's 163 s record was a loaded-box
     // artifact (18× single-query outliers) that read as a 3× regression —
@@ -595,7 +619,8 @@ object Bench {
       // clusters; entries 30 ring-hops from the answer) because only
       // the LAYOUT is under test — graph quality is the block above.
       val (bigPlainSec, bigBucketedSec, bigNDocs, bigNQ,
-          cfServePlainSec, cfServeBucketedIndexSec, cfServeBucketedDocsSec) = {
+          cfServePlainSec, cfServeBucketedIndexSec, cfServeBucketedDocsSec,
+          bigwalkStable, cfServeStable) = {
         val bDocs = 120000L; val bDim = 48; val clusterSz = 60L
         val bQ = 60000L
         val bgen = udf { (id: Long) =>
@@ -634,19 +659,18 @@ object Bench {
         val pDir = "target/tmp/bench_biggraph_plain"
         bedges.write.mode("overwrite").parquet(pDir)
         val pGraph = spark.read.parquet(pDir)
-        val pSec = bestOf2 {
-          KnnGraph.walk(bqv, pGraph, bdocs, k = 10, beam = 8,
-            rounds = 2, entries = bentries)
-            .write.format("noop").mode("overwrite").save()
-        }
         graft.io.Bucketing.writeBucketed(bedges, "bench_biggraph_bucketed",
           "target/tmp/bench_biggraph_bucketed", "src", buckets = 32)
         val bGraph = graft.io.Bucketing.readBucketed(spark, "bench_biggraph_bucketed")
-        val bSec = bestOf2 {
-          KnnGraph.walk(bqv, bGraph, bdocs, k = 10, beam = 8,
+        // both layouts written BEFORE any timing, arms interleaved
+        // (VERDICT r14 #4 — see the helper's comment)
+        def walkArm(g: org.apache.spark.sql.DataFrame): Unit =
+          KnnGraph.walk(bqv, g, bdocs, k = 10, beam = 8,
             rounds = 2, entries = bentries)
             .write.format("noop").mode("overwrite").save()
-        }
+        val (bwTimes, bwStable) = interleaved(Seq(
+          () => walkArm(pGraph), () => walkArm(bGraph)))
+        val (pSec, bSec) = (bwTimes(0), bwTimes(1))
         // ---- coarse-fine serving twin of the layout pair (r14,
         // VERDICT r13 #7): same planted corpus, stock AQE, serving
         // shape = J3 (probe → cluster index) + J4 (candidates →
@@ -681,8 +705,8 @@ object Bench {
           .localCheckpoint()
         val dot = graft.functions.VectorFunctions.float_dot(
           col("qvec"), col("vec"))
-        def cfServe(index: org.apache.spark.sql.DataFrame,
-            docsT: org.apache.spark.sql.DataFrame): Double = bestOf2 {
+        def cfServeOnce(index: org.apache.spark.sql.DataFrame,
+            docsT: org.apache.spark.sql.DataFrame): Unit = {
           val cand = probes.join(index, Seq("cluster"))
             .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
           val scored = cand.join(docsT, Seq("doc_id"))
@@ -698,19 +722,30 @@ object Bench {
         bdocs.write.mode("overwrite").parquet(dDir)
         val pIdx = spark.read.parquet(ciDir)
         val pD = spark.read.parquet(dDir)
-        val cfPlainSec = cfServe(pIdx, pD)
         graft.io.Bucketing.writeBucketed(cIdx, "bench_cf_index_bucketed",
           "target/tmp/bench_cf_index_bucketed", "cluster", buckets = 32)
-        val cfBIdxSec = cfServe(
-          graft.io.Bucketing.readBucketed(spark, "bench_cf_index_bucketed"), pD)
+        val bIdx = graft.io.Bucketing.readBucketed(spark, "bench_cf_index_bucketed")
         graft.io.Bucketing.writeBucketed(bdocs, "bench_cf_docs_bucketed",
           "target/tmp/bench_cf_docs_bucketed", "doc_id", buckets = 32)
-        val cfBDocsSec = cfServe(pIdx,
-          graft.io.Bucketing.readBucketed(spark, "bench_cf_docs_bucketed"))
+        val bD = graft.io.Bucketing.readBucketed(spark, "bench_cf_docs_bucketed")
+        // all three layouts on disk, arms interleaved (VERDICT r14 #4)
+        val (cfTimes, cfStable) = interleaved(Seq(
+          () => cfServeOnce(pIdx, pD),
+          () => cfServeOnce(bIdx, pD),
+          () => cfServeOnce(pIdx, bD)))
+        val (cfPlainSec, cfBIdxSec, cfBDocsSec) =
+          (cfTimes(0), cfTimes(1), cfTimes(2))
         bdocs.unpersist(); bq.unpersist()
-        (pSec, bSec, bDocs, bQ, cfPlainSec, cfBIdxSec, cfBDocsSec)
+        (pSec, bSec, bDocs, bQ, cfPlainSec, cfBIdxSec, cfBDocsSec,
+          bwStable, cfStable)
       }
 
+      if (!bigwalkStable)
+        System.err.println("[bench] WARNING bigwalk layout winner flipped " +
+          "across interleaved rounds — the pair is a noise sample, not a conclusion")
+      if (!cfServeStable)
+        System.err.println("[bench] WARNING cf-serve layout winner flipped " +
+          "across interleaved rounds — the triple is a noise sample, not a conclusion")
       // spec-level floors (KnnGraphSpec pins the graph path; IVF/coarse
       // probe the same planted structure) — a breach is a red flag even
       // though only the specs hard-fail
@@ -730,9 +765,11 @@ object Bench {
         s""""bigwalk_n_docs":$bigNDocs,"bigwalk_n_queries":$bigNQ,""" +
         s""""bigwalk_parquet_sec":${d(bigPlainSec, 3)},""" +
         s""""bigwalk_bucketed_sec":${d(bigBucketedSec, 3)},""" +
+        s""""bigwalk_conclusion_stable":$bigwalkStable,""" +
         s""""cf_serve_parquet_sec":${d(cfServePlainSec, 3)},""" +
         s""""cf_serve_bucketed_index_sec":${d(cfServeBucketedIndexSec, 3)},""" +
         s""""cf_serve_bucketed_docs_sec":${d(cfServeBucketedDocsSec, 3)},""" +
+        s""""cf_serve_conclusion_stable":$cfServeStable,""" +
         s""""graph_recall_at_10":${d(gRecall, 4)}}"""
     } catch {
       case e: Throwable =>
@@ -780,6 +817,7 @@ object Bench {
     val loadJson =
       s"""{"cpus":$nCpus,"loadavg_start":${d(loadStart, 2)},""" +
         s""""loadavg_end":${d(loadEnd, 2)},"iters":$iters,""" +
+        s""""curate_chain_build_sec":${d(curateChainSec, 3)},""" +
         s""""tainted":$tainted,""" +
         s""""suspect_spread":$spreadJson,""" +
         s""""drift_vs_committed":$driftJson,""" +
