@@ -65,7 +65,7 @@ run_chunk() {
 declare -A CHUNKS
 CHUNKS[rqserve]='coarse_fine.*,rq_.*,pq_.*,v6_beam,v11_align,v15_rerank,v_opq_rotate,sq8_roundtrip,a3_centroid_avg,ensemble_.*'
 CHUNKS[ann]='ivf.*,knn_.*,lsh_neardup,v1_hash_embed,encoder_swap,dedup_embedding,hkm_.*'
-CHUNKS[dedup]='dedup_exact,dedup_minhash.*,dedup_simhash.*,dedup_jaccard.*,dedup_components,dedup_canonical_quality,dedup_semdedup.*,dedup_spans,dedup_span_trim,dedup_paragraphs.*,fuzzy_token_pairs,contamination_screen'
+CHUNKS[dedup]='dedup_exact,dedup_minhash.*,dedup_simhash.*,dedup_jaccard.*,dedup_components,dedup_canonical_quality,dedup_semdedup.*,dedup_spans,dedup_span_trim,dedup_suffix_.*,dedup_paragraphs.*,fuzzy_token_pairs,contamination_screen'
 CHUNKS[text]='text_.*,bpe_top_pairs,pipeline_.*'
 CHUNKS[graph]='graph_.*'
 CHUNKS[joins]='skew_join,metrics_.*,j2_group_collect,j5_answer_contain,a7_.*,a8_backfill,a9_inverse_index,p8_id_remap,p9_.*,p10_subsample_reid'
