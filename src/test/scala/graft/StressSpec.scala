@@ -1230,4 +1230,43 @@ class StressSpec extends SparkSpec {
     assert(sec < 120, s"hot-suffix probe took $sec s")
     info(f"hot-suffix probe: rows=$total maxTaskShuffleRecords=$maxTask sec=$sec%.1f")
   }
+
+  test("suffixDupTrim: a 3000-copy hot content reduces through the min-struct agg") {
+    import spark.implicits._
+    // adversary for the trim's first/later split: 3000 identical docs
+    // put 3000 flagged occurrences into EVERY content group. The
+    // canonical pick must be one map-side-combinable min-struct agg —
+    // a per-content window sort would serialize each 3000-row group —
+    // and the outcome must be exactly one intact survivor (the global
+    // min doc) with every other copy fully cut.
+    val hot = 3000; val L = 24; val cap = 16; val minLen = 8
+    val hotText = (0 until L).map(i => s"tok$i").mkString(" ")
+    val docs = ((0 until hot).map(i => (i.toLong, hotText)) ++
+      (0 until 500).map(i =>
+        ((hot + i).toLong, (0 until 12).map(j => s"u${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    // NOT checkpointed here: the plan assertion below must see the
+    // agg/join/window pipeline, not a checkpoint scan (the internal
+    // flagged checkpoint keeps the repeat actions cheap anyway)
+    val t0 = System.nanoTime()
+    val out = Dedup.suffixDupTrim(docs, minLen = minLen, cap = cap)
+    val sec = ((System.nanoTime() - t0) / 1e9) + {
+      val t1 = System.nanoTime(); out.count(); (System.nanoTime() - t1) / 1e9
+    }
+    // doc 0 owns every content's first occurrence -> untouched; docs
+    // 1..2999: positions 0..L-minLen are cut-flagged and their spans
+    // reach L, so everything goes; unique docs untouched
+    assert(out.where(col("doc_id") === 0)
+      .select("n_kept").as[Int].head() == L)
+    assert(out.where(col("doc_id").between(1, hot - 1) && col("n_kept") === 0)
+      .count() == (hot - 1).toLong)
+    assert(out.where(col("doc_id") >= hot && col("n_kept") =!= 12).count() == 0)
+    // plan shape: the only windows are mergeVarSpans' per-doc interval
+    // pass — nothing partitions (or sorts) by content
+    val windows = out.queryExecution.executedPlan.toString
+    assert(!windows.contains("windowspecdefinition(content"),
+      s"a per-content window crept into the trim:\n${windows.take(3000)}")
+    assert(sec < 120, s"hot-content trim took $sec s")
+    info(f"hot-content trim: sec=$sec%.1f")
+  }
 }
