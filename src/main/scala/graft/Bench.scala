@@ -43,7 +43,7 @@ object Bench {
     // is fastest; a false flag means the record's ordering is a noise
     // sample, not a conclusion.
     def interleaved(arms: Seq[() => Unit],
-        iters: Int = 3): (Seq[Double], Boolean) = {
+        iters: Int): (Seq[Double], Boolean) = {
       val best = Array.fill(arms.size)(Double.MaxValue)
       val winners = (1 to iters).map { _ =>
         val ts = arms.map(a => timed(a())._2)
@@ -85,6 +85,14 @@ object Bench {
     // carry multi-second GC/scheduler noise, which round-over-round diffs
     // would misread as regressions; min-of-iters is the stable statistic
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
+    // interleave rounds for the layout A/B blocks (ADVICE r15: the fast
+    // ITERS=1 pass used to still run 3 interleaved rounds per arm).
+    // Tracks the bench iters setting, floored at 2 so the winner-
+    // stability check stays meaningful; a record cut overrides with
+    // SPARK_GRAFT_BENCH_LAYOUT_ITERS=5 (VERDICT r15 #4) so the
+    // stability flags get five chances to catch a flipping winner.
+    val layoutIters = sys.env.get("SPARK_GRAFT_BENCH_LAYOUT_ITERS")
+      .map(_.toInt).getOrElse(iters.min(3)).max(2)
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=<anchored regex> times just
     // the matching catalog queries and skips the engine/clustered blocks.
     // A filtered record is for local iteration only — never commit one.
@@ -620,7 +628,7 @@ object Bench {
       // the LAYOUT is under test — graph quality is the block above.
       val (bigPlainSec, bigBucketedSec, bigNDocs, bigNQ,
           cfServePlainSec, cfServeBucketedIndexSec, cfServeBucketedDocsSec,
-          bigwalkStable, cfServeStable) = {
+          bigwalkStable, cfServeStable, cfServeNQ) = {
         val bDocs = 120000L; val bDim = 48; val clusterSz = 60L
         val bQ = 60000L
         val bgen = udf { (id: Long) =>
@@ -669,7 +677,7 @@ object Bench {
             rounds = 2, entries = bentries)
             .write.format("noop").mode("overwrite").save()
         val (bwTimes, bwStable) = interleaved(Seq(
-          () => walkArm(pGraph), () => walkArm(bGraph)))
+          () => walkArm(pGraph), () => walkArm(bGraph)), layoutIters)
         val (pSec, bSec) = (bwTimes(0), bwTimes(1))
         // ---- coarse-fine serving twin of the layout pair (r14,
         // VERDICT r13 #7): same planted corpus, stock AQE, serving
@@ -697,7 +705,18 @@ object Bench {
           .select((col("doc_id") / clusterSz).cast("long").as("cluster"),
             col("doc_id"))
           .groupBy("cluster").agg(collect_list(col("doc_id")).as("doc_ids"))
-        val probes = bq.select(col("query_id"),
+        // probe side scaled 3x past the walk's query batch (VERDICT r15
+        // #5): at 60k queries the three cf-serve arms ran ~2.5 s each and
+        // three independent records disagreed inside contention noise —
+        // 180k queries / ~21.6M scored rows puts the layout effect's
+        // absolute delta above the neighbor-noise floor
+        val cfQ = 3L * bQ
+        val cfq = (0 until 3).map(r => bq.select(
+            (col("query_id") + lit(r * bQ)).as("query_id"),
+            col("qvec"), col("__src")))
+          .reduce(_.unionByName(_)).localCheckpoint()
+        val cfqv = cfq.select("query_id", "qvec")
+        val probes = cfq.select(col("query_id"),
           explode(array(
             (col("__src") / clusterSz).cast("long"),
             pmod((col("__src") / clusterSz).cast("long") + 1L,
@@ -710,7 +729,7 @@ object Bench {
           val cand = probes.join(index, Seq("cluster"))
             .select(col("query_id"), explode(col("doc_ids")).as("doc_id"))
           val scored = cand.join(docsT, Seq("doc_id"))
-            .join(bqv, Seq("query_id"))
+            .join(cfqv, Seq("query_id"))
             .select(col("query_id"), col("doc_id"),
               dot.cast("double").as("score"))
           graft.search.TopK.ranked(scored, 10)
@@ -732,12 +751,12 @@ object Bench {
         val (cfTimes, cfStable) = interleaved(Seq(
           () => cfServeOnce(pIdx, pD),
           () => cfServeOnce(bIdx, pD),
-          () => cfServeOnce(pIdx, bD)))
+          () => cfServeOnce(pIdx, bD)), layoutIters)
         val (cfPlainSec, cfBIdxSec, cfBDocsSec) =
           (cfTimes(0), cfTimes(1), cfTimes(2))
         bdocs.unpersist(); bq.unpersist()
         (pSec, bSec, bDocs, bQ, cfPlainSec, cfBIdxSec, cfBDocsSec,
-          bwStable, cfStable)
+          bwStable, cfStable, cfQ)
       }
 
       if (!bigwalkStable)
@@ -766,6 +785,7 @@ object Bench {
         s""""bigwalk_parquet_sec":${d(bigPlainSec, 3)},""" +
         s""""bigwalk_bucketed_sec":${d(bigBucketedSec, 3)},""" +
         s""""bigwalk_conclusion_stable":$bigwalkStable,""" +
+        s""""cf_serve_n_queries":$cfServeNQ,""" +
         s""""cf_serve_parquet_sec":${d(cfServePlainSec, 3)},""" +
         s""""cf_serve_bucketed_index_sec":${d(cfServeBucketedIndexSec, 3)},""" +
         s""""cf_serve_bucketed_docs_sec":${d(cfServeBucketedDocsSec, 3)},""" +

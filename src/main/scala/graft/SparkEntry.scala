@@ -38,15 +38,20 @@ object SparkEntry {
   }
 
   /** Shared CTE prefix for the suffix-LCP oracles (dedup_suffix_lens /
-    * _spans): capped 24-token suffixes at every position, sorted by
-    * their space-joined string (the exact order the engine
+    * _spans / _trim): capped 24-token suffixes at every position, sorted
+    * by their space-joined string (the exact order the engine
     * range-partitions on), neighbor rows via lag/lead, token-LCP =
     * (index of the first element-wise mismatch − 1), clamped by both
     * lengths — element-wise `IS NOT DISTINCT FROM` runs true past BOTH
     * list ends, which the length clamp corrects, matching the engine's
-    * loop bound exactly. `tail` is either a final SELECT over `lcp` or
-    * (withFlagged) further CTEs + SELECT. */
-  private def suffixLcpSql(tail: String, withFlagged: Boolean = false): String = {
+    * loop bound exactly. Parameterized by source CTE and name prefix so
+    * the curation chain can replay the trim over its fuzzy survivors
+    * (prefix x, src surv) with the SAME generator the standalone
+    * oracles use; `m` wraps a CTE name (`AS` vs `AS MATERIALIZED` — the
+    * chain materializes `${p}t`, read by both the suffix explode and
+    * the token cut, so the survivor chain upstream evaluates once). */
+  private def suffixLcpCtes(src: String, p: String,
+      m: String => String): String = {
     def side(o: String): String =
       // list_position returns 0 (NOT NULL) when no element mismatches —
       // nullif routes the all-equal case to 25-1 = 24, the full cap
@@ -54,18 +59,60 @@ object SparkEntry {
          |      coalesce(nullif(list_position(list_transform(range(1, 25),
          |        i -> s[i] IS NOT DISTINCT FROM $o[i]), false), 0), 25) - 1,
          |      len(s), len($o)) END""".stripMargin
-    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-       |  FROM documents),
-       |sfx AS (SELECT doc_id, i - 1 AS pos, toks[i : i + 23] AS s
-       |  FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
-       |ord AS (SELECT doc_id, pos, s, lag(s) OVER w AS ps, lead(s) OVER w AS ns
-       |  FROM sfx WINDOW w AS (ORDER BY array_to_string(s, ' '), doc_id, pos)),
-       |lcp AS (SELECT doc_id, pos, s,
+    s"""${m(s"${p}t")} (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM $src),
+       |${p}sfx AS (SELECT doc_id, i - 1 AS pos, toks[i : i + 23] AS s
+       |  FROM ${p}t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
+       |${p}ord AS (SELECT doc_id, pos, s, lag(s) OVER w AS ps, lead(s) OVER w AS ns
+       |  FROM ${p}sfx WINDOW w AS (ORDER BY array_to_string(s, ' '), doc_id, pos)),
+       |${p}lcp AS (SELECT doc_id, pos, s,
        |    greatest(${side("ps")},
        |      ${side("ns")}) AS dup_len
-       |  FROM ord)${if (withFlagged) "," else ""}
-       |$tail""".stripMargin
+       |  FROM ${p}ord)""".stripMargin
   }
+
+  private def suffixLcpSql(tail: String, withFlagged: Boolean = false): String =
+    s"""WITH ${suffixLcpCtes("documents", "", n => s"$n AS")}${if (withFlagged) "," else ""}
+       |$tail""".stripMargin
+
+  /** The TRIM tail of the suffix-LCP chain (first-occurrence canonical
+    * per duplicated content → NOT-the-canonical occurrences merged into
+    * variable spans → surviving tokens re-joined), prefixed like
+    * [[suffixLcpCtes]]; ends at `${p}agg`(doc_id, n_kept, text) holding
+    * docs with ≥1 kept token. ONE definition shared by the standalone
+    * dedup_suffix_trim oracle and the curation chain's span_trimmed
+    * stage replay (VERDICT r15 #2). `${p}flagged` is read twice (the
+    * canonical pick and the cut), so the chain materializes it. */
+  private def suffixTrimCtes(p: String, minLen: Int,
+      m: String => String): String =
+    s"""${m(s"${p}flagged")} (SELECT doc_id, pos, dup_len,
+       |        array_to_string(s[1 : dup_len], ' ') AS content
+       |      FROM ${p}lcp WHERE dup_len >= $minLen),
+       |${p}fo AS (SELECT content, doc_id, pos FROM ${p}flagged
+       |      QUALIFY row_number() OVER (PARTITION BY content
+       |        ORDER BY doc_id, pos) = 1),
+       |${p}cut AS (SELECT f.doc_id, f.pos, f.dup_len
+       |      FROM ${p}flagged f JOIN ${p}fo fo ON fo.content = f.content
+       |      WHERE NOT (f.doc_id = fo.doc_id AND f.pos = fo.pos)),
+       |${p}mm AS (SELECT doc_id, pos, dup_len,
+       |        CASE WHEN pos > coalesce(max(pos + dup_len) OVER (
+       |               PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |             THEN 1 ELSE 0 END AS is_new
+       |      FROM ${p}cut),
+       |${p}spn AS (SELECT doc_id, min(pos) AS span_start, max(pos + dup_len) AS span_end
+       |       FROM (SELECT doc_id, pos, dup_len, sum(is_new) OVER (
+       |               PARTITION BY doc_id ORDER BY pos) AS span_id FROM ${p}mm)
+       |       GROUP BY doc_id, span_id),
+       |${p}tok AS (SELECT doc_id, i - 1 AS p, toks[i] AS tk
+       |        FROM ${p}t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
+       |${p}kept AS (SELECT k.doc_id, k.p, k.tk FROM ${p}tok k
+       |         WHERE NOT EXISTS (SELECT 1 FROM ${p}spn s2
+       |           WHERE s2.doc_id = k.doc_id
+       |             AND k.p >= s2.span_start AND k.p < s2.span_end)),
+       |${p}agg AS (SELECT doc_id, count(*) AS n_kept,
+       |          string_agg(tk, ' ' ORDER BY p) AS text
+       |        FROM ${p}kept GROUP BY doc_id)""".stripMargin
 
   /** The FULL curation recipe's stage chain — ONE definition consumed by
     * `pipeline_curate_corpus_full` (the admitted rows),
@@ -162,16 +209,36 @@ object SparkEntry {
         .where(col("kept")).select("doc_id")
       val canonSurv = canon.join(surv, Seq("doc_id"), "left_semi")
         .localCheckpoint()
+      // VARIABLE-LENGTH exact-substring trim WITHIN the fuzzy survivors
+      // (VERDICT r15 #2): Lee et al. 2022 runs ExactSubstr removal as a
+      // curation stage AFTER doc-level dedup — doc counts stay flat
+      // while token mass drops, the first stage to exercise that
+      // distinction in the funnel. n_words becomes the TRIMMED token
+      // count (the budget then admits by post-trim mass) and text the
+      // re-joined survivors, which is what downstream decontamination
+      // and the tokenizer-true export consume. minLen is FIXTURE-SCALED
+      // to 5 (the knob discipline of vocab 48 / seqLen 128 / budget
+      // 400): the jaccard-0.5 fuzzy stage leaves no ≥6-token shared
+      // span in the synthetic corpus (probed: post-fuzzy dup_len maxes
+      // at 5), while Lee et al.'s published 50-BPE-token threshold
+      // assumes real-web partial overlaps; the standalone
+      // dedup_suffix_trim keeps the operator default 8 on raw docs.
+      val trimRes = Dedup.suffixDupTrim(canonSurv, minLen = 5, cap = 24)
+      val trimmed = canonSurv.select("doc_id", "source", "bucket")
+        .join(trimRes.select(col("doc_id"),
+          col("n_kept").cast("long").as("n_words"), col("text")),
+          Seq("doc_id"))
+        .localCheckpoint()
       // decontamination: the held-out set is excerpts of the first 10
       // raw docs (the contamination_screen fixture) — an EXTERNAL
-      // benchmark, screened against the post-dedup survivors
+      // benchmark, screened against the post-dedup TRIMMED survivors
       val bench = docs.where(col("doc_id") < 10)
         .select(col("doc_id").as("bench_id"),
           substring(col("text"), 21, 80).as("text"))
       val contaminated = graft.pipeline.Contamination
-        .screen(canonSurv, bench, n = 5, minShared = 3)
+        .screen(trimmed, bench, n = 5, minShared = 3)
         .select("doc_id").distinct()
-      val clean = canonSurv.join(contaminated, Seq("doc_id"), "left_anti")
+      val clean = trimmed.join(contaminated, Seq("doc_id"), "left_anti")
         .localCheckpoint()
       // PER-SOURCE budgets (VERDICT r13 #2): the recipe's real users
       // write "100B web / 20B code / 5B books", so the composition ends
@@ -194,74 +261,163 @@ object SparkEntry {
       (3, "lm_headmid", kept),
       (4, "exact_dedup", canon),
       (5, "fuzzy_canonical", canonSurv),
-      (6, "decontaminated", clean),
-      (7, "budget_admitted", admitted))
+      (6, "span_trimmed", trimmed),
+      (7, "decontaminated", clean),
+      (8, "budget_admitted", admitted))
   }
 
-  /** Curated-corpus EXPORT frames (VERDICT r14 #1): the budget-admitted
-    * survivors packed into fixed 128-token sequences and dealt into 8
-    * shards by the deterministic md5-rank shuffle — the artifact a
-    * training run actually mounts. Returns (packed, sharded): `packed`
-    * is the chunkSpans overlap table (seq_id, doc_id, off_in_seq,
-    * n_tok) the funnel's stage-8 row counts; `sharded` adds the
-    * shuffled (shard, shard_pos) layout. Session-memoized like the
-    * stage chain it extends. Unlike `pipeline_export_train` (which
-    * certifies the export MECHANICS on the raw corpus with planted
-    * dups), this starts from the curation chain's admitted output —
-    * exact and fuzzy dedup already ran inside the chain, so no dedup
-    * stage is repeated here, and the token counts are the gate's
-    * n_words (the chain's own accounting unit). */
+  /** Shard sizing for the tokenizer-true export (VERDICT r15 #8): the
+    * shard COUNT derives from the packed token mass — ceil(total
+    * tokens / this) — instead of a hard-coded 8, the way a real run
+    * sizes shards; the md5-rank deal keeps the ±1 balance property at
+    * any count (ExportSpec pins it at a non-power-of-two). Integer
+    * formula on both sides (a double ceil would round differently past
+    * 2^53 at real corpus scale). */
+  private[graft] val TokensPerShard = 4096L
+
+  /** Trained unigram-LM tokenizer for a fixture dir — ONE cache key
+    * shared by text_unigram_tokenize, the curated export and the pack
+    * witness, and the registration point for their generated oracles
+    * (dirUnigram feeds oracleSql's dynamic section). */
+  private def unigramOf(s: SparkSession,
+      dir: String): graft.pipeline.Unigram.Model = {
+    val model = ArtifactCache.value(s"$dir/unigram48") {
+      graft.pipeline.Unigram.train(t(s, dir, "documents"),
+        vocabSize = 48, maxPieceLen = 4, seedSize = 200, nIters = 4)
+    }
+    dirUnigram.put(dir, model)
+    lastDir = Some(dir)
+    model
+  }
+
+  /** Token-id stream → training artifact: pack a tokenized corpus
+    * (doc_id, n_tokens, ids) into fixed `seqLen`-token sequences
+    * carrying their TOKEN-ID payload, md5-rank shuffled and dealt into
+    * ceil(total/[[TokensPerShard]]) shards. The concat-and-chunk layout
+    * is [[graft.pipeline.Packing.chunkSpans]] (two-level prefix scan,
+    * no global window); the payload is assembled by slicing each doc's
+    * id array into its spans ((seq·L + off_in_seq) − start, a per-row
+    * arithmetic slice — no token-level join) and re-concatenating per
+    * sequence (bounded agg: ≤ seqLen ids per group). Output one row per
+    * sequence: (shard, shard_pos, seq_id, n_tokens, token_ids). Shared
+    * by the session-memoized curated export and the un-memoized
+    * pipeline_curate_pack scaling witness. */
+  private[graft] def packTokenStream(idsIn: DataFrame,
+      seqLen: Int = 128): DataFrame = {
+    // staged write: the id table feeds the span layout, the total-mass
+    // count and the payload join — without it the tokenize pass would
+    // re-run per consumer
+    val ids = idsIn.localCheckpoint()
+    val L = seqLen.toLong
+    val packed = graft.pipeline.Packing.chunkSpans(
+      ids.select("doc_id", "n_tokens"), seqLen, keepStart = true)
+    val totalTokens = ids.agg(coalesce(sum("n_tokens"), lit(0L)))
+      .head.getLong(0)
+    val numShards = math.max(1L,
+      (totalTokens + TokensPerShard - 1) / TokensPerShard)
+    val slices = packed.join(ids.select("doc_id", "ids"), Seq("doc_id"))
+      .select(col("seq_id"), col("off_in_seq"),
+        slice(col("ids"),
+          (col("seq_id") * L + col("off_in_seq") - col("start") + 1L)
+            .cast("int"),
+          col("n_tok").cast("int")).as("piece_ids"))
+    val seqPayload = slices.groupBy("seq_id")
+      .agg(sort_array(collect_list(
+        struct(col("off_in_seq"), col("piece_ids")))).as("__sl"))
+      .select(col("seq_id"),
+        flatten(expr("transform(__sl, x -> x.piece_ids)")).as("__ids"))
+      .select(col("seq_id"),
+        size(col("__ids")).cast("long").as("n_tokens"),
+        concat_ws(",", col("__ids").cast("array<string>")).as("token_ids"))
+    // shuffled global position = count of smaller (hash, seq_id) keys,
+    // scan-built; seq_id tiebreak matches the oracle's row_number
+    val seqs = seqPayload.select("seq_id")
+      .withColumn("__hk", Dedup.md5Hash60(col("seq_id").cast("string")))
+      .withColumn("__one", lit(1L))
+    val positioned = graft.pipeline.Packing
+      .exclusivePrefixSum(seqs, "__hk", "__one", outCol = "pos",
+        tieCol = Some("seq_id"))
+      .select(col("seq_id"),
+        pmod(col("pos"), lit(numShards)).as("shard"),
+        expr(s"pos div $numShards").as("shard_pos"))
+    seqPayload.join(positioned, Seq("seq_id"))
+      .select("shard", "shard_pos", "seq_id", "n_tokens", "token_ids")
+  }
+
+  /** TOKENIZER-TRUE curated-corpus export (VERDICT r15 #1): the chain's
+    * budget-admitted survivors tokenized with the dir's trained
+    * unigram-LM model and packed by ACTUAL token counts, each 128-token
+    * sequence carrying its token-ID payload — the int64 token matrix a
+    * training run memmaps (prepare_passage_tokenized.py:83-86), where
+    * the r15 export stopped at layout metadata keyed by whitespace
+    * n_words. Returns (ids, sharded): `ids` the per-doc token streams
+    * (funnel stage 9 counts them), `sharded` the per-sequence artifact
+    * rows (stage 10). Session-memoized like the stage chain it extends;
+    * no dedup stage is repeated here — exact, fuzzy AND span-level
+    * dedup already ran inside the chain. */
   private def curateExportFrames(s: SparkSession,
       dir: String): (DataFrame, DataFrame) =
     ArtifactCache.sessionValue(s.sparkContext, s"$dir/curate/export") {
-      val admitted = curateFullStages(s, dir).last._3
-      val counted = admitted.select(col("doc_id"),
-        col("n_words").cast("long").as("n_tokens"))
-      val packed = graft.pipeline.Packing.chunkSpans(counted, seqLen = 128)
+      val stages = curateFullStages(s, dir)
+      val trimmedText = stages.find(_._2 == "span_trimmed").get._3
+        .select("doc_id", "text")
+      val admitted = stages.last._3
+      val model = unigramOf(s, dir)
+      val admDocs = trimmedText
+        .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+      val ids = graft.pipeline.Unigram.tokenizeIds(admDocs, model)
         .localCheckpoint()
-      val seqs = packed.select(col("seq_id")).distinct()
-        .withColumn("__hk", Dedup.md5Hash60(col("seq_id").cast("string")))
-        .withColumn("__one", lit(1L))
-      // shuffled global position = count of smaller (hash, seq_id) keys,
-      // scan-built; seq_id tiebreak matches the oracle's row_number
-      val positioned = graft.pipeline.Packing
-        .exclusivePrefixSum(seqs, "__hk", "__one", outCol = "pos",
-          tieCol = Some("seq_id"))
-        .select(col("seq_id"),
-          pmod(col("pos"), lit(8L)).as("shard"),
-          expr("pos div 8").as("shard_pos"))
-      val sharded = packed.join(positioned, Seq("seq_id"))
-        .select("shard", "shard_pos", "seq_id", "doc_id",
-          "off_in_seq", "n_tok")
-      (packed, sharded)
+      val sharded = packTokenStream(ids, seqLen = 128).localCheckpoint()
+      (ids, sharded)
     }
 
-  /** Export CTE chain appended after the curation oracle's `cum` CTE
-    * (shared by the `pipeline_curate_export` oracle and the funnel's
-    * stage-8 row): admitted rows → running n_words sum in doc_id order
-    * → 128-token chunk explode → md5-rank row_number over (hash,
-    * seq_id) → shard deal. `m` is the caller's MATERIALIZED wrapper —
-    * `esp` is read twice (the distinct-seq table and the final join /
-    * both funnel counts), which is exactly where DuckDB's
-    * single-reference CTE inlining re-evaluates the whole upstream
-    * chain (the funnel OOM lesson), so callers materialize. */
-  private def exportCtesSql(m: String => String): String =
-    s"""${m("adm")} (SELECT doc_id, n_words FROM cum WHERE cum <= budget),
-       |ec AS (SELECT doc_id, n_words AS n,
-       |    CAST(COALESCE(SUM(n_words) OVER (ORDER BY doc_id
+  /** Tokenizer-true export CTE chain (VERDICT r15 #1), appended after
+    * the curation oracle's `cum` CTE: admitted doc ids → trimmed text
+    * (`admt`, from trimdoc) → unigram Viterbi replay with token ids
+    * carried through the DP (GeneratedOracles.unigramDpCtes, prefix z)
+    * → per-doc exclusive prefix sum in doc_id order → global token
+    * stream positions → 128-token sequences → md5-rank row_number →
+    * shard deal with the count derived from the token mass
+    * (ceil(total/[[TokensPerShard]]), integer form). `m` is the
+    * caller's MATERIALIZED wrapper — `zsq` is read by the shard-count
+    * scalar and the payload agg, `zpay` by the rank and the final
+    * join, exactly where DuckDB's single-reference CTE inlining
+    * re-evaluates the upstream chain (the funnel OOM lesson). */
+  private def tokenExportCtesSql(model: graft.pipeline.Unigram.Model,
+      m: String => String, admWhere: String = "cum <= budget"): String =
+    s"""adm AS (SELECT doc_id FROM cum WHERE $admWhere),
+       |${m("admt")} (SELECT trimdoc.doc_id, trimdoc.text
+       |  FROM trimdoc JOIN adm USING (doc_id)),
+       |${graft.oracle.GeneratedOracles.unigramDpCtes(model, "admt", "z")},
+       |${m("zwx")} (SELECT doc_id, unnest(words) AS w,
+       |    generate_subscripts(words, 1) AS i FROM zd),
+       |${m("zn")} (SELECT zwx.doc_id,
+       |    CAST(sum(len(string_split(b.ids, ','))) AS BIGINT) AS n
+       |  FROM zwx JOIN zbest b ON b.w = zwx.w GROUP BY zwx.doc_id),
+       |${m("zec")} (SELECT doc_id, n,
+       |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
-       |  FROM adm),
-       |${m("esp")} (SELECT seq_id, doc_id,
-       |    GREATEST(seq_id * 128, st) AS lo,
-       |    LEAST((seq_id + 1) * 128, st + n) AS hi
-       |  FROM ec, unnest(generate_series(st // 128, (st + n - 1) // 128)) AS g(seq_id)
-       |  WHERE n > 0),
-       |ehk AS (SELECT DISTINCT seq_id FROM esp),
-       |eps AS (SELECT seq_id,
+       |  FROM zn WHERE n > 0),
+       |zil AS (SELECT zwx.doc_id, zwx.i, string_split(b.ids, ',') AS tl
+       |  FROM zwx JOIN zbest b ON b.w = zwx.w),
+       |ztk AS (SELECT doc_id, i, u.j, CAST(tl[u.j] AS BIGINT) AS tid
+       |  FROM zil, LATERAL unnest(range(1, len(tl) + 1)) AS u(j)),
+       |zpos AS (SELECT z.doc_id, z.tid,
+       |    e.st + row_number() OVER (PARTITION BY z.doc_id
+       |      ORDER BY z.i, z.j) - 1 AS gpos
+       |  FROM ztk z JOIN zec e ON e.doc_id = z.doc_id),
+       |${m("zsq")} (SELECT gpos // 128 AS seq_id, gpos, tid FROM zpos),
+       |zsn AS (SELECT GREATEST(CAST(1 AS BIGINT),
+       |    (count(*) + ${TokensPerShard - 1}) // $TokensPerShard) AS ns
+       |  FROM zsq),
+       |${m("zpay")} (SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos) AS token_ids
+       |  FROM zsq GROUP BY seq_id),
+       |zps AS (SELECT seq_id,
        |    row_number() OVER (ORDER BY
        |      CAST('0x' || substr(md5(CAST(seq_id AS VARCHAR)), 1, 15) AS BIGINT),
        |      seq_id) - 1 AS pos
-       |  FROM ehk)""".stripMargin
+       |  FROM zpay)""".stripMargin
 
   /** The flagship curation recipe oracle's CTE chain (gate, LM
     * buckets, exact dedup, banding, recursive components, survivor
@@ -271,7 +427,7 @@ object SparkEntry {
     * curateFullStages. `withExport` appends [[exportCtesSql]]. */
   private def curateFullSql(finalSelect: String,
       materializeStages: Boolean = false,
-      withExport: Boolean = false): String = {
+      exportModel: Option[graft.pipeline.Unigram.Model] = None): String = {
     // the funnel's final select counts SEVEN stage CTEs via scalar
     // subqueries; DuckDB inlines single-reference CTEs, so without
     // materialization each count re-evaluates the whole upstream chain
@@ -362,9 +518,15 @@ object SparkEntry {
          |      QUALIFY row_number() OVER (PARTITION BY component
          |        ORDER BY q_micro DESC, doc_id ASC) = 1),
          |${m("surv")} (SELECT canon.* FROM canon JOIN best ON canon.doc_id = best.canonical_id),
+         |${suffixLcpCtes("surv", "x", n => s"$n AS MATERIALIZED")},
+         |${suffixTrimCtes("x", 5, n => s"$n AS MATERIALIZED")},
+         |trimdoc AS MATERIALIZED (SELECT surv.doc_id, surv.source, surv.bucket,
+         |        CAST(coalesce(xagg.n_kept, 0) AS BIGINT) AS n_words,
+         |        coalesce(xagg.text, '') AS text
+         |      FROM surv LEFT JOIN xagg USING (doc_id)),
          |sg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
          |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
-         |      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM surv)),
+         |      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM trimdoc)),
          |sgh AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS hh FROM sg),
          |b0 AS (SELECT doc_id AS bench_id, substr(text, 21, 80) AS text FROM documents WHERE doc_id < 10),
          |bgr AS (SELECT bench_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
@@ -374,8 +536,8 @@ object SparkEntry {
          |contam AS (SELECT DISTINCT doc_id FROM (
          |        SELECT sgh.doc_id, bgh.bench_id FROM sgh JOIN bgh USING (hh)
          |        GROUP BY sgh.doc_id, bgh.bench_id HAVING count(*) >= 3)),
-         |${m("clean")} (SELECT surv.doc_id, surv.source, surv.bucket, surv.n_words
-         |        FROM surv LEFT JOIN contam ON surv.doc_id = contam.doc_id
+         |${m("clean")} (SELECT trimdoc.doc_id, trimdoc.source, trimdoc.bucket, trimdoc.n_words
+         |        FROM trimdoc LEFT JOIN contam ON trimdoc.doc_id = contam.doc_id
          |        WHERE contam.doc_id IS NULL),
          |bud AS (SELECT source,
          |        400 + (TRY_CAST(substr(source, 4, 10) AS BIGINT) % 5) * 200 AS budget
@@ -387,9 +549,178 @@ object SparkEntry {
          |                   doc_id ASC
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |      FROM clean JOIN bud USING (source))${
-             if (withExport) ",\n" + exportCtesSql(m) else ""}
+             exportModel.map(mm => ",\n" + tokenExportCtesSql(mm, m))
+               .getOrElse("")}
          |$finalSelect""".stripMargin
     sql
+  }
+
+  /** The single-pass curation WITNESS oracle (gate → LM buckets → exact
+    * dedup → suffix trim → budget-400 walk), shared by
+    * pipeline_curate_corpus and — with `exportModel` — pipeline_curate
+    * _pack, mirroring [[curateWitnessAdmitted]] the way [[curateFullSql]]
+    * mirrors curateFullStages. The trim CTEs are the same
+    * suffixLcpCtes/suffixTrimCtes generators the standalone
+    * dedup_suffix_trim oracle uses, here over `canon`. */
+  private def curateWitnessSql(finalSelect: String,
+      exportModel: Option[graft.pipeline.Unigram.Model] = None): String = {
+    def mat(n: String) = s"$n AS MATERIALIZED"
+    s"""WITH w AS (SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS words
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+       |      + CAST(len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
+       |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words
+       |  FROM w),
+       |gt AS (SELECT doc_id FROM c
+       |      WHERE n_words >= 50 AND n_words <= 100000
+       |        AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
+       |        AND 10 * n_symbols <= n_words
+       |        AND 5 * n_alpha_words >= 4 * n_words),
+       |t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) - 1 AS pos
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS l
+       |        FROM documents)),
+       |b AS (SELECT doc_id, pos, w AS w1,
+       |        lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
+       |bg AS (SELECT doc_id, pos, w1, w2 FROM b WHERE w2 IS NOT NULL),
+       |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY w1, w2),
+       |uc AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cw FROM bc GROUP BY w1),
+       |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM t),
+       |lp AS (SELECT bg.doc_id, bg.pos,
+       |        ln((COALESCE(bc.cnt, 0) + 1.0) / (COALESCE(uc.cw, 0) + v.v)) AS lp
+       |      FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v),
+       |sc AS (SELECT doc_id,
+       |        CAST(floor(list_sum(list(lp ORDER BY pos)) / count(*) * 1000000 + 0.5) AS BIGINT) AS lm_micro
+       |      FROM lp GROUP BY doc_id),
+       |sm AS (SELECT doc_id, lm_micro
+       |      FROM sc
+       |      ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT), doc_id
+       |      LIMIT 300),
+       |rk AS (SELECT lm_micro,
+       |        row_number() OVER (ORDER BY lm_micro DESC, doc_id ASC) AS rn,
+       |        count(*) OVER () AS n
+       |      FROM sm),
+       |ct AS (SELECT max(CASE WHEN rn = (n + 2) // 3 THEN lm_micro END) AS t1,
+       |              max(CASE WHEN rn = (n * 2 + 2) // 3 THEN lm_micro END) AS t2
+       |       FROM rk),
+       |bkt AS (SELECT sc.doc_id,
+       |        CASE WHEN sc.lm_micro >= ct.t1 THEN 'head'
+       |             WHEN sc.lm_micro >= ct.t2 THEN 'middle'
+       |             ELSE 'tail' END AS bucket
+       |       FROM sc CROSS JOIN ct),
+       |keep AS (SELECT d.doc_id, d.source, d.text, bkt.bucket
+       |        FROM documents d JOIN gt USING (doc_id) JOIN bkt USING (doc_id)
+       |        WHERE bkt.bucket <> 'tail'),
+       |${mat("canon")} (SELECT doc_id, source, bucket, text FROM (
+       |        SELECT keep.*, row_number() OVER (PARTITION BY md5(text)
+       |          ORDER BY doc_id ASC) AS rn FROM keep)
+       |      WHERE rn = 1),
+       |${suffixLcpCtes("canon", "x", mat)},
+       |${suffixTrimCtes("x", 5, mat)},
+       |${mat("trimdoc")} (SELECT canon.doc_id, canon.source, canon.bucket,
+       |        CAST(coalesce(xagg.n_kept, 0) AS BIGINT) AS n_words,
+       |        coalesce(xagg.text, '') AS text
+       |      FROM canon LEFT JOIN xagg USING (doc_id)),
+       |${mat("cum")} (SELECT doc_id, source, bucket, n_words,
+       |        SUM(n_words) OVER (PARTITION BY source
+       |          ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
+       |                   doc_id ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM trimdoc)${
+           exportModel.map(mm => ",\n" +
+             tokenExportCtesSql(mm, mat, admWhere = "cum <= 400"))
+             .getOrElse("")}
+       |$finalSelect""".stripMargin
+  }
+
+  /** Final select of the tokenizer-true export oracles (the curated
+    * export and the pack witness): one row per packed sequence with its
+    * token-id payload, shard-dealt by the derived count. */
+  private def tokenExportSelectSql: String =
+    """SELECT CAST(zps.pos % (SELECT ns FROM zsn) AS BIGINT) AS shard,
+      |  CAST(zps.pos // (SELECT ns FROM zsn) AS BIGINT) AS shard_pos,
+      |  zpay.seq_id, zpay.n_tokens, zpay.token_ids
+      |FROM zpay JOIN zps ON zps.seq_id = zpay.seq_id
+      |ORDER BY shard, shard_pos""".stripMargin
+
+  /** Funnel final select over the full-chain CTEs (10 stages, r16):
+    * stage 6 is the span trim (n_docs flat, n_tokens drops), stages
+    * 9/10 restate the tail in TOKENIZER mass — their n_tokens equality
+    * is the built-in conservation check. */
+  private def funnelSelectSql: String =
+    """SELECT * FROM (
+      |  SELECT 1 AS stage_ord, 'raw' AS stage,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+      |    (SELECT CAST(coalesce(sum(len(words)), 0) AS BIGINT) FROM w) AS n_tokens
+      |  UNION ALL SELECT 2, 'gopher_gate', (SELECT CAST(count(*) AS BIGINT) FROM gt),
+      |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM gt)
+      |  UNION ALL SELECT 3, 'lm_headmid', (SELECT CAST(count(*) AS BIGINT) FROM keep),
+      |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM keep)
+      |  UNION ALL SELECT 4, 'exact_dedup', (SELECT CAST(count(*) AS BIGINT) FROM canon),
+      |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM canon)
+      |  UNION ALL SELECT 5, 'fuzzy_canonical', (SELECT CAST(count(*) AS BIGINT) FROM surv),
+      |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM surv)
+      |  UNION ALL SELECT 6, 'span_trimmed', (SELECT CAST(count(*) AS BIGINT) FROM trimdoc),
+      |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM trimdoc)
+      |  UNION ALL SELECT 7, 'decontaminated', (SELECT CAST(count(*) AS BIGINT) FROM clean),
+      |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM clean)
+      |  UNION ALL SELECT 8, 'budget_admitted',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM cum WHERE cum <= budget),
+      |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM cum WHERE cum <= budget)
+      |  UNION ALL SELECT 9, 'tokenized', (SELECT CAST(count(*) AS BIGINT) FROM zec),
+      |    (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM zec)
+      |  UNION ALL SELECT 10, 'packed_sequences',
+      |    (SELECT CAST(count(DISTINCT seq_id) AS BIGINT) FROM zsq),
+      |    (SELECT CAST(count(*) AS BIGINT) FROM zsq)
+      |) ORDER BY stage_ord""".stripMargin
+
+  /** The UN-memoized single-pass curation witness shared by
+    * pipeline_curate_corpus (admitted rows) and pipeline_curate_pack
+    * (its tokenize→pack extension): Gopher gate → CCNet tail drop →
+    * exact dedup → variable-length exact-substring trim → per-source
+    * token budget over the TRIMMED counts. Deliberately NOT
+    * session-memoized — these entries are the scaling sweep's witnesses
+    * for the chain (SCALING.md names this division of labor), and a
+    * memo would blind the 100× sweep. Returns the admitted rows WITH
+    * trimmed text (doc_id, source, bucket, n_words, text).
+    *
+    * Cost note (r12, measured at sf0.1): the min-struct dedup agg +
+    * histogram budget is the fastest hot-key-immune form — the probed
+    * window-dedup and id-semi-join shapes both lost (1.4→3.3 s was the
+    * mega-group-safety trade, named by the bench drift flag the round
+    * it landed). The trim stage (r16) adds the suffix sort + LCP pass,
+    * whose expensive half (the sorted-suffix table and the flagged
+    * positions) is staged INSIDE suffixDupTrim; the witness itself
+    * stays checkpoint-free above that so its submitted plan keeps the
+    * full composition visible (PlanSpec pins the min-struct dedup agg
+    * and the bounded ccnet sample window in this very plan) and
+    * ReusedExchange serves the budget's three reads. */
+  private def curateWitnessAdmitted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val gate = TextAnalysis.gopherRules(docs)
+      .where(col("pass_words") && col("pass_mwl") &&
+        col("pass_alpha") && col("pass_symbol"))
+      .select(col("doc_id"))
+    val buckets = graft.pipeline.NgramLM.ccnetBuckets(
+        graft.pipeline.NgramLM.score(docs, lmOf(s, dir)), sampleK = 300)
+      .where(col("bucket") =!= "tail")
+      .select(col("doc_id"), col("bucket"))
+    val kept = docs.select("doc_id", "source", "text")
+      .join(gate, Seq("doc_id")).join(buckets, Seq("doc_id"))
+    val canon = graft.pipeline.Dedup.exactDedup(kept)
+    // same fixture-scaled threshold as the flagship chain's stage 6
+    val trimRes = Dedup.suffixDupTrim(canon, minLen = 5, cap = 24)
+    val trimmed = canon.select("doc_id", "source", "bucket")
+      .join(trimRes.select(col("doc_id"),
+        col("n_kept").cast("long").as("n_words"), col("text")),
+        Seq("doc_id"))
+    graft.pipeline.Sampling.tokenBudget(trimmed, "source", budget = 400L,
+      nTokCol = "n_words")
   }
 
   /** Query-side of the embeddings table: first 20 vectors play "queries"
@@ -2297,16 +2628,10 @@ object SparkEntry {
     // a broadcast-table mapPartitions; the oracle replays the Viterbi
     // walk as an unrolled DP from the inlined trained piece table
     // (GeneratedOracles.unigramTokenizeSql, exact Long micro scores)
-    "text_unigram_tokenize" -> ((s, dir) => {
-      val model = ArtifactCache.value(s"$dir/unigram48") {
-        graft.pipeline.Unigram.train(t(s, dir, "documents"),
-          vocabSize = 48, maxPieceLen = 4, seedSize = 200, nIters = 4)
-      }
-      dirUnigram.put(dir, model)
-      lastDir = Some(dir)
-      graft.pipeline.Unigram.tokenize(t(s, dir, "documents"), model)
-        .orderBy("doc_id")
-    }),
+    "text_unigram_tokenize" -> ((s, dir) =>
+      graft.pipeline.Unigram.tokenize(t(s, dir, "documents"),
+          unigramOf(s, dir))
+        .orderBy("doc_id")),
 
     // Exact per-language length quantiles (corpus monitoring; interpolated
     // type-7 percentiles match DuckDB quantile_cont)
@@ -2377,39 +2702,34 @@ object SparkEntry {
     // inapplicable to the synthetic vocabulary — zero docs contain a
     // Gopher stop word — and is deliberately excluded here, it stays
     // exercised by text_gopher_rules) → CCNet tail-bucket drop → exact
-    // dedup (min-id canonical) → per-source token budget in md5-rank
-    // order. Every stage is an already-oracle-verified operator; this
-    // query pins the COMPOSITION in one hash-compared statement
-    "pipeline_curate_corpus" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val gate = TextAnalysis.gopherRules(docs)
-        .where(col("pass_words") && col("pass_mwl") &&
-          col("pass_alpha") && col("pass_symbol"))
-        .select(col("doc_id"), col("n_words"))
-      val buckets = graft.pipeline.NgramLM.ccnetBuckets(
-          graft.pipeline.NgramLM.score(docs, lmOf(s, dir)), sampleK = 300)
-        .where(col("bucket") =!= "tail")
-        .select(col("doc_id"), col("bucket"))
-      // exact dedup through the ONE shared shape (Dedup.exactDedup's
-      // min-struct agg — no window, nothing for a refactor to un-rescue;
-      // VERDICT r10 #4 unification). Same selected set as the previous
-      // inline row_number window: min doc_id per distinct text.
-      val kept = docs.select("doc_id", "source", "text")
-        .join(gate, Seq("doc_id")).join(buckets, Seq("doc_id"))
-      // cost note (r12, measured at sf0.1): 1.4 s (window dedup +
-      // window budget) -> 3.3 s with the two mega-group-safe shapes.
-      // Probed alternatives: localCheckpoint before the budget (3.36 s
-      // - no win, Spark's ReusedExchange already serves tokenBudget's
-      // three reads from one shuffle) and the id-semi-join dedup shape
-      // (6.7 s - kept feeds two DIFFERENT subplans, breaking exchange
-      // reuse). The min-struct agg + histogram budget is the fastest
-      // hot-key-immune form; the constant is the trade, named by the
-      // bench drift flag the round it landed.
-      val canon = graft.pipeline.Dedup.exactDedup(kept).drop("text")
-      graft.pipeline.Sampling.tokenBudget(canon, "source", budget = 400L,
-          nTokCol = "n_words")
+    // dedup (min-id canonical) → variable-length exact-substring trim
+    // (r16, VERDICT r15 #2 — the budget then admits by the TRIMMED
+    // token count) → per-source token budget in md5-rank order. Every
+    // stage is an already-oracle-verified operator; this query pins the
+    // COMPOSITION in one hash-compared statement. This entry is also
+    // the chain's UN-memoized scaling witness (SCALING.md): the
+    // flagship's session memo would otherwise blind the 100× sweep.
+    "pipeline_curate_corpus" -> ((s, dir) =>
+      curateWitnessAdmitted(s, dir)
         .select("doc_id", "source", "bucket", "n_words")
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // ...and the witness extended through tokenize→pack (VERDICT r15
+    // #7): the admitted survivors' trimmed text tokenized with the
+    // dir's trained unigram model, packed by actual token counts into
+    // 128-token sequences with token-id payloads, md5-rank dealt into
+    // mass-derived shards — the UN-memoized single-pass twin of
+    // pipeline_curate_export, so the 100× sweep measures the
+    // tokenize-pack path instead of memoized reads. Oracle: witness
+    // CTEs + the unigram unrolled-DP replay + the pack/deal CTEs in
+    // one statement.
+    "pipeline_curate_pack" -> ((s, dir) => {
+      val admitted = curateWitnessAdmitted(s, dir)
+      val model = unigramOf(s, dir)
+      val ids = graft.pipeline.Unigram.tokenizeIds(
+        admitted.select("doc_id", "text"), model)
+      packTokenStream(ids, seqLen = 128)
+        .orderBy("shard", "shard_pos")
     }),
 
     // The FULL published curation recipe (CCNet/Gopher/RefinedWeb order)
@@ -2447,22 +2767,26 @@ object SparkEntry {
 
     // Funnel ACCOUNTING for the recipe above — the per-stage survivor
     // counts a pipeline operator actually watches (what did the gate
-    // cost me? how much did fuzzy dedup remove beyond exact?). One row
+    // cost me? how much did fuzzy dedup remove beyond exact? how much
+    // token mass did the span trim cut out of surviving docs?). One row
     // per stage, survivors-so-far semantics, from the SAME
     // curateFullStages chain as the flagship (one definition), so the
     // funnel can never drift from what the pipeline actually does; the
     // oracle reuses the flagship CTE chain with per-stage COUNTs.
-    // Stage 8 (r15) counts the EXPORT: n_docs carries the number of
-    // packed 128-token training sequences, n_tokens the packed token
-    // mass — which must equal stage 7's (every admitted token is
-    // packed; chunkSpans drops only zero-token docs and the gate floors
-    // n_words at 50), so the pair is a built-in conservation check
+    // Stage 6 (r16) is the first stage whose n_docs stays flat while
+    // n_tokens drops — the span trim's signature. Stages 9/10 (r16)
+    // restate the tail in TOKENIZER mass (VERDICT r15 #1): stage 9
+    // counts the admitted docs' unigram token streams, stage 10 the
+    // packed 128-token sequences — their n_tokens must be EQUAL (every
+    // tokenized token is packed exactly once), the built-in
+    // conservation check, now in the unit a training run bills in.
     "pipeline_curate_funnel" -> ((s, dir) => {
       val stageRows = curateFullStages(s, dir).map { case (ord, nm, df) =>
-        // token mass per stage alongside doc counts — the budget stage
-        // trims TOKENS, so that is the funnel column operators actually
-        // watch. Post-gate stages carry Gopher's n_words; the raw stage
-        // recomputes the same non-empty-token count the gate uses
+        // token mass per stage alongside doc counts — the trim and
+        // budget stages cut TOKENS, so that is the funnel column
+        // operators actually watch. Post-gate stages carry n_words
+        // (Gopher's count, re-based on the trimmed stream from stage 6
+        // on); the raw stage recomputes the gate's non-empty count
         val tok =
           if (df.columns.contains("n_words")) col("n_words")
           else size(filter(split(col("text"), "\\s+"),
@@ -2472,28 +2796,38 @@ object SparkEntry {
           .select(lit(ord).as("stage_ord"), lit(nm).as("stage"),
             col("n_docs"), col("n_tokens"))
       }
-      val packedRow = curateExportFrames(s, dir)._1
-        .agg(countDistinct(col("seq_id")).cast("long").as("n_docs"),
-          coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("n_tokens"))
-        .select(lit(8).as("stage_ord"), lit("packed_sequences").as("stage"),
+      val (ids, sharded) = curateExportFrames(s, dir)
+      val tokenizedRow = ids.where(col("n_tokens") > 0)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("n_tokens"))
+        .select(lit(9).as("stage_ord"), lit("tokenized").as("stage"),
           col("n_docs"), col("n_tokens"))
-      (stageRows :+ packedRow).reduce(_.unionByName(_)).orderBy("stage_ord")
+      val packedRow = sharded
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("n_tokens"))
+        .select(lit(10).as("stage_ord"), lit("packed_sequences").as("stage"),
+          col("n_docs"), col("n_tokens"))
+      (stageRows :+ tokenizedRow :+ packedRow)
+        .reduce(_.unionByName(_)).orderBy("stage_ord")
     }),
 
-    // The CURATED-corpus export (VERDICT r14 #1) — the artifact a
-    // training run actually mounts: the flagship chain's budget-admitted
-    // survivors packed into 128-token sequences, md5-rank shuffled, and
-    // dealt into 8 balanced shards. `pipeline_export_train` certifies
-    // the export mechanics on the raw corpus (with planted dups);
-    // THIS entry certifies the curation→export COMPOSITION — the oracle
-    // chains curateFullSql's admitted CTE into the export CTEs, so a
-    // hash match is end-to-end bit-parity from raw documents to shard
-    // layout. No dedup stage is repeated here: exact + fuzzy dedup
-    // already ran inside the curation chain (the r14 verdict's point —
-    // the two halves previously never met).
+    // The TOKENIZER-TRUE curated export (VERDICT r15 #1) — the artifact
+    // a training run actually memmaps: the flagship chain's
+    // budget-admitted survivors TOKENIZED with the dir's trained
+    // unigram-LM model, packed into 128-token sequences by ACTUAL token
+    // counts, each sequence carrying its token-ID payload, md5-rank
+    // shuffled and dealt into ceil(mass/4096) shards (count DERIVED
+    // from the token mass — VERDICT r15 #8). The r15 form stopped at
+    // layout metadata keyed by whitespace n_words; this closes the last
+    // un-joined seam (tokenize→pack). The oracle chains curateFullSql's
+    // admitted CTE through the unigram unrolled-DP replay (token ids
+    // carried through the DP) into the pack/deal CTEs, so a hash match
+    // is end-to-end bit-parity from raw documents to the token-id
+    // matrix. No dedup stage is repeated here: exact, fuzzy AND
+    // span-level dedup already ran inside the curation chain.
     "pipeline_curate_export" -> ((s, dir) =>
       curateExportFrames(s, dir)._2
-        .orderBy("shard", "shard_pos", "doc_id")),
+        .orderBy("shard", "shard_pos")),
 
 
     // THE LIFECYCLE ENTRY — the reference's two entry points composed as
@@ -3690,8 +4024,20 @@ object SparkEntry {
           graft.oracle.GeneratedOracles.bpeTokenizeSql(merges)))
         .getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirUnigram.get(d)))
-        .map(model => Map("text_unigram_tokenize" ->
-          graft.oracle.GeneratedOracles.unigramTokenizeSql(model)))
+        .map(model => Map(
+          "text_unigram_tokenize" ->
+            graft.oracle.GeneratedOracles.unigramTokenizeSql(model),
+          // the tokenizer-true composition oracles chain the trained
+          // model's DP replay, so they are generated per dir like the
+          // tokenize oracle itself (VERDICT r15 #1)
+          "pipeline_curate_funnel" -> curateFullSql(
+            funnelSelectSql, materializeStages = true,
+            exportModel = Some(model)),
+          "pipeline_curate_export" -> curateFullSql(
+            tokenExportSelectSql, materializeStages = true,
+            exportModel = Some(model)),
+          "pipeline_curate_pack" -> curateWitnessSql(
+            tokenExportSelectSql, exportModel = Some(model))))
         .getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirLifecycle.get(d)))
         .map { case (merges, cb) => Map("pipeline_index_serve" ->
@@ -5301,37 +5647,12 @@ object SparkEntry {
     // (the flagged position's first dup_len tokens), non-canonical
     // occurrences merged into variable-length spans and cut from the
     // token stream — the engine's min-struct agg replayed as a
-    // row_number() = 1 pick plus a NOT-the-canonical join
+    // row_number() = 1 pick plus a NOT-the-canonical join. The CTE
+    // body is the shared suffixTrimCtes generator, which the curation
+    // chain replays over its fuzzy survivors (prefix x).
     "dedup_suffix_trim" -> suffixLcpSql(
-      """flagged AS (SELECT doc_id, pos, dup_len,
-        |        array_to_string(s[1 : dup_len], ' ') AS content
-        |      FROM lcp WHERE dup_len >= 8),
-        |fo AS (SELECT content, doc_id, pos FROM flagged
-        |      QUALIFY row_number() OVER (PARTITION BY content
-        |        ORDER BY doc_id, pos) = 1),
-        |cut AS (SELECT f.doc_id, f.pos, f.dup_len
-        |      FROM flagged f JOIN fo ON fo.content = f.content
-        |      WHERE NOT (f.doc_id = fo.doc_id AND f.pos = fo.pos)),
-        |mm AS (SELECT doc_id, pos, dup_len,
-        |        CASE WHEN pos > coalesce(max(pos + dup_len) OVER (
-        |               PARTITION BY doc_id ORDER BY pos
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |             THEN 1 ELSE 0 END AS is_new
-        |      FROM cut),
-        |spn AS (SELECT doc_id, min(pos) AS span_start, max(pos + dup_len) AS span_end
-        |       FROM (SELECT doc_id, pos, dup_len, sum(is_new) OVER (
-        |               PARTITION BY doc_id ORDER BY pos) AS span_id FROM mm)
-        |       GROUP BY doc_id, span_id),
-        |tok AS (SELECT doc_id, i - 1 AS p, toks[i] AS tk
-        |        FROM t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
-        |kept AS (SELECT k.doc_id, k.p, k.tk FROM tok k
-        |         WHERE NOT EXISTS (SELECT 1 FROM spn s2
-        |           WHERE s2.doc_id = k.doc_id
-        |             AND k.p >= s2.span_start AND k.p < s2.span_end)),
-        |agg AS (SELECT doc_id, count(*) AS n_kept,
-        |          string_agg(tk, ' ' ORDER BY p) AS text
-        |        FROM kept GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+      suffixTrimCtes("", 8, n => s"$n AS") + "\n" +
+      """SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
         |  CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
         |  coalesce(a.text, '') AS text
         |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
@@ -5824,112 +6145,18 @@ object SparkEntry {
         |  regexp_replace(after_ip, '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
         |FROM c2 ORDER BY doc_id""".stripMargin,
 
-    "pipeline_curate_corpus" ->
-      """WITH w AS (SELECT doc_id, text,
-        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS words
-        |  FROM documents),
-        |c AS (SELECT doc_id,
-        |    CAST(len(words) AS BIGINT) AS n_words,
-        |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
-        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-        |      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
-        |      + CAST(len(string_split(text, '...')) - 1 AS BIGINT) AS n_symbols,
-        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words
-        |  FROM w),
-        |gt AS (SELECT doc_id, n_words FROM c
-        |      WHERE n_words >= 50 AND n_words <= 100000
-        |        AND 3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words
-        |        AND 10 * n_symbols <= n_words
-        |        AND 5 * n_alpha_words >= 4 * n_words),
-        |t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) - 1 AS pos
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS l
-        |        FROM documents)),
-        |b AS (SELECT doc_id, pos, w AS w1,
-        |        lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM t),
-        |bg AS (SELECT doc_id, pos, w1, w2 FROM b WHERE w2 IS NOT NULL),
-        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY w1, w2),
-        |uc AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cw FROM bc GROUP BY w1),
-        |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM t),
-        |lp AS (SELECT bg.doc_id, bg.pos,
-        |        ln((COALESCE(bc.cnt, 0) + 1.0) / (COALESCE(uc.cw, 0) + v.v)) AS lp
-        |      FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v),
-        |sc AS (SELECT doc_id,
-        |        CAST(floor(list_sum(list(lp ORDER BY pos)) / count(*) * 1000000 + 0.5) AS BIGINT) AS lm_micro
-        |      FROM lp GROUP BY doc_id),
-        |sm AS (SELECT doc_id, lm_micro
-        |      FROM sc
-        |      ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT), doc_id
-        |      LIMIT 300),
-        |rk AS (SELECT lm_micro,
-        |        row_number() OVER (ORDER BY lm_micro DESC, doc_id ASC) AS rn,
-        |        count(*) OVER () AS n
-        |      FROM sm),
-        |ct AS (SELECT max(CASE WHEN rn = (n + 2) // 3 THEN lm_micro END) AS t1,
-        |              max(CASE WHEN rn = (n * 2 + 2) // 3 THEN lm_micro END) AS t2
-        |       FROM rk),
-        |bkt AS (SELECT sc.doc_id,
-        |        CASE WHEN sc.lm_micro >= ct.t1 THEN 'head'
-        |             WHEN sc.lm_micro >= ct.t2 THEN 'middle'
-        |             ELSE 'tail' END AS bucket
-        |       FROM sc CROSS JOIN ct),
-        |keep AS (SELECT d.doc_id, d.source, d.text, gt.n_words, bkt.bucket
-        |        FROM documents d JOIN gt USING (doc_id) JOIN bkt USING (doc_id)
-        |        WHERE bkt.bucket <> 'tail'),
-        |canon AS (SELECT doc_id, source, bucket, n_words FROM (
-        |        SELECT keep.*, row_number() OVER (PARTITION BY md5(text)
-        |          ORDER BY doc_id ASC) AS rn FROM keep)
-        |      WHERE rn = 1),
-        |cum AS (SELECT doc_id, source, bucket, n_words,
-        |        SUM(n_words) OVER (PARTITION BY source
-        |          ORDER BY CAST('0x' || substr(md5('42:' || doc_id), 1, 15) AS BIGINT) % 1000000 ASC,
-        |                   doc_id ASC
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |      FROM canon)
-        |SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= 400
-        |ORDER BY doc_id""".stripMargin,
+    "pipeline_curate_corpus" -> curateWitnessSql(
+      """SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= 400
+        |ORDER BY doc_id""".stripMargin),
 
     "pipeline_curate_corpus_full" -> curateFullSql(
       """SELECT doc_id, source, bucket, n_words FROM cum WHERE cum <= budget
         |ORDER BY doc_id""".stripMargin),
 
-    // funnel accounting: the SAME CTE chain, per-stage COUNTs; stage 8
-    // counts the export CTEs (packed sequences / packed token mass)
-    "pipeline_curate_funnel" -> curateFullSql(materializeStages = true,
-      withExport = true,
-      finalSelect = """SELECT * FROM (
-        |  SELECT 1 AS stage_ord, 'raw' AS stage,
-        |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-        |    (SELECT CAST(coalesce(sum(len(words)), 0) AS BIGINT) FROM w) AS n_tokens
-        |  UNION ALL SELECT 2, 'gopher_gate', (SELECT CAST(count(*) AS BIGINT) FROM gt),
-        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM gt)
-        |  UNION ALL SELECT 3, 'lm_headmid', (SELECT CAST(count(*) AS BIGINT) FROM keep),
-        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM keep)
-        |  UNION ALL SELECT 4, 'exact_dedup', (SELECT CAST(count(*) AS BIGINT) FROM canon),
-        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM canon)
-        |  UNION ALL SELECT 5, 'fuzzy_canonical', (SELECT CAST(count(*) AS BIGINT) FROM surv),
-        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM surv)
-        |  UNION ALL SELECT 6, 'decontaminated', (SELECT CAST(count(*) AS BIGINT) FROM clean),
-        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM clean)
-        |  UNION ALL SELECT 7, 'budget_admitted',
-        |    (SELECT CAST(count(*) AS BIGINT) FROM cum WHERE cum <= budget),
-        |    (SELECT CAST(coalesce(sum(n_words), 0) AS BIGINT) FROM cum WHERE cum <= budget)
-        |  UNION ALL SELECT 8, 'packed_sequences',
-        |    (SELECT CAST(count(DISTINCT seq_id) AS BIGINT) FROM esp),
-        |    (SELECT CAST(coalesce(sum(hi - lo), 0) AS BIGINT) FROM esp)
-        |) ORDER BY stage_ord""".stripMargin),
-
-    // curated export: the flagship chain's admitted CTE fed through the
-    // export CTEs (running-sum chunk, md5-rank shuffle, shard deal) in
-    // ONE statement — materialized like the funnel (esp is read twice)
-    "pipeline_curate_export" -> curateFullSql(materializeStages = true,
-      withExport = true,
-      finalSelect = """SELECT CAST(eps.pos % 8 AS BIGINT) AS shard,
-        |  CAST(eps.pos // 8 AS BIGINT) AS shard_pos,
-        |  esp.seq_id, esp.doc_id,
-        |  esp.lo - esp.seq_id * 128 AS off_in_seq, esp.hi - esp.lo AS n_tok
-        |FROM esp JOIN eps USING (seq_id)
-        |ORDER BY shard, shard_pos, doc_id""".stripMargin),
+    // pipeline_curate_funnel / pipeline_curate_export / pipeline_curate
+    // _pack oracles live in the DYNAMIC section (oracleSql): they chain
+    // the trained unigram model's DP replay, so they are generated from
+    // dirUnigram like text_unigram_tokenize's.
 
 
     "pipeline_clean_corpus" ->

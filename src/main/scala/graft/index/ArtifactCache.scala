@@ -64,22 +64,43 @@ object ArtifactCache {
     * recipe's whole stage chain) that [[frame]]'s one-frame-per-key
     * shape can't express. Rebuilt when the context that built it has
     * stopped; the build must materialize anything it wants cached
-    * (localCheckpoint) itself. Serialized like [[frame]]: the builds
-    * here run corpus-sized jobs, and two concurrent misses of the same
-    * key would double-run the chain. */
+    * (localCheckpoint) itself. Memoization is PER KEY like [[value]]
+    * (ADVICE r15): two concurrent misses of the SAME key still build
+    * once (the builds here run corpus-sized jobs), but a cache hit or
+    * an unrelated key's build never queues behind another key's
+    * ~seconds-long chain construction. */
   def sessionValue[T](sc: org.apache.spark.SparkContext, key: String)(
-      build: => T): T = sessionValues.synchronized {
-    sessionValues.get(key) match {
-      case Some((c, v)) if !c.isStopped => v.asInstanceOf[T]
-      case _ =>
-        val v = build
-        sessionValues.put(key, (sc, v))
-        v
-    }
+      build: => T): T =
+    sessionValues.compute(key, (_, old) =>
+      if (old != null && !old.sc.isStopped) old
+      else new SessionLazy(sc, () => build)
+    ).get.asInstanceOf[T]
+
+  /** [[Lazy]] twin carrying the SparkContext the value is valid for;
+    * the thunk forces OUTSIDE the map's bin lock (compute only builds
+    * the cell), so per-key blocking happens on this cell's monitor. */
+  private final class SessionLazy(val sc: org.apache.spark.SparkContext,
+      thunk: () => Any) {
+    @volatile var forced = false
+    lazy val get: Any = { val v = thunk(); forced = true; v }
   }
 
   private val sessionValues =
-    TrieMap.empty[String, (org.apache.spark.SparkContext, Any)]
+    new java.util.concurrent.ConcurrentHashMap[String, SessionLazy]
+
+  /** Recursively collect DataFrames inside a cached composite value
+    * (tuples/case classes/collections) so [[clear]] can unpersist the
+    * localCheckpoint blocks they hold — without this, clearing the map
+    * leaked every chain frame's checkpoint for the life of the context
+    * (ADVICE r15; clear() has no src callers, but a leak in a cleanup
+    * API is still a leak). */
+  private def framesIn(v: Any): Seq[org.apache.spark.sql.Dataset[_]] =
+    v match {
+      case ds: org.apache.spark.sql.Dataset[_] => Seq(ds)
+      case p: Product => p.productIterator.flatMap(framesIn).toSeq
+      case it: Iterable[_] => it.iterator.flatMap(framesIn).toSeq
+      case _ => Seq.empty
+    }
 
   def clear(): Unit = {
     frames.synchronized {
@@ -89,6 +110,12 @@ object ArtifactCache {
       frames.clear()
     }
     values.clear()
+    sessionValues.forEach { (_, cell) =>
+      // only a FORCED cell has frames to release — touching `get` here
+      // would build the chain just to tear it down
+      if (cell.forced && !cell.sc.isStopped)
+        framesIn(cell.get).foreach(_.unpersist(false))
+    }
     sessionValues.clear()
   }
 }

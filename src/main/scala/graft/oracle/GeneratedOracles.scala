@@ -1039,40 +1039,61 @@ object GeneratedOracles {
     * PageRank oracles). Coverage holds because every single character
     * of the training corpus survives pruning and the oracle replays
     * apply-on-the-training-corpus. */
-  def unigramTokenizeSql(model: graft.pipeline.Unigram.Model): String = {
+  /** The Viterbi-replay CTE chain parameterized by SOURCE and name
+    * prefix, shared by [[unigramTokenizeSql]] and the tokenizer-true
+    * export oracles (the curate chain reuses it with prefix `z` over
+    * the admitted-docs CTE): `${p}p` inlines the trained piece table
+    * (piece, length, micro log-prob, token id = the piece's rank in
+    * the sorted table — [[graft.pipeline.Unigram.pieceIds]]), `${p}d`
+    * the engine's `[a-z0-9]+` word runs from `src`(doc_id, text),
+    * `${p}dw` the distinct words, `${p}dp0..N` the unrolled DP,
+    * `${p}best` the winning segmentation per word as BOTH toks
+    * (comma-joined pieces) and ids (comma-joined token ids carried
+    * through the same fold — pieces are comma-free and distinct, so
+    * toks↔ids is a bijection and the toks tie-break orders ids
+    * identically). Returns the CTE list WITHOUT a leading WITH. */
+  def unigramDpCtes(model: graft.pipeline.Unigram.Model, src: String,
+      p: String): String = {
     val mpl = model.maxPieceLen
     val maxLen = model.maxWordLen
-    val vals = model.pieces
-      .map { case (p, lp) => s"('$p', ${p.length}, CAST($lp AS BIGINT))" }
+    val vals = model.pieces.zipWithIndex
+      .map { case ((pc, lp), id) =>
+        s"('$pc', ${pc.length}, CAST($lp AS BIGINT), $id)" }
       .mkString(",\n|    ")
     val dps = (1 to maxLen).map { j =>
       val branches = (1 to math.min(mpl, j)).map { l =>
-        s"""    SELECT pr.w, pr.wl, pr.s + p.lp AS s,
-           |      CASE WHEN pr.toks = '' THEN p.piece
-           |           ELSE pr.toks || ',' || p.piece END AS toks
-           |    FROM dp${j - l} pr JOIN p
-           |      ON p.pl = $l AND substr(pr.w, ${j - l + 1}, $l) = p.piece
+        s"""    SELECT pr.w, pr.wl, pr.s + pc.lp AS s,
+           |      CASE WHEN pr.toks = '' THEN pc.piece
+           |           ELSE pr.toks || ',' || pc.piece END AS toks,
+           |      CASE WHEN pr.ids = '' THEN CAST(pc.tid AS VARCHAR)
+           |           ELSE pr.ids || ',' || CAST(pc.tid AS VARCHAR) END AS ids
+           |    FROM ${p}dp${j - l} pr JOIN ${p}p pc
+           |      ON pc.pl = $l AND substr(pr.w, ${j - l + 1}, $l) = pc.piece
            |    WHERE pr.wl >= $j""".stripMargin
       }.mkString("\n|    UNION ALL\n|")
-      s"""dp$j AS (SELECT w, wl, s, toks FROM (
-         |  SELECT w, wl, s, toks,
+      s"""${p}dp$j AS (SELECT w, wl, s, toks, ids FROM (
+         |  SELECT w, wl, s, toks, ids,
          |    row_number() OVER (PARTITION BY w ORDER BY s DESC, toks ASC) AS rn
          |  FROM (
          |$branches))
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n|")
     val best = (1 to maxLen)
-      .map(j => s"SELECT w, toks FROM dp$j WHERE wl = $j")
+      .map(j => s"SELECT w, toks, ids FROM ${p}dp$j WHERE wl = $j")
       .mkString("\n|      UNION ALL ")
-    s"""WITH p(piece, pl, lp) AS (VALUES
+    s"""${p}p(piece, pl, lp, tid) AS (VALUES
        |    $vals),
-       |d AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS words
-       |  FROM documents),
-       |dw AS (SELECT DISTINCT w, length(w) AS wl
-       |  FROM (SELECT unnest(words) AS w FROM d)),
-       |dp0 AS (SELECT w, wl, CAST(0 AS BIGINT) AS s, '' AS toks FROM dw),
+       |${p}d AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS words
+       |  FROM $src),
+       |${p}dw AS (SELECT DISTINCT w, length(w) AS wl
+       |  FROM (SELECT unnest(words) AS w FROM ${p}d)),
+       |${p}dp0 AS (SELECT w, wl, CAST(0 AS BIGINT) AS s, '' AS toks, '' AS ids FROM ${p}dw),
        |$dps,
-       |best AS ($best),
+       |${p}best AS ($best)""".stripMargin
+  }
+
+  def unigramTokenizeSql(model: graft.pipeline.Unigram.Model): String = {
+    s"""WITH ${unigramDpCtes(model, "documents", "")},
        |wx AS (SELECT doc_id, unnest(words) AS w,
        |    generate_subscripts(words, 1) AS i FROM d),
        |tok AS (SELECT wx.doc_id, string_agg(b.toks, ',' ORDER BY wx.i) AS tokens

@@ -104,11 +104,11 @@ object Packing {
     * sequences, so the explode is output-proportional.
     */
   def chunkSpans(df: DataFrame, seqLen: Int, idCol: String = "doc_id",
-      nCol: String = "n_tokens"): DataFrame = {
+      nCol: String = "n_tokens", keepStart: Boolean = false): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val L = lit(seqLen.toLong)
     val withStart = exclusivePrefixSum(df, idCol, nCol)
-    withStart
+    val spans = withStart
       .where(col(nCol) > 0)
       // `div` = exact integer division on longs (no double round-trip —
       // token offsets at 100 TB scale exceed float53 safety margins less
@@ -118,9 +118,15 @@ object Packing {
           expr(s"(start + `$nCol` - 1) div $seqLen"))))
       .withColumn("__lo", greatest(col("seq_id") * L, col("start")))
       .withColumn("__hi", least((col("seq_id") + 1) * L, col("start") + col(nCol)))
-      .select(col("seq_id"), col(idCol),
-        (col("__lo") - col("seq_id") * L).cast("long").as("off_in_seq"),
-        (col("__hi") - col("__lo")).cast("long").as("n_tok"))
+    // keepStart: retain the doc's global stream offset so a payload
+    // consumer can compute the span's DOC-side slice ((seq_id*L +
+    // off_in_seq) - start) without a second prefix-sum pass
+    val base = Seq(col("seq_id"), col(idCol),
+      (col("__lo") - col("seq_id") * L).cast("long").as("off_in_seq"),
+      (col("__hi") - col("__lo")).cast("long").as("n_tok"))
+    spans.select(
+      (if (keepStart) base :+ col("start").cast("long").as("start")
+       else base): _*)
   }
 
   /** Whole-document next-fit packing: docs are dealt into `groups` hash

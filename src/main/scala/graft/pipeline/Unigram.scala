@@ -207,8 +207,11 @@ object Unigram {
     // drop the 20% of over-target multi-char pieces with the smallest
     // loss (ties → lexicographically smaller piece drops first), then
     // one E-step re-estimate over the survivors. Chars always survive
-    // (coverage). Each round costs one usageCounts pass — vocabulary-
-    // sized work per round, never corpus-sized.
+    // (coverage). Each round costs TWO usageCounts passes (the loss
+    // counts, then the post-drop c2 re-estimate — ADVICE r15 fixed this
+    // comment, which used to claim one); both are distinct-word-table
+    // mapPartitions with the piece table broadcast, so the per-round
+    // work is vocabulary-sized, never corpus-sized.
     var curProbs: Map[String, Long] = probs
     var curMulti: Seq[String] = pieceSet.filter(_.length > 1)
     val targetMulti = math.max(0, vocabSize - chars.length)
@@ -254,6 +257,47 @@ object Unigram {
     * word's Viterbi pieces flattened in document order, comma-joined —
     * the [[Bpe.applyMerges]] shape (broadcast model, per-partition
     * word→tokens memo). */
+  /** Token id of each trained piece: its rank in the model's piece
+    * table (which [[train]] returns sorted ascending) — the stable
+    * integer id space a training artifact memmaps. */
+  def pieceIds(model: Model): Map[String, Int] =
+    model.pieces.iterator.map(_._1).zipWithIndex.toMap
+
+  /** Tokenize to integer token IDS: (idCol, n_tokens, ids) where each
+    * id is the piece's [[pieceIds]] rank — the representation the
+    * reference's training artifact actually stores (an int64 token-id
+    * matrix, prepare_passage_tokenized.py:83-86), where [[tokenize]]'s
+    * comma-joined piece strings are the human-readable twin. Same
+    * broadcast-model mapPartitions + per-partition word memo; the two
+    * stay in lockstep because both walk [[tokenizeWord]]'s
+    * segmentation. A character absent from the table (impossible when
+    * the apply corpus is the training corpus) maps to id −1, the
+    * honest UNK marker. */
+  def tokenizeIds(docs: DataFrame, model: Model, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      (model.pieces.toMap, model.maxPieceLen, pieceIds(model)))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (pieces, mpl, pid) = bc.value
+        val pat = java.util.regex.Pattern.compile("[a-z0-9]+")
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.map { case (id, text) =>
+          val m = pat.matcher(
+            if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+          while (m.find())
+            ids ++= memo.getOrElseUpdate(m.group(),
+              tokenizeWord(m.group(), pieces, mpl)
+                .map(p => pid.getOrElse(p, -1)))
+          (id, ids.length.toLong, ids.toArray)
+        }
+      }.toDF(idCol, "n_tokens", "ids")
+  }
+
   def tokenize(docs: DataFrame, model: Model, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession

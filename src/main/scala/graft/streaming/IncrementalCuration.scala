@@ -71,6 +71,21 @@ import graft.pipeline.{Dedup, TextAnalysis}
   * later anyway); gate-failed, LM-tail and contaminated docs are
   * rejected FOR CAUSE and deliberately leave no dedup trace — a later
   * near-dup of theirs is judged on its own merits.
+  *
+  * DELIBERATE divergence from the r16 batch chain: the batch flagship
+  * added a variable-length exact-substring trim stage
+  * ([[graft.pipeline.Dedup.suffixDupTrim]]) between fuzzy dedup and
+  * decontamination. The door does NOT run it — the trim's canonical
+  * pick is CORPUS-GLOBAL over suffix content (the first occurrence of
+  * every duplicated substring across all documents ever seen), so an
+  * incremental version would need a persistent sorted-suffix store
+  * re-merged per batch (token-mass-sized state, against this door's
+  * hash/signature-sized stores) — and, worse, a new arrival could
+  * retroactively make an ALREADY-EMITTED document's span a "later
+  * occurrence", which an append-only admission door cannot revise:
+  * doc-LEVEL decisions are append-monotone, span-level trim is not.
+  * A production deployment runs the trim as a periodic batch
+  * compaction over the door's admitted output instead.
   */
 object IncrementalCuration {
 

@@ -58,7 +58,7 @@ object IncrementalExport {
       .parquet(s"$outDir/admitted/batch=$batchId")
       .select(col("doc_id"), col("n_words").as("n_tokens"))
     IncrementalPacking.processBatch(spark, admitted, batchId,
-      s"$storeDir/packing", s"$outDir/packed", packBudget, groups)
+      s"$storeDir/packing", s"$outDir/packed", packBudget, groups): Unit
   }
 
   /** Start the composed door: parquet (doc_id, source, text) arrivals

@@ -70,10 +70,13 @@ object IncrementalPacking {
   private val KeepSnapshots = 3
 
   /** One micro-batch step. Exposed for tests; [[start]] wires it into
-    * foreachBatch. */
+    * foreachBatch. Returns the number of groups whose arrivals were
+    * OUT OF ORDER vs the stored max_id witness (0 on the happy path) —
+    * the warning below is thereby assertable instead of stderr-only
+    * (VERDICT r15 #6). */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       storeDir: String, outDir: String, budget: Long,
-      groups: Int): Unit = {
+      groups: Int): Int = {
     require(budget > 0 && groups > 0)
     import spark.implicits._
     val storePath = new org.apache.hadoop.fs.Path(storeDir)
@@ -148,6 +151,7 @@ object IncrementalPacking {
     updated.unionByName(carried)
       .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
     compactSnapshots(fs, storePath, batchId)
+    outOfOrder.length
   }
 
   /** Delete snapshot partitions superseded by more than [[KeepSnapshots]]
@@ -180,7 +184,8 @@ object IncrementalPacking {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, storeDir, outDir, budget, groups)
+        processBatch(spark, batch, batchId, storeDir, outDir, budget,
+          groups): Unit
       }
       .start()
   }

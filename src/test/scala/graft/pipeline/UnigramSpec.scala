@@ -87,6 +87,30 @@ class UnigramSpec extends SparkSpec {
       Seq("zq"))
   }
 
+  test("tokenizeIds is the integer twin of tokenize (rank ids, same segmentation)") {
+    // the tokenizer-true export packs ID streams; their bijection with
+    // the piece strings is what makes the artifact decodable — id k
+    // must be the k-th piece of the SORTED trained table, and mapping
+    // each id back must reproduce tokenize's comma-joined pieces
+    val model = Unigram.train(fixture, vocabSize = 32, maxPieceLen = 4,
+      seedSize = 120, nIters = 3)
+    // train returns the piece table sorted ascending — pieceIds relies on it
+    assert(model.pieces.map(_._1) == model.pieces.map(_._1).sorted,
+      "trained piece table not sorted — pieceIds ranks would be unstable")
+    val byId = model.pieces.map(_._1).toIndexedSeq
+    val strs = Unigram.tokenize(fixture, model)
+      .as[(Long, String)].collect().toMap
+    val idsRows = Unigram.tokenizeIds(fixture, model)
+      .as[(Long, Long, Array[Int])].collect()
+    idsRows.foreach { case (id, n, ids) =>
+      assert(n == ids.length.toLong, s"doc $id n_tokens != ids length")
+      assert(ids.forall(i => i >= 0 && i < byId.size),
+        s"doc $id carries an out-of-vocab id")
+      assert(ids.map(byId).mkString(",") == strs(id),
+        s"doc $id ids do not decode to tokenize's pieces")
+    }
+  }
+
   test("tokenize concatenates per-word viterbi pieces in document order") {
     val model = Unigram.train(fixture, vocabSize = 32, maxPieceLen = 4,
       seedSize = 120, nIters = 3)
