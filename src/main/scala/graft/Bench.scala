@@ -39,18 +39,25 @@ object Bench {
     // all arms of a round alike instead of landing wholly on whichever
     // arm happened to run in it (the r14 driver record measured the
     // cf-serve pair INVERTED for exactly that reason). Returns (best-of
-    // per arm, winner-stable): stable = every round agrees on which arm
-    // is fastest; a false flag means the record's ordering is a noise
-    // sample, not a conclusion.
+    // per arm, winner-stable, per-arm round wins): stable = the
+    // overall-best arm won a strict MAJORITY of rounds (r16 — the r15
+    // form required unanimity, which at the 5-round record-cut setting
+    // is a strictly harder bar than the 3 rounds it was designed for:
+    // one GC-jitter round flips it even when 4/5 rounds agree; the vote
+    // is recorded so a 3–2 squeaker reads differently from 5–0). A
+    // false flag still means the ordering is a noise sample, not a
+    // conclusion; the arm-spread field disambiguates tie vs noise.
     def interleaved(arms: Seq[() => Unit],
-        iters: Int): (Seq[Double], Boolean) = {
+        iters: Int): (Seq[Double], Boolean, Seq[Int]) = {
       val best = Array.fill(arms.size)(Double.MaxValue)
       val winners = (1 to iters).map { _ =>
         val ts = arms.map(a => timed(a())._2)
         ts.zipWithIndex.foreach { case (t, i) => best(i) = math.min(best(i), t) }
         ts.indexOf(ts.min)
       }
-      (best.toSeq, winners.distinct.size == 1)
+      val wins = arms.indices.map(i => winners.count(_ == i))
+      val bestArm = best.indexOf(best.min)
+      (best.toSeq, 2 * wins(bestArm) > iters, wins)
     }
     // Locale.ROOT formatting: the f"" interpolator is locale-sensitive
     // and a comma-decimal default locale would emit invalid JSON
@@ -628,7 +635,8 @@ object Bench {
       // the LAYOUT is under test — graph quality is the block above.
       val (bigPlainSec, bigBucketedSec, bigNDocs, bigNQ,
           cfServePlainSec, cfServeBucketedIndexSec, cfServeBucketedDocsSec,
-          bigwalkStable, cfServeStable, cfServeNQ) = {
+          bigwalkStable, cfServeStable, cfServeNQ,
+          bigwalkWins, cfServeWins) = {
         val bDocs = 120000L; val bDim = 48; val clusterSz = 60L
         val bQ = 60000L
         val bgen = udf { (id: Long) =>
@@ -676,7 +684,7 @@ object Bench {
           KnnGraph.walk(bqv, g, bdocs, k = 10, beam = 8,
             rounds = 2, entries = bentries)
             .write.format("noop").mode("overwrite").save()
-        val (bwTimes, bwStable) = interleaved(Seq(
+        val (bwTimes, bwStable, bwWins) = interleaved(Seq(
           () => walkArm(pGraph), () => walkArm(bGraph)), layoutIters)
         val (pSec, bSec) = (bwTimes(0), bwTimes(1))
         // ---- coarse-fine serving twin of the layout pair (r14,
@@ -692,14 +700,19 @@ object Bench {
         // J3 form; the RQ form's ARRAY<INT> codes key hashes the same
         // way once serialized). Only the LAYOUT is under test — the
         // retrieval quality of the real operator chain is the
-        // coarse_fine recall block above. Measured (r14 record, quiet
-        // box): plain 2.25 s, bucketed index 1.49 s (the doc_ids
-        // payload keeps the index above the broadcast threshold, so
-        // eliding its exchange+sort is pure win), bucketed docs 2.58 s
-        // (the 7.2M-row candidate side must sort into the bucketed
-        // SMJ that replaces AQE's shuffled-hash pick) — bucket the
-        // index store for J3; for J4 bucketing pays only past a far
-        // larger embedding side.
+        // coarse_fine recall block above. Measured history: the r14
+        // record showed bucketed-index ~2x ahead at 60k queries, but
+        // the r15 driver and judge runs both measured the OTHER
+        // ordering inside contention noise — at 180k queries (r16, 3x
+        // probe side so absolute deltas clear the noise floor) the
+        // three arms land within ~6% of each other: the ~1 MB cluster
+        // index BROADCASTS under stock AQE, so there is no index-side
+        // exchange for bucketing to elide, and the r14 "2x win" was a
+        // noise sample (the same boundary as the bigwalk pair: a
+        // bucketed static store pays exactly when its side outgrows
+        // the broadcast threshold). The cf_serve_arm_spread_pct field
+        // disambiguates the stability flag: small spread = genuine
+        // tie, large spread + flipped winner = noise.
         val nClusters = bDocs / clusterSz
         val cIdx = bdocs
           .select((col("doc_id") / clusterSz).cast("long").as("cluster"),
@@ -748,7 +761,7 @@ object Bench {
           "target/tmp/bench_cf_docs_bucketed", "doc_id", buckets = 32)
         val bD = graft.io.Bucketing.readBucketed(spark, "bench_cf_docs_bucketed")
         // all three layouts on disk, arms interleaved (VERDICT r14 #4)
-        val (cfTimes, cfStable) = interleaved(Seq(
+        val (cfTimes, cfStable, cfWins) = interleaved(Seq(
           () => cfServeOnce(pIdx, pD),
           () => cfServeOnce(bIdx, pD),
           () => cfServeOnce(pIdx, bD)), layoutIters)
@@ -756,15 +769,26 @@ object Bench {
           (cfTimes(0), cfTimes(1), cfTimes(2))
         bdocs.unpersist(); bq.unpersist()
         (pSec, bSec, bDocs, bQ, cfPlainSec, cfBIdxSec, cfBDocsSec,
-          bwStable, cfStable, cfQ)
+          bwStable, cfStable, cfQ, bwWins, cfWins)
       }
 
+      // arm spread (max/min − 1): disambiguates a FALSE stability flag —
+      // a few-% spread means the arms genuinely TIE at this geometry (no
+      // ordering conclusion exists and the flag is honestly false), a
+      // large spread with a flipping winner means the sample is noise
+      def spreadPct(ts: Double*): Double =
+        if (ts.exists(_ <= 0)) -1.0 else (ts.max / ts.min - 1.0) * 100.0
+      val bigwalkSpread = spreadPct(bigPlainSec, bigBucketedSec)
+      val cfServeSpread = spreadPct(cfServePlainSec,
+        cfServeBucketedIndexSec, cfServeBucketedDocsSec)
       if (!bigwalkStable)
-        System.err.println("[bench] WARNING bigwalk layout winner flipped " +
-          "across interleaved rounds — the pair is a noise sample, not a conclusion")
+        System.err.println(f"[bench] WARNING bigwalk layout winner flipped " +
+          f"across interleaved rounds (arm spread $bigwalkSpread%.1f%%) — " +
+          "a small spread is a tie, a large one a noise sample")
       if (!cfServeStable)
-        System.err.println("[bench] WARNING cf-serve layout winner flipped " +
-          "across interleaved rounds — the triple is a noise sample, not a conclusion")
+        System.err.println(f"[bench] WARNING cf-serve layout winner flipped " +
+          f"across interleaved rounds (arm spread $cfServeSpread%.1f%%) — " +
+          "a small spread is a tie, a large one a noise sample")
       // spec-level floors (KnnGraphSpec pins the graph path; IVF/coarse
       // probe the same planted structure) — a breach is a red flag even
       // though only the specs hard-fail
@@ -785,11 +809,15 @@ object Bench {
         s""""bigwalk_parquet_sec":${d(bigPlainSec, 3)},""" +
         s""""bigwalk_bucketed_sec":${d(bigBucketedSec, 3)},""" +
         s""""bigwalk_conclusion_stable":$bigwalkStable,""" +
+        s""""bigwalk_arm_spread_pct":${d(bigwalkSpread, 1)},""" +
+        s""""bigwalk_round_wins":${bigwalkWins.mkString("[", ",", "]")},""" +
         s""""cf_serve_n_queries":$cfServeNQ,""" +
         s""""cf_serve_parquet_sec":${d(cfServePlainSec, 3)},""" +
         s""""cf_serve_bucketed_index_sec":${d(cfServeBucketedIndexSec, 3)},""" +
         s""""cf_serve_bucketed_docs_sec":${d(cfServeBucketedDocsSec, 3)},""" +
         s""""cf_serve_conclusion_stable":$cfServeStable,""" +
+        s""""cf_serve_arm_spread_pct":${d(cfServeSpread, 1)},""" +
+        s""""cf_serve_round_wins":${cfServeWins.mkString("[", ",", "]")},""" +
         s""""graph_recall_at_10":${d(gRecall, 4)}}"""
     } catch {
       case e: Throwable =>

@@ -341,9 +341,11 @@ object ScaleProbe {
     // facts, not measurements)
     val curateMemoNote = "session-memoized chain (r15): best-of-2 takes " +
       "the post-build staged-read path, so this row measures accounting " +
-      "reads; the chain's own scaling is pipeline_curate_corpus (same " +
-      "gate/LM/dedup shape, un-memoized) and the build is reported per " +
-      "bench run as curate_chain_build_sec"
+      "reads; the chain's own scaling witnesses are pipeline_curate_corpus " +
+      "(gate/LM/dedup/trim spine, un-memoized) and pipeline_curate_pack " +
+      "(r16: + tokenize->pack, covering the tokenizer-true export's " +
+      "compute path), and the build is reported per bench run as " +
+      "curate_chain_build_sec"
     val explain = Map(
       "dedup_semdedup" -> ("k derived from n (autoCells) — expected cell " +
         "size stays flat as the corpus grows"),

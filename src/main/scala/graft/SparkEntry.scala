@@ -693,14 +693,26 @@ object SparkEntry {
     * histogram budget is the fastest hot-key-immune form — the probed
     * window-dedup and id-semi-join shapes both lost (1.4→3.3 s was the
     * mega-group-safety trade, named by the bench drift flag the round
-    * it landed). The trim stage (r16) adds the suffix sort + LCP pass,
-    * whose expensive half (the sorted-suffix table and the flagged
-    * positions) is staged INSIDE suffixDupTrim; the witness itself
-    * stays checkpoint-free above that so its submitted plan keeps the
-    * full composition visible (PlanSpec pins the min-struct dedup agg
-    * and the bounded ccnet sample window in this very plan) and
-    * ReusedExchange serves the budget's three reads. */
-  private def curateWitnessAdmitted(s: SparkSession, dir: String): DataFrame = {
+    * it landed). The trim stage (r16) adds the suffix sort + LCP pass;
+    * its output IS a staged write (localCheckpoint): the trim doubles
+    * the canon subplan's appearances (the token side and the metadata
+    * join) and the budget's histogram selection reads the result three
+    * ways, which together re-ran the gate→LM→dedup chain ~6× past
+    * ReusedExchange coverage (measured at sf0.1: 9.7 s un-staged vs
+    * ~4 s staged — the same measured trade as the full chain's staged
+    * writes). PlanSpec's shape pins read [[curateWitnessTrimmed]], the
+    * pre-stage frame, since the submitted plan is checkpoint-truncated
+    * (the documented pipeline_curate_corpus_full precedent). */
+  private def curateWitnessAdmitted(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.tokenBudget(
+      curateWitnessTrimmed(s, dir).localCheckpoint(),
+      "source", budget = 400L, nTokCol = "n_words")
+
+  /** The witness composition UP TO the budget stage, checkpoint-free —
+    * the frame whose plan PlanSpec pins (min-struct dedup agg, bounded
+    * ccnet sample window). */
+  private[graft] def curateWitnessTrimmed(s: SparkSession,
+      dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val gate = TextAnalysis.gopherRules(docs)
       .where(col("pass_words") && col("pass_mwl") &&
@@ -715,12 +727,10 @@ object SparkEntry {
     val canon = graft.pipeline.Dedup.exactDedup(kept)
     // same fixture-scaled threshold as the flagship chain's stage 6
     val trimRes = Dedup.suffixDupTrim(canon, minLen = 5, cap = 24)
-    val trimmed = canon.select("doc_id", "source", "bucket")
+    canon.select("doc_id", "source", "bucket")
       .join(trimRes.select(col("doc_id"),
         col("n_kept").cast("long").as("n_words"), col("text")),
         Seq("doc_id"))
-    graft.pipeline.Sampling.tokenBudget(trimmed, "source", budget = 400L,
-      nTokCol = "n_words")
   }
 
   /** Query-side of the embeddings table: first 20 vectors play "queries"

@@ -31,8 +31,19 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * admitted output, exactly like the batch composition states it
   * against the batch chain's admitted frame.
   *
-  * Token counts: the gate's n_words (the curation chain's accounting
-  * unit) — the same choice the batch `pipeline_curate_export` makes.
+  * Token counts: by default the gate's n_words (the curation chain's
+  * accounting unit); with a `tokenizer` supplied (r16, mirroring the
+  * batch export's tokenizer-true turn), each batch's ADMITTED docs are
+  * tokenized with the FROZEN trained unigram-LM model
+  * ([[graft.pipeline.Unigram.tokenizeIds]]) and the bins fill by
+  * ACTUAL token counts — the frozen-artifact convention of
+  * [[IncrementalCuration.FrozenArtifacts]]: the model is a batch-
+  * trained constant the door applies, never re-fits (re-training per
+  * micro-batch would make a doc's token count depend on what arrived
+  * alongside it). Text for the admitted rows comes from the batch
+  * itself (the admitted partition stores only accounting columns); a
+  * replayed batch re-supplies the same rows, so the handoff stays
+  * idempotent.
   */
 object IncrementalExport {
 
@@ -50,14 +61,27 @@ object IncrementalExport {
       storeDir: String, outDir: String, budget: Long, packBudget: Long,
       groups: Int, numPerms: Int = 8, rowsPerBand: Int = 4,
       simThreshold: Double = 0.75, maxBucket: Int = 1000,
-      frozen: Option[IncrementalCuration.FrozenArtifacts] = None): Unit = {
+      frozen: Option[IncrementalCuration.FrozenArtifacts] = None,
+      tokenizer: Option[graft.pipeline.Unigram.Model] = None): Unit = {
     IncrementalCuration.processBatch(spark, batch, batchId,
       s"$storeDir/curation", s"$outDir/admitted", budget,
       numPerms, rowsPerBand, simThreshold, maxBucket, frozen)
     val admitted = spark.read.schema(AdmittedSchema)
       .parquet(s"$outDir/admitted/batch=$batchId")
-      .select(col("doc_id"), col("n_words").as("n_tokens"))
-    IncrementalPacking.processBatch(spark, admitted, batchId,
+    val counted = tokenizer match {
+      case Some(model) =>
+        // tokenizer-true bin mass: admitted ids pull their text from
+        // THIS batch (admission is always within-batch, so the semi
+        // join is complete), then the frozen model counts real tokens
+        val admTexts = batch
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+        graft.pipeline.Unigram.tokenizeIds(admTexts, model)
+          .select(col("doc_id"), col("n_tokens"))
+      case None =>
+        admitted.select(col("doc_id"), col("n_words").as("n_tokens"))
+    }
+    IncrementalPacking.processBatch(spark, counted, batchId,
       s"$storeDir/packing", s"$outDir/packed", packBudget, groups): Unit
   }
 
@@ -70,7 +94,8 @@ object IncrementalExport {
       numPerms: Int = 8, rowsPerBand: Int = 4,
       simThreshold: Double = 0.75, maxBucket: Int = 1000,
       maxFilesPerTrigger: Option[Int] = None,
-      frozen: Option[IncrementalCuration.FrozenArtifacts] = None)
+      frozen: Option[IncrementalCuration.FrozenArtifacts] = None,
+      tokenizer: Option[graft.pipeline.Unigram.Model] = None)
       : StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val src = maxFilesPerTrigger
@@ -83,7 +108,7 @@ object IncrementalExport {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, storeDir, outDir, budget,
           packBudget, groups, numPerms, rowsPerBand, simThreshold,
-          maxBucket, frozen)
+          maxBucket, frozen, tokenizer)
       }
       .start()
   }

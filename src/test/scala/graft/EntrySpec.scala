@@ -57,6 +57,29 @@ class EntrySpec extends SparkSpec {
       s"queries without an oracle beyond the documented set: ${unoracled.diff(rowsOnly)}")
   }
 
+  test("funnel: stage 6 trims tokens with docs flat; stages 9/10 conserve tokenizer mass") {
+    // the r16 funnel's two new invariants, asserted explicitly on top
+    // of the hash oracle: span_trimmed never changes the doc count
+    // (only token mass), and every tokenized token of the admitted set
+    // is packed exactly once (stage 9 n_tokens == stage 10 n_tokens —
+    // the conservation check in the unit a training run bills in)
+    val rows = SparkEntry.queries("pipeline_curate_funnel")(spark, sf("0.001"))
+      .collect()
+      .map(r => r.getAs[Int]("stage_ord") ->
+        (r.getAs[String]("stage"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"))).toMap
+    assert(rows.size == 10, s"funnel has ${rows.size} stages, want 10")
+    val (s5, s6) = (rows(5), rows(6))
+    assert(s6._1 == "span_trimmed" && s5._2 == s6._2,
+      s"trim changed the doc count: ${s5._2} -> ${s6._2}")
+    assert(s6._3 <= s5._3, s"trim GREW token mass: ${s5._3} -> ${s6._3}")
+    val (s9, s10) = (rows(9), rows(10))
+    assert(s9._1 == "tokenized" && s10._1 == "packed_sequences")
+    assert(s9._3 == s10._3,
+      s"tokenized mass ${s9._3} != packed mass ${s10._3} — a token was lost or duplicated")
+    assert(s9._3 > 0, "tokenized stage vacuous")
+  }
+
   test("packTokenStream: exact payload, token conservation, ±1 balance at a derived non-power-of-two shard count") {
     // the tokenizer-true export's pack/deal half (VERDICT r15 #1/#8) on
     // a synthetic id corpus sized so the DERIVED shard count is a

@@ -316,8 +316,11 @@ class PlanSpec extends SparkSpec {
       s"window crept into exactDedup:\n$p1")
     assert(p1.toLowerCase.contains("partial_min"),
       s"min-struct agg lost its map-side partial:\n$p1")
-    val p2 = planString(
-      SparkEntry.queries("pipeline_curate_corpus")(spark, sf("0.001")))
+    // the witness's SUBMITTED plan is checkpoint-truncated since r16
+    // (the trim made its staged write measured-load-bearing), so the
+    // shape pins read the pre-stage frame — the same composition the
+    // budget consumes
+    val p2 = planString(SparkEntry.curateWitnessTrimmed(spark, sf("0.001")))
     // the dedup stage runs through the shared min-struct agg (not a
     // per-hash window); ccnetBuckets' bounded 300-doc sample rank is
     // the only ranking allowed to remain
@@ -373,11 +376,13 @@ class PlanSpec extends SparkSpec {
     val boundedWindowQueries = Set(
       "sample_unimax_epochs",     // UniMax cap table (≤ maxGroups, fail-fast)
       "text_ccnet_buckets",       // NgramLM 300-row md5-rank cutoff sample
-      "pipeline_curate_corpus",   // composes ccnetBuckets inline
-                                  // (the funnel left this list in r15:
-                                  // every stage frame is now a staged
-                                  // localCheckpoint, so its submitted
-                                  // plans are all checkpoint-truncated)
+                                  // (the funnel left this list in r15 and
+                                  // pipeline_curate_corpus in r16: their
+                                  // ccnet sample windows now run in
+                                  // INTERNAL staged-write actions, so the
+                                  // submitted plans are checkpoint-
+                                  // truncated; the witness's shapes are
+                                  // pinned on curateWitnessTrimmed above)
       "sketch_topk_merge")        // MG count-of-counts histogram (distinct
                                   // count VALUES per group, Zipf-bounded)
     SparkEntry.queries.foreach { case (name, fn) =>

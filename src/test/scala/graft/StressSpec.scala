@@ -1065,14 +1065,43 @@ class StressSpec extends SparkSpec {
       .select(col("doc_id").as("bench_id"),
         substring(col("text"), 21, 120).as("text"))
     val canonSurv = canon.join(surv, Seq("doc_id"), "left_semi")
-    val contaminated = Contamination.screen(canonSurv, bench,
+      .localCheckpoint()
+    // r16 chain stage: variable-length exact-substring trim WITHIN the
+    // survivors. The fail-open mega family is EXACTLY the shape the
+    // trim exists for — 2500 un-vetted near-identical docs sharing a
+    // 58-token body slipped past the capped fuzzy stage; the trim must
+    // keep ONE canonical copy of the body (the globally-first
+    // occurrence) and cut the other 2499 down to their unique
+    // suffixes, with the doc count FLAT (the funnel's span_trimmed
+    // signature) and no per-content window anywhere.
+    val trimRes = Dedup.suffixDupTrim(canonSurv, minLen = 5, cap = 24)
+    val trimmed = canonSurv.select("doc_id", "source")
+      .join(trimRes.select(col("doc_id"),
+        col("n_kept").cast("long").as("n_words"), col("text")),
+        Seq("doc_id"))
+      .localCheckpoint()
+    assert(trimmed.count() == nSurv, "trim changed the doc count")
+    val fullBodyMega = trimmed.where(col("doc_id") >= nBoiler &&
+      col("doc_id") < nBoiler + nMega && col("n_words") > 50).count()
+    assert(fullBodyMega == 1L,
+      s"trim kept $fullBodyMega full-body mega copies — want exactly the canonical")
+    val survMass = canonSurv.agg(sum(size(split(col("text"), "\\s+")))
+      .cast("long")).as[Long].head()
+    val trimMass = trimmed.agg(coalesce(sum("n_words"), lit(0L)))
+      .as[Long].head()
+    assert(trimMass < survMass / 3,
+      s"trim cut too little: $trimMass of $survMass — the mega body mass survived")
+    // decontamination screens the TRIMMED text (the r16 chain order):
+    // the mega excerpt now hits only the canonical body-keeper — the
+    // other 2499 no longer CONTAIN the benchmark text, which is the
+    // point of running the trim first
+    val contaminated = Contamination.screen(trimmed, bench,
         n = 5, minShared = 3)
       .select("doc_id").distinct().localCheckpoint()
     val nContam = contaminated.count()
-    // the mega excerpt alone hits all 2500 survivors of its family
-    assert(nContam >= nMega + 3,
-      s"contamination flagged only $nContam — the hot bench hit was missed")
-    val clean = canonSurv.join(contaminated, Seq("doc_id"), "left_anti")
+    assert(nContam >= 4 && nContam < 50,
+      s"contamination flagged $nContam — want the mega canonical + the 3 honest family body-keepers")
+    val clean = trimmed.join(contaminated, Seq("doc_id"), "left_anti")
     // the flagship's r14 form: per-group budgets (single-group frame —
     // identical selection to the scalar for that group, pinned by
     // SamplingSpec's per-group ≡ scalar test — so the hot-key

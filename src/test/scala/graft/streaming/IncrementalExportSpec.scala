@@ -82,6 +82,49 @@ class IncrementalExportSpec extends SparkSpec {
     assert(admitted(outDir) == adm, "retry changed the admitted sink")
   }
 
+  test("tokenizer-true door: bins fill by FROZEN-model token counts, parity vs batch pack") {
+    import graft.pipeline.Unigram
+    // r16, mirroring the batch export's tokenizer-true turn: a FROZEN
+    // trained unigram model counts each admitted doc's real tokens and
+    // the bins fill by those — parity is stated against the batch
+    // packer over tokenizeIds of the door's own admitted texts.
+    val base = "target/tmp/stream_export_tok"
+    FileUtils.deleteDirectory(new java.io.File(base))
+    val storeDir = s"$base/store"; val outDir = s"$base/out"
+    val allDocs = batches.flatten
+    val model = Unigram.train(
+      allDocs.map(d => (d._1, d._3)).toDF("doc_id", "text"),
+      vocabSize = 24, maxPieceLen = 3, seedSize = 80, nIters = 2)
+    for ((b, id) <- batches.zipWithIndex)
+      IncrementalExport.processBatch(spark,
+        b.toDF("doc_id", "source", "text"), id.toLong,
+        storeDir, outDir, Budget, packBudget = 200L, Groups,
+        tokenizer = Some(model))
+    val adm = admitted(outDir)
+    val admTexts = allDocs.filter(d => adm.map(_._1).contains(d._1))
+      .map(d => (d._1, d._3)).toDF("doc_id", "text")
+    val tokCounts = Unigram.tokenizeIds(admTexts, model)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toSet
+    // the tokenizer actually drove the bins: subword counts differ from
+    // the whitespace word counts for every 58-word doc at vocab 24
+    assert(tokCounts.exists { case (id, n) =>
+      adm.find(_._1 == id).exists(_._2 != n) },
+      "token counts degenerate to word counts — the witness is vacuous")
+    val got = packed(outDir)
+    assert(got.map(_._1) == adm.map(_._1),
+      "packed doc set != admitted doc set")
+    val want = Packing.nextFit(tokCounts.toSeq.toDF("doc_id", "n_tokens"),
+        budget = 200L, groups = Groups)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"tokenized stream pack $got != batch $want")
+    // replay of the last batch stays idempotent with the tokenizer on
+    IncrementalExport.processBatch(spark,
+      batches(2).toDF("doc_id", "source", "text"), 2L,
+      storeDir, outDir, Budget, packBudget = 200L, Groups,
+      tokenizer = Some(model))
+    assert(packed(outDir) == got, "retry changed the tokenized packed sink")
+  }
+
   test("composed door: wrapper-driven stream + restart hand-off") {
     val base = "target/tmp/stream_export_wrap"
     FileUtils.deleteDirectory(new java.io.File(base))
