@@ -138,6 +138,25 @@ object SparkEntry {
       buildCurateStages(s, dir)
     }
 
+  /** Eager localCheckpoint with a construction-time trace
+    * (`SPARK_GRAFT_CHAIN_TRACE=1`): the chain's staged writes
+    * materialize at construction, so per-stage attribution of
+    * `curate_chain_build_sec` is exactly the wall-clock inside each
+    * checkpoint call. Dev aid (see [[ChainProbe]]); free when unset. */
+  private[graft] def ckTraced(name: String, df: => DataFrame): DataFrame =
+    traced(name)(df.localCheckpoint())
+
+  /** Time any eager construction under the chain trace flag — by-name,
+    * so internal checkpoints/actions of the wrapped expression are
+    * attributed to its line. */
+  private[graft] def traced[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val out = body
+    if (sys.env.contains("SPARK_GRAFT_CHAIN_TRACE"))
+      System.err.println(f"[chain] $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    out
+  }
+
   private def buildCurateStages(s: SparkSession,
       dir: String): Seq[(Int, String, DataFrame)] = {
       val docs = t(s, dir, "documents")
@@ -149,13 +168,13 @@ object SparkEntry {
       // consumer action, which is exactly what the memoization exists
       // to stop. gate is (doc_id, n_words)-narrow; the text-bearing
       // frames are the post-gate corpus a real pipeline stages anyway.
-      val gate = TextAnalysis.gopherRules(docs)
+      val gate = ckTraced("gopher_gate", TextAnalysis.gopherRules(docs)
         .where(col("pass_words") && col("pass_mwl") &&
           col("pass_alpha") && col("pass_symbol"))
-        .select(col("doc_id"), col("n_words"))
-        .localCheckpoint()
+        .select(col("doc_id"), col("n_words")))
+      val lm = traced("ngram_lm_train")(lmOf(s, dir))
       val buckets = graft.pipeline.NgramLM.ccnetBuckets(
-          graft.pipeline.NgramLM.score(docs, lmOf(s, dir)), sampleK = 300)
+          graft.pipeline.NgramLM.score(docs, lm), sampleK = 300)
         .where(col("bucket") =!= "tail")
         .select(col("doc_id"), col("bucket"))
       // staged write #0 (r15): the gated+LM-bucketed corpus is the
@@ -164,9 +183,8 @@ object SparkEntry {
       // built ONCE — materializing it makes the funnel's stage-2/3
       // counts (and the dedup stage's read) pure accounting over staged
       // data instead of re-running gate + LM per count action
-      val kept = docs.select("doc_id", "source", "text")
-        .join(gate, Seq("doc_id")).join(buckets, Seq("doc_id"))
-        .localCheckpoint()
+      val kept = ckTraced("lm_headmid", docs.select("doc_id", "source", "text")
+        .join(gate, Seq("doc_id")).join(buckets, Seq("doc_id")))
       // staged write: the exact-dedup survivor set feeds FIVE downstream
       // consumers (signatures, the Jaccard confirm's doc side, quality
       // scoring, the contamination screen, the budget), and the fuzzy
@@ -175,7 +193,7 @@ object SparkEntry {
       // parquet scan. A real pipeline writes the post-dedup corpus
       // between stages; localCheckpoint is that staged write (measured
       // at sf0.1: 27.0 s without it, 7.6 s with).
-      val canon = graft.pipeline.Dedup.exactDedup(kept).localCheckpoint()
+      val canon = ckTraced("exact_dedup", graft.pipeline.Dedup.exactDedup(kept))
       // fuzzy near-dup among the exact-dedup survivors. The cands
       // checkpoint is MEASURED load-bearing (r14, VERDICT #5 asked to
       // try dropping it — JobProbe, sf0.1/local[32], steady-state,
@@ -189,15 +207,14 @@ object SparkEntry {
       // more jobs). Fewer jobs ≠ faster here; the eager checkpoint
       // stays.
       val sigs = Dedup.minhashSignatures(canon, numPerms = 8)
-      val cands = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
-        .localCheckpoint()
-      val confirmed = Dedup.jaccardPairsByHash(canon, cands)
-        .where(col("jaccard") >= 0.5).select("a", "b").localCheckpoint()
+      val cands = ckTraced("lsh_cands", Dedup.lshCandidatePairs(sigs, rowsPerBand = 4))
+      val confirmed = ckTraced("jaccard_confirm", Dedup.jaccardPairsByHash(canon, cands)
+        .where(col("jaccard") >= 0.5).select("a", "b"))
       // size-gated components: the checkpointed confirm list is tiny at
       // fixture scale (driver union-find, ~2 s of per-round scheduling
       // saved) and falls back to the distributed propagation past 100k
       // pairs — dedup_components keeps certifying the distributed path
-      val comp = Dedup.connectedComponentsAuto(confirmed)
+      val comp = traced("components")(Dedup.connectedComponentsAuto(confirmed))
         .select(col("v").as("doc_id"), col("comp").as("component"))
       val withComp = canon.select("doc_id")
         .join(comp, Seq("doc_id"), "left")
@@ -207,8 +224,7 @@ object SparkEntry {
         .select(col("doc_id"), microUnits(col("quality_score"), 6).as("score"))
       val surv = Dedup.canonicalByScore(withComp, q)
         .where(col("kept")).select("doc_id")
-      val canonSurv = canon.join(surv, Seq("doc_id"), "left_semi")
-        .localCheckpoint()
+      val canonSurv = ckTraced("fuzzy_canonical", canon.join(surv, Seq("doc_id"), "left_semi"))
       // VARIABLE-LENGTH exact-substring trim WITHIN the fuzzy survivors
       // (VERDICT r15 #2): Lee et al. 2022 runs ExactSubstr removal as a
       // curation stage AFTER doc-level dedup — doc counts stay flat
@@ -223,12 +239,13 @@ object SparkEntry {
       // at 5), while Lee et al.'s published 50-BPE-token threshold
       // assumes real-web partial overlaps; the standalone
       // dedup_suffix_trim keeps the operator default 8 on raw docs.
-      val trimRes = Dedup.suffixDupTrim(canonSurv, minLen = 5, cap = 24)
-      val trimmed = canonSurv.select("doc_id", "source", "bucket")
+      val trimRes = traced("suffix_trim_lcp")(
+        Dedup.suffixDupTrim(canonSurv, minLen = 5, cap = 24))
+      val trimmed = ckTraced("span_trimmed", canonSurv
+        .select("doc_id", "source", "bucket")
         .join(trimRes.select(col("doc_id"),
           col("n_kept").cast("long").as("n_words"), col("text")),
-          Seq("doc_id"))
-        .localCheckpoint()
+          Seq("doc_id")))
       // decontamination: the held-out set is excerpts of the first 10
       // raw docs (the contamination_screen fixture) — an EXTERNAL
       // benchmark, screened against the post-dedup TRIMMED survivors
@@ -238,8 +255,7 @@ object SparkEntry {
       val contaminated = graft.pipeline.Contamination
         .screen(trimmed, bench, n = 5, minShared = 3)
         .select("doc_id").distinct()
-      val clean = trimmed.join(contaminated, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      val clean = ckTraced("decontaminated", trimmed.join(contaminated, Seq("doc_id"), "left_anti"))
       // PER-SOURCE budgets (VERDICT r13 #2): the recipe's real users
       // write "100B web / 20B code / 5B books", so the composition ends
       // in tokenBudgetPerGroup — budgets derive from the source name
@@ -252,9 +268,9 @@ object SparkEntry {
       val budgets = clean.select("source").distinct()
         .where(pmod(srcNum, lit(5L)) =!= 4L)
         .withColumn("budget", lit(400L) + pmod(srcNum, lit(5L)) * 200L)
-      val admitted = graft.pipeline.Sampling.tokenBudgetPerGroup(
-        clean.drop("text"), "source", budgets, nTokCol = "n_words")
-        .localCheckpoint()
+      val admitted = ckTraced("budget_admitted", graft.pipeline.Sampling
+        .tokenBudgetPerGroup(
+          clean.drop("text"), "source", budgets, nTokCol = "n_words"))
     Seq(
       (1, "raw", docs),
       (2, "gopher_gate", gate),
@@ -282,8 +298,13 @@ object SparkEntry {
   private def unigramOf(s: SparkSession,
       dir: String): graft.pipeline.Unigram.Model = {
     val model = ArtifactCache.value(s"$dir/unigram48") {
-      graft.pipeline.Unigram.train(t(s, dir, "documents"),
+      val t0 = System.nanoTime()
+      val m = graft.pipeline.Unigram.train(t(s, dir, "documents"),
         vocabSize = 48, maxPieceLen = 4, seedSize = 200, nIters = 4)
+      if (sys.env.contains("SPARK_GRAFT_CHAIN_TRACE"))
+        System.err.println(
+          f"[chain] unigram_train    ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      m
     }
     dirUnigram.put(dir, model)
     lastDir = Some(dir)
@@ -303,11 +324,13 @@ object SparkEntry {
     * by the session-memoized curated export and the un-memoized
     * pipeline_curate_pack scaling witness. */
   private[graft] def packTokenStream(idsIn: DataFrame,
-      seqLen: Int = 128): DataFrame = {
+      seqLen: Int = 128, materialized: Boolean = false): DataFrame = {
     // staged write: the id table feeds the span layout, the total-mass
     // count and the payload join — without it the tokenize pass would
-    // re-run per consumer
-    val ids = idsIn.localCheckpoint()
+    // re-run per consumer. Callers that already hold a checkpointed id
+    // frame (the session-memoized export) pass materialized=true and
+    // skip the redundant re-checkpoint job.
+    val ids = if (materialized) idsIn else idsIn.localCheckpoint()
     val L = seqLen.toLong
     val packed = graft.pipeline.Packing.chunkSpans(
       ids.select("doc_id", "n_tokens"), seqLen, keepStart = true)
@@ -365,9 +388,10 @@ object SparkEntry {
       val model = unigramOf(s, dir)
       val admDocs = trimmedText
         .join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
-      val ids = graft.pipeline.Unigram.tokenizeIds(admDocs, model)
-        .localCheckpoint()
-      val sharded = packTokenStream(ids, seqLen = 128).localCheckpoint()
+      val ids = ckTraced("tokenize_ids",
+        graft.pipeline.Unigram.tokenizeIds(admDocs, model))
+      val sharded = ckTraced("pack_shards",
+        packTokenStream(ids, seqLen = 128, materialized = true))
       (ids, sharded)
     }
 
@@ -902,13 +926,19 @@ object SparkEntry {
     * the count tables persist once per live context). */
   private def lmOf(s: SparkSession, dir: String): graft.pipeline.NgramLM.Model = {
     val docs = t(s, dir, "documents")
-    // train() counts the vocab EAGERLY — the lazy cell guarantees at most
-    // one fit per call even when several cache keys miss together
-    lazy val trained = graft.pipeline.NgramLM.train(docs)
+    // the model tables CHAIN through the cache (r16): unigrams derive
+    // from the PERSISTED bigram frame, so materializing the model costs
+    // one corpus bigram pass + one table-sized agg + one vocab pass —
+    // the previous form built unigrams from the lazy train() plan and
+    // re-ran the corpus pass once per model table
+    val big = ArtifactCache.frame(s, s"$dir/lm/bigrams")(
+      graft.pipeline.NgramLM.bigramCounts(docs))
     graft.pipeline.NgramLM.Model(
-      ArtifactCache.frame(s, s"$dir/lm/bigrams")(trained.bigrams),
-      ArtifactCache.frame(s, s"$dir/lm/unigrams")(trained.unigrams),
-      ArtifactCache.value(s"$dir/lm/vocab")(trained.vocabSize))
+      big,
+      ArtifactCache.frame(s, s"$dir/lm/unigrams")(
+        graft.pipeline.NgramLM.unigramsFrom(big)),
+      ArtifactCache.value(s"$dir/lm/vocab")(
+        graft.pipeline.NgramLM.vocabCount(docs)))
   }
 
   /** 16-cell IVF structure over the fixture embeddings (dir-memoized). */

@@ -885,8 +885,13 @@ object Dedup {
     * compute the identical neighbor-LCP answer, since the oracle sorts
     * and compares the same joined strings.)
     *
-    * Scale shape: ONE range-partitioned sort of the capped-suffix table
-    * (O(`cap` · corpus tokens) shuffle bytes — `cap` is the cost knob),
+    * Scale shape: a duplicated-gram prefilter (r16 — the corpus
+    * crosses shuffles as 8-byte leading-gram hashes, and only
+    * duplication-proportional candidate suffixes materialize as
+    * strings; exactness argued at the filter), then ONE
+    * range-partitioned sort of the CANDIDATE capped-suffix table
+    * (worst case O(`cap` · corpus tokens) shuffle bytes when the whole
+    * corpus is duplicated — `cap` stays the cost knob),
     * then a strictly per-partition linear LCP pass. Global adjacency
     * across partition boundaries costs one partition-count-sized collect
     * (each sorted partition's first and last row) broadcast back — no
@@ -929,13 +934,46 @@ object Dedup {
     import spark.implicits._
     // __toks materialized BELOW the generator (the gramTable lesson:
     // Generate inlines its child expression per output row — no CSE)
-    val sfx = ensureParallelism(docs
+    val base = ensureParallelism(docs
         .select(col(idCol).cast("long").as("doc_id"),
           tokens(col(textCol)).as("__toks")))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, size(__toks) - 1),
-           |  i -> concat_ws(' ', slice(__toks, i + 1, $cap)))"""
-          .stripMargin)).as(Seq("pos", "sfx")))
+    // DUPLICATED-GRAM PREFILTER (r16): only suffixes whose LEADING
+    // minLen-token gram occurs at ≥2 positions corpus-wide can ever be
+    // flagged, and sorting only those is EXACT:
+    //   · a flagged pair has LCP ≥ minLen, so both members share the
+    //     leading gram (hash-equal → both retained; no false negative);
+    //   · in the full sorted order every suffix BETWEEN two same-gram
+    //     suffixes also starts with that gram (for a ≤ u ≤ c,
+    //     LCP(a,c) = min(LCP(a,u), LCP(u,c)), and the space separator
+    //     sorts below every token character) — so the retained set
+    //     keeps every same-gram block contiguous and neighbor-LCP over
+    //     it computes the identical dup_len for every flagged row;
+    //   · a dropped neighbor had a unique gram, hence LCP < minLen
+    //     with everything — its removal can only merge neighbors whose
+    //     direct LCP = min over the removed chain, still < minLen on
+    //     that side; hash collisions only RETAIN extra suffixes, which
+    //     the LCP pass then judges by their actual content.
+    // Scale effect: the range-partition sort previously shuffled EVERY
+    // capped suffix — O(cap · corpus tokens) bytes, a ~cap× write
+    // amplification of the corpus through one shuffle. Now the heavy
+    // string rows exist only for candidate positions (duplication-
+    // proportional); the full corpus crosses shuffles as 8-byte gram
+    // hashes (map-side-combined count) plus narrow (doc_id, pos) pairs.
+    // The candidate explode runs twice (count + semi-join side) — a
+    // narrow CPU pass each time, cheaper than materializing it.
+    val posGh = base.select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(__toks) >= $minLen THEN
+           |  transform(sequence(0, size(__toks) - $minLen),
+           |    i -> xxhash64(slice(__toks, i + 1, $minLen)))
+           |ELSE CAST(array() AS array<bigint>) END"""
+          .stripMargin)).as(Seq("pos", "gh")))
+    val dupg = posGh.groupBy("gh").count()
+      .where(col("count") >= 2).select("gh")
+    val cand = posGh.join(dupg, Seq("gh"), "left_semi")
+      .select("doc_id", "pos")
+    val sfx = cand.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"concat_ws(' ', slice(__toks, pos + 1, $cap))").as("sfx"))
     val sorted = sfx
       .repartitionByRange(col("sfx"), col("doc_id"), col("pos"))
       .sortWithinPartitions("sfx", "doc_id", "pos")

@@ -34,25 +34,53 @@ object NgramLM {
         posexplode(filter(TextAnalysis.tokens(col(textCol)),
           t => length(t) > 0)).as(Seq("pos", "w")))
 
-  /** The per-doc bigram stream (idCol, pos, w1, w2) via a lead window —
-    * partitioned by doc, never a global sort. */
+  /** The per-doc bigram stream (idCol, pos, w1, w2): adjacent token
+    * pairs built per ROW from the doc's own token array and exploded —
+    * a narrow map, NO shuffle. (r16: this replaced a
+    * `lead().over(partitionBy(doc))` form — the window shuffled the
+    * entire corpus token stream once per consumer pass, three times
+    * inside `train`+model materialization alone, for adjacency that
+    * the token array already holds.) `__t` is materialized in its own
+    * projection first (the HOF no-CSE discipline — `transform` gets no
+    * codegen subexpression elimination, so building pairs directly on
+    * `split(text)` would re-run the split per element). */
   private def bigramStream(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos").asc)
-    tokenStream(docs, idCol, textCol)
-      .withColumn("w2", lead(col("w"), 1).over(w))
-      .where(col("w2").isNotNull)
-      .select(col(idCol), col("pos"), col("w").as("w1"), col("w2"))
-  }
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(TextAnalysis.tokens(col(textCol)),
+          t => length(t) > 0).as("__t"))
+      .select(col(idCol), posexplode(expr(
+        """CASE WHEN size(__t) >= 2 THEN
+          |  transform(sequence(0, size(__t) - 2),
+          |    i -> struct(__t[i] AS w1, __t[i + 1] AS w2))
+          |ELSE CAST(array() AS array<struct<w1:string,w2:string>>)
+          |END""".stripMargin)).as(Seq("pos", "__bg")))
+      .select(col(idCol), col("pos"), col("__bg.w1"), col("__bg.w2"))
+
+  /** Distinct-bigram count table (w1, w2, c) — [[train]]'s first half,
+    * exposed so a caller can materialize it ONCE and derive the
+    * unigram table from the materialized frame ([[unigramsFrom]])
+    * instead of re-running the corpus bigram pass per model table. */
+  def bigramCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bigramStream(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+
+  /** (w1, cw) from a (possibly materialized) bigram count table. */
+  def unigramsFrom(bigrams: DataFrame): DataFrame =
+    bigrams.groupBy("w1").agg(sum("c").as("cw"))
+
+  /** Distinct-vocabulary size — one narrow explode + partial-agg
+    * distinct count. */
+  def vocabCount(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Long =
+    tokenStream(docs, idCol, textCol).select("w").distinct().count()
 
   def train(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Model = {
-    val big = bigramStream(docs, idCol, textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val uni = big.groupBy("w1").agg(sum("c").as("cw"))
-    val v = tokenStream(docs, idCol, textCol)
-      .select("w").distinct().count()
-    Model(big, uni, v)
+    val big = bigramCounts(docs, idCol, textCol)
+    Model(big, unigramsFrom(big), vocabCount(docs, idCol, textCol))
   }
 
   /** (idCol, n_bigrams, avg_logp): mean log p(w2|w1) per document, the

@@ -119,10 +119,35 @@ object Unigram {
   private def lpMicro(p: Double): Long =
     math.floor(math.log(p) * 1000000.0 + 0.5).toLong
 
+  /** Distinct-word tables at or under this row count run the EM /
+    * prune passes on the driver over ONE collected copy — at fixture
+    * scale every [[usageCounts]] pass is otherwise pure Spark job
+    * overhead (the train loop runs ~25 of them: 4 EM + 2 per prune
+    * round), measured ~3.8 s of the sf0.1 curate-chain build for a
+    * table of a few thousand rows. Identical arithmetic either way
+    * (exact Long counts, order-free sums); past the gate the
+    * distributed path is unchanged — distinct words grow with
+    * vocabulary, not corpus size, but 100 TB web text (typos, ids,
+    * URLs) still blows past any driver. */
+  private[pipeline] val LocalEmGate = 100000L
+
+  /** Driver-side twin of [[usageCounts]] for gate-sized word tables:
+    * the same tokenizeWord arithmetic over the collected counts. */
+  private[pipeline] def usageCountsLocal(words: Array[(String, Long)],
+      probs: Map[String, Long], maxPieceLen: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, c) =>
+      tokenizeWord(w, probs, maxPieceLen).foreach { pc =>
+        m.update(pc, m.getOrElse(pc, 0L) + c)
+      }
+    }
+    m.toMap
+  }
+
   /** One E-step: Viterbi piece-usage counts over the distinct-word
     * table — mapPartitions with the piece table broadcast, one hash
     * agg, and a PIECE-TABLE-sized collect (never the word table). */
-  private def usageCounts(words: DataFrame,
+  private[pipeline] def usageCounts(words: DataFrame,
       probs: Map[String, Long], maxPieceLen: Int): Map[String, Long] = {
     val spark = words.sparkSession
     import spark.implicits._
@@ -155,6 +180,17 @@ object Unigram {
       words.agg(max(length(col("word")))).head().get(0))
       .map(_.asInstanceOf[Int]).getOrElse(0)
     require(maxWordLen > 0, "unigram train: empty corpus")
+    // size-gated driver E-steps (r16, the connectedComponentsAuto
+    // pattern): one collect, then every EM/prune pass is local
+    val localWords: Option[Array[(String, Long)]] =
+      if (words.count() <= LocalEmGate)
+        Some(words.as[(String, Long)].collect())
+      else None
+    def emCounts(probs: Map[String, Long]): Map[String, Long] =
+      localWords match {
+        case Some(lw) => usageCountsLocal(lw, probs, maxPieceLen)
+        case None     => usageCounts(words, probs, maxPieceLen)
+      }
 
     // 1. seed: frequency-weighted substring candidates (one explode of
     // the word table + hash agg; top-k is a TakeOrdered, no global sort)
@@ -184,7 +220,7 @@ object Unigram {
     // Σ_w cnt·score = Σ_p count(p)·lp(p)) — no second pass
     val llTrace = scala.collection.mutable.ArrayBuffer.empty[Long]
     for (_ <- 1 to nIters) {
-      val counts = usageCounts(words, probs, maxPieceLen)
+      val counts = emCounts(probs)
       llTrace += counts.iterator
         .map { case (p, c) => c * probs.getOrElse(p, FloorLpMicro) }.sum
       val tot = counts.valuesIterator.sum.toDouble
@@ -216,7 +252,7 @@ object Unigram {
     var curMulti: Seq[String] = pieceSet.filter(_.length > 1)
     val targetMulti = math.max(0, vocabSize - chars.length)
     while (curMulti.length > targetMulti) {
-      val counts = usageCounts(words, curProbs, maxPieceLen)
+      val counts = emCounts(curProbs)
       val losses = curMulti.map { p =>
         val c = counts.getOrElse(p, 0L)
         val alt = viterbiScore(p, curProbs - p, maxPieceLen)
@@ -230,7 +266,7 @@ object Unigram {
       // E-step re-estimate over the kept set: ML counts under the
       // pruned table, floor for pieces no best path uses
       val keptNow = chars ++ curMulti
-      val c2 = usageCounts(words, curProbs -- drop, maxPieceLen)
+      val c2 = emCounts(curProbs -- drop)
       val tot2 = c2.valuesIterator.sum.toDouble
       curProbs = keptNow.map { p =>
         val c = c2.getOrElse(p, 0L)
@@ -239,7 +275,7 @@ object Unigram {
     }
     // final renormalization over the kept set (unused chars keep
     // coverage with a floor count of 1)
-    val finalCounts = usageCounts(words, curProbs, maxPieceLen)
+    val finalCounts = emCounts(curProbs)
     val kept = (chars ++ curMulti).sorted
     val tot = kept.iterator
       .map(p => math.max(finalCounts.getOrElse(p, 0L), 1L)).sum.toDouble

@@ -129,4 +129,19 @@ class UnigramSpec extends SparkSpec {
         text.toLowerCase.replaceAll("[^a-z0-9]", ""))
     }
   }
+
+  test("local E-step twin matches the distributed usageCounts exactly") {
+    // train's size gate routes fixture-scale corpora to the driver
+    // twin (r16) — pin that both executors produce IDENTICAL counts,
+    // so the gate can never change a trained model
+    val words = Bpe.wordCounts(fixture, "text").localCheckpoint()
+    val local = words.as[(String, Long)].collect()
+    val probs = local.flatMap { case (w, _) =>
+      w.sliding(1) ++ (if (w.length >= 2) w.sliding(2) else Iterator.empty)
+    }.distinct.map(p => p -> -1000000L * p.length).toMap
+    val dist = Unigram.usageCounts(words, probs, maxPieceLen = 2)
+    val drv = Unigram.usageCountsLocal(local, probs, maxPieceLen = 2)
+    assert(dist.nonEmpty)
+    assert(dist == drv)
+  }
 }
