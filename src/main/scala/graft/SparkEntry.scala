@@ -2542,6 +2542,38 @@ object SparkEntry {
         seqLen = 128)
         .orderBy("seq_id", "doc_id")),
 
+    // IN-CONTEXT packing (Shi et al. 2024 "In-Context Pretraining"):
+    // concat-and-chunk, but the document stream is ordered by
+    // (embedding cluster, doc_id) instead of raw id, so semantically
+    // related documents land inside the same training window — the
+    // cluster-ordered scalable approximation of the paper's
+    // nearest-neighbor document chain (their §2.2 sorts by similarity;
+    // k-means cells give the same locality without a sequential TSP
+    // walk). Cell assignment is the trained 16-cell codebook
+    // (broadcast); the ordering is the SAME two-level prefix scan as
+    // every other layout op — rank docs by (cell, doc_id) with
+    // exclusivePrefixSum (never a global window), then chunk by stream
+    // position. Output one row per (sequence, doc) overlap with the
+    // doc's cell carried for inspection.
+    "pack_semantic" -> ((s, dir) => {
+      val ivf = ivfOf(s, dir)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      val withCell = docs.join(
+        ivf.cells.select(col("doc_id"), col("cell").cast("long").as("cell")),
+        Seq("doc_id"))
+      val ranked = graft.pipeline.Packing.exclusivePrefixSum(
+        withCell.withColumn("__one", lit(1L)),
+        idCol = "cell", nCol = "__one", outCol = "pos",
+        tieCol = Some("doc_id"))
+      val spans = graft.pipeline.Packing.chunkSpans(
+        ranked.select(col("pos"), col("n_tokens")), seqLen = 128,
+        idCol = "pos")
+      spans.join(ranked.select("pos", "doc_id", "cell"), Seq("pos"))
+        .select("seq_id", "doc_id", "cell", "off_in_seq", "n_tok")
+        .orderBy("seq_id", "doc_id")
+    }),
+
     // Whole-document next-fit bin packing (instruction-tuning layout: no
     // doc is split); bins are sequential state, so packing runs per
     // deterministic hash group
@@ -2604,6 +2636,20 @@ object SparkEntry {
       graft.pipeline.NgramLM.score(docs, lmOf(s, dir))
         .select(col("doc_id"), col("n_bigrams"),
           microUnits(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
+    // C4 bad-words gate (Raffel et al. 2020 §2.2: pages containing any
+    // banned term are removed) over a fixed 5-term blocklist — three
+    // terms present in the fixture vocabulary, two absent (the no-hit
+    // branch stays live): word-boundary token matching with multi-word
+    // phrases, per-width gram explodes against the broadcast term table
+    "text_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("slow scan", "vector join", "drop",
+        "merge conflict", "fast").toDF("term")
+      graft.pipeline.TextAnalysis
+        .blocklistScreen(t(s, dir, "documents"), terms)
         .orderBy("doc_id")
     }),
 
@@ -3995,7 +4041,9 @@ object SparkEntry {
           "dedup_semdedup_fixedk" -> graft.oracle.GeneratedOracles
             .semDeDupSql(cb, tau = 0.35),
           "sample_cluster_balanced" -> graft.oracle.GeneratedOracles
-            .clusterBalancedSql(cb, total = 100L, alpha = 0.5)))
+            .clusterBalancedSql(cb, total = 100L, alpha = 0.5),
+          "pack_semantic" -> graft.oracle.GeneratedOracles
+            .packSemanticSql(cb, seqLen = 128)))
         .getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirSemScaledCodebooks.get(d)))
         .map(cb => Map(
@@ -6083,6 +6131,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(floor(list_sum(list(lp ORDER BY pos)) / count(*) * 1000000 + 0.5) AS BIGINT) AS avg_logp
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_blocklist" ->
+      """WITH trm(term) AS (VALUES ('slow scan'), ('vector join'),
+        |    ('drop'), ('merge conflict'), ('fast')),
+        |tn AS (SELECT term, len(string_split(term, ' ')) AS k FROM trm),
+        |d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT d.doc_id, tn.term
+        |  FROM d, tn, LATERAL unnest(range(1, len(d.toks) - tn.k + 2)) AS u(i)
+        |  WHERE array_to_string(d.toks[i : i + tn.k - 1], ' ') = tn.term),
+        |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    array_to_string(list_sort(list_distinct(list(term))), ',') AS hit_terms
+        |  FROM g GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(h.hit_terms, '') AS hit_terms, h.n_hits IS NULL AS pass
+        |FROM d LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_ccnet_buckets" ->
       """WITH t AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) - 1 AS pos

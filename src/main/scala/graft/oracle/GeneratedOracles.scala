@@ -499,6 +499,36 @@ object GeneratedOracles {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** In-context (cluster-ordered) packing: concat-and-chunk with the
+    * document stream ordered by (nearest-centroid cell, doc_id) —
+    * the pack_sequences replay with the inlined-codebook assignment
+    * supplying the order key. One statement: assign → rank → running
+    * sum → chunk explode. */
+  def packSemanticSql(cb: Codebook, seqLen: Int): String = {
+    require(cb.numLevels == 1, "pack-semantic oracle expects a 1-level codebook")
+    s"""WITH ${assignCtes(cb)},
+       |asg AS (SELECT doc_id, CAST(k0 AS BIGINT) AS cell FROM assign),
+       |tok AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n
+       |  FROM documents),
+       |j AS (SELECT t.doc_id, t.n, a.cell FROM tok t JOIN asg a USING (doc_id)),
+       |r AS (SELECT doc_id, n, cell,
+       |    CAST(row_number() OVER (ORDER BY cell, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM j),
+       |c AS (SELECT doc_id, cell, n, pos,
+       |    CAST(COALESCE(SUM(n) OVER (ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |  FROM r),
+       |sp AS (SELECT seq_id, doc_id, cell,
+       |    GREATEST(seq_id * $seqLen, st) AS lo,
+       |    LEAST((seq_id + 1) * $seqLen, st + n) AS hi
+       |  FROM c, unnest(generate_series(st // $seqLen, (st + n - 1) // $seqLen)) AS u(seq_id)
+       |  WHERE n > 0)
+       |SELECT seq_id, doc_id, cell, lo - seq_id * $seqLen AS off_in_seq,
+       |  hi - lo AS n_tok
+       |FROM sp ORDER BY seq_id, doc_id""".stripMargin
+  }
+
   /** All codebook-derived oracles keyed by SparkEntry query name. */
   def rqOracles(cb: Codebook, beams: Int, topK: Int, budget: Int,
       maxChunk: Int, maxQueryId: Int): Map[String, String] = Map(

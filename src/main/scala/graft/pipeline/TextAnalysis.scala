@@ -383,4 +383,58 @@ object TextAnalysis {
         col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
         col("pass_stop"))
   }
+
+  /** C4/RefinedWeb-style blocklist screen (Raffel et al. 2020 §2.2:
+    * any page containing a banned term is removed): WORD-BOUNDARY term
+    * matching over the lowercased token stream, multi-word phrases
+    * included. `terms` is a one-column (`term`) table of space-joined
+    * lowercase words. Output one row per input doc:
+    * (idCol, n_hits — matching POSITIONS, hit_terms — sorted distinct
+    * matched terms comma-joined, pass — no term matched).
+    *
+    * Spark-first shape: the distinct term WIDTHS (a config-table-sized
+    * collect — a blocklist is thousands of rows, never corpus-sized)
+    * pick which n-gram generators to run; each width is one narrow
+    * explode joined against the BROADCAST term table, so the corpus
+    * never shuffles — only hit rows (output-proportional) reach the
+    * per-doc aggregation. The right structure for 10k+ terms, where a
+    * single `rlike` alternation would re-scan each row once per
+    * pattern branch instead of hash-probing a set. */
+  def blocklistScreen(docs: DataFrame, terms: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val normTerms = terms
+      .select(concat_ws(" ", tokens(col("term"))).as("term"))
+      .where(col("term") =!= "").distinct()
+    val widths: Seq[Int] = normTerms
+      .select(size(split(col("term"), " ")).as("k"))
+      .distinct().as[Int].collect().toSeq.sorted
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("__toks"))
+    val hits = widths.map { k =>
+      base.select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(__toks) >= $k THEN
+             |  transform(sequence(0, size(__toks) - $k),
+             |    i -> concat_ws(' ', slice(__toks, i + 1, $k)))
+             |ELSE CAST(array() AS array<string>) END""".stripMargin))
+          .as("gram"))
+        .join(broadcast(normTerms
+            .where(size(split(col("term"), " ")) === k)),
+          col("gram") === col("term"))
+        .select(col("doc_id"), col("term"))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(base.select(col("doc_id"), lit("").as("term"))
+        .where(lit(false)))
+    val agg = hits.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        concat_ws(",", array_sort(collect_set(col("term"))))
+          .as("hit_terms"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("hit_terms"), lit("")).as("hit_terms"),
+        col("n_hits").isNull.as("pass"))
+  }
 }

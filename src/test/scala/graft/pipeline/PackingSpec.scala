@@ -142,4 +142,37 @@ class PackingSpec extends SparkSpec {
     assert(positioned.forall { case (_, pos, sh, sp) =>
       sh == pos % 8 && sp == pos / 8 })
   }
+
+  test("semantic packing: stream ordered by cluster, token mass conserved") {
+    // the catalog composition (in-context packing, Shi et al. 2024):
+    // reading the packed stream back in (seq_id, off_in_seq) order must
+    // yield documents in non-decreasing CELL order — the property that
+    // puts related docs in the same training window — and every doc
+    // token must land in exactly one span
+    val rows = graft.SparkEntry.queries("pack_semantic")(
+      spark, sf("0.001"))
+      .select("seq_id", "doc_id", "cell", "off_in_seq", "n_tok")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val streamCells = rows.sortBy(r => (r._1, r._4)).map(_._3)
+    assert(streamCells.zip(streamCells.tail).forall { case (a, b) => a <= b },
+      "cells must be non-decreasing along the packed stream")
+    assert(streamCells.distinct.size > 1,
+      "fixture must exercise more than one cell")
+    // conservation: per-doc span masses sum to the doc's token count
+    val docs = spark.read
+      .parquet(sf("0.001") + "/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._2).foreach { case (id, sp) =>
+      assert(sp.map(_._5).sum == docs(id), s"doc $id token mass")
+    }
+    // every sequence except the last is exactly full
+    val seqTok = rows.groupBy(_._1).view.mapValues(_.map(_._5).sum)
+    val lastSeq = seqTok.keys.max
+    seqTok.foreach { case (sq, n) =>
+      if (sq != lastSeq) assert(n == 128L, s"seq $sq not full: $n")
+    }
+  }
 }

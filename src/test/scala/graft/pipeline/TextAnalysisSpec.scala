@@ -206,4 +206,41 @@ class TextAnalysisSpec extends SparkSpec {
     // mean word length 175/50 = 3.5 → in [3,10]
     assert(r(1).getAs[Boolean]("pass_mwl"))
   }
+
+  test("blocklist screen: word-boundary hits, phrase positions, pass rule") {
+    val docs = Seq(
+      (0L, "the fast red fox"),          // 'fast' hits; 'fas' must not
+      (1L, "breakfast is fastest"),      // substrings only — no hit
+      (2L, "slow slow slow query"),      // 'slow slow' at 2 positions
+      (3L, "a Drop Table here"),         // case-insensitive phrase
+      (4L, "clean document"))            // no hits
+      .toDF("doc_id", "text")
+    val terms = Seq("fast", "fas", "slow slow", "drop table")
+      .toDF("term")
+    val r = TextAnalysis.blocklistScreen(docs, terms)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_hits") == 1L)
+    assert(r(0).getAs[String]("hit_terms") == "fast")
+    assert(!r(0).getAs[Boolean]("pass"))
+    // 'fast'/'fas' inside 'breakfast'/'fastest' are NOT word matches
+    assert(r(1).getAs[Long]("n_hits") == 0L)
+    assert(r(1).getAs[Boolean]("pass"))
+    // overlapping phrase occurrences count per position
+    assert(r(2).getAs[Long]("n_hits") == 2L)
+    assert(r(2).getAs[String]("hit_terms") == "slow slow")
+    assert(r(3).getAs[Long]("n_hits") == 1L)
+    assert(r(3).getAs[String]("hit_terms") == "drop table")
+    assert(r(4).getAs[Long]("n_hits") == 0L &&
+      r(4).getAs[Boolean]("pass"))
+    // empty blocklist: everything passes, schema intact
+    val open = TextAnalysis.blocklistScreen(docs,
+      Seq.empty[String].toDF("term")).collect()
+    assert(open.length == 5 && open.forall(_.getAs[Boolean]("pass")))
+    // distinct hit terms sort and join deterministically
+    val multi = TextAnalysis.blocklistScreen(
+      Seq((9L, "fast slow slow fast")).toDF("doc_id", "text"),
+      Seq("fast", "slow slow").toDF("term")).head()
+    assert(multi.getAs[Long]("n_hits") == 3L)
+    assert(multi.getAs[String]("hit_terms") == "fast,slow slow")
+  }
 }
