@@ -324,7 +324,8 @@ object SparkEntry {
     * by the session-memoized curated export and the un-memoized
     * pipeline_curate_pack scaling witness. */
   private[graft] def packTokenStream(idsIn: DataFrame,
-      seqLen: Int = 128, materialized: Boolean = false): DataFrame = {
+      seqLen: Int = 128, materialized: Boolean = false,
+      orderCol: Option[String] = None): DataFrame = {
     // staged write: the id table feeds the span layout, the total-mass
     // count and the payload join — without it the tokenize pass would
     // re-run per consumer. Callers that already hold a checkpointed id
@@ -332,8 +333,17 @@ object SparkEntry {
     // skip the redundant re-checkpoint job.
     val ids = if (materialized) idsIn else idsIn.localCheckpoint()
     val L = seqLen.toLong
-    val packed = graft.pipeline.Packing.chunkSpans(
-      ids.select("doc_id", "n_tokens"), seqLen, keepStart = true)
+    // orderCol: a UNIQUE alternative stream order (e.g. the in-context
+    // export's (cell, doc_id) dense rank) — the chunk layout ranks by
+    // it, then maps back to doc_id for the payload join
+    val orderKey = orderCol.getOrElse("doc_id")
+    val packedRaw = graft.pipeline.Packing.chunkSpans(
+      ids.select(orderKey, "n_tokens"), seqLen, idCol = orderKey,
+      keepStart = true)
+    val packed =
+      if (orderKey == "doc_id") packedRaw
+      else packedRaw.join(ids.select(orderKey, "doc_id"), Seq(orderKey))
+        .drop(orderKey)
     val totalTokens = ids.agg(coalesce(sum("n_tokens"), lit(0L)))
       .head.getLong(0)
     val numShards = math.max(1L,
@@ -378,7 +388,7 @@ object SparkEntry {
     * rows (stage 10). Session-memoized like the stage chain it extends;
     * no dedup stage is repeated here — exact, fuzzy AND span-level
     * dedup already ran inside the chain. */
-  private def curateExportFrames(s: SparkSession,
+  private[graft] def curateExportFrames(s: SparkSession,
       dir: String): (DataFrame, DataFrame) =
     ArtifactCache.sessionValue(s.sparkContext, s"$dir/curate/export") {
       val stages = curateFullStages(s, dir)
@@ -395,6 +405,30 @@ object SparkEntry {
       (ids, sharded)
     }
 
+  /** IN-CONTEXT curated export (r16): the SAME tokenizer-true export,
+    * but the document stream is laid out in (embedding k-means cell,
+    * doc_id) order before chunking — related documents share training
+    * windows (Shi et al. 2024; the standalone `pack_semantic` is the
+    * operator, this is the composition users run: curate → tokenize →
+    * semantic order → pack → shard). The md5 shard deal is unchanged —
+    * shards are a parallel-read surface; in-window locality is what the
+    * ordering buys. Reuses the session-memoized token streams; the
+    * dense (cell, doc_id) rank comes from the same exclusivePrefixSum
+    * scan as every other layout op. */
+  private[graft] def curateExportCtxFrame(s: SparkSession,
+      dir: String): DataFrame =
+    ArtifactCache.sessionValue(s.sparkContext, s"$dir/curate/exportCtx") {
+      val (ids, _) = curateExportFrames(s, dir)
+      val cells = ivfOf(s, dir).cells
+        .select(col("doc_id"), col("cell").cast("long").as("cell"))
+      val ranked = graft.pipeline.Packing.exclusivePrefixSum(
+        ids.join(cells, Seq("doc_id")).withColumn("__one", lit(1L)),
+        "cell", "__one", outCol = "dpos", tieCol = Some("doc_id"))
+        .drop("__one")
+      packTokenStream(ranked, seqLen = 128, orderCol = Some("dpos"))
+        .localCheckpoint()
+    }
+
   /** Tokenizer-true export CTE chain (VERDICT r15 #1), appended after
     * the curation oracle's `cum` CTE: admitted doc ids → trimmed text
     * (`admt`, from trimdoc) → unigram Viterbi replay with token ids
@@ -408,7 +442,19 @@ object SparkEntry {
     * join, exactly where DuckDB's single-reference CTE inlining
     * re-evaluates the upstream chain (the funnel OOM lesson). */
   private def tokenExportCtesSql(model: graft.pipeline.Unigram.Model,
-      m: String => String, admWhere: String = "cum <= budget"): String =
+      m: String => String, admWhere: String = "cum <= budget",
+      ctxCb: Option[graft.index.Codebook] = None): String = {
+    // ctx (in-context export): the stream prefix sum orders by
+    // (embedding cell, doc_id) — cells from the inlined-centroid
+    // nearest-neighbor assignment (prefix y; assign1Ctes is the same
+    // generator every codebook oracle uses)
+    val cellCtes = ctxCb.map(cb =>
+      s"""${graft.oracle.GeneratedOracles.assign1Ctes(cb, "embeddings", "y")},
+         |${m("zcell")} (SELECT doc_id, CAST(k0 AS BIGINT) AS cell FROM ya0),
+         |""".stripMargin).getOrElse("")
+    val zecOrder = if (ctxCb.isDefined) "cell, doc_id" else "doc_id"
+    val zecSrc =
+      if (ctxCb.isDefined) "zn JOIN zcell USING (doc_id)" else "zn"
     s"""adm AS (SELECT doc_id FROM cum WHERE $admWhere),
        |${m("admt")} (SELECT trimdoc.doc_id, trimdoc.text
        |  FROM trimdoc JOIN adm USING (doc_id)),
@@ -418,10 +464,10 @@ object SparkEntry {
        |${m("zn")} (SELECT zwx.doc_id,
        |    CAST(sum(len(string_split(b.ids, ','))) AS BIGINT) AS n
        |  FROM zwx JOIN zbest b ON b.w = zwx.w GROUP BY zwx.doc_id),
-       |${m("zec")} (SELECT doc_id, n,
-       |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+       |$cellCtes${m("zec")} (SELECT doc_id, n,
+       |    CAST(COALESCE(SUM(n) OVER (ORDER BY $zecOrder
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
-       |  FROM zn WHERE n > 0),
+       |  FROM $zecSrc WHERE n > 0),
        |zil AS (SELECT zwx.doc_id, zwx.i, string_split(b.ids, ',') AS tl
        |  FROM zwx JOIN zbest b ON b.w = zwx.w),
        |ztk AS (SELECT doc_id, i, u.j, CAST(tl[u.j] AS BIGINT) AS tid
@@ -442,6 +488,7 @@ object SparkEntry {
        |      CAST('0x' || substr(md5(CAST(seq_id AS VARCHAR)), 1, 15) AS BIGINT),
        |      seq_id) - 1 AS pos
        |  FROM zpay)""".stripMargin
+  }
 
   /** The flagship curation recipe oracle's CTE chain (gate, LM
     * buckets, exact dedup, banding, recursive components, survivor
@@ -451,7 +498,8 @@ object SparkEntry {
     * curateFullStages. `withExport` appends [[exportCtesSql]]. */
   private def curateFullSql(finalSelect: String,
       materializeStages: Boolean = false,
-      exportModel: Option[graft.pipeline.Unigram.Model] = None): String = {
+      exportModel: Option[graft.pipeline.Unigram.Model] = None,
+      exportCtxCb: Option[graft.index.Codebook] = None): String = {
     // the funnel's final select counts SEVEN stage CTEs via scalar
     // subqueries; DuckDB inlines single-reference CTEs, so without
     // materialization each count re-evaluates the whole upstream chain
@@ -573,7 +621,8 @@ object SparkEntry {
          |                   doc_id ASC
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |      FROM clean JOIN bud USING (source))${
-             exportModel.map(mm => ",\n" + tokenExportCtesSql(mm, m))
+             exportModel.map(mm => ",\n" +
+                 tokenExportCtesSql(mm, m, ctxCb = exportCtxCb))
                .getOrElse("")}
          |$finalSelect""".stripMargin
     sql
@@ -942,7 +991,7 @@ object SparkEntry {
   }
 
   /** 16-cell IVF structure over the fixture embeddings (dir-memoized). */
-  private def ivfOf(s: SparkSession, dir: String): graft.search.IVFIndex.IVF = {
+  private[graft] def ivfOf(s: SparkSession, dir: String): graft.search.IVFIndex.IVF = {
     val cb = ArtifactCache.codebook(s"$dir/ivf16") {
       RQTrainer.fit(docVecs(s, dir).select("doc_id", "vec"), "vec",
         numLevels = 1, k = 16, seed = 42L, maxIter = 10)
@@ -2915,6 +2964,15 @@ object SparkEntry {
       curateExportFrames(s, dir)._2
         .orderBy("shard", "shard_pos")),
 
+    // IN-CONTEXT export variant: identical artifact schema, document
+    // stream ordered by (embedding cell, doc_id) before chunking — the
+    // pack_semantic ordering composed into the tokenizer-true export
+    // (see curateExportCtxFrame). Oracle = the full-chain replay with
+    // the inlined-centroid assignment supplying the stream order.
+    "pipeline_curate_export_ctx" -> ((s, dir) =>
+      curateExportCtxFrame(s, dir)
+        .orderBy("shard", "shard_pos")),
+
 
     // THE LIFECYCLE ENTRY — the reference's two entry points composed as
     // one query (index build, marco_generate_embedding_n_rq.sh; serve +
@@ -4126,6 +4184,16 @@ object SparkEntry {
             exportModel = Some(model)),
           "pipeline_curate_pack" -> curateWitnessSql(
             tokenExportSelectSql, exportModel = Some(model))))
+        .getOrElse(Map.empty) ++
+      // the in-context export needs BOTH trained artifacts at this dir:
+      // the unigram model (token streams) and the ivf codebook (cells)
+      (for {
+        d <- dir
+        model <- Option(dirUnigram.get(d))
+        cb <- Option(dirIvfCodebooks.get(d))
+      } yield Map("pipeline_curate_export_ctx" -> curateFullSql(
+        tokenExportSelectSql, materializeStages = true,
+        exportModel = Some(model), exportCtxCb = Some(cb))))
         .getOrElse(Map.empty) ++
       dir.flatMap(d => Option(dirLifecycle.get(d)))
         .map { case (merges, cb) => Map("pipeline_index_serve" ->

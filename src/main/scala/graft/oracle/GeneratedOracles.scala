@@ -386,7 +386,7 @@ object GeneratedOracles {
     * statement (the SemDeDup refinement pass). `src` must expose
     * (vec_id, embedding); output `${p}a0(doc_id, v0, k0, cent0)`.
     */
-  private def assign1Ctes(cb: Codebook, src: String, p: String): String = {
+  private[graft] def assign1Ctes(cb: Codebook, src: String, p: String): String = {
     require(cb.numLevels == 1)
     val rows = cb.levels(0).zipWithIndex
       .map { case (c, code) => s"($code, ${centList(c)})" }

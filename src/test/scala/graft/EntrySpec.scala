@@ -126,4 +126,33 @@ class EntrySpec extends SparkSpec {
         s"shard $sh positions not dense")
     }
   }
+
+  test("ctx export stream is the admitted token streams in (cell, doc_id) order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = sf("0.001")
+    val ctx = SparkEntry.queries("pipeline_curate_export_ctx")(spark, dir)
+      .select("shard", "seq_id", "n_tokens", "token_ids").collect()
+    assert(ctx.nonEmpty)
+    // global stream read back in sequence order
+    val stream = ctx.sortBy(_.getAs[Long]("seq_id"))
+      .flatMap(_.getAs[String]("token_ids").split(","))
+      .map(_.toLong).toSeq
+    // independent expectation: the memoized per-doc token streams,
+    // concatenated in (embedding cell, doc_id) order
+    val (ids, _) = SparkEntry.curateExportFrames(spark, dir)
+    val cellMap = SparkEntry.ivfOf(spark, dir).cells
+      .select(col("doc_id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expected = ids.select(col("doc_id"), col("ids"))
+      .as[(Long, Seq[Int])].collect()
+      .sortBy { case (id, _) => (cellMap(id), id) }
+      .flatMap(_._2.map(_.toLong)).toSeq
+    assert(stream == expected,
+      "ctx export must lay the token stream out in (cell, doc_id) order")
+    // the md5 shard deal keeps its ±1 balance under the new ordering
+    val sizes = ctx.groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"shard imbalance: $sizes")
+  }
 }
