@@ -169,7 +169,8 @@ object Unigram {
     * results cross to the driver (the RQ-codebook convention). */
   def train(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 4,
       seedSize: Int = 400, nIters: Int = 4,
-      textCol: String = "text"): Model = {
+      textCol: String = "text",
+      localEmGate: Long = LocalEmGate): Model = {
     require(vocabSize >= 2 && seedSize >= vocabSize && maxPieceLen >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -183,7 +184,7 @@ object Unigram {
     // size-gated driver E-steps (r16, the connectedComponentsAuto
     // pattern): one collect, then every EM/prune pass is local
     val localWords: Option[Array[(String, Long)]] =
-      if (words.count() <= LocalEmGate)
+      if (words.count() <= localEmGate)
         Some(words.as[(String, Long)].collect())
       else None
     def emCounts(probs: Map[String, Long]): Map[String, Long] =

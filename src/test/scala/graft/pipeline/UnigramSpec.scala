@@ -143,5 +143,13 @@ class UnigramSpec extends SparkSpec {
     val drv = Unigram.usageCountsLocal(local, probs, maxPieceLen = 2)
     assert(dist.nonEmpty)
     assert(dist == drv)
+    // whole-model parity: forcing the DISTRIBUTED path (gate 0) trains
+    // the bit-identical model the driver path produces — every EM and
+    // prune round agrees, not just one count pass
+    val localModel = Unigram.train(fixture, vocabSize = 32,
+      maxPieceLen = 4, seedSize = 120, nIters = 3)
+    val distModel = Unigram.train(fixture, vocabSize = 32,
+      maxPieceLen = 4, seedSize = 120, nIters = 3, localEmGate = 0L)
+    assert(localModel == distModel)
   }
 }
