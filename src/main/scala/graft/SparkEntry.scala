@@ -298,13 +298,9 @@ object SparkEntry {
   private def unigramOf(s: SparkSession,
       dir: String): graft.pipeline.Unigram.Model = {
     val model = ArtifactCache.value(s"$dir/unigram48") {
-      val t0 = System.nanoTime()
-      val m = graft.pipeline.Unigram.train(t(s, dir, "documents"),
-        vocabSize = 48, maxPieceLen = 4, seedSize = 200, nIters = 4)
-      if (sys.env.contains("SPARK_GRAFT_CHAIN_TRACE"))
-        System.err.println(
-          f"[chain] unigram_train    ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-      m
+      traced("unigram_train")(
+        graft.pipeline.Unigram.train(t(s, dir, "documents"),
+          vocabSize = 48, maxPieceLen = 4, seedSize = 200, nIters = 4))
     }
     dirUnigram.put(dir, model)
     lastDir = Some(dir)
@@ -421,8 +417,13 @@ object SparkEntry {
       val (ids, _) = curateExportFrames(s, dir)
       val cells = ivfOf(s, dir).cells
         .select(col("doc_id"), col("cell").cast("long").as("cell"))
+      // LEFT join + sentinel cell −1: an admitted doc with no embedding
+      // row still exports (it sorts ahead of every real cell) — the ctx
+      // layout must never DROP training data the plain export carries
       val ranked = graft.pipeline.Packing.exclusivePrefixSum(
-        ids.join(cells, Seq("doc_id")).withColumn("__one", lit(1L)),
+        ids.join(cells, Seq("doc_id"), "left")
+          .withColumn("cell", coalesce(col("cell"), lit(-1L)))
+          .withColumn("__one", lit(1L)),
         "cell", "__one", outCol = "dpos", tieCol = Some("doc_id"))
         .drop("__one")
       packTokenStream(ranked, seqLen = 128, orderCol = Some("dpos"))
@@ -453,8 +454,12 @@ object SparkEntry {
          |${m("zcell")} (SELECT doc_id, CAST(k0 AS BIGINT) AS cell FROM ya0),
          |""".stripMargin).getOrElse("")
     val zecOrder = if (ctxCb.isDefined) "cell, doc_id" else "doc_id"
+    // LEFT join + COALESCE(-1): the engine's missing-embedding sentinel
     val zecSrc =
-      if (ctxCb.isDefined) "zn JOIN zcell USING (doc_id)" else "zn"
+      if (ctxCb.isDefined)
+        "(SELECT zn.doc_id, zn.n, COALESCE(zcell.cell, -1) AS cell " +
+          "FROM zn LEFT JOIN zcell USING (doc_id))"
+      else "zn"
     s"""adm AS (SELECT doc_id FROM cum WHERE $admWhere),
        |${m("admt")} (SELECT trimdoc.doc_id, trimdoc.text
        |  FROM trimdoc JOIN adm USING (doc_id)),

@@ -388,9 +388,14 @@ object TextAnalysis {
     * any page containing a banned term is removed): WORD-BOUNDARY term
     * matching over the lowercased token stream, multi-word phrases
     * included. `terms` is a one-column (`term`) table of space-joined
-    * lowercase words. Output one row per input doc:
-    * (idCol, n_hits — matching POSITIONS, hit_terms — sorted distinct
-    * matched terms comma-joined, pass — no term matched).
+    * words (case- and surrounding/inner-whitespace-insensitive — terms
+    * re-tokenize through the same `tokens` normalization as documents,
+    * with empty tokens dropped, so a CSV blocklist's ' fast ' matches
+    * 'fast'). Output one row per input doc, keyed `doc_id` (the idCol
+    * values cast to long): (doc_id, n_hits — matching (position, term)
+    * pairs, so one position hit by two terms counts twice, hit_terms —
+    * sorted distinct matched terms comma-joined, pass — no term
+    * matched).
     *
     * Spark-first shape: the distinct term WIDTHS (a config-table-sized
     * collect — a blocklist is thousands of rows, never corpus-sized)
@@ -405,7 +410,8 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val normTerms = terms
-      .select(concat_ws(" ", tokens(col("term"))).as("term"))
+      .select(concat_ws(" ",
+        filter(tokens(col("term")), t => length(t) > 0)).as("term"))
       .where(col("term") =!= "").distinct()
     val widths: Seq[Int] = normTerms
       .select(size(split(col("term"), " ")).as("k"))
@@ -413,12 +419,8 @@ object TextAnalysis {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       tokens(col(textCol)).as("__toks"))
     val hits = widths.map { k =>
-      base.select(col("doc_id"), explode(expr(
-          s"""CASE WHEN size(__toks) >= $k THEN
-             |  transform(sequence(0, size(__toks) - $k),
-             |    i -> concat_ws(' ', slice(__toks, i + 1, $k)))
-             |ELSE CAST(array() AS array<string>) END""".stripMargin))
-          .as("gram"))
+      base.select(col("doc_id"),
+          explode(Dedup.shingles(col("__toks"), k)).as("gram"))
         .join(broadcast(normTerms
             .where(size(split(col("term"), " ")) === k)),
           col("gram") === col("term"))

@@ -242,5 +242,12 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("fast", "slow slow").toDF("term")).head()
     assert(multi.getAs[Long]("n_hits") == 3L)
     assert(multi.getAs[String]("hit_terms") == "fast,slow slow")
+    // surrounding/inner whitespace in a term normalizes away — a CSV
+    // blocklist's ' fast ' / 'slow  slow' must still match
+    val ws = TextAnalysis.blocklistScreen(
+      Seq((9L, "fast slow slow fast")).toDF("doc_id", "text"),
+      Seq(" fast ", "slow  slow", "   ").toDF("term")).head()
+    assert(ws.getAs[Long]("n_hits") == 3L)
+    assert(ws.getAs[String]("hit_terms") == "fast,slow slow")
   }
 }
