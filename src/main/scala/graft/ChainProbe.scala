@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
   */
 object ChainProbe {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: ChainProbe <sfDir>")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -419,14 +419,22 @@ object SparkEntry {
         .select(col("doc_id"), col("cell").cast("long").as("cell"))
       // LEFT join + sentinel cell −1: an admitted doc with no embedding
       // row still exports (it sorts ahead of every real cell) — the ctx
-      // layout must never DROP training data the plain export carries
-      val ranked = graft.pipeline.Packing.exclusivePrefixSum(
-        ids.join(cells, Seq("doc_id"), "left")
+      // layout must never DROP training data the plain export carries.
+      // The rank runs over a NARROW (doc_id, cell) projection (ADVICE
+      // r16): the prefix-sum's internal checkpoint and window sort then
+      // never carry the token-id payload — the payload-bearing joined
+      // frame is materialized exactly ONCE, inside packTokenStream
+      // (before: three payload materializations — the prefix sum's, a
+      // redundant re-checkpoint in packTokenStream, and the outer one).
+      val rank = graft.pipeline.Packing.exclusivePrefixSum(
+        ids.select("doc_id")
+          .join(cells, Seq("doc_id"), "left")
           .withColumn("cell", coalesce(col("cell"), lit(-1L)))
           .withColumn("__one", lit(1L)),
         "cell", "__one", outCol = "dpos", tieCol = Some("doc_id"))
-        .drop("__one")
-      packTokenStream(ranked, seqLen = 128, orderCol = Some("dpos"))
+        .select("doc_id", "dpos")
+      packTokenStream(ids.join(rank, Seq("doc_id")), seqLen = 128,
+          orderCol = Some("dpos"))
         .localCheckpoint()
     }
 

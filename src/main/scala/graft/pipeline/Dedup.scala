@@ -229,46 +229,59 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, aCol: String = "a",
       bCol: String = "b", maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // two-phase build + derived round width (r17, the PageRank
+    // pattern): the symmetrized edge set lands once under stock AQE,
+    // then is pinned hash(dst) at the derived width — the per-round
+    // neighbor join probes it by dst, so the edge set never
+    // re-shuffles across rounds (a plain localCheckpoint records
+    // UnknownPartitioning under AQE and the r16 plan re-exchanged the
+    // edges every round); only the nodes-sized label frames move.
+    val sym0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("comp")).localCheckpoint()
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("v").as("dst"), col("comp").as("ncomp")),
-          Seq("dst"))
-        .groupBy(col("src").as("v")).agg(min("ncomp").as("nmin"))
-      // carry the pre-round label alongside the new one so convergence
-      // detection is a filter over the SAME checkpointed frame — the
-      // old third |V| join (updated ⨝ labels) was one full shuffle per
-      // round for nothing but a boolean
-      val propagated = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          col("comp").as("old"))
-      // path halving: comp(v) := comp(comp(v)) — labels are vertex ids
-      // (mins of vertex-id sets), so the parent lookup is a |V| self-join
-      val updated = propagated.as("x")
-        .join(propagated.select(col("v").as("comp"),
-          col("comp").as("pcomp")), Seq("comp"))
-        .select(col("v"), col("pcomp").as("comp"), col("old"))
-        // LAZY checkpoint: the convergence probe right below runs the
-        // round and stores it in one job instead of two (the scheduling
-        // saving is inside fixture noise at |V|~1e2; the job count is
-        // the principled reason)
-        .localCheckpoint(false)
-      // labels only ever decrease; any strict decrease means another
-      // round — read off the checkpointed blocks, zero extra joins
-      val changed =
-        updated.where(col("comp") < col("old")).limit(1).count() > 0
-      labels = updated.select("v", "comp")
-      converged = !changed
-      it += 1
+    val p = graft.core.RoundLayout.roundPartitions(sym0, sym0.count())
+    graft.core.RoundLayout.withShufflePartitions(sym0, p) {
+      val sym = graft.core.RoundLayout.ckptKeepPartitioning(
+        sym0.repartition(p, col("dst")))
+      var labels = graft.core.RoundLayout.ckptKeepPartitioning(
+        sym0.select(col("src").as("v")).distinct()
+          .select(col("v"), col("v").as("comp"))
+          .repartition(p, col("v")))
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        val nbrMin = sym
+          .join(labels.select(col("v").as("dst"), col("comp").as("ncomp")),
+            Seq("dst"))
+          .groupBy(col("src").as("v")).agg(min("ncomp").as("nmin"))
+        // carry the pre-round label alongside the new one so
+        // convergence detection is a filter over the SAME checkpointed
+        // frame — a third |V| join (updated ⨝ labels) would be one
+        // full shuffle per round for nothing but a boolean
+        val propagated = labels.join(nbrMin, Seq("v"), "left")
+          .select(col("v"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+            col("comp").as("old"))
+        // path halving: comp(v) := comp(comp(v)) — labels are vertex
+        // ids (mins of vertex-id sets), so the parent lookup is a |V|
+        // self-join
+        val updated = propagated.as("x")
+          .join(propagated.select(col("v").as("comp"),
+            col("comp").as("pcomp")), Seq("comp"))
+          .select(col("v"), col("pcomp").as("comp"), col("old"))
+          // LAZY checkpoint: the convergence probe right below runs
+          // the round and stores it in one job instead of two
+          .localCheckpoint(false)
+        // labels only ever decrease; any strict decrease means another
+        // round — read off the checkpointed blocks, zero extra joins
+        val changed =
+          updated.where(col("comp") < col("old")).limit(1).count() > 0
+        labels = updated.select("v", "comp")
+        converged = !changed
+        it += 1
+      }
+      labels
     }
-    labels
   }
 
   /** [[connectedComponents]] with a size-gated DRIVER shortcut: a
@@ -953,6 +966,19 @@ object Dedup {
     //     direct LCP = min over the removed chain, still < minLen on
     //     that side; hash collisions only RETAIN extra suffixes, which
     //     the LCP pass then judges by their actual content.
+    // SCOPE (ADVICE r16): the ultrametric step (LCP(a,c) =
+    // min(LCP(a,u), LCP(u,c)) over the joined-string order) holds when
+    // token order coincides with string order, i.e. for tokens of
+    // printable (> 0x20) characters. A token containing a sub-0x20
+    // control char (not \s, so it survives tokenization) can place a
+    // dropped unique-gram suffix lexicographically BETWEEN two
+    // same-gram suffixes; removing it can merge neighbors whose direct
+    // token-LCP exceeds minLen, flagging rows the full-sort order would
+    // not. So on such corpora the prefilter's flagged-set membership —
+    // not just dup_len under-reporting (the pre-r16 caveat) — can
+    // differ from a full-sort replay; the exactness claim above is for
+    // printable-token corpora (every fixture, and any corpus whose
+    // cleaning strips control chars first).
     // Scale effect: the range-partition sort previously shuffled EVERY
     // capped suffix — O(cap · corpus tokens) bytes, a ~cap× write
     // amplification of the corpus through one shuffle. Now the heavy

@@ -85,30 +85,45 @@ object GraphOps {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 8): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
-    var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
-    var done = false
-    var i = 0
-    while (i < maxRounds && !done) {
-      val deg = e.select(col("u").as("node"))
+    val e0 = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    // derived round width + one action per round (r17): each round is
+    // exactly its survivor checkpoint, materialized by the stability
+    // count — the survivor set `keep` is left UN-materialized inside
+    // the round plan (its degree aggregation feeds both semi-joins
+    // through one reused exchange), where the r16 form paid an eager
+    // keep checkpoint + an eager e2 checkpoint + a separate count + a
+    // re-count of the previous round's edges (carried in `cnt` now),
+    // ~4 scheduled actions per round at the full session width.
+    var cnt = e0.count()
+    val p = graft.core.RoundLayout.roundPartitions(e0, cnt)
+    graft.core.RoundLayout.withShufflePartitions(e0, p) {
+      var e = e0
+      var done = false
+      var i = 0
+      while (i < maxRounds && !done) {
+        val deg = e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("d"))
+        val keep = deg.where(col("d") >= k).select("node")
+        val e2 = e
+          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+          .select("u", "v").localCheckpoint(false)
+        // stability check on edge count — peeling only ever removes
+        val c2 = e2.count()
+        done = c2 == cnt
+        cnt = c2
+        e = e2
+        i += 1
+      }
+      // a truncated peel is NOT a k-core (nodes with degree < k remain);
+      // refuse to return one rather than let the caller mistake it for
+      // the maximal subgraph the docstring promises
+      require(done, s"kCore(k=$k) did not converge within $maxRounds " +
+        s"rounds — deep-peeling graph; raise maxRounds")
+      e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("d"))
-      val keep = deg.where(col("d") >= k).select("node").localCheckpoint()
-      val e2 = e
-        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .select("u", "v").localCheckpoint()
-      // stability check on edge count — peeling only ever removes
-      done = e2.count() == e.count()
-      e = e2
-      i += 1
+        .groupBy("node").agg(count(lit(1)).as("core_deg"))
     }
-    // a truncated peel is NOT a k-core (nodes with degree < k remain);
-    // refuse to return one rather than let the caller mistake it for
-    // the maximal subgraph the docstring promises
-    require(done, s"kCore(k=$k) did not converge within $maxRounds " +
-      s"rounds — deep-peeling graph; raise maxRounds")
-    e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("core_deg"))
   }
 }
