@@ -30,6 +30,9 @@ object OptProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // A/B toggle for the coalesce policy experiment (r17)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PF", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -41,11 +44,22 @@ object OptProbe {
     val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
     val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stageLog = sys.env.contains("SPARK_GRAFT_PROBE_STAGES")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (stageLog) {
+          val i = s.stageInfo
+          val m = i.taskMetrics
+          System.err.println(f"[stage] ${i.stageId}%4d tasks=${i.numTasks}%4d " +
+            f"run=${m.executorRunTime / 1e3}%7.2fs cpu=${m.executorCpuTime / 1e9}%7.2fs " +
+            f"gc=${m.jvmGCTime / 1e3}%5.2fs fetchWait=${m.shuffleReadMetrics.fetchWaitTime / 1e3}%5.2fs " +
+            f"ser=${m.resultSerializationTime / 1e3}%5.2fs deser=${m.executorDeserializeTime / 1e3}%6.2fs " +
+            i.name.take(90))
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics

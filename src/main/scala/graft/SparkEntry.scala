@@ -173,8 +173,8 @@ object SparkEntry {
           col("pass_alpha") && col("pass_symbol"))
         .select(col("doc_id"), col("n_words")))
       val lm = traced("ngram_lm_train")(lmOf(s, dir))
-      val buckets = graft.pipeline.NgramLM.ccnetBuckets(
-          graft.pipeline.NgramLM.score(docs, lm), sampleK = 300)
+      val buckets = graft.pipeline.NgramLM.ccnetBucketsOf(docs, lm,
+          sampleK = 300)
         .where(col("bucket") =!= "tail")
         .select(col("doc_id"), col("bucket"))
       // staged write #0 (r15): the gated+LM-bucketed corpus is the
@@ -333,15 +333,16 @@ object SparkEntry {
     // export's (cell, doc_id) dense rank) — the chunk layout ranks by
     // it, then maps back to doc_id for the payload join
     val orderKey = orderCol.getOrElse("doc_id")
-    val packedRaw = graft.pipeline.Packing.chunkSpans(
+    // total token mass read off the chunk layout's own prefix-scan
+    // collect (r17) — the previous separate ids-sum aggregate action is
+    // gone; identical value (the scan's bucket sums cover every row)
+    val (packedRaw, totalTokens) = graft.pipeline.Packing.chunkSpansWithTotal(
       ids.select(orderKey, "n_tokens"), seqLen, idCol = orderKey,
       keepStart = true)
     val packed =
       if (orderKey == "doc_id") packedRaw
       else packedRaw.join(ids.select(orderKey, "doc_id"), Seq(orderKey))
         .drop(orderKey)
-    val totalTokens = ids.agg(coalesce(sum("n_tokens"), lit(0L)))
-      .head.getLong(0)
     val numShards = math.max(1L,
       (totalTokens + TokensPerShard - 1) / TokensPerShard)
     val slices = packed.join(ids.select("doc_id", "ids"), Seq("doc_id"))
@@ -350,6 +351,11 @@ object SparkEntry {
           (col("seq_id") * L + col("off_in_seq") - col("start") + 1L)
             .cast("int"),
           col("n_tok").cast("int")).as("piece_ids"))
+    // staged write (r17): the assembled per-sequence payload feeds BOTH
+    // the shard-position scan (via `seqs`) and the final join — without
+    // it the sort_array/flatten/concat assembly ran twice per
+    // materialization (once inside the position scan's checkpoint, once
+    // in the output join)
     val seqPayload = slices.groupBy("seq_id")
       .agg(sort_array(collect_list(
         struct(col("off_in_seq"), col("piece_ids")))).as("__sl"))
@@ -358,6 +364,7 @@ object SparkEntry {
       .select(col("seq_id"),
         size(col("__ids")).cast("long").as("n_tokens"),
         concat_ws(",", col("__ids").cast("array<string>")).as("token_ids"))
+      .localCheckpoint()
     // shuffled global position = count of smaller (hash, seq_id) keys,
     // scan-built; seq_id tiebreak matches the oracle's row_number
     val seqs = seqPayload.select("seq_id")
@@ -804,8 +811,8 @@ object SparkEntry {
       .where(col("pass_words") && col("pass_mwl") &&
         col("pass_alpha") && col("pass_symbol"))
       .select(col("doc_id"))
-    val buckets = graft.pipeline.NgramLM.ccnetBuckets(
-        graft.pipeline.NgramLM.score(docs, lmOf(s, dir)), sampleK = 300)
+    val buckets = graft.pipeline.NgramLM.ccnetBucketsOf(docs,
+        lmOf(s, dir), sampleK = 300)
       .where(col("bucket") =!= "tail")
       .select(col("doc_id"), col("bucket"))
     val kept = docs.select("doc_id", "source", "text")
@@ -2723,8 +2730,8 @@ object SparkEntry {
     // the bounded sample
     "text_ccnet_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val scored = graft.pipeline.NgramLM.score(docs, lmOf(s, dir))
-      graft.pipeline.NgramLM.ccnetBuckets(scored, sampleK = 300)
+      graft.pipeline.NgramLM.ccnetBucketsOf(docs, lmOf(s, dir),
+          sampleK = 300)
         .orderBy("doc_id")
     }),
 

@@ -44,7 +44,10 @@ object Augment {
     * each a deterministic offset slice of `windowSize` tokens. */
   def docWindows(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", windowSize: Int = 64, maxW: Int = 4): DataFrame = {
-    val toks = split(col(textCol), "\\s+")
+    // __toks materialized in its own projection first (HOF no-CSE
+    // discipline, r17): the split was inlined into the transform
+    // lambda and re-ran once per window
+    val toks = col("__toks")
     val nW = least(greatest(ceil(size(toks) / lit(windowSize.toDouble)), lit(1)),
       lit(maxW)).cast("int")
     val windows = transform(sequence(lit(0), nW - 1), w => {
@@ -52,7 +55,8 @@ object Augment {
       val start = pmod(h(col(idCol).cast("string"), w), (maxStart + 1).cast("long")).cast("int")
       concat_ws(" ", slice(toks, start + 1, lit(windowSize)))
     })
-    docs.select(col(idCol), posexplode(windows).as(Seq("window_idx", "window_text")))
+    docs.select(col(idCol), split(col(textCol), "\\s+").as("__toks"))
+      .select(col(idCol), posexplode(windows).as(Seq("window_idx", "window_text")))
   }
 
   /** P10: deterministic subsample (keep md5(doc_id) mod 100 ≥ dropPct),

@@ -302,9 +302,16 @@ object Multimodal {
   def perceptualHashPairs(hashes: DataFrame, maxDist: Int,
       maxBucket: Int = 4096): DataFrame = {
     require(maxDist >= 0)
+    // staged write (r17): the hash table is 9 ints/doc but its plan
+    // DECODES every image — it feeds the 4 band branches, the
+    // hot-bucket count, and both confirm-join sides, and the decode
+    // mapPartitions RDD gets no exchange reuse, so one materialization
+    // previously re-decoded the corpus ~10× (measured 24.9 CPU-s →
+    // 3.4 at sf0.1)
+    val h = hashes.localCheckpoint()
     val bandCols = Seq("d0", "d1", "d2", "d3")
     val cand = bandCols.zipWithIndex.map { case (bc, i) =>
-      hashes.select(lit(i).as("band"), col(bc).as("key"), col("doc_id"))
+      h.select(lit(i).as("band"), col(bc).as("key"), col("doc_id"))
     }.reduce(_ unionByName _)
     // hot-bucket cap: a constant-background corpus collapses into one
     // band value; cap the bucket rather than let the pair join square
@@ -322,8 +329,8 @@ object Multimodal {
         .cast("long")))
       .reduce(_ + _)
     pairs
-      .join(hashes.as("ha"), col("a") === col("ha.doc_id"))
-      .join(hashes.as("hb"), col("b") === col("hb.doc_id"))
+      .join(h.as("ha"), col("a") === col("ha.doc_id"))
+      .join(h.as("hb"), col("b") === col("hb.doc_id"))
       .select(col("a"), col("b"), ham.cast("int").as("hamming"))
       .where(col("hamming") <= maxDist)
   }

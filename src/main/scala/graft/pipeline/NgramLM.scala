@@ -133,6 +133,41 @@ object NgramLM {
           .otherwise("tail").as("bucket"))
   }
 
+  /** [[ccnetBuckets]] with the cutoff sample SCORED FROM ITS OWN DOCS
+    * (r17): `ccnetBuckets(scored)` can only derive its cutoff sample
+    * from the scored frame, so materializing its output ran the
+    * full-corpus LM pass TWICE — once for the bucket CASE side and
+    * once inside the broadcast cutoff subplan (measured: the LM score
+    * is the curation chain's single most expensive stage). The md5
+    * sample rank depends only on `idCol`, and sample MEMBERSHIP only
+    * on "has ≥ 1 bigram" (= ≥ 2 non-empty tokens — [[score]]'s own
+    * domain), so selecting the `sampleK` ids from the raw doc table
+    * and scoring JUST those docs for the cutoffs yields bit-identical
+    * cutoffs — hence bit-identical buckets — while the broadcast
+    * side's cost drops from a second full-corpus pass to `sampleK`
+    * docs. Callers that only hold a scored frame keep using
+    * [[ccnetBuckets]]. */
+  def ccnetBucketsOf(docs: DataFrame, model: Model, sampleK: Int = 300,
+      seed: Long = 42L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(sampleK >= 3, s"sampleK=$sampleK")
+    val h = graft.functions.HashFunctions.md5_prefix(
+      concat(lit(seed.toString), lit(":"), col(idCol).cast("string")), 15)
+    val sampleDocs = docs
+      .where(size(filter(TextAnalysis.tokens(col(textCol)),
+        t => length(t) > 0)) >= 2)
+      .orderBy(h.asc, col(idCol).asc).limit(sampleK)
+    val cuts = cutsFrame(
+      lmMicro(score(sampleDocs, model, idCol, textCol), idCol),
+      sampleK, seed, idCol)
+    lmMicro(score(docs, model, idCol, textCol), idCol)
+      .crossJoin(broadcast(cuts))
+      .select(col(idCol), col("lm_micro"),
+        when(col("lm_micro") >= col("__t1"), "head")
+          .when(col("lm_micro") >= col("__t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   private def lmMicro(scored: DataFrame, idCol: String): DataFrame =
     scored.select(col(idCol),
       floor(col("avg_logp") * 1000000.0 + lit(0.5)).cast("long")

@@ -54,12 +54,21 @@ object Packing {
     */
   def exclusivePrefixSum(df: DataFrame, idCol: String, nCol: String,
       outCol: String = "start", buckets: Int = 256,
-      tieCol: Option[String] = None): DataFrame = {
+      tieCol: Option[String] = None): DataFrame =
+    exclusivePrefixSumWithTotal(df, idCol, nCol, outCol, buckets, tieCol)._1
+
+  /** [[exclusivePrefixSum]] plus the grand TOTAL of `nCol`, read off
+    * the same bucket-sum collect the offsets already need (r17) — a
+    * caller that also wants the total (e.g. token-mass shard sizing)
+    * skips a separate aggregate action over the input. */
+  def exclusivePrefixSumWithTotal(df: DataFrame, idCol: String,
+      nCol: String, outCol: String = "start", buckets: Int = 256,
+      tieCol: Option[String] = None): (DataFrame, Long) = {
     val in = df.localCheckpoint()
     val bounds = in.agg(min(col(idCol)).cast("long"),
       max(col(idCol)).cast("long")).head
     if (bounds.isNullAt(0))
-      return df.withColumn(outCol, lit(0L)) // empty input
+      return (df.withColumn(outCol, lit(0L)), 0L) // empty input
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (mx - mn) / buckets + 1)
     // exact integer `div` (a double-division round-trip is only exact to
@@ -89,9 +98,9 @@ object Packing {
       val off = acc; acc += s; (b, off)
     }.toSeq
     val offsets = offRows.toDF("__b", "__off")
-    inBucket.join(broadcast(offsets), Seq("__b"))
+    (inBucket.join(broadcast(offsets), Seq("__b"))
       .withColumn(outCol, (col("__in") + col("__off")).cast("long"))
-      .drop("__b", "__in")
+      .drop("__b", "__in"), acc)
   }
 
   /** Concat-and-chunk packing: documents concatenated in ascending
@@ -104,10 +113,17 @@ object Packing {
     * sequences, so the explode is output-proportional.
     */
   def chunkSpans(df: DataFrame, seqLen: Int, idCol: String = "doc_id",
-      nCol: String = "n_tokens", keepStart: Boolean = false): DataFrame = {
+      nCol: String = "n_tokens", keepStart: Boolean = false): DataFrame =
+    chunkSpansWithTotal(df, seqLen, idCol, nCol, keepStart)._1
+
+  /** [[chunkSpans]] plus the total token mass (from the prefix scan's
+    * own bucket collect — no extra pass; r17). */
+  def chunkSpansWithTotal(df: DataFrame, seqLen: Int,
+      idCol: String = "doc_id", nCol: String = "n_tokens",
+      keepStart: Boolean = false): (DataFrame, Long) = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val L = lit(seqLen.toLong)
-    val withStart = exclusivePrefixSum(df, idCol, nCol)
+    val (withStart, total) = exclusivePrefixSumWithTotal(df, idCol, nCol)
     val spans = withStart
       .where(col(nCol) > 0)
       // `div` = exact integer division on longs (no double round-trip —
@@ -124,9 +140,9 @@ object Packing {
     val base = Seq(col("seq_id"), col(idCol),
       (col("__lo") - col("seq_id") * L).cast("long").as("off_in_seq"),
       (col("__hi") - col("__lo")).cast("long").as("n_tok"))
-    spans.select(
+    (spans.select(
       (if (keepStart) base :+ col("start").cast("long").as("start")
-       else base): _*)
+       else base): _*), total)
   }
 
   /** Whole-document next-fit packing: docs are dealt into `groups` hash

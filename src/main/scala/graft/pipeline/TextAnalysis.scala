@@ -116,7 +116,7 @@ object TextAnalysis {
     // regex, but only one <EMAIL> token ends up in `scrubbed`
     val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
     val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
-    docs.select(col(idCol),
+    Dedup.ensureParallelism(docs).select(col(idCol),
       hits(text, EmailRe).cast("long").as("n_emails"),
       hits(afterEmail, Ipv4Re).cast("long").as("n_ips"),
       hits(afterIp, PhoneRe).cast("long").as("n_phones"),
@@ -335,7 +335,8 @@ object TextAnalysis {
     // regex split once per OUTPUT COLUMN — materializing __words/__lines
     // in their own projection runs each split once per row (measured
     // 1.07 → 0.84 s at sf0.1)
-    val pre = docs.select(col(idCol), col(textCol).as("__text"),
+    val pre = Dedup.ensureParallelism(docs)
+      .select(col(idCol), col(textCol).as("__text"),
       filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("__words"),
       split(col(textCol), "\n").as("__lines"))
     val text = col("__text")
