@@ -86,14 +86,16 @@ object GraphOps {
       maxRounds: Int = 8): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
     val e0 = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
-    // derived round width + one action per round (r17): each round is
-    // exactly its survivor checkpoint, materialized by the stability
-    // count — the survivor set `keep` is left UN-materialized inside
-    // the round plan (its degree aggregation feeds both semi-joins
-    // through one reused exchange), where the r16 form paid an eager
-    // keep checkpoint + an eager e2 checkpoint + a separate count + a
-    // re-count of the previous round's edges (carried in `cnt` now),
-    // ~4 scheduled actions per round at the full session width.
+    // derived round width + two actions per round (r17): the survivor
+    // checkpoint is lazy and materialized by the stability count, and
+    // the previous round's edge count is carried in `cnt` — the r16
+    // form paid an eager e2 checkpoint + a separate count + a re-count
+    // of the previous round's edges, all at the full session width.
+    // `keep` STAYS an eager checkpoint: the r17 sweep measured the
+    // un-materialized form (deg feeding both semi-joins in-plan) at
+    // 22.6 s vs 13.4 s for the staged form at the 100× corpus — the
+    // nodes-sized materialization is cheaper than re-deriving the
+    // degree aggregate under both probe joins at scale.
     var cnt = e0.count()
     val p = graft.core.RoundLayout.roundPartitions(e0, cnt)
     graft.core.RoundLayout.withShufflePartitions(e0, p) {
@@ -104,7 +106,7 @@ object GraphOps {
         val deg = e.select(col("u").as("node"))
           .unionAll(e.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("d"))
-        val keep = deg.where(col("d") >= k).select("node")
+        val keep = deg.where(col("d") >= k).select("node").localCheckpoint()
         val e2 = e
           .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
