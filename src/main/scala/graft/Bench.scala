@@ -180,7 +180,20 @@ object Bench {
     // regression (or a deliberate trade, like r11's temperatureMix
     // histogram form) surfaces as a named diff to adjudicate instead
     // of silent drift.
-    val prevQueryTimes: Map[String, Double] = try {
+    // a run at a non-default core count (the driver's scaling pass) is
+    // not comparable to the committed 32-core record: its times are
+    // legitimately ~2x slower, so every drift gate would fire and burn
+    // re-time iterations on phantom "regressions" (r17: the 8-core run
+    // re-timed drift pairs against the 32-core baseline). Skip the
+    // drift machinery entirely for those runs — the scaling comparison
+    // is the DRIVER's job, across its two records.
+    val defaultCpus = math.min(32, Runtime.getRuntime.availableProcessors)
+    val scalingRun = cpus.toInt != defaultCpus
+    val prevQueryTimes: Map[String, Double] = if (scalingRun) {
+      System.err.println(s"[bench] drift check skipped: local[$cpus] run, " +
+        s"committed record is local[$defaultCpus]")
+      Map.empty
+    } else try {
       val prevPath = java.nio.file.Paths.get(
         sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
       if (java.nio.file.Files.exists(prevPath)) {
@@ -459,7 +472,10 @@ object Bench {
       try {
         val prevPath = java.nio.file.Paths.get(
           sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
-        if (java.nio.file.Files.exists(prevPath)) {
+        if (scalingRun)
+          System.err.println(s"[bench] serve drift check skipped: " +
+            s"local[$cpus] run is not comparable to the committed record")
+        else if (java.nio.file.Files.exists(prevPath)) {
           val prev = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
           def prevVal(key: String): Option[Double] =
             s""""$key":([0-9.]+)""".r.findFirstMatchIn(prev)
@@ -862,8 +878,12 @@ object Bench {
       System.err.println(f"[bench] WARNING record tainted: loadavg_start " +
         f"$loadStart%.2f > ${nCpus / 4.0}%.1f (cpus/4) — timings embed " +
         "foreign load; do not use as a cross-round baseline")
+    // cpus = the EFFECTIVE local[N] the session ran with (VERDICT r17:
+    // load.cpus used to report availableProcessors, so the driver's
+    // 8-core scaling record said "cpus":32); host_cpus keeps the
+    // machine size for the taint threshold's context
     val loadJson =
-      s"""{"cpus":$nCpus,"loadavg_start":${d(loadStart, 2)},""" +
+      s"""{"cpus":$cpus,"host_cpus":$nCpus,"loadavg_start":${d(loadStart, 2)},""" +
         s""""loadavg_end":${d(loadEnd, 2)},"iters":$iters,""" +
         s""""curate_chain_build_sec":${d(curateChainSec, 3)},""" +
         s""""tainted":$tainted,""" +
@@ -879,15 +899,20 @@ object Bench {
     // duplicate on stderr: survives even if a stdout tail-capture clips
     System.err.println(line)
     // The full line is ~3 KB — longer than the driver's 2000-char tail
-    // window, so every BENCH_r{N}.json so far has "parsed": null. Two
-    // fixes: (a) persist the full record as a file the judge can read
-    // directly; (b) end output with a COMPACT line (same "metric" shape,
-    // slowest-12 queries only) guaranteed to fit inside any tail capture.
-    // a filtered (SPARK_GRAFT_BENCH_ONLY) run must never clobber the
-    // committed full record — it is the drift pin's baseline
+    // window, so every BENCH_r01-r17 record has "parsed": null (the old
+    // "compact" line still carried the full load/engine/clustered
+    // blocks). Fixes (VERDICT r17 #1/#2): (a) persist the full record as
+    // a file the judge reads directly — suffixed _c<N> when the run is
+    // at a non-default core count, so the driver's scaling pass can't
+    // clobber the main record (r17's 8-core run overwrote the 32-core
+    // per-query map); (b) END stdout with a genuinely compact line
+    // (<1 KB: totals, slowest-12 map, health flags) that fits any tail
+    // capture. A filtered (SPARK_GRAFT_BENCH_ONLY) run must never
+    // clobber the committed full record — it is the drift pin's baseline.
     if (only.isEmpty) try {
+      val fname = if (scalingRun) s"BENCH_FULL_c$cpus.json" else "BENCH_FULL.json"
       val out = java.nio.file.Paths.get(
-        sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json")
+        sys.props.getOrElse("user.dir", "."), fname)
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] full record -> $out")
     } catch { case e: Throwable =>
@@ -897,7 +922,7 @@ object Bench {
       .map { case (k, (best, _)) => "\"" + k + "\":" + sec3(best) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${driftHealed.size},"queries":$slow,"queries_note":"slowest 12 of ${driftHealed.size}; full map in BENCH_FULL.json","failed":$failedJson,"load":$loadJson,"engine":$engine,"clustered":$clustered,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${driftHealed.size},"queries":$slow,"queries_note":"slowest 12 of ${driftHealed.size}; full map in BENCH_FULL${if (scalingRun) s"_c$cpus" else ""}.json","failed":$failedJson,"cpus":$cpus,"iters":$iters,"loadavg_start":${d(loadStart, 2)},"tainted":$tainted,"curate_chain_build_sec":${d(curateChainSec, 3)},"sf":"$sfDir"}"""
     println(compact)
     System.err.println(compact)
     spark.stop()

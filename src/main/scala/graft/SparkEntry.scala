@@ -995,19 +995,20 @@ object SparkEntry {
     * the count tables persist once per live context). */
   private def lmOf(s: SparkSession, dir: String): graft.pipeline.NgramLM.Model = {
     val docs = t(s, dir, "documents")
-    // the model tables CHAIN through the cache (r16): unigrams derive
-    // from the PERSISTED bigram frame, so materializing the model costs
-    // one corpus bigram pass + one table-sized agg + one vocab pass —
-    // the previous form built unigrams from the lazy train() plan and
-    // re-ran the corpus pass once per model table
-    val big = ArtifactCache.frame(s, s"$dir/lm/bigrams")(
-      graft.pipeline.NgramLM.bigramCounts(docs))
+    // ONE corpus pass per model build (r18, VERDICT r17 #2): the
+    // nullable-next pair table is the only corpus-sized job; bigrams
+    // are a filter over the persisted pairs, unigrams a table-sized
+    // agg, and vocab a table-sized distinct count — the r16/r17 form
+    // paid a SECOND full tokenize pass for vocabCount
+    val pairs = ArtifactCache.frame(s, s"$dir/lm/pairs")(
+      graft.pipeline.NgramLM.pairCounts(docs))
+    val big = graft.pipeline.NgramLM.bigramsFrom(pairs)
     graft.pipeline.NgramLM.Model(
       big,
       ArtifactCache.frame(s, s"$dir/lm/unigrams")(
         graft.pipeline.NgramLM.unigramsFrom(big)),
       ArtifactCache.value(s"$dir/lm/vocab")(
-        graft.pipeline.NgramLM.vocabCount(docs)))
+        graft.pipeline.NgramLM.vocabCountFrom(pairs)))
   }
 
   /** 16-cell IVF structure over the fixture embeddings (dir-memoized). */
@@ -1018,7 +1019,8 @@ object SparkEntry {
     }
     dirIvfCodebooks.put(dir, cb)
     lastDir = Some(dir)
-    val cells = ArtifactCache.frame(s, s"$dir/ivf16/cells") {
+    val cells = ArtifactCache.frame(s, s"$dir/ivf16/cells",
+        layout = Seq(col("cell"))) {
       CodeAssigner.assign(docVecs(s, dir).select("doc_id", "vec"), cb)
         .select(col("doc_id"), col("codes").getItem(0).as("cell"))
         .repartition(col("cell"))
@@ -1046,7 +1048,8 @@ object SparkEntry {
     }
     dirSemScaledCodebooks.put(dir, cb)
     lastDir = Some(dir)
-    val cells = ArtifactCache.frame(s, s"$dir/semscaled$k/cells") {
+    val cells = ArtifactCache.frame(s, s"$dir/semscaled$k/cells",
+        layout = Seq(col("cell"))) {
       CodeAssigner.assign(docVecs(s, dir).select("doc_id", "vec"), cb)
         .select(col("doc_id"), col("codes").getItem(0).as("cell"))
         .repartition(col("cell"))
@@ -2452,7 +2455,8 @@ object SparkEntry {
             numLevels = 1, k = k, seed = 43L, maxIter = 10)
         }
         dirSemSubCodebooks.put(dir, Some(cb2))
-        val cells2 = ArtifactCache.frame(s, s"$dir/semsub$k/cells") {
+        val cells2 = ArtifactCache.frame(s, s"$dir/semsub$k/cells",
+            layout = Seq(col("cell"))) {
           graft.index.CodeAssigner.assign(d.select("doc_id", "vec"), cb2)
             .select(col("doc_id"), col("codes").getItem(0).as("cell"))
         }

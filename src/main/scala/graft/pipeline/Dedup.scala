@@ -226,6 +226,10 @@ object Dedup {
     * lineage. Converges in 2-3 rounds on LSH dup clusters (near-cliques).
     *
     * Returns (v, comp) for every vertex that appears in an edge.
+    *
+    * PRECONDITION: scopes session conf via [[graft.core.RoundLayout]] —
+    * don't plan unrelated queries on the same SparkSession concurrently
+    * with this call (see RoundLayout's scaladoc).
     */
   def connectedComponents(edges: DataFrame, aCol: String = "a",
       bCol: String = "b", maxIter: Int = 20): DataFrame = {

@@ -81,7 +81,11 @@ object GraphOps {
     * every extra round moves the values). Per round: one degree
     * aggregation + two semi-joins, survivors checkpointed (linear
     * lineage). Output: (node, core_deg) over the surviving subgraph —
-    * empty when no k-core exists. */
+    * empty when no k-core exists.
+    *
+    * PRECONDITION: scopes session conf via [[graft.core.RoundLayout]] —
+    * don't plan unrelated queries on the same SparkSession concurrently
+    * with this call (see RoundLayout's scaladoc). */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 8): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
@@ -123,6 +127,13 @@ object GraphOps {
       // the maximal subgraph the docstring promises
       require(done, s"kCore(k=$k) did not converge within $maxRounds " +
         s"rounds — deep-peeling graph; raise maxRounds")
+      // NOTE (ADVICE r17): only the LOOP is width-scoped. This final
+      // aggregate is returned lazily and plans at whatever width is
+      // active when the caller runs it (normally session width) — that
+      // is deliberate: the survivor edge set is checkpointed, its
+      // degree aggregation parallelizes better at the session width,
+      // and materializing it here was measured SLOWER (r18 probe:
+      // +0.7 s wall, +2 CPU-s from the narrow-width agg + extra job).
       e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))

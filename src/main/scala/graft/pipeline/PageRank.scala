@@ -38,6 +38,11 @@ import org.apache.spark.sql.functions._
   * per-round semi-join, broadcast, or ranks-to-ranks join. No
   * driver-side graph; the only per-round driver traffic is that
   * 2-column scalar row.
+  *
+  * PRECONDITION: the public entry points scope session conf via
+  * [[graft.core.RoundLayout]] — don't plan unrelated queries on the
+  * same SparkSession concurrently with a PageRank call (see
+  * RoundLayout's scaladoc).
   */
 object PageRank {
 

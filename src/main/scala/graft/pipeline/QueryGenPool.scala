@@ -22,6 +22,22 @@ object QueryGenPool {
       maxRounds: Int = 5)(
       generate: (DataFrame, Int) => DataFrame): DataFrame = {
 
+    // derived round width (r18, the RoundLayout discipline): each round
+    // plans a join + two aggregations over the pool — at the session
+    // width a fixture-scale pool runs every round as stacks of
+    // near-empty tasks (measured: 26 jobs / 525 tasks / 3.3 task-sec
+    // for 1.7 CPU-sec over a 60-doc universe). Width derives from the
+    // universe size (one extra count pass over `initial`'s doc ids — a
+    // projection of the input), capped at the session width, so
+    // production pools keep full parallelism; the universe/pool caches
+    // are then BUILT inside the scope so their cached partitioning is
+    // the round width, not the session's. PRECONDITION: scopes session
+    // conf via RoundLayout — don't plan unrelated queries on this
+    // SparkSession concurrently (see RoundLayout's scaladoc).
+    val nDocs = initial.select("doc_id").distinct().count()
+    val p = graft.core.RoundLayout.roundPartitions(initial, nDocs)
+    graft.core.RoundLayout.withShufflePartitions(initial, p) {
+
     // the doc universe comes from `initial` BEFORE the validity filter:
     // docs whose existing queries are all null/empty need backfill the
     // most and must not vanish from the loop
@@ -71,5 +87,6 @@ object QueryGenPool {
     pool.unpersist()
     universe.unpersist()
     out // caller owns the returned frame's persistence
+    } // withShufflePartitions — out is materialized inside the scope
   }
 }
